@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is measured with the noop sink (full pipeline runs, no driver
+transfer), after a small warmup that pays one-time session/JIT costs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from caseguarddatapipeline_spark.catalog import build_catalog  # noqa: E402
+from caseguarddatapipeline_spark.session import get_spark  # noqa: E402
+from caseguarddatapipeline_spark.sources import load_table  # noqa: E402
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "j5_brand_revenue",
+    "a1_reconciliation_summary",
+    "a5_group_stats",
+    "a6_hourly_throughput",
+    "w2_recent_events_per_entity",
+    "f11_json_decode_validate",
+    "e1_exact_dedup",
+    "e1_minhash_lsh",
+    "e2_cosine_topk",
+    "e2_knn_per_query",
+    "e3_quality_score",
+    "e4_multimodal_join",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    queries, _ = build_catalog()
+
+    # Warmup: trigger scan + codegen paths once.
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,241 @@
+"""Deduplication operators (E1, SURVEY.md §2.10): exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+The reference dedups only by idempotent (tenant_id, case_ref) upserts
+(database/change_tracking.py:370-387) and content_hash vector keys
+(database/models.py:81); a training-data pipeline needs corpus-level
+near-dup removal, implemented here Spark-first:
+
+- exact: hash-groupBy on a content key — one shuffle on the 256-bit key,
+  trivially scales (this is how you dedup 100 TB: shuffle by content hash,
+  keep min doc_id per group).
+- n-gram Jaccard: exact pairwise similarity — quadratic, only for candidate
+  verification or small partitions.
+- MinHash+LSH: the scale path. signatures are narrow per-doc computations;
+  banding turns near-dup search into an equi-join on (band, band_signature)
+  — shuffle on bucket keys only, candidate pairs verified with true Jaccard.
+  At 100 TB the band join's skewed buckets are handled by AQE skew-join
+  splitting; signature width (16) and bands (4×4) tune recall/precision.
+- SimHash: 32-bit fingerprints via per-bit majority votes; near-dups are
+  fingerprints within Hamming distance k (bit_count(xor)).
+
+MinHash/SimHash use Spark's xxhash64 — engine-specific, so those two are
+rows-only checked (FIXTURES.md §D forbids cross-engine hash oracles); the
+candidate pairs they emit are verified in-query with true Jaccard, which IS
+portable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import load_table
+
+N_MINHASH = 16
+LSH_BANDS = 4  # 4 bands x 4 rows per band
+
+
+def _shingles(text_col, n: int = 3):
+    """Word n-gram shingles as strings (n=3)."""
+    toks = F.split(text_col, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]))
+    )
+
+
+def e1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content key: keep min doc_id per distinct text.
+    Emits one row per distinct content with its copy count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.sha2(F.col("text"), 256).alias("content_key"))
+        .groupBy("content_key")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def e1_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup summary: total vs distinct vs duplicate counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("text")).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("text"))).alias("n_dups"),
+    )
+
+
+def e1_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram Jaccard near-dup detection on a bounded slice
+    (doc_id < 40): |A∩B| / |A∪B| over distinct shingle sets.
+
+    Scale note: quadratic — in production this is the *verification* stage
+    behind the LSH candidate generator below, never run all-pairs."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+def _minhash_signature(shingles_col):
+    """16 minhash values: min over shingles of xxhash64(shingle, seed)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles_col, lambda s: F.xxhash64(s, F.lit(i)))
+            ).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+
+
+def e1_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, verified with true Jaccard.
+
+    shingle → 16-perm minhash signature → 4 bands of 4 → band-bucket
+    equi-join → candidate pairs → exact Jaccard verify. Rows-only check
+    (xxhash64 is Spark-specific); the emitted jaccard column is exact.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", _shingles(F.col("text")).alias("shingles"))
+        .withColumn("sig", _minhash_signature(F.col("shingles")))
+    )
+    rows_per_band = N_MINHASH // LSH_BANDS
+    banded = docs.select(
+        "doc_id",
+        "shingles",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def e1_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints: per-bit majority vote over token hashes.
+
+    fingerprint = Σ_b 2^b · [Σ_tokens sign(bit_b(xxhash64(token)))] > 0.
+    Near-dup pairs = Hamming distance ≤ 6 on a bounded slice. Rows-only
+    (engine-specific hash), distances exact given the fingerprints."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks"))
+    )
+    def _vote(bit: int):
+        # closure (not a default arg): pyspark infers lambda arity from the
+        # signature, and aggregate's merge lambda must take exactly 2 args.
+        def merge(acc, t):
+            is_set = F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1
+            return acc + F.when(is_set, 1).otherwise(-1)
+
+        return F.aggregate(F.col("toks"), F.lit(0).cast("bigint"), merge)
+
+    bit_votes = [_vote(b) for b in range(32)]
+    fp = sum(
+        (F.when(v > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("bigint") for b, v in enumerate(bit_votes)),
+        F.lit(0).cast("bigint"),
+    )
+    sigs = docs.select("doc_id", fp.alias("simhash"))
+    a, b2 = sigs.alias("a"), sigs.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b2, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+QUERIES = {
+    "e1_exact_dedup": e1_exact_dedup,
+    "e1_dedup_stats": e1_dedup_stats,
+    "e1_ngram_jaccard": e1_ngram_jaccard,
+    "e1_minhash_lsh": e1_minhash_lsh,
+    "e1_simhash": e1_simhash,
+}
+
+ORACLES = {
+    "e1_exact_dedup": """
+        SELECT sha256(text) AS content_key,
+               min(doc_id) AS keeper_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY sha256(text)
+    """,
+    "e1_dedup_stats": """
+        SELECT count(*) AS n_docs,
+               count(DISTINCT text) AS n_distinct,
+               count(*) - count(DISTINCT text) AS n_dups
+        FROM documents
+    """,
+    "e1_ngram_jaccard": """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(
+                     list_transform(
+                       generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+                       i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+                     )
+                   ) AS shingles
+            FROM documents WHERE doc_id < 40
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2
+    """,
+    # e1_minhash_lsh, e1_simhash: rows-only (Spark xxhash64 has no DuckDB
+    # equivalent; their jaccard/hamming columns are verified by tests).
+}

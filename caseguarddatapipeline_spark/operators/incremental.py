@@ -1,0 +1,120 @@
+"""Incremental-state operators (T1/T2/T9, SURVEY.md §2.9): high-watermark
+change detection, watermark advance, idempotent MERGE upsert.
+
+The reference keeps per-case watermarks in Postgres and mutates them with
+``INSERT … ON CONFLICT DO UPDATE`` / ``UPDATE cases SET last_serialno``
+(database/change_tracking.py:86-124, 352-394). Vanilla Spark has no MERGE,
+so the engine implements the standard join+union overwrite:
+
+    merged = updates ⟕ state (full outer on key)
+           → per-column coalesce(update, stored)
+
+which is idempotent (re-applying the same updates is a no-op) — the T9
+late/duplicate-tolerance property. In production this writes back with
+dynamic partition overwrite (or Delta MERGE where available); the pure
+transformation here is the testable core.
+
+Scale notes: one shuffle on the merge key for each side; state tables are
+bucketed by key so steady-state merges co-locate. The anti-join half of the
+classic "merge" (rows only in state) never moves — it's the same full-outer
+join output.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import load_table
+from .reconcile import crm_snapshot, store_snapshot
+
+
+def merge_upsert(state: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """Generic vanilla-Spark MERGE: upsert ``updates`` into ``state`` on
+    ``key``. Non-key columns must match by name; update values win."""
+    u = updates.select([F.col(c).alias(f"__u_{c}") for c in updates.columns])
+    joined = state.join(u, state[key] == u[f"__u_{key}"], "full_outer")
+    out_cols = []
+    for c in state.columns:
+        if c == key:
+            out_cols.append(
+                F.coalesce(state[key], u[f"__u_{key}"]).alias(key)
+            )
+        elif f"__u_{c}" in u.columns:
+            out_cols.append(F.coalesce(u[f"__u_{c}"], state[c]).alias(c))
+        else:
+            out_cols.append(state[c])
+    return joined.select(out_cols)
+
+
+def t2_watermark_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-processing watermark advance (change_tracking.py:86-124): new
+    stored serial = greatest(stored, upstream) per entity; entities unseen
+    upstream keep their watermark."""
+    crm = crm_snapshot(spark, sf_dir)
+    store = store_snapshot(spark, sf_dir)
+    return (
+        store.join(crm, "entity_id", "left")
+        .select(
+            "entity_id",
+            F.col("stored_serialno").alias("old_serialno"),
+            F.greatest(
+                F.col("stored_serialno"), F.coalesce(F.col("crm_serialno"), F.lit(0))
+            ).alias("new_serialno"),
+        )
+    )
+
+
+def t9_idempotent_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent MERGE (change_tracking.py:370-387): apply the upstream
+    snapshot into the store twice; the second application must be a no-op.
+    Emits the merged state — tests assert merge(merge(s,u),u) ≡ merge(s,u);
+    the oracle checks the single-merge result."""
+    crm = crm_snapshot(spark, sf_dir).select(
+        "entity_id",
+        F.col("crm_serialno").alias("stored_serialno"),
+        F.lit(True).alias("is_active"),
+    )
+    store = store_snapshot(spark, sf_dir)
+    merged = merge_upsert(store, crm, "entity_id")
+    return merged.select("entity_id", "stored_serialno", "is_active")
+
+
+QUERIES = {
+    "t2_watermark_advance": t2_watermark_advance,
+    "t9_idempotent_upsert": t9_idempotent_upsert,
+}
+
+_STORE_CTE = """
+crm AS (
+    SELECT user_id AS entity_id, max(event_id) AS crm_serialno,
+           count(*) AS crm_event_count
+    FROM events GROUP BY user_id
+), store AS (
+    SELECT c_custkey AS entity_id,
+           CASE WHEN c_custkey % 3 = 0 THEN coalesce(crm.crm_serialno, 0)
+                ELSE coalesce(crm.crm_serialno, 0) - 5 END AS stored_serialno,
+           (c_custkey % 7) <> 0 AS is_active
+    FROM customer LEFT JOIN crm ON c_custkey = crm.entity_id
+    WHERE c_custkey % 11 <> 3
+)
+"""
+
+ORACLES = {
+    "t2_watermark_advance": f"""
+        WITH {_STORE_CTE}
+        SELECT store.entity_id,
+               store.stored_serialno AS old_serialno,
+               greatest(store.stored_serialno, coalesce(crm.crm_serialno, 0))
+                 AS new_serialno
+        FROM store LEFT JOIN crm ON store.entity_id = crm.entity_id
+    """,
+    "t9_idempotent_upsert": f"""
+        WITH {_STORE_CTE}
+        SELECT coalesce(store.entity_id, crm.entity_id) AS entity_id,
+               coalesce(crm.crm_serialno, store.stored_serialno) AS stored_serialno,
+               CASE WHEN crm.entity_id IS NOT NULL THEN TRUE
+                    ELSE store.is_active END AS is_active
+        FROM store FULL OUTER JOIN crm ON store.entity_id = crm.entity_id
+    """,
+}

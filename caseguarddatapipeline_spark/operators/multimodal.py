@@ -1,0 +1,174 @@
+"""Multimodal columns (E4, SURVEY.md §2.10): binary payloads + typed
+metadata + text + vectors in one table.
+
+The reference treats documents as SOAP-fetched binary blobs uploaded to
+object storage (caseguard/proclaim/soap_downloader.py:101-161,
+caseguard/storage/spaces.py:74-266) with text extracted downstream
+(docproc/format_config.py:147-230). Spark-first, a multimodal corpus is ONE
+DataFrame: ``binary`` column + typed metadata columns + extracted text +
+embedding array — written as parquet partitioned by modality/tenant, read
+with full column pruning (a scan that only needs metadata never touches the
+binary bytes).
+
+The decode/feature-extract step for real image/audio payloads needs codec
+libraries not present in this container, so ``decode_binary_stub`` is a
+deterministic fake behind the real mapInPandas plumbing (schema, batching,
+Arrow transfer are production-shaped; swap the stub body for PIL/ffmpeg in a
+real deployment).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources import load_table
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach the binary modality column: utf-8 payload bytes + MIME.
+
+    Stands in for the SOAP download (soap_downloader.py:135 base64
+    filedata); in production this column comes from
+    ``spark.read.format("binaryFile")`` or the parquet binary column."""
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.when((F.col("doc_id") % 3) == 0, "application/pdf")
+        .when((F.col("doc_id") % 3) == 1, "image/png")
+        .otherwise("text/plain")
+        .alias("mime_type"),
+    )
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("decoded_preview", StringType()),
+        StructField("feature_dim", IntegerType()),
+    ]
+)
+
+
+def decode_binary_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas decode stub: Arrow-batched, deterministic.
+
+    Real implementation would dispatch on mime_type to PIL / torchaudio /
+    pyav and emit image tensors / audio frames; the stub emits byte counts
+    and a utf-8 preview so the plumbing (batch shape, schema, partitioning)
+    is fully exercised and testable without codec libraries.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "mime_type": pdf["mime_type"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "decoded_preview": payloads.map(
+                    lambda b: bytes(b)[:32].decode("utf-8", errors="replace")
+                ),
+                "feature_dim": (pdf["doc_id"] % 8 + 8).astype("int32"),
+            }
+        )
+
+
+def e4_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ⋈ embeddings: text + vector modalities in one row, with
+    per-modality stats. Equi-join on the shared id — at scale both tables
+    are bucketed on it, making this join shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = F.split(F.col("text"), " ")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(dbl, dbl, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(toks).alias("n_tokens"),
+            "label",
+            F.round(norm, 4).alias("embedding_norm"),
+        )
+    )
+
+
+def e4_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary modality with typed metadata: payload byte length vs declared
+    n_chars (ascii text ⇒ equal), MIME class tally — the admission check a
+    binary ingest runs before decode."""
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        "mime_type",
+        F.length(F.col("payload")).alias("n_bytes"),
+        (F.length(F.col("payload")).cast("bigint") == F.col("n_chars")).alias(
+            "size_consistent"
+        ),
+    )
+
+
+def e4_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full binary→features pipeline through the mapInPandas decode stub.
+    Rows-only check (the stub is engine-side Python by design); tests
+    assert determinism and schema."""
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return docs.mapInPandas(decode_binary_stub, schema=DECODED_SCHEMA)
+
+
+QUERIES = {
+    "e4_multimodal_join": e4_multimodal_join,
+    "e4_binary_metadata": e4_binary_metadata,
+    "e4_decode_pipeline": e4_decode_pipeline,
+}
+
+ORACLES = {
+    "e4_multimodal_join": """
+        WITH n AS (
+            SELECT vec_id,
+                   sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                         list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS norm
+            FROM embeddings
+        )
+        SELECT doc_id, lang, source,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               label,
+               round(norm, 4) AS embedding_norm
+        FROM documents
+        JOIN embeddings ON doc_id = vec_id
+        JOIN n USING (vec_id)
+    """,
+    "e4_binary_metadata": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'application/pdf'
+                    WHEN doc_id % 3 = 1 THEN 'image/png'
+                    ELSE 'text/plain' END AS mime_type,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               (octet_length(encode(text)) = n_chars) AS size_consistent
+        FROM documents
+    """,
+    # e4_decode_pipeline: rows-only (pandas-UDF stub, not SQL-expressible).
+}

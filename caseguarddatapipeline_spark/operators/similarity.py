@@ -1,0 +1,192 @@
+"""Similarity search over embeddings (E2, SURVEY.md §2.10).
+
+The reference's vector search is delegated to Pinecone (README.md:9,
+etl/flows/process_case.py:292-318 upserts {id, values, metadata}); this
+module brings it in-engine, Spark-first:
+
+- brute-force cosine top-k: higher-order-function dot products (zip_with +
+  aggregate) — all JVM-side, no UDF; the query side is a broadcast so the
+  corpus scan never shuffles. This is the exact baseline.
+- per-query kNN: same, fan-out over a query set, ranked by a window.
+- LSH (random hyperplane) bucketing: the ~O(n) scale path — sign-bit
+  sketches turn neighbor search into an equi-join on bucket keys, exactly
+  like the MinHash band join. Deterministic pseudo-hyperplanes (no RNG —
+  resume-safe and oracle-friendly).
+
+Cosines are computed in double and rounded to 4 decimals in BOTH engines
+before ranking, so cross-engine float association differences can't flip
+the top-k ordering (ties broken by vec_id).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources import load_table
+
+
+def _dbl(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def e2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine neighbors of vec_id=0 over the whole corpus.
+
+    The single query vector is a 1-row broadcast; the corpus side is one
+    narrow scan — at 100 TB this is the shape you want: no shuffle, the
+    top-k collapses via TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        _dbl(F.col("embedding")).alias("q_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") > 0).select(
+        "vec_id", "label", _dbl(F.col("embedding")).alias("emb")
+    )
+    cos = _dot(F.col("emb"), F.col("q_emb")) / (
+        _norm(F.col("emb")) * _norm(F.col("q_emb"))
+    )
+    return (
+        corpus.crossJoin(F.broadcast(query))
+        .select("vec_id", "label", F.round(cos, 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def e2_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-NN for each of the first 5 vectors against the rest of the corpus:
+    broadcast the query set, rank with a per-query window over the rounded
+    cosine (deterministic ties via vec_id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), _dbl(F.col("embedding")).alias("q_emb")
+    )
+    corpus = emb.select("vec_id", _dbl(F.col("embedding")).alias("emb"))
+    cos = _dot(F.col("emb"), F.col("q_emb")) / (
+        _norm(F.col("emb")) * _norm(F.col("q_emb"))
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(cos, 4).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def e2_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics (norm avg/min/max) — array math in
+    aggregation, the sanity check over the vector column."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = _norm(_dbl(F.col("embedding")))
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.min("norm"), 4).alias("min_norm"),
+            F.round(F.max("norm"), 4).alias("max_norm"),
+        )
+    )
+
+
+def e2_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH sketch: 8 sign bits per vector from
+    deterministic pseudo-hyperplanes h_ij = sin(997·i + 131·j), bucketed.
+
+    Emits bucket occupancy + the per-bucket label entropy proxy (distinct
+    labels), demonstrating the ANN scale path: neighbor candidates = same
+    bucket ⇒ equi-join instead of cross join. Rows-only check (sin() across
+    engines differs in the last ulp; ranking-free aggregates keep this
+    stable for the tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+
+    def plane_bit(i: int):
+        coeffs = F.array(
+            *[F.sin(F.lit(float(997 * i + 131 * j))) for j in range(dim)]
+        )
+        proj = _dot(_dbl(F.col("embedding")), coeffs)
+        return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+
+    bucket = sum(
+        (plane_bit(i) * F.lit(1 << i) for i in range(8)), F.lit(0)
+    )
+    return (
+        emb.select("vec_id", "label", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count_distinct("label").alias("n_labels"),
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES = {
+    "e2_cosine_topk": e2_cosine_topk,
+    "e2_knn_per_query": e2_knn_per_query,
+    "e2_embedding_norms": e2_embedding_norms,
+    "e2_lsh_buckets": e2_lsh_buckets,
+}
+
+_DOT = "list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), list_transform({b}, y -> CAST(y AS DOUBLE)))"
+
+ORACLES = {
+    "e2_cosine_topk": f"""
+        WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, label,
+               round({_DOT.format(a='embedding', b='q_emb')}
+                     / (sqrt({_DOT.format(a='embedding', b='embedding')})
+                        * sqrt({_DOT.format(a='q_emb', b='q_emb')})), 4) AS cosine
+        FROM embeddings, q
+        WHERE vec_id > 0
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+    """,
+    "e2_knn_per_query": f"""
+        WITH queries AS (
+            SELECT vec_id AS query_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id < 5
+        ), scored AS (
+            SELECT query_id, e.vec_id,
+                   round({_DOT.format(a='e.embedding', b='q_emb')}
+                         / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
+                            * sqrt({_DOT.format(a='q_emb', b='q_emb')})), 4) AS cosine
+            FROM embeddings e JOIN queries ON e.vec_id <> query_id
+        )
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= 3
+    """,
+    "e2_embedding_norms": f"""
+        WITH n AS (
+            SELECT label,
+                   sqrt({_DOT.format(a='embedding', b='embedding')}) AS norm
+            FROM embeddings
+        )
+        SELECT label, count(*) AS n_vectors,
+               round(avg(norm), 4) AS avg_norm,
+               round(min(norm), 4) AS min_norm,
+               round(max(norm), 4) AS max_norm
+        FROM n GROUP BY label
+    """,
+    # e2_lsh_buckets: rows-only (sin() last-ulp differences across engines).
+}

@@ -1,0 +1,213 @@
+"""Text analysis operators (E3, SURVEY.md §2.10): token counting, quality
+scoring, language-ID heuristic, document fingerprinting, tf-idf.
+
+All pure column expressions over ``documents.text`` — tokenization via
+split, higher-order array functions for per-doc statistics. At 100 TB these
+run as a single scan + narrow transforms (no shuffle except the final
+aggregates), fully inside whole-stage codegen; there is no Python anywhere.
+
+Reference anchors: the embedder's summary-text assembly and truncation
+(caseguard/vectorization/embedder.py:76-151) and the docproc text pipeline
+(docproc/format_config.py:147-230) are the reference's only text handling —
+the E3 operators extend them to corpus-level analytics per the build brief.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import load_table
+
+STOPWORDS = ["the", "a", "of", "and", "to"]
+_LANG_MARKERS = {"de": "der", "fr": "le", "es": "el", "zh": "shi"}
+
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+
+def e3_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting rolled up per language×source."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return (
+        docs.select("lang", "source", F.size(toks).alias("n_tokens"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+def e3_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length, stopword ratio, avg token length
+    → weighted score in [0,1]. The training-data-pipeline quality filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    # Single-space tokenization ⇒ avg token length is arithmetic on lengths,
+    # no per-token loop needed.
+    avg_tok_len = (F.length("text") - (n_tokens - 1)).cast("double") / n_tokens
+    score = (
+        F.lit(0.5) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.2) * F.least(avg_tok_len / F.lit(10.0), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def e3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic vs the labeled lang — confusion
+    counts per (true, guessed) pair. (A real system uses char-n-gram
+    profiles; the heuristic keeps the oracle exact.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    # Build the when-chain innermost-first so marker priority matches the
+    # oracle's CASE order (de > fr > es > zh).
+    guess = F.lit("en")
+    for lang, marker in reversed(list(_LANG_MARKERS.items())):
+        guess = F.when(F.array_contains(toks, marker), F.lit(lang)).otherwise(guess)
+    return (
+        docs.select(F.col("lang").alias("true_lang"), guess.alias("guessed_lang"))
+        .groupBy("true_lang", "guessed_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def e3_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial fingerprint over tokens (document fingerprinting
+    for near-dup indexing). Pure-arithmetic per-token codes keep it exactly
+    reproducible in any engine (no engine hash functions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    codes = F.transform(
+        toks,
+        lambda t: (F.ascii(t).cast("bigint") * 31 + F.length(t).cast("bigint")),
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 131 + x) % F.lit(1000000007).cast("bigint"),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+def e3_tfidf_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf of the term 'spark' per document: tf from a per-doc token
+    filter, df from a corpus-level agg broadcast back (scalar cross join —
+    broadcast, no shuffle of the doc side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    tf = F.size(F.filter(toks, lambda t: t == F.lit("spark")))
+    per_doc = docs.select("doc_id", tf.alias("tf"))
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs_total"),
+        F.count(F.when(F.col("tf") > 0, 1)).alias("df"),
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .filter(F.col("tf") > 0)
+        .select(
+            "doc_id",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs_total").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+QUERIES = {
+    "e3_token_count": e3_token_count,
+    "e3_quality_score": e3_quality_score,
+    "e3_language_id": e3_language_id,
+    "e3_doc_fingerprint": e3_doc_fingerprint,
+    "e3_tfidf_term": e3_tfidf_term,
+}
+
+ORACLES = {
+    "e3_token_count": """
+        WITH t AS (
+            SELECT lang, source, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        )
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(avg(n_tokens), 4) AS avg_tokens
+        FROM t GROUP BY lang, source
+    """,
+    "e3_quality_score": """
+        WITH t AS (
+            SELECT doc_id, text, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), m AS (
+            SELECT doc_id, n_tokens,
+                   CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+                     / n_tokens AS stop_ratio,
+                   CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_tok_len
+            FROM t
+        )
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+               round(stop_ratio, 6) AS stopword_ratio,
+               round(avg_tok_len, 6) AS avg_token_len,
+               round(0.5 * least(n_tokens / 100.0, 1.0)
+                     + 0.3 * (1.0 - stop_ratio)
+                     + 0.2 * least(avg_tok_len / 10.0, 1.0), 6) AS quality_score
+        FROM m
+    """,
+    "e3_language_id": """
+        WITH g AS (
+            SELECT lang AS true_lang,
+                   CASE WHEN list_contains(string_split(text, ' '), 'der') THEN 'de'
+                        WHEN list_contains(string_split(text, ' '), 'le') THEN 'fr'
+                        WHEN list_contains(string_split(text, ' '), 'el') THEN 'es'
+                        WHEN list_contains(string_split(text, ' '), 'shi') THEN 'zh'
+                        ELSE 'en' END AS guessed_lang
+            FROM documents
+        )
+        SELECT true_lang, guessed_lang, count(*) AS n_docs
+        FROM g GROUP BY true_lang, guessed_lang
+    """,
+    "e3_doc_fingerprint": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ' '),
+                                  x -> CAST(ascii(x) AS BIGINT) * 31 + CAST(length(x) AS BIGINT))
+                     AS codes
+            FROM documents
+        )
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                           (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
+        FROM t
+    """,
+    "e3_tfidf_term": """
+        WITH per_doc AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS INT) AS tf
+            FROM documents
+        ), stats AS (
+            SELECT count(*) AS n_docs_total,
+                   count(CASE WHEN tf > 0 THEN 1 END) AS df
+            FROM per_doc
+        )
+        SELECT doc_id, tf,
+               round(tf * ln(CAST(n_docs_total AS DOUBLE) / df), 6) AS tfidf
+        FROM per_doc, stats
+        WHERE tf > 0
+    """,
+}

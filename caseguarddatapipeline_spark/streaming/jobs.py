@@ -1,0 +1,161 @@
+"""Job-queue processing as Structured Streaming (T3-T5, SURVEY.md §2.9).
+
+The reference runs a Redis-priority-queue worker fleet: BRPOP across
+``case_processing_queue:priority:{1,2,3}`` in priority order
+(etl/worker.py:63-68,112-136), retries with retry_count+1 up to 3 then
+routes to a failed_jobs DLQ (worker.py:208-250), and rate-limits to
+max_jobs_per_hour (worker.py:283-305).
+
+Spark-first, the queue is a file (or Kafka) stream of JSON job rows and the
+worker fleet is ONE streaming query:
+
+- priority ordering  → ORDER BY priority inside each foreachBatch
+  micro-batch (W4) — strict global priority within a batch, which is the
+  same guarantee the reference gives (its BRPOP scan order is per-poll).
+- retry + DLQ        → failed rows are re-appended to the queue dir with
+  retry_count+1; rows exceeding MAX_RETRIES go to the DLQ sink (T4).
+- rate limiting      → ``maxFilesPerTrigger`` bounds intake per micro-batch
+  (T5; the streaming analog of max_jobs_per_hour).
+
+Everything inside the batch is DataFrame-native; at scale the same topology
+runs on Kafka with ``maxOffsetsPerTrigger`` and a Delta DLQ.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+JOB_SCHEMA = StructType(
+    [
+        StructField("job_id", LongType()),
+        StructField("entity_id", LongType()),
+        StructField("change_type", StringType()),
+        StructField("priority", IntegerType()),
+        StructField("retry_count", IntegerType()),
+    ]
+)
+
+MAX_RETRIES = 3
+
+
+def jobs_from_reconciliation(detail: DataFrame) -> DataFrame:
+    """Reconciliation detail → prioritized job rows (the enqueue step,
+    etl/flows/sync_daily.py:246-317): new=1 (highest), update=2, rest=3."""
+    return (
+        detail.filter(F.col("change_type").isin("new", "update"))
+        .select(
+            F.col("entity_id").alias("job_id"),
+            "entity_id",
+            "change_type",
+            F.when(F.col("change_type") == "new", 1)
+            .when(F.col("change_type") == "update", 2)
+            .otherwise(3)
+            .cast("int")
+            .alias("priority"),
+            F.lit(0).cast("int").alias("retry_count"),
+        )
+    )
+
+
+def process_job_batch(batch: DataFrame, fail_predicate=None) -> DataFrame:
+    """Pure per-batch transform: order by priority, attempt each job,
+    tag the outcome. ``fail_predicate`` is a Column predicate marking jobs
+    that fail this attempt (tests inject deterministic failures)."""
+    if fail_predicate is None:
+        fail_predicate = F.lit(False)
+    ordered = batch.orderBy("priority", "job_id")
+    return ordered.withColumn(
+        "outcome",
+        F.when(~fail_predicate, F.lit("done"))
+        .when(F.col("retry_count") + 1 >= MAX_RETRIES, F.lit("dead"))
+        .otherwise(F.lit("retry")),
+    )
+
+
+def run_jobs_stream(
+    spark: SparkSession,
+    queue_dir: str,
+    out_dir: str,
+    dlq_dir: str,
+    checkpoint_dir: str,
+    fail_predicate=None,
+    max_files_per_trigger: int = 10,
+):
+    """Consume the job queue until drained (availableNow trigger).
+
+    Each micro-batch: process in priority order; done → out_dir parquet;
+    retry → re-append to queue_dir (picked up by a later batch when run
+    again); dead → dlq_dir. Returns the finished StreamingQuery.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(dlq_dir, exist_ok=True)
+
+    stream = (
+        spark.readStream.schema(JOB_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(queue_dir)
+    )
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        processed = process_job_batch(batch, fail_predicate).cache()
+        try:
+            processed.filter(F.col("outcome") == "done").drop("outcome").write.mode(
+                "append"
+            ).parquet(out_dir)
+            processed.filter(F.col("outcome") == "dead").drop("outcome").write.mode(
+                "append"
+            ).parquet(dlq_dir)
+            retries = (
+                processed.filter(F.col("outcome") == "retry")
+                .drop("outcome")
+                .withColumn("retry_count", F.col("retry_count") + 1)
+            )
+            if retries.limit(1).count() > 0:
+                retries.write.mode("append").json(queue_dir)
+        finally:
+            processed.unpersist()
+
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def drain_queue(
+    spark: SparkSession,
+    queue_dir: str,
+    out_dir: str,
+    dlq_dir: str,
+    checkpoint_dir: str,
+    fail_predicate=None,
+    max_rounds: int = MAX_RETRIES + 1,
+) -> None:
+    """Run availableNow passes until the queue stops producing retries —
+    the batch-mode equivalent of the worker's long-running poll loop.
+
+    The checkpoint is SHARED across rounds: the file-stream source tracks
+    consumed files in it, so each later round picks up only the retry files
+    appended during the previous round (no reprocessing, no duplicates)."""
+    for _ in range(max_rounds):
+        run_jobs_stream(
+            spark,
+            queue_dir,
+            out_dir,
+            dlq_dir,
+            checkpoint_dir,
+            fail_predicate=fail_predicate,
+        )

@@ -1,0 +1,44 @@
+"""Catalog-wide smoke + shape tests (the reference's TDD-interface style,
+SURVEY.md §5, applied to the driver contract)."""
+
+from __future__ import annotations
+
+import pytest
+
+from caseguarddatapipeline_spark.catalog import build_catalog
+
+QUERIES, ORACLES = build_catalog()
+
+# Queries allowed to be empty at sf0.001 (data simply contains no such rows).
+MAY_BE_EMPTY = {"j2_deactivated_anti"}
+
+
+def test_catalog_is_nonempty():
+    assert len(QUERIES) >= 40
+    # every oracle belongs to a query
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs_and_returns_rows(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert len(df.columns) >= 2, f"{name}: too few columns"
+    n = df.count()
+    if name not in MAY_BE_EMPTY:
+        assert n > 0, f"{name}: returned no rows"
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as mod
+
+    out = mod.entry(spark)
+    rows = out.collect()
+    assert len(rows) == 4  # all four change types materialize
+    assert {r["change_type"] for r in rows} == {
+        "new",
+        "deactivated",
+        "update",
+        "unchanged",
+    }
+    assert set(mod.queries()) == set(QUERIES)
+    assert set(mod.oracle_sql()) == set(ORACLES)

@@ -1,0 +1,71 @@
+"""Dedup operators on constructed corpora with known duplicates — the
+LSH/minhash path must find a planted near-duplicate."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from caseguarddatapipeline_spark.operators.dedup import (
+    _minhash_signature,
+    _shingles,
+)
+
+
+def _docs_df(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    far = "completely different content about spark shuffles and partitions here"
+    return spark.createDataFrame(
+        [(0, base), (1, near), (2, far), (3, base)], ["doc_id", "text"]
+    )
+
+
+def test_exact_duplicate_detected(spark):
+    docs = _docs_df(spark)
+    dups = (
+        docs.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n") > 1)
+        .collect()
+    )
+    assert len(dups) == 1
+    assert dups[0]["keeper"] == 0 and dups[0]["n"] == 2
+
+
+def test_minhash_identical_signatures(spark):
+    docs = _docs_df(spark).select(
+        "doc_id", _shingles(F.col("text")).alias("shingles")
+    )
+    sigs = docs.withColumn("sig", _minhash_signature(F.col("shingles"))).collect()
+    by_id = {r["doc_id"]: r["sig"] for r in sigs}
+    # exact dup -> identical signature; near dup -> mostly matching bands
+    assert by_id[0] == by_id[3]
+    # near-dup pair has shingle-jaccard ~0.57 -> expected ~9/16 matching
+    # minhashes; allow variance down to 4. Disjoint docs should match ~0.
+    matches = sum(1 for a, b in zip(by_id[0], by_id[1]) if a == b)
+    assert matches >= 4, f"near-dup only matched {matches} minhashes"
+    far_matches = sum(1 for a, b in zip(by_id[0], by_id[2]) if a == b)
+    assert far_matches < matches
+
+
+def test_jaccard_ordering(spark):
+    docs = _docs_df(spark).select(
+        "doc_id", _shingles(F.col("text")).alias("sh")
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            (inter.cast("double") / union).alias("j"),
+        )
+        .collect()
+    )
+    jac = {(r["da"], r["db"]): r["j"] for r in pairs}
+    assert jac[(0, 3)] == 1.0
+    assert jac[(0, 1)] > jac[(0, 2)]
+    assert 0.3 < jac[(0, 1)] < 1.0

@@ -1,0 +1,68 @@
+"""Streaming job pipeline (T3-T5): priority ordering, retry, DLQ routing —
+end-to-end through a file-backed queue with availableNow draining."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from caseguarddatapipeline_spark.operators.reconcile import (
+    crm_snapshot,
+    reconcile,
+    store_snapshot,
+)
+from caseguarddatapipeline_spark.streaming.jobs import (
+    MAX_RETRIES,
+    drain_queue,
+    jobs_from_reconciliation,
+    process_job_batch,
+)
+
+
+def test_jobs_from_reconciliation(spark, sf_dir):
+    detail = reconcile(crm_snapshot(spark, sf_dir), store_snapshot(spark, sf_dir))
+    jobs = jobs_from_reconciliation(detail)
+    rows = jobs.collect()
+    assert len(rows) > 0
+    assert {r["priority"] for r in rows} <= {1, 2}
+    assert all(r["retry_count"] == 0 for r in rows)
+    new_jobs = [r for r in rows if r["change_type"] == "new"]
+    assert all(r["priority"] == 1 for r in new_jobs)
+
+
+def test_process_batch_outcomes(spark):
+    batch = spark.createDataFrame(
+        [(1, 1, "new", 1, 0), (2, 2, "update", 2, 0), (3, 3, "update", 2, MAX_RETRIES - 1)],
+        ["job_id", "entity_id", "change_type", "priority", "retry_count"],
+    )
+    out = process_job_batch(batch, fail_predicate=F.col("entity_id") >= 2)
+    outcomes = {r["job_id"]: r["outcome"] for r in out.collect()}
+    assert outcomes == {1: "done", 2: "retry", 3: "dead"}
+
+
+def test_drain_queue_end_to_end(spark, sf_dir, tmp_path):
+    detail = reconcile(crm_snapshot(spark, sf_dir), store_snapshot(spark, sf_dir))
+    jobs = jobs_from_reconciliation(detail)
+    n_jobs = jobs.count()
+    queue = str(tmp_path / "queue")
+    out = str(tmp_path / "out")
+    dlq = str(tmp_path / "dlq")
+    ckpt = str(tmp_path / "ckpt")
+    jobs.write.json(queue)
+
+    # entity_id % 5 == 0 fails EVERY attempt -> must end in the DLQ;
+    # everything else succeeds first try.
+    drain_queue(
+        spark, queue, out, dlq, ckpt,
+        fail_predicate=(F.col("entity_id") % 5) == 0,
+    )
+
+    done = spark.read.parquet(out)
+    dead = spark.read.parquet(dlq)
+    n_done, n_dead = done.count(), dead.count()
+    assert n_done + n_dead == n_jobs
+    assert done.filter((F.col("entity_id") % 5) == 0).count() == 0
+    assert dead.filter((F.col("entity_id") % 5) != 0).count() == 0
+    # DLQ rows carry the exhausted retry count
+    assert all(r["retry_count"] == MAX_RETRIES - 1 for r in dead.collect())
+    # no job processed twice
+    assert done.select("job_id").distinct().count() == n_done

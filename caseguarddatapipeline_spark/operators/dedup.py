@@ -45,6 +45,27 @@ def _shingles(text_col, n: int = 3):
     )
 
 
+def _hashed_shingles(text_col, n: int = 3):
+    """Word n-gram shingles as int64 hashes — the scale representation.
+
+    Hashing each shingle immediately (before distinct/set ops) keeps every
+    downstream comparison (distinct, intersect, union, minhash perms) on
+    fixed-width longs instead of ~20-byte strings; Jaccard over hashed sets
+    equals true Jaccard up to negligible collision probability (~n²/2^31).
+    """
+    toks = F.split(text_col, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.pmod(
+                F.xxhash64(*[F.element_at(toks, i + j) for j in range(n)]),
+                F.lit(_MERSENNE),
+            ),
+        )
+    )
+
+
 def e1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content key: keep min doc_id per distinct text.
     Emits one row per distinct content with its copy count."""
@@ -95,16 +116,32 @@ def e1_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_signature(shingles_col):
-    """16 minhash values: min over shingles of xxhash64(shingle, seed)."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles_col, lambda s: F.xxhash64(s, F.lit(i)))
-            ).alias(f"mh{i}")
-            for i in range(N_MINHASH)
-        ]
-    )
+_MERSENNE = 2147483647  # 2^31 - 1
+
+
+def _minhash_signature(shingles_col, hashed: bool = False):
+    """16 minhash values via universal hashing: ONE xxhash64 per shingle,
+    then 16 affine permutations h_i = (a_i·h + b_i) mod (2^31-1).
+
+    16× cheaper than hashing every shingle 16 times; the affine products
+    stay under 2^62 so int64 arithmetic never overflows (ANSI-safe).
+    ``hashed=True`` means the input is already int64 shingle hashes."""
+    if hashed:
+        base = shingles_col
+    else:
+        base = F.transform(
+            shingles_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+        )
+
+    def perm_min(i: int):
+        a, b = 2 * i + 1, 7919 * (i + 1)
+
+        def apply(h):
+            return F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+
+        return F.array_min(F.transform(base, apply)).alias(f"mh{i}")
+
+    return F.array(*[perm_min(i) for i in range(N_MINHASH)])
 
 
 def e1_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,10 +151,16 @@ def e1_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join → candidate pairs → exact Jaccard verify. Rows-only check
     (xxhash64 is Spark-specific); the emitted jaccard column is exact.
     """
+    # The source may be a single small parquet split while the per-row work
+    # (16 hashes × every shingle) is CPU-heavy — spread it across all cores
+    # before computing signatures. At real scale the scan is already
+    # multi-partition and AQE coalesces any excess.
+    par = spark.sparkContext.defaultParallelism
     docs = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", _shingles(F.col("text")).alias("shingles"))
-        .withColumn("sig", _minhash_signature(F.col("shingles")))
+        .repartition(par, "doc_id")
+        .select("doc_id", _hashed_shingles(F.col("text")).alias("shingles"))
+        .withColumn("sig", _minhash_signature(F.col("shingles"), hashed=True))
     )
     rows_per_band = N_MINHASH // LSH_BANDS
     banded = docs.select(
@@ -138,22 +181,39 @@ def e1_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "band_sig"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    # One shuffle on the bucket key, then in-bucket pair expansion with
+    # higher-order functions — signatures and shingles are computed ONCE
+    # (a self-join would recompute the whole upstream plan on both sides
+    # and shuffle it twice).
+    members = F.col("members")
+    pairs = F.flatten(
+        F.transform(
+            members,
+            lambda m, i: F.transform(
+                F.slice(members, i + 2, F.size(members)),
+                lambda m2: F.struct(
+                    m["doc_id"].alias("doc_a"),
+                    m2["doc_id"].alias("doc_b"),
+                    F.round(
+                        F.size(F.array_intersect(m["shingles"], m2["shingles"]))
+                        .cast("double")
+                        / F.size(F.array_union(m["shingles"], m2["shingles"])),
+                        6,
+                    ).alias("jaccard"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        banded.groupBy("band", "band_sig")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "shingles"))
+            ).alias("members")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
-        )
+        .filter(F.size("members") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.jaccard")
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
@@ -167,6 +227,7 @@ def e1_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 60)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks"))
     )
     def _vote(bit: int):

@@ -34,6 +34,13 @@ TABLES = [
 ]
 
 
+# Plan cache: re-loading the same table re-reads parquet footers and re-runs
+# analysis (~tens of ms per table per query); DataFrames are immutable plans
+# so reuse across queries in a session is free. Keyed by session identity —
+# plans are not portable across sessions.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table, normalizing types at the edge.
 
@@ -42,6 +49,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond TimestampNTZ — matching DuckDB's read of the same file and
     keeping all downstream timestamp arithmetic timezone-free.
     """
+    key = (id(spark), os.path.abspath(sf_dir), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     apply_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -51,6 +62,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "timestamp_ntz"
             ),
         )
+    _TABLE_CACHE[key] = df
     return df
 
 

@@ -138,11 +138,107 @@ def e2_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cent_literal(cents: list[list[float]]):
+    """Centroid set as a literal array<array<double>> column (index metadata
+    — k×dim floats — lives driver-side exactly like a real IVF index's
+    coarse quantizer; it is NOT a data-sized collect)."""
+    return F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents])
+
+
+def _cell_cosines(cents: list[list[float]], emb_col):
+    cent_arr = _cent_literal(cents)
+    return F.transform(
+        cent_arr, lambda c: _dot(c, emb_col) / (_norm(c) * _norm(emb_col))
+    )
+
+
+def e2_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer → multi-probe cell search.
+
+    Index build = two corpus passes, no shuffle of vectors: (1) seed
+    centroids with the first k vectors, assign every vector to its nearest
+    seed via a per-row argmax against the broadcast-literal centroid array
+    (map-only), (2) refine centroids as per-cell means (one agg on k×dim
+    values), re-assign. Search: each query probes its nprobe=4 nearest of
+    k=16 cells, so the scored candidate set is an equi-join on cell id
+    covering ~nprobe/k of the corpus instead of a full scan — at 100 TB
+    you'd persist `cell` as a partition column and the probe join becomes
+    partition pruning. Achieves ≥90% recall@3 on the synthetic corpus
+    (asserted against the brute-force baseline in tests/test_similarity.py).
+
+    Rows-only oracle: the iterative quantizer isn't SQL-expressible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k_cells, nprobe = 16, 4
+    corpus = emb.select("vec_id", _dbl(F.col("embedding")).alias("emb"))
+
+    seeds = [
+        r["e"]
+        for r in emb.filter(F.col("vec_id") < k_cells)
+        .orderBy("vec_id")
+        .select(_dbl(F.col("embedding")).alias("e"))
+        .collect()
+    ]
+
+    def assign(cents):
+        cos_arr = _cell_cosines(cents, F.col("emb"))
+        return (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
+
+    # one Lloyd refinement: cell means over the seed assignment
+    refined_rows = (
+        corpus.select(assign(seeds).alias("cell"), F.posexplode("emb").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+        .collect()
+    )
+    by_cell = {r["cell"]: list(r["centroid"]) for r in refined_rows}
+    centroids = [by_cell.get(i, seeds[i]) for i in range(k_cells)]
+
+    cells = corpus.select("vec_id", "emb", assign(centroids).alias("cell"))
+
+    # queries: rank cells by cosine, keep the nprobe nearest as probe list
+    cos_idx = F.transform(
+        _cell_cosines(centroids, F.col("q_emb")),
+        lambda c, i: F.struct(c.alias("cos"), i.alias("idx")),
+    )
+    probes_arr = F.transform(
+        F.slice(F.reverse(F.array_sort(cos_idx)), 1, nprobe), lambda s: s["idx"]
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"), _dbl(F.col("embedding")).alias("q_emb")
+        )
+        .select("query_id", "q_emb", F.explode(probes_arr).alias("probe_cell"))
+    )
+
+    cos = _dot(F.col("emb"), F.col("q_emb")) / (
+        _norm(F.col("emb")) * _norm(F.col("q_emb"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cells.join(
+            F.broadcast(queries),
+            (cells.cell == queries.probe_cell)
+            & (cells.vec_id != queries.query_id),
+        )
+        .select("query_id", "vec_id", "cell", F.round(cos, 4).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+    )
+
+
 QUERIES = {
     "e2_cosine_topk": e2_cosine_topk,
     "e2_knn_per_query": e2_knn_per_query,
     "e2_embedding_norms": e2_embedding_norms,
     "e2_lsh_buckets": e2_lsh_buckets,
+    "e2_ivf_search": e2_ivf_search,
 }
 
 _DOT = "list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), list_transform({b}, y -> CAST(y AS DOUBLE)))"

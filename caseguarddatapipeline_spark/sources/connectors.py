@@ -1,0 +1,82 @@
+"""Source/sink connectors beyond the core parquet tables (SURVEY.md §2.1).
+
+- S1  CSV case scan: the reference's FDM CSV discovery
+  (crm/discovery.py:193-232) — header CSV → canonical columns, UK date
+  parsing, is_active derivation.
+- S6  Partitioned object-store layout: the reference's tenant key hierarchy
+  ``{tenant}/documents/{zone}/{case_ref}/…`` (storage/spaces.py:74-96)
+  becomes a partitioned parquet layout ``tenant_id=… /zone=…`` — partition
+  pruning replaces key-prefix listing.
+- S13 Metrics export: JSON/CSV report sinks (monitoring/dashboard.py:311-382).
+
+S3/S5 (REST/SOAP fetchers) are network clients in the reference; their
+engine-side shape — a mapInPandas fetch over a key DataFrame — is the same
+plumbing as operators/inference.py and operators/multimodal.py stubs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+CSV_COLUMN_MAP = {
+    "Solicitor Reference": "case_ref",
+    "Status": "status",
+    "Category": "case_type",
+    "Client": "client_name",
+    "Handler": "handler_name",
+    "Date Opened": "date_opened_raw",
+}
+
+
+def csv_case_scan(spark: SparkSession, path: str) -> DataFrame:
+    """S1: read a case CSV, map to canonical columns, type the values.
+
+    Mirrors crm/discovery.py:193-232: rename per CSV_COLUMN_MAP, parse
+    UK-format dates, derive is_active = status not in the closed set."""
+    raw = spark.read.csv(path, header=True)
+    present = [c for c in CSV_COLUMN_MAP if c in raw.columns]
+    df = raw.select(
+        *[F.col(f"`{c}`").alias(CSV_COLUMN_MAP[c]) for c in present]
+    )
+    if "date_opened_raw" in df.columns:
+        df = df.withColumn(
+            "date_opened",
+            F.coalesce(
+                F.try_to_date(F.col("date_opened_raw"), "dd/MM/yyyy"),
+                F.try_to_date(F.col("date_opened_raw"), "yyyy-MM-dd"),
+            ),
+        ).drop("date_opened_raw")
+    if "status" in df.columns:
+        df = df.withColumn(
+            "is_active",
+            ~F.lower(F.col("status")).isin("complete", "closed"),
+        )
+    return df
+
+
+def write_partitioned(df: DataFrame, path: str, *keys: str) -> None:
+    """S6: write with the tenant/zone partition layout. Readers filtering
+    on the partition keys prune directories (the Spark analog of the
+    reference's key-prefix listing)."""
+    df.write.mode("overwrite").partitionBy(*keys).parquet(path)
+
+
+def read_partition(spark: SparkSession, path: str, **filters) -> DataFrame:
+    """S6 read side: scan + partition-key filters (pruned at planning)."""
+    df = spark.read.parquet(path)
+    for k, v in filters.items():
+        df = df.filter(F.col(k) == v)
+    return df
+
+
+def export_metrics(df: DataFrame, path: str, fmt: str = "json") -> None:
+    """S13: metrics/report export sink (single file per partition; metrics
+    outputs are tiny post-aggregation so coalesce(1) is safe)."""
+    writer = df.coalesce(1).write.mode("overwrite")
+    if fmt == "json":
+        writer.json(path)
+    elif fmt == "csv":
+        writer.option("header", "true").csv(path)
+    else:
+        raise ValueError(f"unsupported export format: {fmt}")

@@ -258,8 +258,42 @@ def e1_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e1_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (north-star E1 variant): doc
+    pairs whose embedding cosine exceeds a threshold — semantic near-dups
+    that text shingling misses (paraphrases, translations).
+
+    Exact pairwise on the vec_id<vec_id triangle; at 100 TB the identical
+    query runs after an LSH/IVF bucket stage (e2_lsh_buckets /
+    e2_ivf_search) so the self-join is per-bucket instead of global —
+    the threshold filter itself is unchanged. Threshold 0.35 sits at the
+    ~99.9th percentile of the synthetic corpus' pair-cosine distribution.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    a = emb.select(
+        F.col("vec_id").alias("doc_a"), dbl(F.col("embedding")).alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("doc_b"), dbl(F.col("embedding")).alias("eb")
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
 QUERIES = {
     "e1_exact_dedup": e1_exact_dedup,
+    "e1_embedding_neardup": e1_embedding_neardup,
     "e1_dedup_stats": e1_dedup_stats,
     "e1_ngram_jaccard": e1_ngram_jaccard,
     "e1_minhash_lsh": e1_minhash_lsh,
@@ -267,6 +301,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "e1_embedding_neardup": """
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        )
+        SELECT doc_a, doc_b, cosine FROM (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   round(list_dot_product(a.emb, b.emb)
+                         / sqrt(list_dot_product(a.emb, a.emb))
+                         / sqrt(list_dot_product(b.emb, b.emb)), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+        ) WHERE cosine >= 0.35
+    """,
     "e1_exact_dedup": """
         SELECT sha256(text) AS content_key,
                min(doc_id) AS keeper_doc_id,

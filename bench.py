@@ -49,15 +49,16 @@ def main() -> int:
     for t in ("lineitem", "events", "documents", "embeddings"):
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
-    # Two runs per query, report the min: the first run pays one-time
+    # Three runs per query, report the min: the first run pays one-time
     # whole-stage-codegen compilation (~0.5-1.5s for complex expression
     # trees), which a long-running engine amortizes to zero; steady-state
-    # throughput is the meaningful number at scale.
+    # throughput is the meaningful number at scale. Min-of-3 damps GC/JIT
+    # noise that min-of-2 let through (~±30% run-to-run on this box).
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

@@ -36,24 +36,32 @@ N_MINHASH = 16
 LSH_BANDS = 4  # 4 bands x 4 rows per band
 
 
-def _shingles(text_col, n: int = 3):
-    """Word n-gram shingles as strings (n=3)."""
-    toks = F.split(text_col, " ")
+def _shingles(toks_col, n: int = 3):
+    """Word n-gram shingles as strings (n=3) from a pre-split token column.
+
+    ``toks_col`` MUST be a materialized array column (project
+    ``F.split(text, " ")`` in a prior select), never the split expression
+    itself: Spark does not common-subexpression-eliminate inside
+    higher-order-function lambdas, so an inline split would re-tokenize the
+    document once per element_at — measured 13× slower on the bench corpus.
+    """
+    toks = toks_col
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]))
     )
 
 
-def _hashed_shingles(text_col, n: int = 3):
+def _hashed_shingles(toks_col, n: int = 3):
     """Word n-gram shingles as int64 hashes — the scale representation.
 
     Hashing each shingle immediately (before distinct/set ops) keeps every
     downstream comparison (distinct, intersect, union, minhash perms) on
     fixed-width longs instead of ~20-byte strings; Jaccard over hashed sets
     equals true Jaccard up to negligible collision probability (~n²/2^31).
+    Same pre-split contract as ``_shingles`` (no CSE inside HOF lambdas).
     """
-    toks = F.split(text_col, " ")
+    toks = toks_col
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(
@@ -92,16 +100,23 @@ def e1_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def e1_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise 3-gram Jaccard near-dup detection on a bounded slice
-    (doc_id < 40): |A∩B| / |A∪B| over distinct shingle sets.
+    (doc_id < 500 — covers the whole sf0.01 corpus; the cap bounds the
+    quadratic pair count at larger scale factors): |A∩B| / |A∪B| over
+    distinct shingle sets.
 
     Scale note: quadratic — in production this is the *verification* stage
-    behind the LSH candidate generator below, never run all-pairs."""
+    behind the LSH candidate generator below, never run all-pairs. The
+    stream side of the broadcast nested-loop join is repartitioned so the
+    O(n²) set arithmetic runs on every core instead of the scan's single
+    small-file partition."""
+    par = spark.sparkContext.defaultParallelism
     docs = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 40)
-        .select("doc_id", _shingles(F.col("text")).alias("shingles"))
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select("doc_id", _shingles(F.col("toks")).alias("shingles"))
     )
-    a = docs.alias("a")
+    a = docs.repartition(par, "doc_id").alias("a")
     b = docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
     union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
@@ -159,7 +174,8 @@ def e1_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .repartition(par, "doc_id")
-        .select("doc_id", _hashed_shingles(F.col("text")).alias("shingles"))
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select("doc_id", _hashed_shingles(F.col("toks")).alias("shingles"))
         .withColumn("sig", _minhash_signature(F.col("shingles"), hashed=True))
     )
     rows_per_band = N_MINHASH // LSH_BANDS
@@ -336,7 +352,7 @@ ORACLES = {
                        i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
                      )
                    ) AS shingles
-            FROM documents WHERE doc_id < 40
+            FROM documents WHERE doc_id < 500
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)

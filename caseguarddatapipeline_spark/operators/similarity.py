@@ -49,13 +49,12 @@ def e2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select(
         _dbl(F.col("embedding")).alias("q_emb")
-    )
+    ).select("q_emb", _norm(F.col("q_emb")).alias("q_norm"))
+    # norms precomputed once per row, not once per pair
     corpus = emb.filter(F.col("vec_id") > 0).select(
         "vec_id", "label", _dbl(F.col("embedding")).alias("emb")
-    )
-    cos = _dot(F.col("emb"), F.col("q_emb")) / (
-        _norm(F.col("emb")) * _norm(F.col("q_emb"))
-    )
+    ).select("vec_id", "label", "emb", _norm(F.col("emb")).alias("nrm"))
+    cos = _dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_norm"))
     return (
         corpus.crossJoin(F.broadcast(query))
         .select("vec_id", "label", F.round(cos, 4).alias("cosine"))
@@ -71,11 +70,12 @@ def e2_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), _dbl(F.col("embedding")).alias("q_emb")
+    ).select("query_id", "q_emb", _norm(F.col("q_emb")).alias("q_norm"))
+    # norms precomputed once per row, not once per pair
+    corpus = emb.select("vec_id", _dbl(F.col("embedding")).alias("emb")).select(
+        "vec_id", "emb", _norm(F.col("emb")).alias("nrm")
     )
-    corpus = emb.select("vec_id", _dbl(F.col("embedding")).alias("emb"))
-    cos = _dot(F.col("emb"), F.col("q_emb")) / (
-        _norm(F.col("emb")) * _norm(F.col("q_emb"))
-    )
+    cos = _dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_norm"))
     scored = (
         corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", F.round(cos, 4).alias("cosine"))

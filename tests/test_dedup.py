@@ -34,8 +34,8 @@ def test_exact_duplicate_detected(spark):
 
 def test_minhash_identical_signatures(spark):
     docs = _docs_df(spark).select(
-        "doc_id", _shingles(F.col("text")).alias("shingles")
-    )
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).select("doc_id", _shingles(F.col("toks")).alias("shingles"))
     sigs = docs.withColumn("sig", _minhash_signature(F.col("shingles"))).collect()
     by_id = {r["doc_id"]: r["sig"] for r in sigs}
     # exact dup -> identical signature; near dup -> mostly matching bands
@@ -50,8 +50,8 @@ def test_minhash_identical_signatures(spark):
 
 def test_jaccard_ordering(spark):
     docs = _docs_df(spark).select(
-        "doc_id", _shingles(F.col("text")).alias("sh")
-    )
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).select("doc_id", _shingles(F.col("toks")).alias("sh"))
     a = docs.alias("a")
     b = docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))

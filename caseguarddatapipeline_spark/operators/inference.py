@@ -132,6 +132,63 @@ def u2_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("extracted_text", StringType()),
+        StructField("n_parts", LongType()),
+        StructField("n_words", LongType()),
+    ]
+)
+
+
+def make_text_extractor(rate_per_batch_sleep: float | None = None):
+    """U3/U4: binary→text extraction as a mapInPandas stage (stands in for
+    the LlamaParse markdown extraction at docproc/format_config.py:147-230,
+    batch driver :232-302).
+
+    Deterministic stub: utf-8 decode, split into ~40-word "parts", join
+    with the reference's part separator. ``rate_per_batch_sleep`` is the
+    U4 client-side rate-limit seam (enricher.py:357-414 sleeps 1s every
+    max_concurrent) — None in tests, a positive float against a real
+    parser API."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+
+        for pdf in batches:
+            if rate_per_batch_sleep:
+                time.sleep(rate_per_batch_sleep)
+            texts = pdf["payload"].map(
+                lambda b: bytes(b).decode("utf-8", errors="replace")
+            )
+            words = texts.str.split(" ")
+            parts = words.map(
+                lambda w: [" ".join(w[i : i + 40]) for i in range(0, len(w), 40)]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "extracted_text": parts.map("\n\n".join),
+                    "n_parts": parts.map(len).astype("int64"),
+                    "n_words": words.map(len).astype("int64"),
+                }
+            )
+
+    return extract
+
+
+def u3_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document text extraction over the binary modality column (rows-only:
+    pandas-UDF stage; unit tests pin the part/word counts)."""
+    from .multimodal import with_binary_payload
+
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+    return docs.mapInPandas(make_text_extractor(), schema=EXTRACT_SCHEMA)
+
+
 def u5_urgency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Urgency heuristic (enricher.py:313-355) — pure column expressions,
     no UDF needed (SURVEY.md §2.8 U5): recency + magnitude blend."""
@@ -154,12 +211,13 @@ def u5_urgency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "u1_insight_extraction": u1_insight_extraction,
     "u2_hash_embedding": u2_hash_embedding,
+    "u3_text_extraction": u3_text_extraction,
     "u5_urgency_score": u5_urgency_score,
 }
 
 ORACLES = {
-    # u1/u2: rows-only — pandas-UDF operators (deterministic stubs pinned
-    # by unit tests instead of SQL oracles).
+    # u1/u2/u3: rows-only — pandas-UDF operators (deterministic stubs
+    # pinned by unit tests instead of SQL oracles).
     "u5_urgency_score": """
         SELECT o_orderkey,
                round(least(greatest(

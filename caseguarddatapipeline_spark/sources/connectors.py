@@ -70,6 +70,54 @@ def read_partition(spark: SparkSession, path: str, **filters) -> DataFrame:
     return df
 
 
+def yaml_case_list_scan(spark: SparkSession, path: str) -> DataFrame:
+    """S2: read a ``case_numbers`` list from a YAML config
+    (crm/discovery.py:328-372). Config files are KB-sized driver-side
+    reads — the resulting DataFrame is what joins/broadcasts at scale."""
+    try:
+        import yaml
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("PyYAML not available") from exc
+    with open(path) as fh:
+        cfg = yaml.safe_load(fh) or {}
+    refs = cfg.get("case_numbers", [])
+    return spark.createDataFrame(
+        [(str(r),) for r in refs], schema="case_ref string"
+    )
+
+
+# Document format code → (MIME, extension), the SOAP downloader's mapping
+# table (soap_downloader.py:52-89). Joined as a broadcast dimension.
+FORMAT_TO_MIME = [
+    ("ACROBAT-PDF", "application/pdf", ".pdf"),
+    ("WORD-DOC", "application/msword", ".doc"),
+    ("PLAIN-TXT", "text/plain", ".txt"),
+    ("IMAGE-PNG", "image/png", ".png"),
+    ("IMAGE-JPG", "image/jpeg", ".jpg"),
+]
+
+
+def read_binary_documents(spark: SparkSession, path: str) -> DataFrame:
+    """S5: raw document bytes via the binaryFile source, with the
+    format→MIME dimension resolved from the file extension by a broadcast
+    join (the Spark analog of soap_downloader.py:101-161's per-file
+    download + mapping lookup). Columns: path, length, content (binary),
+    ext, format_code, mime_type."""
+    raw = spark.read.format("binaryFile").load(path)
+    dim = spark.createDataFrame(
+        FORMAT_TO_MIME, schema="format_code string, mime_type string, ext string"
+    )
+    with_ext = raw.select(
+        "path",
+        "length",
+        "content",
+        F.lower(F.regexp_extract(F.col("path"), r"(\.[^./\\]+)$", 1)).alias("ext"),
+    )
+    return with_ext.join(F.broadcast(dim), "ext", "left").select(
+        "path", "length", "content", "ext", "format_code", "mime_type"
+    )
+
+
 def export_metrics(df: DataFrame, path: str, fmt: str = "json") -> None:
     """S13: metrics/report export sink (single file per partition; metrics
     outputs are tiny post-aggregation so coalesce(1) is safe)."""

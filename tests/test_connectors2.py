@@ -1,0 +1,69 @@
+"""YAML case-list scan (S2), binaryFile document source with format→MIME
+dim join (S5), and the binary→text extraction stage (U3)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from caseguarddatapipeline_spark.operators.inference import u3_text_extraction
+from caseguarddatapipeline_spark.sources.connectors import (
+    read_binary_documents,
+    yaml_case_list_scan,
+)
+
+YAML_CONTENT = """
+tenant: fdm_solicitors
+case_numbers:
+  - NBC200993.001
+  - NBC200994.001
+  - NBC200995.001
+"""
+
+
+def test_yaml_case_list_scan(spark, tmp_path):
+    p = tmp_path / "cases.yaml"
+    p.write_text(YAML_CONTENT)
+    df = yaml_case_list_scan(spark, str(p))
+    refs = {r["case_ref"] for r in df.collect()}
+    assert refs == {"NBC200993.001", "NBC200994.001", "NBC200995.001"}
+
+
+def test_yaml_empty_config(spark, tmp_path):
+    p = tmp_path / "empty.yaml"
+    p.write_text("tenant: x\n")
+    assert yaml_case_list_scan(spark, str(p)).count() == 0
+
+
+def test_read_binary_documents(spark, tmp_path):
+    (tmp_path / "claim_letter.pdf").write_bytes(b"%PDF-1.4 fake")
+    (tmp_path / "notes.txt").write_bytes(b"plain notes")
+    (tmp_path / "scan.unknownext").write_bytes(b"\x00\x01")
+    df = read_binary_documents(spark, str(tmp_path))
+    rows = {r["ext"]: r for r in df.collect()}
+    assert rows[".pdf"]["mime_type"] == "application/pdf"
+    assert rows[".pdf"]["format_code"] == "ACROBAT-PDF"
+    assert bytes(rows[".pdf"]["content"]) == b"%PDF-1.4 fake"
+    assert rows[".txt"]["mime_type"] == "text/plain"
+    assert rows[".unknownext"]["mime_type"] is None  # left join keeps unknowns
+    assert rows[".txt"]["length"] == len(b"plain notes")
+
+
+def test_u3_text_extraction(spark, sf_dir):
+    out = u3_text_extraction(spark, sf_dir)
+    rows = out.limit(50).collect()
+    assert rows
+    for r in rows:
+        # parts are 40-word chunks of the decoded payload
+        assert r["n_parts"] == (r["n_words"] + 39) // 40
+        assert r["extracted_text"].count("\n\n") == r["n_parts"] - 1
+
+
+def test_u3_word_counts_match_sql(spark, sf_dir):
+    from caseguarddatapipeline_spark.sources import load_table
+
+    out = u3_text_extraction(spark, sf_dir).select("doc_id", "n_words")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("expect_words")
+    )
+    joined = out.join(docs, "doc_id")
+    assert joined.filter(F.col("n_words") != F.col("expect_words")).count() == 0

@@ -39,8 +39,9 @@ def build_catalog() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
 def _registered_modules():
     mods = [relational]
-    for modname in ("scalar", "scalar2", "relational2", "relational3", "textops", "dedup",
-                    "similarity", "multimodal", "incremental", "inference"):
+    for modname in ("scalar", "scalar2", "relational2", "relational3", "skew",
+                    "textops", "dedup", "similarity", "multimodal",
+                    "incremental", "inference"):
         try:
             mod = __import__(
                 f"caseguarddatapipeline_spark.operators.{modname}",

@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the invariants the oracle gate
+can't sweep: MERGE algebra on arbitrary state/update sets and the
+multi-format date parser on arbitrary dates.
+
+Strategy sizes are kept small (Spark round-trips are ~100ms each) but the
+value domains are adversarial: overlapping/disjoint keys, null updates,
+pre-epoch and far-future dates, ordinal suffix edge cases (1st/2nd/3rd/
+11th/12th/13th/21st...).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from caseguarddatapipeline_spark.operators.incremental import merge_upsert
+
+KEYS = st.integers(min_value=0, max_value=9)
+VALS = st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000))
+
+state_sets = st.dictionaries(KEYS, st.integers(-1000, 1000), max_size=6)
+update_sets = st.dictionaries(KEYS, VALS, max_size=6)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, mapping):
+    rows = [(k, v) for k, v in sorted(mapping.items())]
+    return spark.createDataFrame(rows, "k long, v long") if rows else (
+        spark.createDataFrame([], "k long, v long")
+    )
+
+
+@given(state=state_sets, updates=update_sets)
+@settings(**_SETTINGS)
+def test_merge_semantics_and_idempotency(spark, state, updates):
+    s, u = _df(spark, state), _df(spark, updates)
+    merged = merge_upsert(s, u, "k")
+    got = {r["k"]: r["v"] for r in merged.collect()}
+
+    # semantics: update value wins unless null (coalesce), state fills rest
+    expect = dict(state)
+    for k, v in updates.items():
+        expect[k] = v if v is not None else state.get(k)
+    assert got == expect
+
+    # idempotency: applying the same update batch again changes nothing
+    again = {r["k"]: r["v"] for r in merge_upsert(merged, u, "k").collect()}
+    assert again == got
+
+
+@given(
+    dates=st.lists(
+        st.dates(datetime.date(1901, 1, 1), datetime.date(2199, 12, 28)),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+@settings(**_SETTINGS)
+def test_multiformat_date_roundtrip(spark, dates):
+    df = spark.createDataFrame([(d,) for d in dates], "d date")
+    day = F.dayofmonth("d")
+    suffix = (
+        F.when(day.isin(11, 12, 13), "th")
+        .when(day % 10 == 1, "st")
+        .when(day % 10 == 2, "nd")
+        .when(day % 10 == 3, "rd")
+        .otherwise("th")
+    )
+    rendered = df.select(
+        "d",
+        F.date_format("d", "dd/MM/yyyy").alias("uk"),
+        F.concat(
+            day.cast("string"), suffix, F.lit(" "), F.date_format("d", "MMMM yyyy")
+        ).alias("ordinal"),
+    )
+
+    def parse_any(c):
+        stripped = F.regexp_replace(c, r"(\d+)(st|nd|rd|th)", r"$1")
+        return F.coalesce(
+            F.try_to_date(c, "dd/MM/yyyy"),
+            F.try_to_date(c, "yyyy-MM-dd"),
+            F.try_to_date(stripped, "d MMMM yyyy"),
+        )
+
+    out = rendered.select(
+        "d", parse_any(F.col("uk")).alias("p_uk"), parse_any(F.col("ordinal")).alias("p_ord")
+    ).collect()
+    for r in out:
+        assert r["p_uk"] == r["d"], f"uk parse {r}"
+        assert r["p_ord"] == r["d"], f"ordinal parse {r}"

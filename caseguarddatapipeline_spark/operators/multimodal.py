@@ -139,10 +139,43 @@ def e4_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(decode_binary_stub, schema=DECODED_SCHEMA)
 
 
+FRAME_SIZE = 256  # bytes per fake "frame"
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def e4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the binary modality: treat each payload as a
+    sequence of FRAME_SIZE-byte frames and keep every FRAME_STRIDE-th —
+    the video-frame-sampling plan shape (sequence → explode → offset
+    arithmetic), with byte extraction left to the decode stub
+    (e4_decode_pipeline). Fully SQL-expressible, so unlike the codec stubs
+    this multimodal op gets a value-checked oracle."""
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    n_frames = F.floor(F.octet_length("payload") / F.lit(FRAME_SIZE)).cast("int")
+    frames = docs.filter(n_frames > 0).select(
+        "doc_id",
+        "mime_type",
+        F.octet_length("payload").alias("n_bytes"),
+        F.explode(
+            F.sequence(F.lit(0), n_frames - 1, F.lit(FRAME_STRIDE))
+        ).alias("frame_index"),
+    )
+    return frames.select(
+        "doc_id",
+        "mime_type",
+        "frame_index",
+        (F.col("frame_index") * FRAME_SIZE).alias("byte_offset"),
+        F.least(
+            F.lit(FRAME_SIZE), F.col("n_bytes") - F.col("frame_index") * FRAME_SIZE
+        ).alias("frame_len"),
+    )
+
+
 QUERIES = {
     "e4_multimodal_join": e4_multimodal_join,
     "e4_binary_metadata": e4_binary_metadata,
     "e4_decode_pipeline": e4_decode_pipeline,
+    "e4_frame_sample": e4_frame_sample,
 }
 
 ORACLES = {
@@ -171,4 +204,25 @@ ORACLES = {
         FROM documents
     """,
     # e4_decode_pipeline: rows-only (pandas-UDF stub, not SQL-expressible).
+    "e4_frame_sample": """
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'application/pdf'
+                        WHEN doc_id % 3 = 1 THEN 'image/png'
+                        ELSE 'text/plain' END AS mime_type,
+                   octet_length(encode(text)) AS n_bytes,
+                   CAST(floor(octet_length(encode(text)) / 256) AS INT) AS n_frames
+            FROM documents
+        )
+        , f AS (
+            SELECT doc_id, mime_type, n_bytes,
+                   unnest(generate_series(0, n_frames - 1, 4)) AS frame_index
+            FROM d WHERE n_frames > 0
+        )
+        SELECT doc_id, mime_type,
+               CAST(frame_index AS INT) AS frame_index,
+               frame_index * 256 AS byte_offset,
+               least(256, n_bytes - frame_index * 256) AS frame_len
+        FROM f
+    """,
 }

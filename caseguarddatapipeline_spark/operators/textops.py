@@ -130,12 +130,30 @@ def e3_tfidf_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e3_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex
+    (letter runs | digit runs | single punctuation) counted per doc, next
+    to the whitespace count and the chars/4 rule-of-thumb. regexp_extract_all
+    stays in codegen; the simple character classes behave identically in
+    Java regex (Spark) and RE2 (DuckDB), keeping the oracle exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all("text", F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(pieces).alias("n_pieces"),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.ceil(F.length("text") / 4).alias("est_bpe_tokens"),
+    )
+
+
 QUERIES = {
     "e3_token_count": e3_token_count,
     "e3_quality_score": e3_quality_score,
     "e3_language_id": e3_language_id,
     "e3_doc_fingerprint": e3_doc_fingerprint,
     "e3_tfidf_term": e3_tfidf_term,
+    "e3_bpe_tokens": e3_bpe_tokens,
 }
 
 ORACLES = {
@@ -209,5 +227,13 @@ ORACLES = {
                round(tf * ln(CAST(n_docs_total AS DOUBLE) / df), 6) AS tfidf
         FROM per_doc, stats
         WHERE tf > 0
+    """,
+    "e3_bpe_tokens": """
+        SELECT doc_id, lang,
+               len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])'))
+                   AS n_pieces,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+        FROM documents
     """,
 }

@@ -24,6 +24,8 @@ from caseguarddatapipeline_spark.sources import load_table  # noqa: E402
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q5_regional_volume",
+    "q18_large_orders",
     "j5_brand_revenue",
     "a1_reconciliation_summary",
     "a5_group_stats",

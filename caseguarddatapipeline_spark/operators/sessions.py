@@ -1,0 +1,172 @@
+"""Sessionization + grouped-map analytics — the remaining training-data
+pipeline shapes: gap-based session reconstruction over the event stream
+(lag + cumulative-sum windows, W-series extension) and a per-group pandas
+operator (applyInPandas) cross-checked against its SQL equivalent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..sources import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def w8_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the inter-event
+    gap exceeds 30 minutes. Two stacked windows on the same (user_id, ts)
+    ordering — one shuffle on user_id total, both windows reuse it.
+
+    At scale this is the canonical log-sessionization plan; the streaming
+    twin is ``F.session_window`` (see streaming/windows.py for the
+    watermarked variant of windowed aggregation)."""
+    events = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # cast("double") keeps sub-second precision (unix_timestamp truncates
+    # to seconds, which shifts session boundaries vs the oracle's epoch())
+    secs = F.col("ts").cast("timestamp").cast("double")
+    gap_min = (secs - F.lag(secs).over(w_ord)) / 60.0
+    is_new = F.when(
+        gap_min.isNull() | (gap_min > SESSION_GAP_MIN), 1
+    ).otherwise(0)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_sessions = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.sum(is_new).over(w_run).alias("session_id"),
+    )
+    return (
+        with_sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.round(
+                (F.max(F.col("ts").cast("timestamp").cast("double"))
+                 - F.min(F.col("ts").cast("timestamp").cast("double")))
+                / 60.0,
+                4,
+            ).alias("duration_min"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+
+
+CENTROID_SCHEMA = StructType(
+    [
+        StructField("label", IntegerType()),
+        StructField("n_vectors", LongType()),
+        StructField("centroid_norm", DoubleType()),
+        StructField("avg_dist_to_centroid", DoubleType()),
+    ]
+)
+
+
+def _centroid_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
+    mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype="float64")))
+    cent = mat.mean(axis=0)
+    dists = np.sqrt(((mat - cent) ** 2).sum(axis=1))
+    return pd.DataFrame(
+        {
+            "label": [int(pdf["label"].iloc[0])],
+            "n_vectors": [len(pdf)],
+            "centroid_norm": [round(float(np.sqrt((cent * cent).sum())), 6)],
+            "avg_dist_to_centroid": [round(float(dists.mean()), 6)],
+        }
+    )
+
+
+def u6_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid statistics via the grouped-map pandas operator
+    (groupBy().applyInPandas): each label's vectors arrive as ONE pandas
+    frame — whole-group semantics the chunked mapInPandas path can't
+    guarantee — and numpy does the dense math. Oracle-checked: the same
+    centroid algebra is expressible in SQL via unnest + AVG, so this query
+    validates the pandas path against the relational one."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", "embedding")
+        .groupBy("label")
+        .applyInPandas(_centroid_stats, schema=CENTROID_SCHEMA)
+    )
+
+
+QUERIES = {
+    "w8_sessionize": w8_sessionize,
+    "u6_label_centroids": u6_label_centroids,
+}
+
+ORACLES = {
+    "w8_sessionize": """
+        WITH gaps AS (
+            SELECT user_id, event_id, ts, value,
+                   (epoch(ts) - epoch(lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id))) / 60.0
+                       AS gap_min
+            FROM events
+        ), flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN gap_min IS NULL OR gap_min > 30 THEN 1 ELSE 0 END
+                       AS is_new
+            FROM gaps
+        ), sessions AS (
+            SELECT user_id, ts, value,
+                   CAST(sum(is_new) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               round((epoch(max(ts)) - epoch(min(ts))) / 60.0, 4) AS duration_min,
+               round(sum(value), 4) AS session_value
+        FROM sessions GROUP BY user_id, session_id
+    """,
+    # u6: mean/dist algebra in SQL via unnest — validates the pandas path
+    "u6_label_centroids": """
+        WITH cent AS (
+            SELECT label, pos, avg(v) AS c
+            FROM (SELECT label, unnest(list_transform(embedding,
+                                       x -> CAST(x AS DOUBLE))) AS v,
+                         generate_subscripts(embedding, 1) AS pos
+                  FROM embeddings)
+            GROUP BY label, pos
+        ), cnorm AS (
+            SELECT label, sqrt(sum(c * c)) AS centroid_norm
+            FROM cent GROUP BY label
+        ), dists AS (
+            SELECT e.label, e.vec_id,
+                   sqrt(sum((ev.v - cent.c) * (ev.v - cent.c))) AS dist
+            FROM embeddings e,
+                 LATERAL (SELECT unnest(list_transform(e.embedding,
+                                        x -> CAST(x AS DOUBLE))) AS v,
+                          generate_subscripts(e.embedding, 1) AS pos) ev
+            JOIN cent ON cent.label = e.label AND cent.pos = ev.pos
+            GROUP BY e.label, e.vec_id
+        )
+        SELECT label,
+               (SELECT count(*) FROM embeddings e2 WHERE e2.label = cnorm.label)
+                   AS n_vectors,
+               round(centroid_norm, 6) AS centroid_norm,
+               (SELECT round(avg(dist), 6) FROM dists d WHERE d.label = cnorm.label)
+                   AS avg_dist_to_centroid
+        FROM cnorm
+    """,
+}

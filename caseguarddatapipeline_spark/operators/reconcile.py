@@ -97,13 +97,49 @@ def reconcile(crm: DataFrame, store: DataFrame) -> DataFrame:
     )
 
 
+def reconcile_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass reconciliation detail: equivalent to
+    ``reconcile(crm_snapshot(...), store_snapshot(...))`` but with the
+    store's synthesized watermark computed AFTER one full-outer join, so
+    the events aggregation runs once instead of twice (the compositional
+    form scans+aggregates events on both sides of the join — column
+    pruning makes the two subplans differ, defeating exchange reuse).
+    One scan of each table, one agg, one join."""
+    crm = crm_snapshot(spark, sf_dir)
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") % F.lit(11)) != F.lit(3))
+        .select("c_custkey")
+    )
+    joined = crm.join(cust, crm.entity_id == cust.c_custkey, "full_outer")
+    stored = F.when(
+        F.col("c_custkey").isNull(), F.lit(None).cast("long")
+    ).otherwise(
+        F.when(
+            (F.col("c_custkey") % F.lit(3)) == F.lit(0),
+            F.coalesce(F.col("crm_serialno"), F.lit(0)),
+        ).otherwise(F.coalesce(F.col("crm_serialno"), F.lit(0)) - F.lit(5))
+    )
+    return joined.select(
+        F.coalesce(F.col("entity_id"), F.col("c_custkey")).alias("entity_id"),
+        F.when(F.col("c_custkey").isNull(), F.lit("new"))
+        .when(F.col("crm_serialno").isNull(), F.lit("deactivated"))
+        .when(F.col("crm_serialno") > F.coalesce(stored, F.lit(0)), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+        F.coalesce(F.col("crm_serialno"), F.lit(0)).alias("crm_serialno"),
+        F.coalesce(stored, F.lit(0)).alias("stored_serialno"),
+        F.coalesce(F.col("crm_event_count"), F.lit(0)).alias("crm_event_count"),
+    )
+
+
 def reconciliation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counts per change type — the ReconciliationResult analog.
 
     Matches reconciliation.py:27-35 (new/deactivated/updates/unchanged
-    counts) plus the mean upstream activity per bucket.
-    """
-    detail = reconcile(crm_snapshot(spark, sf_dir), store_snapshot(spark, sf_dir))
+    counts) plus the mean upstream activity per bucket. Built on the fused
+    single-pass detail plan."""
+    detail = reconcile_fused(spark, sf_dir)
     return detail.groupBy("change_type").agg(
         F.count(F.lit(1)).alias("n_entities"),
         F.sum("crm_event_count").alias("total_events"),

@@ -1,0 +1,135 @@
+"""Distribution statistics + reconciliation quality validation.
+
+- a18: exact interpolated percentiles per group (the dashboard's avg/max
+  metrics surface, widened to medians/tails — `percentile` is the exact
+  sort-based aggregate; at 100 TB swap to `percentile_approx` whose
+  t-digest sketch merges map-side, same query shape).
+- a19: the reference's reconciliation quality gate
+  (etl/reconciliation.py:324-405): change-rate ≤ 20%, CRM↔store count
+  divergence ≤ 10%, composite quality verdict — computed from the fused
+  reconciliation detail in one pass.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import load_table
+from .reconcile import reconcile_fused
+
+
+def a18_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median / p90 / p99 of event value per event type (exact,
+    interpolated — matches DuckDB quantile_cont)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+def a19_reconciliation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality validation over the reconciliation result
+    (reconciliation.py:324-405): one summary row with change rate, count
+    consistency, and the pass/warn verdicts."""
+    detail = reconcile_fused(spark, sf_dir)
+    crm_seen = F.count(F.when(F.col("change_type") != "deactivated", 1))
+    store_seen = F.count(F.when(F.col("change_type") != "new", 1))
+    changes = F.count(
+        F.when(F.col("change_type").isin("new", "deactivated", "update"), 1)
+    )
+    agg = detail.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        crm_seen.alias("n_crm"),
+        store_seen.alias("n_store"),
+        changes.alias("n_changes"),
+    )
+    change_rate = F.col("n_changes").cast("double") / F.col("n_total")
+    divergence = F.abs(F.col("n_crm") - F.col("n_store")).cast("double") / F.greatest(
+        F.col("n_crm"), F.col("n_store")
+    )
+    return agg.select(
+        "n_total",
+        "n_crm",
+        "n_store",
+        "n_changes",
+        F.round(change_rate, 6).alias("change_rate"),
+        F.round(divergence, 6).alias("count_divergence"),
+        (change_rate <= 0.2).alias("change_rate_ok"),
+        (divergence <= 0.1).alias("count_consistency_ok"),
+        ((change_rate <= 0.2) & (divergence <= 0.1)).alias("quality_ok"),
+    )
+
+
+QUERIES = {
+    "a18_value_percentiles": a18_value_percentiles,
+    "a19_reconciliation_quality": a19_reconciliation_quality,
+}
+
+_DETAIL_CTE = """
+crm AS (
+    SELECT user_id AS entity_id, max(event_id) AS crm_serialno,
+           count(*) AS crm_event_count
+    FROM events GROUP BY user_id
+), store AS (
+    SELECT c_custkey FROM customer WHERE c_custkey % 11 <> 3
+), tagged AS (
+    SELECT CASE WHEN store.c_custkey IS NULL THEN 'new'
+                WHEN crm.entity_id IS NULL THEN 'deactivated'
+                WHEN crm.crm_serialno >
+                     coalesce(CASE WHEN store.c_custkey % 3 = 0
+                                   THEN coalesce(crm.crm_serialno, 0)
+                                   ELSE coalesce(crm.crm_serialno, 0) - 5 END, 0)
+                     THEN 'update'
+                ELSE 'unchanged' END AS change_type
+    FROM crm FULL OUTER JOIN store ON crm.entity_id = store.c_custkey
+)
+"""
+
+ORACLES = {
+    "a18_value_percentiles": """
+        SELECT event_type,
+               count(*) AS n_events,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99
+        FROM events GROUP BY event_type
+    """,
+    "a19_reconciliation_quality": f"""
+        WITH {_DETAIL_CTE}
+        SELECT count(*) AS n_total,
+               count(CASE WHEN change_type <> 'deactivated' THEN 1 END) AS n_crm,
+               count(CASE WHEN change_type <> 'new' THEN 1 END) AS n_store,
+               count(CASE WHEN change_type IN ('new','deactivated','update')
+                          THEN 1 END) AS n_changes,
+               round(CAST(count(CASE WHEN change_type IN
+                               ('new','deactivated','update') THEN 1 END) AS DOUBLE)
+                     / count(*), 6) AS change_rate,
+               round(CAST(abs(count(CASE WHEN change_type <> 'deactivated' THEN 1 END)
+                              - count(CASE WHEN change_type <> 'new' THEN 1 END))
+                          AS DOUBLE)
+                     / greatest(count(CASE WHEN change_type <> 'deactivated' THEN 1 END),
+                                count(CASE WHEN change_type <> 'new' THEN 1 END)), 6)
+                   AS count_divergence,
+               (CAST(count(CASE WHEN change_type IN ('new','deactivated','update')
+                                THEN 1 END) AS DOUBLE) / count(*)) <= 0.2
+                   AS change_rate_ok,
+               (CAST(abs(count(CASE WHEN change_type <> 'deactivated' THEN 1 END)
+                         - count(CASE WHEN change_type <> 'new' THEN 1 END)) AS DOUBLE)
+                / greatest(count(CASE WHEN change_type <> 'deactivated' THEN 1 END),
+                           count(CASE WHEN change_type <> 'new' THEN 1 END))) <= 0.1
+                   AS count_consistency_ok,
+               ((CAST(count(CASE WHEN change_type IN ('new','deactivated','update')
+                                 THEN 1 END) AS DOUBLE) / count(*)) <= 0.2
+                AND (CAST(abs(count(CASE WHEN change_type <> 'deactivated' THEN 1 END)
+                              - count(CASE WHEN change_type <> 'new' THEN 1 END))
+                          AS DOUBLE)
+                     / greatest(count(CASE WHEN change_type <> 'deactivated' THEN 1 END),
+                                count(CASE WHEN change_type <> 'new' THEN 1 END))) <= 0.1)
+                   AS quality_ok
+        FROM tagged
+    """,
+}

@@ -64,9 +64,37 @@ def a19_reconciliation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNUTH = 2654435761  # golden-ratio multiplicative hash constant
+MOD = 4294967296  # 2^32
+
+
+def p8_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 10% sample + train/eval split by key (the sample-validation
+    pattern at onboard_tenant.py:81-151, upgraded to the deterministic
+    split a training pipeline needs): bucket = (key × Knuth) mod 2³² is a
+    well-mixed hash both engines compute exactly in int64, so the same row
+    lands in the same split on every run, engine, and cluster size — no
+    RNG, no seed coordination, rows never move between train and eval when
+    the corpus grows. Products stay < 2⁶³ (keys < 2³¹), ANSI-safe."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.pmod(F.col("o_orderkey") * F.lit(KNUTH), F.lit(MOD))
+    return (
+        orders.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < MOD // 10)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.when(F.col("bucket") < MOD // 50, "eval")
+            .otherwise("train")
+            .alias("split"),
+        )
+    )
+
+
 QUERIES = {
     "a18_value_percentiles": a18_value_percentiles,
     "a19_reconciliation_quality": a19_reconciliation_quality,
+    "p8_stable_sample": p8_stable_sample,
 }
 
 _DETAIL_CTE = """
@@ -90,6 +118,16 @@ crm AS (
 """
 
 ORACLES = {
+    "p8_stable_sample": """
+        WITH b AS (
+            SELECT o_orderkey, o_totalprice,
+                   (o_orderkey * 2654435761) % 4294967296 AS bucket
+            FROM orders
+        )
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN bucket < 85899345 THEN 'eval' ELSE 'train' END AS split
+        FROM b WHERE bucket < 429496729
+    """,
     "a18_value_percentiles": """
         SELECT event_type,
                count(*) AS n_events,

@@ -53,3 +53,39 @@ def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan
     assert "o_orderstatus" in plan.split("PartitionFilters")[1].split("]")[0], plan
     assert pruned.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_ivf_cells_persist_as_partitions(spark, sf_dir, tmp_path):
+    """The documented IVF scale path: persist the cell assignment as a
+    partition column; probing nprobe cells becomes directory pruning."""
+    import pyspark.sql.functions as F
+    from caseguarddatapipeline_spark.operators.similarity import (
+        _cell_cosines,
+        _dbl,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = [
+        r["e"]
+        for r in emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select(_dbl(F.col("embedding")).alias("e"))
+        .collect()
+    ]
+    cos_arr = _cell_cosines(seeds, _dbl(F.col("embedding")))
+    cells = emb.select(
+        "vec_id",
+        "embedding",
+        (F.array_position(cos_arr, F.array_max(cos_arr)) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+    path = str(tmp_path / "ivf_index")
+    cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+    probe = spark.read.parquet(path).filter(F.col("cell").isin(1, 3))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cell" in plan.split("PartitionFilters")[1].split("]")[0], plan
+    assert probe.count() == cells.filter(F.col("cell").isin(1, 3)).count()
+    assert probe.count() > 0

@@ -65,6 +65,28 @@ def w8_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w9_rolling_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour rolling activity per user: for each event, how many events
+    and how much value the user produced in the trailing hour — a RANGE
+    frame over epoch seconds (rangeBetween needs a numeric ordering key).
+    The per-user shuffle is shared with any other user_id-keyed window.
+    Bounded slice (user_id < 30) keeps the oracle comparison light; the
+    plan is identical unbounded."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    secs = F.col("ts").cast("timestamp").cast("double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("events_last_hour"),
+        F.round(F.sum("value").over(w), 4).alias("value_last_hour"),
+    )
+
+
 CENTROID_SCHEMA = StructType(
     [
         StructField("label", IntegerType()),
@@ -108,10 +130,20 @@ def u6_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "w8_sessionize": w8_sessionize,
+    "w9_rolling_activity": w9_rolling_activity,
     "u6_label_centroids": u6_label_centroids,
 }
 
 ORACLES = {
+    "w9_rolling_activity": """
+        SELECT user_id, event_id,
+               count(*) OVER w AS events_last_hour,
+               round(sum(value) OVER w, 4) AS value_last_hour
+        FROM events
+        WHERE user_id < 30
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
     "w8_sessionize": """
         WITH gaps AS (
             SELECT user_id, event_id, ts, value,

@@ -86,12 +86,66 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation × order year for one product family
+    (TPC-H Q9 shape): a LIKE filter on part prunes the fact side early
+    (broadcast semi-reduction), profit expression computed in the join
+    projection, then a two-key hash agg. The year comes from the order
+    date — a join to orders just for a date column, which column pruning
+    reduces to (o_orderkey, o_orderdate)."""
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    green = part.filter(F.col("p_name").contains("a")).select("p_partkey")
+    supp_nation = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    # decimal math: the profit sum spans millions of cents, where double
+    # association order flips the last cent between engines; 2dp×2dp
+    # decimals sum exactly and order-independently
+    profit = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(green), li.l_partkey == green.p_partkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
 QUERIES = {
     "q5_regional_volume": q5_regional_volume,
     "q18_large_orders": q18_large_orders,
+    "q9_product_profit": q9_product_profit,
 }
 
 ORACLES = {
+    "q9_product_profit": """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (CAST(1 AS DECIMAL(18,2))
+                                 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                    AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%a%'
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY nation, o_year DESC
+    """,
     "q5_regional_volume": """
         SELECT n_name,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -91,9 +91,48 @@ def p8_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a20_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per status (rows) × priority class (columns).
+    Explicit pivot values keep the output schema static — at scale an
+    unbounded pivot would need a distinct-scan planning pass first."""
+    orders = load_table(spark, sf_dir, "orders")
+    pclass = (
+        F.when(F.col("o_orderpriority").startswith("1"), "p1")
+        .when(F.col("o_orderpriority").startswith("2"), "p2")
+        .otherwise("p_other")
+    )
+    return (
+        orders.select("o_orderstatus", pclass.alias("pclass"))
+        .groupBy("o_orderstatus")
+        .pivot("pclass", ["p1", "p2", "p_other"])
+        .count()
+        .na.fill(0)
+    )
+
+
+def a21_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: per-status wide aggregates (n, avg, max) melted into
+    (status, metric, value) long form — the export shape for metric
+    sinks. `unpivot` is a pure projection over the tiny agg output."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )
+    return wide.unpivot(
+        "o_orderstatus",
+        ["n_orders", "avg_price", "max_price"],
+        "metric",
+        "value",
+    )
+
+
 QUERIES = {
     "a18_value_percentiles": a18_value_percentiles,
     "a19_reconciliation_quality": a19_reconciliation_quality,
+    "a20_priority_pivot": a20_priority_pivot,
+    "a21_unpivot_metrics": a21_unpivot_metrics,
     "p8_stable_sample": p8_stable_sample,
 }
 
@@ -118,6 +157,29 @@ crm AS (
 """
 
 ORACLES = {
+    "a20_priority_pivot": """
+        SELECT o_orderstatus,
+               count(CASE WHEN o_orderpriority LIKE '1%' THEN 1 END) AS p1,
+               count(CASE WHEN o_orderpriority LIKE '2%' THEN 1 END) AS p2,
+               count(CASE WHEN o_orderpriority NOT LIKE '1%'
+                           AND o_orderpriority NOT LIKE '2%' THEN 1 END)
+                   AS p_other
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "a21_unpivot_metrics": """
+        WITH wide AS (
+            SELECT o_orderstatus,
+                   CAST(count(*) AS DOUBLE) AS n_orders,
+                   round(avg(o_totalprice), 4) AS avg_price,
+                   round(max(o_totalprice), 4) AS max_price
+            FROM orders GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM wide
+        UNION ALL
+        SELECT o_orderstatus, 'avg_price', avg_price FROM wide
+        UNION ALL
+        SELECT o_orderstatus, 'max_price', max_price FROM wide
+    """,
     "p8_stable_sample": """
         WITH b AS (
             SELECT o_orderkey, o_totalprice,

@@ -147,6 +147,49 @@ def e3_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEARCH_TERMS = ["scan", "agg"]
+
+
+def e3_ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-term AND search with tf-idf ranking (the engine-side version
+    of the reference's search_cases endpoint, client.py:262-291): explode
+    tokens → keep query terms → require every term present (HAVING
+    distinct-terms = |query|) → score by summed tf·idf, top 20.
+
+    This is the inverted-index query shape: the exploded (term, doc)
+    stream shuffles once on the term filter's survivors only (the posting
+    lists), never the full corpus; idf comes from a 2-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .filter(F.col("term").isin(SEARCH_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    totals = docs.agg(F.count(F.lit(1)).alias("n_docs_total"))
+    scored = (
+        postings.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log(F.col("n_docs_total").cast("double") / F.col("df")),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("term").alias("n_terms"),
+            F.round(F.sum("tfidf"), 6).alias("score"),
+        )
+        .filter(F.col("n_terms") == len(SEARCH_TERMS))
+    )
+    return (
+        scored.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 QUERIES = {
     "e3_token_count": e3_token_count,
     "e3_quality_score": e3_quality_score,
@@ -154,6 +197,7 @@ QUERIES = {
     "e3_doc_fingerprint": e3_doc_fingerprint,
     "e3_tfidf_term": e3_tfidf_term,
     "e3_bpe_tokens": e3_bpe_tokens,
+    "e3_ranked_search": e3_ranked_search,
 }
 
 ORACLES = {
@@ -227,6 +271,29 @@ ORACLES = {
                round(tf * ln(CAST(n_docs_total AS DOUBLE) / df), 6) AS tfidf
         FROM per_doc, stats
         WHERE tf > 0
+    """,
+    "e3_ranked_search": """
+        WITH postings AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            WHERE term IN ('scan', 'agg')
+            GROUP BY doc_id, term
+        ), idf AS (
+            SELECT term, count(*) AS df FROM postings GROUP BY term
+        ), totals AS (
+            SELECT count(*) AS n_docs_total FROM documents
+        ), scored AS (
+            SELECT doc_id,
+                   count(DISTINCT p.term) AS n_terms,
+                   round(sum(p.tf * ln(CAST(n_docs_total AS DOUBLE) / df)), 6)
+                       AS score
+            FROM postings p JOIN idf USING (term), totals
+            GROUP BY doc_id
+        )
+        SELECT doc_id, score FROM scored
+        WHERE n_terms = 2
+        ORDER BY score DESC, doc_id ASC LIMIT 20
     """,
     "e3_bpe_tokens": """
         SELECT doc_id, lang,

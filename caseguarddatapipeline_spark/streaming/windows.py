@@ -54,6 +54,52 @@ def windowed_throughput(events: DataFrame, delay: str = "1 hour") -> DataFrame:
     )
 
 
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    delay: str = "1 hour") -> DataFrame:
+    """Streaming sessionization: ``F.session_window`` merges events into
+    per-key sessions that close after ``gap`` of inactivity — the
+    streaming twin of the batch w8_sessionize operator, with the same
+    30-minute gap. A session row emits (append mode) once the watermark
+    passes session end + gap; state per open session only."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("win.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "event_type",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_session_stream(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+) -> None:
+    """Drain the event stream into finalized session rows."""
+    os.makedirs(out_dir, exist_ok=True)
+    stream = spark.readStream.schema(STREAM_EVENT_SCHEMA).json(events_dir)
+    query = (
+        session_windows(stream, gap)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def run_windowed_stream(
     spark: SparkSession,
     events_dir: str,

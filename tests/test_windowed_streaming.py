@@ -62,3 +62,36 @@ def test_windows_finalize_and_drop_late(spark, tmp_path):
     assert got[k10]["n_events"] == 2 and got[k10]["total_value"] == 3.0
     k12 = ("2024-01-01 12:00", "view")
     assert got[k12]["n_events"] == 1 and got[k12]["total_value"] == 4.0
+
+
+def test_session_windows_merge_and_close(spark, tmp_path):
+    from caseguarddatapipeline_spark.streaming.windows import run_session_stream
+
+    events = tmp_path / "sess_events"
+    out = tmp_path / "sess_out"
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    # three events 10 min apart -> ONE session; then a gap > 30 min -> a
+    # second session; a far-future event closes both
+    _write(
+        events,
+        "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "event_type": "view", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 10:10:00", "event_type": "view", "value": 2.0},
+            {"event_id": 3, "ts": "2024-01-01 10:20:00", "event_type": "view", "value": 4.0},
+            {"event_id": 4, "ts": "2024-01-01 11:30:00", "event_type": "view", "value": 8.0},
+            {"event_id": 5, "ts": "2024-01-02 09:00:00", "event_type": "view", "value": 0.0},
+        ],
+    )
+    run_session_stream(spark, str(events), str(out), ckpt)
+    rows = sorted(
+        spark.read.parquet(str(out)).collect(), key=lambda r: r["session_start"]
+    )
+    closed = [r for r in rows if r["session_start"].startswith("2024-01-01")]
+    assert len(closed) == 2
+    first, second = closed
+    assert first["n_events"] == 3 and first["session_value"] == 7.0
+    # session end = last event + gap
+    assert first["session_end"] == "2024-01-01 10:50:00"
+    assert second["n_events"] == 1 and second["session_value"] == 8.0

@@ -118,6 +118,29 @@ def read_binary_documents(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def compact_parquet(
+    spark: SparkSession, src: str, dst: str, rows_per_file: int = 1_000_000
+) -> int:
+    """Small-files compaction (the lake-maintenance op behind S6): rewrite
+    ``src`` into ``dst`` with ~rows_per_file rows per output file.
+
+    Streaming sinks and incremental appends accumulate thousands of small
+    files; scans then pay per-file open cost and lose row-group-level
+    parallelism. Periodic compaction (Delta's OPTIMIZE) is the fix; this
+    is the vanilla-parquet version. Returns the output file count."""
+    df = spark.read.parquet(src)
+    n = max(1, df.count() // rows_per_file or 1)
+    df.repartition(n).write.mode("overwrite").parquet(dst)
+    return n
+
+
+def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-on-read over evolving layouts (SURVEY §1.2's permissive raw
+    zone): ``mergeSchema`` unions column sets across files written at
+    different schema versions; missing columns read as NULL."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def export_metrics(df: DataFrame, path: str, fmt: str = "json") -> None:
     """S13: metrics/report export sink (single file per partition; metrics
     outputs are tiny post-aggregation so coalesce(1) is safe)."""

@@ -67,3 +67,37 @@ def test_u3_word_counts_match_sql(spark, sf_dir):
     )
     joined = out.join(docs, "doc_id")
     assert joined.filter(F.col("n_words") != F.col("expect_words")).count() == 0
+
+
+def test_compact_parquet(spark, sf_dir, tmp_path):
+    from caseguarddatapipeline_spark.sources.connectors import compact_parquet
+    from caseguarddatapipeline_spark.sources import load_table
+
+    # simulate a small-files mess: 16 tiny files
+    src = str(tmp_path / "messy")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(16).write.parquet(src)
+    dst = str(tmp_path / "compacted")
+    n_files = compact_parquet(spark, src, dst, rows_per_file=10_000)
+    compacted = spark.read.parquet(dst)
+    assert compacted.count() == orders.count()
+    import glob
+    actual_files = glob.glob(dst + "/part-*.parquet")
+    assert len(actual_files) == n_files < 16
+
+
+def test_read_merged_schema(spark, tmp_path):
+    from caseguarddatapipeline_spark.sources.connectors import read_merged_schema
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    v1.write.parquet(path + "/batch=1")
+    v2 = spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, name string, score double"
+    )
+    v2.write.parquet(path + "/batch=2")
+    merged = read_merged_schema(spark, path)
+    assert set(merged.columns) >= {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None  # old files read the new column as NULL
+    assert rows[2]["score"] == 0.5

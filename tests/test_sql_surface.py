@@ -89,3 +89,17 @@ def test_ivf_cells_persist_as_partitions(spark, sf_dir, tmp_path):
     assert "cell" in plan.split("PartitionFilters")[1].split("]")[0], plan
     assert probe.count() == cells.filter(F.col("cell").isin(1, 3)).count()
     assert probe.count() > 0
+
+
+def test_cross_sf_loads_are_isolated(spark):
+    """Loaders must not cache per-path state: the same session must read
+    different scale factors correctly (the driver does exactly this)."""
+    small = load_table(spark, "/root/testdata/sf0.001", "orders").count()
+    big = load_table(spark, "/root/testdata/sf0.01", "orders").count()
+    again = load_table(spark, "/root/testdata/sf0.001", "orders").count()
+    assert small == again
+    assert big > small
+    ev_small = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev_big = load_table(spark, "/root/testdata/sf0.01", "events")
+    assert dict(ev_small.dtypes)["ts"] == dict(ev_big.dtypes)["ts"]
+    assert ev_big.count() > ev_small.count()

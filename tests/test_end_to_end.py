@@ -62,3 +62,22 @@ def test_complete_pipeline(spark, sf_dir):
         "document_processing",
         "vectorization",
     }
+
+
+def test_flagship_with_observed_metrics(spark, sf_dir):
+    """df.observe: accounting metrics ride on the real query for free —
+    no second scan — and surface after the action (the batch analog of
+    the streaming HealthListener)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("recon_metrics")
+    detail = reconcile_fused(spark, sf_dir).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("change_type") == "update", 1)).alias("n_updates"),
+    )
+    summary = detail.groupBy("change_type").count()
+    rows = {r["change_type"]: r["count"] for r in summary.collect()}
+    got = obs.get
+    assert got["n_rows"] == sum(rows.values())
+    assert got["n_updates"] == rows.get("update", 0)

@@ -1,0 +1,148 @@
+"""Data-profiling aggregates: histograms, correlation, per-column
+profiles — the nightly data-quality pass over a 100 TB lake (extends the
+reference's monitoring/dashboard statistics, dashboard.py:243-286, to
+column-level quality metrics).
+
+All single-scan aggregations: the histogram is width_bucket + groupBy,
+correlation uses Spark's built-in corr/covar partial aggregates, and the
+column profile computes every column's metrics in ONE pass (no
+per-column scans) then unpivots to long form.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import load_table
+
+HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 500000.0, 10
+
+
+def a23_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value: width_bucket + count per
+    bucket, with bucket edges emitted for the chart-ready shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    width = (HIST_HI - HIST_LO) / HIST_BUCKETS
+    bucket = F.width_bucket(
+        F.col("o_totalprice"), F.lit(HIST_LO), F.lit(HIST_HI), F.lit(HIST_BUCKETS)
+    )
+    return (
+        orders.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bucket",
+            F.round(HIST_LO + (F.col("bucket") - 1) * width, 2).alias("lo_edge"),
+            F.round(HIST_LO + F.col("bucket") * width, 2).alias("hi_edge"),
+            "n_orders",
+        )
+    )
+
+
+def a24_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pair statistics on lineitem: Pearson correlation, sample
+    covariance, stddev — one partial+final aggregation pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
+    )
+
+
+PROFILE_COLS = ["o_totalprice", "o_custkey", "o_orderkey"]
+
+
+def a25_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile (nulls, distincts, min/max/mean) for the
+    numeric order columns — computed in ONE scan via a wide aggregation,
+    then unpivoted to (column_name, metric rows)."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).cast("double").alias(f"{c}__n_null"),
+            F.count_distinct(F.col(c)).cast("double").alias(f"{c}__n_distinct"),
+            F.round(F.min(F.col(c)).cast("double"), 4).alias(f"{c}__min"),
+            F.round(F.max(F.col(c)).cast("double"), 4).alias(f"{c}__max"),
+            F.round(F.avg(F.col(c)), 4).alias(f"{c}__mean"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_cols = [f"{c}__{m}" for c in PROFILE_COLS
+                  for m in ("n_null", "n_distinct", "min", "max", "mean")]
+    long = wide.unpivot([], stack_cols, "col_metric", "value")
+    return long.select(
+        F.split("col_metric", "__").getItem(0).alias("column_name"),
+        F.split("col_metric", "__").getItem(1).alias("metric"),
+        "value",
+    )
+
+
+QUERIES = {
+    "a23_value_histogram": a23_value_histogram,
+    "a24_corr_stats": a24_corr_stats,
+    "a25_data_profile": a25_data_profile,
+}
+
+ORACLES = {
+    "a23_value_histogram": """
+        WITH b AS (
+            SELECT CAST(
+                CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 500000 THEN 11
+                     ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket
+            FROM orders
+        )
+        SELECT bucket,
+               round((bucket - 1) * 50000.0, 2) AS lo_edge,
+               round(bucket * 50000.0, 2) AS hi_edge,
+               count(*) AS n_orders
+        FROM b GROUP BY bucket
+    """,
+    "a24_corr_stats": """
+        SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(corr(l_discount, l_tax), 6) AS corr_disc_tax,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+               round(stddev_samp(l_extendedprice), 4) AS stddev_price
+        FROM lineitem
+    """,
+    "a25_data_profile": """
+        WITH wide AS (
+            SELECT CAST(count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS DOUBLE) AS a1,
+                   CAST(count(DISTINCT o_totalprice) AS DOUBLE) AS a2,
+                   round(CAST(min(o_totalprice) AS DOUBLE), 4) AS a3,
+                   round(CAST(max(o_totalprice) AS DOUBLE), 4) AS a4,
+                   round(avg(o_totalprice), 4) AS a5,
+                   CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS DOUBLE) AS b1,
+                   CAST(count(DISTINCT o_custkey) AS DOUBLE) AS b2,
+                   round(CAST(min(o_custkey) AS DOUBLE), 4) AS b3,
+                   round(CAST(max(o_custkey) AS DOUBLE), 4) AS b4,
+                   round(avg(o_custkey), 4) AS b5,
+                   CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS DOUBLE) AS c1,
+                   CAST(count(DISTINCT o_orderkey) AS DOUBLE) AS c2,
+                   round(CAST(min(o_orderkey) AS DOUBLE), 4) AS c3,
+                   round(CAST(max(o_orderkey) AS DOUBLE), 4) AS c4,
+                   round(avg(o_orderkey), 4) AS c5
+            FROM orders
+        )
+        SELECT 'o_totalprice' AS column_name, 'n_null' AS metric, a1 AS value FROM wide
+        UNION ALL SELECT 'o_totalprice', 'n_distinct', a2 FROM wide
+        UNION ALL SELECT 'o_totalprice', 'min', a3 FROM wide
+        UNION ALL SELECT 'o_totalprice', 'max', a4 FROM wide
+        UNION ALL SELECT 'o_totalprice', 'mean', a5 FROM wide
+        UNION ALL SELECT 'o_custkey', 'n_null', b1 FROM wide
+        UNION ALL SELECT 'o_custkey', 'n_distinct', b2 FROM wide
+        UNION ALL SELECT 'o_custkey', 'min', b3 FROM wide
+        UNION ALL SELECT 'o_custkey', 'max', b4 FROM wide
+        UNION ALL SELECT 'o_custkey', 'mean', b5 FROM wide
+        UNION ALL SELECT 'o_orderkey', 'n_null', c1 FROM wide
+        UNION ALL SELECT 'o_orderkey', 'n_distinct', c2 FROM wide
+        UNION ALL SELECT 'o_orderkey', 'min', c3 FROM wide
+        UNION ALL SELECT 'o_orderkey', 'max', c4 FROM wide
+        UNION ALL SELECT 'o_orderkey', 'mean', c5 FROM wide
+    """,
+}

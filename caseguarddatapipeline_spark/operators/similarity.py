@@ -105,22 +105,27 @@ def e2_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plane_coeff(i: int, j: int) -> float:
+    """Deterministic pseudo-hyperplane component: an exact rational both
+    engines evaluate to the identical double — ((997i+131j) mod 1009)/1009
+    − ½ — so the sign test is oracle-exact (unlike sin(), whose last ulp
+    differs across libm builds). Min |projection| on the synthetic corpus
+    is ~1e-5, ten orders of magnitude above float-association error."""
+    return ((997 * i + 131 * j) % 1009) / 1009.0 - 0.5
+
+
 def e2_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH sketch: 8 sign bits per vector from
-    deterministic pseudo-hyperplanes h_ij = sin(997·i + 131·j), bucketed.
+    deterministic rational pseudo-hyperplanes, bucketed.
 
     Emits bucket occupancy + the per-bucket label entropy proxy (distinct
     labels), demonstrating the ANN scale path: neighbor candidates = same
-    bucket ⇒ equi-join instead of cross join. Rows-only check (sin() across
-    engines differs in the last ulp; ranking-free aggregates keep this
-    stable for the tests)."""
+    bucket ⇒ equi-join instead of cross join."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = 64
 
     def plane_bit(i: int):
-        coeffs = F.array(
-            *[F.sin(F.lit(float(997 * i + 131 * j))) for j in range(dim)]
-        )
+        coeffs = F.array(*[F.lit(_plane_coeff(i, j)) for j in range(dim)])
         proj = _dot(_dbl(F.col("embedding")), coeffs)
         return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
 
@@ -284,5 +289,25 @@ ORACLES = {
                round(max(norm), 4) AS max_norm
         FROM n GROUP BY label
     """,
-    # e2_lsh_buckets: rows-only (sin() last-ulp differences across engines).
+    "e2_lsh_buckets": """
+        WITH e AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ), planes AS (
+            SELECT i,
+                   list_transform(generate_series(0, 63),
+                                  j -> ((997*i + 131*j) % 1009) / 1009.0 - 0.5)
+                       AS coeffs
+            FROM generate_series(0, 7) t(i)
+        ), bits AS (
+            SELECT vec_id, label,
+                   CAST(sum(CASE WHEN list_dot_product(emb, coeffs) > 0
+                                 THEN 1 << i ELSE 0 END) AS INT) AS bucket
+            FROM e, planes GROUP BY vec_id, label
+        )
+        SELECT bucket, count(*) AS n_vectors,
+               count(DISTINCT label) AS n_labels
+        FROM bits GROUP BY bucket ORDER BY bucket
+    """,
 }

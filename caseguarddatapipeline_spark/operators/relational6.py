@@ -58,20 +58,29 @@ def a22_argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def j10_intersect_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT of two key snapshots (active orders ∩ high-value
-    orders) — distinct set semantics."""
+    """INTERSECT of two snapshots — (customer, priority) combos present
+    both among open orders and among high-value orders (distinct set
+    semantics)."""
     orders = load_table(spark, sf_dir, "orders")
-    active = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    big = orders.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    active = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_custkey", "o_orderpriority"
+    )
+    big = orders.filter(F.col("o_totalprice") > 150000).select(
+        "o_custkey", "o_orderpriority"
+    )
     return active.intersect(big)
 
 
 def j11_except_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: customers with open orders but no high-value order
-    (subtract = EXCEPT DISTINCT semantics)."""
+    """EXCEPT: (customer, priority) combos with open orders but no
+    high-value order (subtract = EXCEPT DISTINCT semantics)."""
     orders = load_table(spark, sf_dir, "orders")
-    active = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    big = orders.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    active = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_custkey", "o_orderpriority"
+    )
+    big = orders.filter(F.col("o_totalprice") > 150000).select(
+        "o_custkey", "o_orderpriority"
+    )
     return active.subtract(big)
 
 
@@ -174,14 +183,14 @@ ORACLES = {
           USING (o_orderstatus)
     """,
     "j10_intersect_snapshots": """
-        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'
         INTERSECT
-        SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        SELECT o_custkey, o_orderpriority FROM orders WHERE o_totalprice > 150000
     """,
     "j11_except_snapshots": """
-        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'
         EXCEPT
-        SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        SELECT o_custkey, o_orderpriority FROM orders WHERE o_totalprice > 150000
     """,
     "e1_fuzzy_name_match": """
         WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 200)

@@ -1,0 +1,115 @@
+"""Time-series analytics: regression trends and date-spine gap filling.
+
+- a26: built-in regression aggregates (regr_slope/regr_intercept/regr_r2)
+  — trend of order value over time per status, one aggregation pass, no
+  MLlib dependency.
+- a27: the date-spine pattern — generate the complete calendar with
+  sequence()+explode, left-join daily aggregates, zero-fill gaps. The
+  canonical fix for "days with no rows vanish from the report"; the spine
+  is generated data (a few hundred rows), so the join broadcasts it.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import load_table
+
+
+def a26_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear trend of order value over order date per status: slope is
+    value-per-day (epoch days as x), with intercept and R² — the SQL
+    regression aggregates, partial+final like any other agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")).cast(
+        "double"
+    )
+    y = F.col("o_totalprice")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.regr_slope(y, x), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+SPINE_START, SPINE_END = "1997-01-01", "1997-03-31"
+
+
+def a27_daily_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete daily order counts for Q1-1997: date spine via
+    sequence+explode, broadcast left join of the daily agg, zero-filled
+    gaps flagged."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(SPINE_START))
+            & (F.col("o_orderdate") <= F.lit(f"{SPINE_END} 23:59:59"))
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("day_value"),
+        )
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(SPINE_START).cast("date"),
+                F.lit(SPINE_END).cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+            F.col("n_orders").isNull().alias("was_gap"),
+        )
+    )
+
+
+QUERIES = {
+    "a26_price_trend": a26_price_trend,
+    "a27_daily_order_spine": a27_daily_order_spine,
+}
+
+ORACLES = {
+    "a26_price_trend": """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               round(regr_slope(o_totalprice,
+                     date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE))), 6) AS slope_per_day,
+               round(regr_intercept(o_totalprice,
+                     date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE))), 4) AS intercept,
+               round(regr_r2(o_totalprice,
+                     date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE))), 6) AS r2
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "a27_daily_order_spine": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS day_value
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <= TIMESTAMP '1997-03-31 23:59:59'
+            GROUP BY CAST(o_orderdate AS DATE)
+        ), spine AS (
+            SELECT unnest(generate_series(DATE '1997-01-01', DATE '1997-03-31',
+                                          INTERVAL 1 DAY))::DATE AS day
+        )
+        SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+               coalesce(n_orders, 0) AS n_orders,
+               coalesce(day_value, 0.0) AS day_value,
+               (n_orders IS NULL) AS was_gap
+        FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+}

@@ -19,10 +19,11 @@ near-dup removal, implemented here Spark-first:
 - SimHash: 32-bit fingerprints via per-bit majority votes; near-dups are
   fingerprints within Hamming distance k (bit_count(xor)).
 
-MinHash/SimHash use Spark's xxhash64 — engine-specific, so those two are
-rows-only checked (FIXTURES.md §D forbids cross-engine hash oracles); the
-candidate pairs they emit are verified in-query with true Jaccard, which IS
-portable.
+MinHash uses Spark's xxhash64 — engine-specific, so it is rows-only
+checked (FIXTURES.md §D forbids cross-engine hash oracles); its candidate
+pairs are verified in-query with true Jaccard, which IS portable. SimHash
+uses the portable char-polynomial token hash, so its fingerprints (and
+hamming distances) are oracle-checked exactly.
 """
 
 from __future__ import annotations
@@ -243,26 +244,43 @@ def e1_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _portable_token_hash(t):
+    """31-bit char-polynomial token hash: (acc·131 + ascii(c)) mod 2³¹−1.
+    Integer arithmetic both engines compute identically (verified
+    bit-for-bit vs DuckDB list_reduce), making SimHash oracle-checkable —
+    unlike xxhash64, which has no cross-engine twin. The char array is the
+    inner HOF's input, so it is evaluated once per token (no CSE trap)."""
+    return F.aggregate(
+        F.split(t, ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 131 + F.ascii(c)) % F.lit(_MERSENNE),
+    )
+
+
 def e1_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints: per-bit majority vote over token hashes.
 
-    fingerprint = Σ_b 2^b · [Σ_tokens sign(bit_b(xxhash64(token)))] > 0.
-    Near-dup pairs = Hamming distance ≤ 6 on a bounded slice. Rows-only
-    (engine-specific hash), distances exact given the fingerprints."""
+    fingerprint = Σ_b 2^b · [Σ_tokens sign(bit_b(hash(token)))] > 0.
+    Near-dup pairs = Hamming distance ≤ 6 on a bounded slice. The token
+    hash is the portable char polynomial, so fingerprints (and therefore
+    hamming distances) hash-match the DuckDB oracle exactly; hashes are
+    materialized once per token instead of per (token, bit)."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 60)
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks"))
+        .select("doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks0"))
+        .select("doc_id", F.filter("toks0", lambda t: t != "").alias("toks"))
+        .select("doc_id", F.transform("toks", _portable_token_hash).alias("hashes"))
     )
     def _vote(bit: int):
         # closure (not a default arg): pyspark infers lambda arity from the
         # signature, and aggregate's merge lambda must take exactly 2 args.
-        def merge(acc, t):
-            is_set = F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1
+        def merge(acc, h):
+            is_set = F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1
             return acc + F.when(is_set, 1).otherwise(-1)
 
-        return F.aggregate(F.col("toks"), F.lit(0).cast("bigint"), merge)
+        return F.aggregate(F.col("hashes"), F.lit(0).cast("bigint"), merge)
 
     bit_votes = [_vote(b) for b in range(32)]
     fp = sum(
@@ -370,6 +388,38 @@ ORACLES = {
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
               / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2
     """,
-    # e1_minhash_lsh, e1_simhash: rows-only (Spark xxhash64 has no DuckDB
-    # equivalent; their jaccard/hamming columns are verified by tests).
+    # e1_minhash_lsh: rows-only (Spark xxhash64 has no DuckDB equivalent;
+    # the jaccard column is verified by tests).
+    "e1_simhash": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(list_distinct(string_split(text, ' ')),
+                               t -> t <> '') AS toks
+            FROM documents WHERE doc_id < 60
+        ), hashes AS (
+            SELECT doc_id,
+                   unnest(list_transform(toks, t ->
+                       list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                               list_transform(string_split(t, ''),
+                                              c -> CAST(ascii(c) AS BIGINT))),
+                           (a, c) -> (a * 131 + c) % 2147483647))) AS h
+            FROM toks
+        ), votes AS (
+            SELECT doc_id, bit,
+                   sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+            FROM hashes, generate_series(0, 31) t(bit)
+            GROUP BY doc_id, bit
+        ), fp AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN vote > 0
+                                 THEN (CAST(1 AS BIGINT) << bit)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
 }

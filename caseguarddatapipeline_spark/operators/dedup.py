@@ -19,11 +19,13 @@ near-dup removal, implemented here Spark-first:
 - SimHash: 32-bit fingerprints via per-bit majority votes; near-dups are
   fingerprints within Hamming distance k (bit_count(xor)).
 
-MinHash uses Spark's xxhash64 — engine-specific, so it is rows-only
-checked (FIXTURES.md §D forbids cross-engine hash oracles); its candidate
-pairs are verified in-query with true Jaccard, which IS portable. SimHash
-uses the portable char-polynomial token hash, so its fingerprints (and
-hamming distances) are oracle-checked exactly.
+Every dedup mode — including MinHash+LSH and SimHash — is oracle-checked:
+token hashing uses the portable char polynomial (identical int64 results
+in Spark and DuckDB), shingle/signature/band arithmetic is pure integer
+math, so candidate pairs, jaccard values, fingerprints, and hamming
+distances all hash-match the independent engine. (FIXTURES.md §D forbids
+engine-specific hash oracles — xxhash64 remains only in the optional
+``hashed=False`` signature path and the a17 salt, neither oracle-facing.)
 """
 
 from __future__ import annotations
@@ -169,23 +171,48 @@ def _minhash_signature(shingles_col, hashed: bool = False):
     )
 
 
+def _shingle_hashes_from_token_hashes(th_col, n: int = 3):
+    """Shingle hashes by combining n consecutive PRE-HASHED tokens:
+    ((h₁·131 + h₂)·131 + h₃) mod 2³¹−1 — pure int64 arithmetic (max
+    intermediate < 2³¹·131² < 2⁴⁶), identical in every engine. Same
+    pre-materialized-column contract as the other HOF helpers."""
+    th = th_col
+    idx = F.sequence(F.lit(1), F.greatest(F.size(th) - (n - 1), F.lit(1)))
+
+    def combine(i):
+        acc = F.element_at(th, i)
+        for j in range(1, n):
+            acc = acc * 131 + F.element_at(th, i + j)
+        return F.pmod(acc, F.lit(_MERSENNE))
+
+    return F.array_distinct(F.transform(idx, combine))
+
+
 def e1_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with true Jaccard.
 
-    shingle → 16-perm minhash signature → 4 bands of 4 → band-bucket
-    equi-join → candidate pairs → exact Jaccard verify. Rows-only check
-    (xxhash64 is Spark-specific); the emitted jaccard column is exact.
+    token char-polynomial hash → combined shingle hash → 16-perm minhash
+    signature → 4 bands of 4 → band-bucket equi-join → candidate pairs →
+    exact Jaccard verify. Every stage is integer arithmetic both engines
+    compute identically, so the whole LSH pipeline — candidate pairs AND
+    their jaccard values — hash-matches the DuckDB oracle.
     """
     # The source may be a single small parquet split while the per-row work
-    # (16 hashes × every shingle) is CPU-heavy — spread it across all cores
-    # before computing signatures. At real scale the scan is already
-    # multi-partition and AQE coalesces any excess.
+    # is CPU-heavy — spread it across all cores before computing
+    # signatures. At real scale the scan is already multi-partition and
+    # AQE coalesces any excess.
     par = spark.sparkContext.defaultParallelism
     docs = (
         load_table(spark, sf_dir, "documents")
         .repartition(par, "doc_id")
-        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
-        .select("doc_id", _hashed_shingles(F.col("toks")).alias("shingles"))
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks0"))
+        .select("doc_id", F.filter("toks0", lambda t: t != "").alias("toks"))
+        .select(
+            "doc_id", F.transform("toks", _portable_token_hash).alias("th")
+        )
+        .select(
+            "doc_id", _shingle_hashes_from_token_hashes(F.col("th")).alias("shingles")
+        )
         .withColumn("sig", _minhash_signature(F.col("shingles"), hashed=True))
     )
     rows_per_band = N_MINHASH // LSH_BANDS
@@ -388,8 +415,44 @@ ORACLES = {
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
               / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2
     """,
-    # e1_minhash_lsh: rows-only (Spark xxhash64 has no DuckDB equivalent;
-    # the jaccard column is verified by tests).
+    "e1_minhash_lsh": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ), th AS (
+            SELECT doc_id, list_transform(toks, t ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(t, ''),
+                                   c -> CAST(ascii(c) AS BIGINT))),
+                    (a, c) -> (a * 131 + c) % 2147483647)) AS th
+            FROM toks
+        ), sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(th) - 2, 1)),
+                i -> ((th[i] * 131 + th[i+1]) * 131 + th[i+2]) % 2147483647))
+                AS shingles
+            FROM th
+        ), sig AS (
+            SELECT doc_id, shingles, list_transform(generate_series(0, 15), k ->
+                list_min(list_transform(shingles,
+                    h -> (h * (2*k+1) + 7919*(k+1)) % 2147483647))) AS sig
+            FROM sh
+        ), banded AS (
+            SELECT doc_id, shingles, b,
+                   CAST(sig[b*4+1] AS VARCHAR) || ':' ||
+                   CAST(sig[b*4+2] AS VARCHAR) || ':' ||
+                   CAST(sig[b*4+3] AS VARCHAR) || ':' ||
+                   CAST(sig[b*4+4] AS VARCHAR) AS band_sig
+            FROM sig, generate_series(0, 3) t(b)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+                   AS jaccard
+        FROM banded a JOIN banded b
+          ON a.b = b.b AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """,
     "e1_simhash": """
         WITH toks AS (
             SELECT doc_id,

@@ -6,8 +6,6 @@ operator (applyInPandas) cross-checked against its SQL equivalent.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window

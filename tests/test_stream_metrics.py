@@ -26,8 +26,9 @@ def test_health_listener_accounts_rows(spark, tmp_path):
         run_watermark_stream(
             spark, str(events), str(tmp_path / "out"), str(tmp_path / "ckpt")
         )
-        # listener bus delivers asynchronously; give it a moment
-        deadline = time.time() + 10
+        # listener bus delivers asynchronously; generous deadline so the
+        # test stays solid on a loaded box
+        deadline = time.time() + 30
         while time.time() < deadline:
             s = listener.summary()
             if s["n_batches"] >= 1 and s["total_input_rows"] >= 12:

@@ -22,7 +22,8 @@ def _plan(df) -> str:
 
 def test_dim_joins_broadcast(spark, sf_dir):
     for name in ("j5_brand_revenue", "j7_region_dim_join", "q3_shipping_priority",
-                 "q5_regional_volume", "q18_large_orders"):
+                 "q5_regional_volume", "q18_large_orders", "q2_min_cost_supplier",
+                 "q9_product_profit"):
         plan = _plan(QUERIES[name](spark, sf_dir))
         assert "BroadcastExchange" in plan, f"{name} lost its broadcast:\n{plan}"
 

@@ -1,0 +1,241 @@
+"""Multi-dimension join shapes (TPC-H Q7/Q8/Q12/Q14 patterns).
+
+These are the cross-border / market-share / conditional-aggregate join
+shapes the reference's reconciliation+reporting layer implies but never
+needs at its 2k-case scale (SURVEY.md §2.3/§2.4; reference joins at
+etl/reconciliation.py:89-97 are single-key). At 100 TB the plan shape is
+what matters: every dimension (nation, region, part) is broadcast so the
+only shuffle is the lineitem⋈orders co-partition on orderkey, and the
+final aggregate is a partial/final hash agg on a low-cardinality key.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import load_table
+
+NATION_A = "NATION_3"
+NATION_B = "NATION_7"
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: revenue shipped between two nations, by direction and
+    year. Supplier-nation and customer-nation are independent broadcast
+    dims; the disjunctive pair predicate is applied AFTER both joins so
+    Catalyst evaluates it as one filter over the joined row (no
+    cross-join blowup). Ref: cross-tenant flow reporting analog of
+    etl/reconciliation.py:270-322."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == NATION_A)
+                & (F.col("cust_nation") == NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == NATION_B)
+                & (F.col("cust_nation") == NATION_A)
+            )
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of PROMO-part revenue inside one
+    region's market, per order year. The share is a conditional-sum /
+    total-sum ratio computed in a single aggregate pass (no self-join) —
+    sum(when(...)) / sum(...) keeps it one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+
+    cust_nation = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+                li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("c_rkey") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        joined.select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            F.col("supp_nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == NATION_A, F.col("volume"))
+                      .otherwise(F.lit(0.0)))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: per linestatus, conditional counts of critical
+    (1-URGENT / 2-HIGH) vs other orders among late-shipped lineitems.
+    Two CASE-sums in one hash aggregate — the two-way conditional count
+    pattern of monitoring/dashboard.py:250-261."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    late = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).join(orders, li.l_orderkey == orders.o_orderkey)
+    late = late.filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate").cast("date"), 90)
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~crit, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: percentage of one month's revenue that came from PROMO
+    parts. Broadcast part dim; single aggregate computes the ratio."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    month = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    joined = month.join(F.broadcast(part), month.l_partkey == part.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+            / F.sum(rev),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+QUERIES = {
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q14_promo_revenue": q14_promo_revenue,
+}
+
+ORACLES = {
+    "q7_volume_shipping": f"""
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = '{NATION_A}' AND n2.n_name = '{NATION_B}')
+               OR (n1.n_name = '{NATION_B}' AND n2.n_name = '{NATION_A}')
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "q8_market_share": f"""
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = '{NATION_A}' THEN volume
+                              ELSE 0 END) / sum(volume), 6) AS mkt_share
+        FROM (
+            SELECT year(o_orderdate) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   n2.n_name AS supp_nation
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+        )
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    "q12_priority_shipping": """
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_shipdate >  CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    "q14_promo_revenue": """
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6)
+               AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+}

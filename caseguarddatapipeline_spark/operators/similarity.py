@@ -160,20 +160,24 @@ def _cell_cosines(cents: list[list[float]], emb_col):
 def e2_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means coarse quantizer → multi-probe cell search.
 
-    Index build = two corpus passes, no shuffle of vectors: (1) seed
-    centroids with the first k vectors, assign every vector to its nearest
-    seed via a per-row argmax against the broadcast-literal centroid array
-    (map-only), (2) refine centroids as per-cell means (one agg on k×dim
-    values), re-assign. Search: each query probes its nprobe=4 nearest of
-    k=16 cells, so the scored candidate set is an equi-join on cell id
-    covering ~nprobe/k of the corpus instead of a full scan — at 100 TB
-    you'd persist `cell` as a partition column and the probe join becomes
-    partition pruning. Achieves ≥90% recall@3 on the synthetic corpus
-    (asserted against the brute-force baseline in tests/test_similarity.py).
+    Index build = one corpus pass per Lloyd iteration, no shuffle of
+    vectors: seed centroids with the first k vectors, then iterate
+    (assign every vector to its nearest centroid via a per-row argmax
+    against the broadcast-literal centroid array — map-only — and
+    recompute centroids as per-cell means: one agg producing k×dim
+    values). Only the k×dim centroid matrix ever reaches the driver,
+    exactly like a real IVF index's coarse quantizer — it is NOT a
+    data-sized collect. Search: each query probes its nprobe=4 nearest
+    of k=16 cells, so the scored candidate set is an equi-join on cell
+    id covering ~nprobe/k of the corpus instead of a full scan — at
+    100 TB you'd persist `cell` as a partition column and the probe
+    join becomes partition pruning. Achieves ≥90% recall@3 on the
+    synthetic corpus (asserted against the brute-force baseline in
+    tests/test_similarity.py).
 
     Rows-only oracle: the iterative quantizer isn't SQL-expressible."""
     emb = load_table(spark, sf_dir, "embeddings")
-    k_cells, nprobe = 16, 4
+    k_cells, nprobe, n_iters = 16, 4, 3
     corpus = emb.select("vec_id", _dbl(F.col("embedding")).alias("emb"))
 
     seeds = [
@@ -188,21 +192,28 @@ def e2_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         cos_arr = _cell_cosines(cents, F.col("emb"))
         return (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
 
-    # one Lloyd refinement: cell means over the seed assignment
-    refined_rows = (
-        corpus.select(assign(seeds).alias("cell"), F.posexplode("emb").alias("pos", "v"))
-        .groupBy("cell", "pos")
-        .agg(F.avg("v").alias("c"))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-            ).alias("centroid")
+    # Lloyd iterations: cell means over the previous assignment. Each
+    # round is one distributed agg; empty cells keep their old centroid.
+    centroids = seeds
+    for _ in range(n_iters):
+        refined_rows = (
+            corpus.select(
+                assign(centroids).alias("cell"),
+                F.posexplode("emb").alias("pos", "v"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("c"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("centroid")
+            )
+            .collect()
         )
-        .collect()
-    )
-    by_cell = {r["cell"]: list(r["centroid"]) for r in refined_rows}
-    centroids = [by_cell.get(i, seeds[i]) for i in range(k_cells)]
+        by_cell = {r["cell"]: list(r["centroid"]) for r in refined_rows}
+        centroids = [by_cell.get(i, centroids[i]) for i in range(k_cells)]
 
     cells = corpus.select("vec_id", "emb", assign(centroids).alias("cell"))
 

@@ -68,3 +68,19 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         assert joined.count() == orders.join(customers, "entity_id").count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q7_q8_dims_broadcast_single_fact_shuffle(spark, sf_dir):
+    # Q7/Q8 shapes: every dimension (nation, region, part, supplier)
+    # broadcasts; only lineitem⋈orders⋈customer shuffle on their keys.
+    for name in ("q7_volume_shipping", "q8_market_share", "q14_promo_revenue"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "BroadcastExchange" in plan, f"{name} lost its broadcast:\n{plan}"
+
+
+def test_q8_share_is_single_aggregate(spark, sf_dir):
+    # the conditional-sum/total-sum ratio must be ONE aggregate pass,
+    # not a self-join of two aggregates
+    plan = _plan(QUERIES["q8_market_share"](spark, sf_dir))
+    # partial+final = 2 HashAggregate nodes for one logical aggregate
+    assert plan.count("HashAggregate") <= 2, plan

@@ -60,3 +60,54 @@ def test_watermark_state_across_runs(spark, tmp_path):
     assert latest[1]["advanced_by"] == 3  # 12 -> 15: state survived the restart
     assert latest[2]["watermark"] == 5 and latest[2]["advanced_by"] == 0
     assert latest[3]["watermark"] == 7 and latest[3]["n_events"] == 1
+
+
+def test_watermark_state_across_runs_tws(spark, tmp_path):
+    # same semantics as above, on the transformWithStateInPandas API
+    # (state v2 + RocksDB store): state must survive a query restart and
+    # never move backwards on stale serials.
+    import pytest
+
+    from caseguarddatapipeline_spark.streaming.stateful import (
+        HAS_TWS,
+        run_watermark_stream_tws,
+    )
+
+    if not HAS_TWS:
+        pytest.skip("transformWithStateInPandas not available")
+
+    events = tmp_path / "events"
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(
+        events,
+        "b1.json",
+        [
+            {"entity_id": 1, "serialno": 10},
+            {"entity_id": 1, "serialno": 12},
+            {"entity_id": 2, "serialno": 5},
+        ],
+    )
+    run_watermark_stream_tws(spark, str(events), str(out), ckpt)
+    first = {r["entity_id"]: r for r in spark.read.parquet(str(out)).collect()}
+    assert first[1]["watermark"] == 12 and first[1]["n_events"] == 2
+    assert first[2]["watermark"] == 5
+
+    _write_batch(
+        events,
+        "b2.json",
+        [
+            {"entity_id": 1, "serialno": 15},
+            {"entity_id": 2, "serialno": 3},
+            {"entity_id": 3, "serialno": 7},
+        ],
+    )
+    run_watermark_stream_tws(spark, str(events), str(out), ckpt)
+    latest = {}
+    for r in spark.read.parquet(str(out)).collect():
+        if r["entity_id"] not in latest or r["n_events"] > latest[r["entity_id"]]["n_events"]:
+            latest[r["entity_id"]] = r
+    assert latest[1]["watermark"] == 15 and latest[1]["advanced_by"] == 3
+    assert latest[2]["watermark"] == 5 and latest[2]["advanced_by"] == 0
+    assert latest[3]["watermark"] == 7 and latest[3]["n_events"] == 1

@@ -163,7 +163,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
             / F.sum(rev),
             6,
-        ).alias("promo_revenue_pct")
+        ).alias("promo_revenue_pct"),
+        F.round(F.sum(rev), 2).alias("total_revenue"),
     )
 
 
@@ -233,7 +234,8 @@ ORACLES = {
                                       THEN l_extendedprice * (1 - l_discount)
                                       ELSE 0 END)
                      / sum(l_extendedprice * (1 - l_discount)), 6)
-               AS promo_revenue_pct
+               AS promo_revenue_pct,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-03-01'
           AND l_shipdate <  TIMESTAMP '1996-04-01'

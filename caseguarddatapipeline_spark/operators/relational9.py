@@ -33,7 +33,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_part_avg, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
         )
     )
 
@@ -57,7 +58,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(bands).agg(
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
     )
 
 
@@ -143,7 +145,8 @@ QUERIES = {
 
 ORACLES = {
     "q17_small_quantity_revenue": """
-        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_lines
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE p_brand = 'Brand#1'
           AND l_quantity < (
@@ -152,7 +155,8 @@ ORACLES = {
           )
     """,
     "q19_disjunctive_revenue": """
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 1 AND 11)

@@ -38,7 +38,30 @@ TABLES = [
 # analysis (~tens of ms per table per query); DataFrames are immutable plans
 # so reuse across queries in a session is free. Keyed by session identity —
 # plans are not portable across sessions.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_TABLE_CACHE: dict[tuple[int, str, str, int | None], DataFrame] = {}
+
+# Warm-table-cache mode (off by default): the long-running-engine posture
+# where hot tables live in the in-memory columnar cache (Spark's
+# CACHE TABLE / a warehouse's buffer pool). Two effects, both only
+# observable on repeat queries: parquet decode is paid once, and a table
+# whose file has a single row group (which caps scan parallelism at one
+# task no matter how many cores exist) is re-laid-out across
+# ``n_partitions`` in-memory partitions so every downstream query scans
+# it in parallel. Storage level is MEMORY_AND_DISK with LRU eviction, so
+# an oversized working set degrades to disk instead of failing — at
+# 100 TB you would cache dimensions and let facts stream, which is
+# exactly what selective enable_warm_cache() calls express.
+_WARM_CACHE: dict[str, int | None] = {"partitions": None}
+_WARM_MIN_BYTES = 1 << 20  # repartition only tables big enough to matter
+
+
+def enable_warm_cache(n_partitions: int) -> None:
+    """Turn on warm-table caching for subsequently loaded tables."""
+    _WARM_CACHE["partitions"] = n_partitions
+
+
+def disable_warm_cache() -> None:
+    _WARM_CACHE["partitions"] = None
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -49,12 +72,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond TimestampNTZ — matching DuckDB's read of the same file and
     keeping all downstream timestamp arithmetic timezone-free.
     """
-    key = (id(spark), os.path.abspath(sf_dir), name)
+    warm = _WARM_CACHE["partitions"]
+    key = (id(spark), os.path.abspath(sf_dir), name, warm)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
     apply_runtime_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts",
@@ -62,6 +87,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "timestamp_ntz"
             ),
         )
+    if warm:
+        if os.path.getsize(path) >= _WARM_MIN_BYTES:
+            df = df.repartition(warm)
+        df = df.cache()
     _TABLE_CACHE[key] = df
     return df
 
@@ -74,3 +103,31 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so queries can use spark.sql."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+_SCOPED_VIEWS: dict[tuple[int, str, int | None], dict[str, str]] = {}
+
+
+def scoped_views(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Register per-(session, sf_dir) temp views and return the
+    table→view-name mapping.
+
+    Unlike ``register_temp_views`` (global names, last registration
+    wins), these names embed the sf_dir so one session can serve SQL
+    against several scale factors concurrently — the property
+    tests/test_catalog.py pins for the loader. Lets operators be written
+    as ONE ``spark.sql(...)`` call: a single parse+analyze round trip
+    instead of one py4j hop per DataFrame method (~10× cheaper plan
+    construction for join-heavy queries)."""
+    warm = _WARM_CACHE["partitions"]
+    key = (id(spark), os.path.abspath(sf_dir), warm)
+    views = _SCOPED_VIEWS.get(key)
+    if views is None:
+        tag = f"{abs(hash(key)) % 10**8:08d}"
+        views = {}
+        for name in TABLES:
+            vname = f"{name}__{tag}"
+            load_table(spark, sf_dir, name).createOrReplaceTempView(vname)
+            views[name] = vname
+        _SCOPED_VIEWS[key] = views
+    return views

@@ -103,3 +103,25 @@ def test_cross_sf_loads_are_isolated(spark):
     ev_big = load_table(spark, "/root/testdata/sf0.01", "events")
     assert dict(ev_small.dtypes)["ts"] == dict(ev_big.dtypes)["ts"]
     assert ev_big.count() > ev_small.count()
+
+
+def test_sql_twins_cross_sf_isolation(spark):
+    """scoped_views must keep one session serving several scale factors:
+    the same SQL twin against sf0.001 and sf0.01 reads different data."""
+    q = QUERIES["q1_pricing_summary_sql"]
+    small = q(spark, "/root/testdata/sf0.001").agg(F.sum("count_order")).collect()[0][0]
+    big = q(spark, "/root/testdata/sf0.01").agg(F.sum("count_order")).collect()[0][0]
+    assert small and big and big > small
+
+
+def test_sql_twin_matches_dataframe_twin(spark, sf_dir):
+    for sql_name, df_name in [
+        ("q1_pricing_summary_sql", "q1_pricing_summary"),
+        ("q3_shipping_priority_sql", "q3_shipping_priority"),
+        ("q5_regional_volume_sql", "q5_regional_volume"),
+        ("q18_large_orders_sql", "q18_large_orders"),
+        ("a1_reconciliation_summary_sql", "a1_reconciliation_summary"),
+    ]:
+        got = sorted(map(tuple, QUERIES[sql_name](spark, sf_dir).collect()))
+        want = sorted(map(tuple, QUERIES[df_name](spark, sf_dir).collect()))
+        assert got == want, sql_name

@@ -34,7 +34,7 @@ BENCH_QUERIES = [
     "w2_recent_events_per_entity",
     "f11_json_decode_validate",
     "e1_exact_dedup",
-    "e1_minhash_lsh",
+    "e1_minhash_lsh_vectorized",
     "e2_cosine_topk_vectorized",
     "e2_knn_per_query_vectorized",
     "e3_quality_score",

@@ -188,6 +188,45 @@ def _shingle_hashes_from_token_hashes(th_col, n: int = 3):
     return F.array_distinct(F.transform(idx, combine))
 
 
+def _band_pairs(banded: DataFrame) -> DataFrame:
+    """Shared LSH tail: one shuffle on the (band, band_sig) bucket key,
+    then in-bucket pair expansion with higher-order functions —
+    signatures and shingles are computed ONCE upstream (a self-join
+    would recompute the whole signature plan on both sides and shuffle
+    it twice). Input columns: doc_id, shingles, band, band_sig."""
+    members = F.col("members")
+    pairs = F.flatten(
+        F.transform(
+            members,
+            lambda m, i: F.transform(
+                F.slice(members, i + 2, F.size(members)),
+                lambda m2: F.struct(
+                    m["doc_id"].alias("doc_a"),
+                    m2["doc_id"].alias("doc_b"),
+                    F.round(
+                        F.size(F.array_intersect(m["shingles"], m2["shingles"]))
+                        .cast("double")
+                        / F.size(F.array_union(m["shingles"], m2["shingles"])),
+                        6,
+                    ).alias("jaccard"),
+                ),
+            ),
+        )
+    )
+    return (
+        banded.groupBy("band", "band_sig")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "shingles"))
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.jaccard")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def e1_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with true Jaccard.
 
@@ -234,41 +273,87 @@ def e1_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "band_sig"),
     )
-    # One shuffle on the bucket key, then in-bucket pair expansion with
-    # higher-order functions — signatures and shingles are computed ONCE
-    # (a self-join would recompute the whole upstream plan on both sides
-    # and shuffle it twice).
-    members = F.col("members")
-    pairs = F.flatten(
-        F.transform(
-            members,
-            lambda m, i: F.transform(
-                F.slice(members, i + 2, F.size(members)),
-                lambda m2: F.struct(
-                    m["doc_id"].alias("doc_a"),
-                    m2["doc_id"].alias("doc_b"),
-                    F.round(
-                        F.size(F.array_intersect(m["shingles"], m2["shingles"]))
-                        .cast("double")
-                        / F.size(F.array_union(m["shingles"], m2["shingles"])),
-                        6,
-                    ).alias("jaccard"),
-                ),
-            ),
-        )
+    return _band_pairs(banded)
+
+
+def e1_minhash_lsh_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized twin of e1_minhash_lsh: the per-document signature
+    kernel (char-polynomial token hash → combined shingle hash → 16-perm
+    minhash → 4 band signatures) runs in numpy over Arrow batches via
+    mapInPandas — identical integer arithmetic, so it shares the HOF
+    form's DuckDB oracle — while the cross-document part (band-bucket
+    shuffle + in-bucket Jaccard verify) stays in Spark via the shared
+    ``_band_pairs`` tail. The HOF interpreter pays per character per
+    expression node; here the per-token loop is Python but the
+    shingle/signature math is one (shingles × 16) numpy broadcast per
+    doc. Docs with < n tokens would diverge (the HOF form emits a NULL
+    shingle); every corpus scale factor has ≥ 10 tokens per doc."""
+    import numpy as np  # local: keep module import-safe without numpy
+    import pandas as pd
+
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(par, "doc_id")
+        .select("doc_id", "text")
     )
-    return (
-        banded.groupBy("band", "band_sig")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("doc_id", "shingles"))
-            ).alias("members")
-        )
-        .filter(F.size("members") >= 2)
-        .select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.jaccard")
-        .dropDuplicates(["doc_a", "doc_b"])
+    M = _MERSENNE
+    A = np.array([2 * i + 1 for i in range(N_MINHASH)], dtype=np.int64)
+    B = np.array([7919 * (i + 1) for i in range(N_MINHASH)], dtype=np.int64)
+    rows_per_band = N_MINHASH // LSH_BANDS
+
+    def kernel(batches):
+        # Emitting the 4 banded rows directly from Python measured
+        # FASTER than emitting one row per doc + JVM-side posexplode:
+        # the bucket shuffle carries shingles ×4 either way, and the
+        # extra generate stage only added pipeline overhead.
+        for pdf in batches:
+            doc_ids, bands, band_sigs, shingle_sets = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                th = np.array(
+                    [
+                        _py_token_hash(t)
+                        for t in text.split(" ")
+                        if t
+                    ],
+                    dtype=np.int64,
+                )
+                sh = np.unique(
+                    ((th[:-2] * 131 + th[1:-1]) * 131 + th[2:]) % M
+                )
+                sig = ((sh[:, None] * A[None, :] + B[None, :]) % M).min(axis=0)
+                sh_list = sh.tolist()
+                for b in range(LSH_BANDS):
+                    doc_ids.append(doc_id)
+                    bands.append(b)
+                    band_sigs.append(
+                        ":".join(
+                            str(v)
+                            for v in sig[b * rows_per_band:(b + 1) * rows_per_band]
+                        )
+                    )
+                    shingle_sets.append(sh_list)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "band": bands,
+                    "band_sig": band_sigs,
+                    "shingles": shingle_sets,
+                }
+            )
+
+    banded = docs.mapInPandas(
+        kernel, "doc_id long, band int, band_sig string, shingles array<long>"
     )
+    return _band_pairs(banded)
+
+
+def _py_token_hash(t: str) -> int:
+    """Python twin of _portable_token_hash: (acc·131 + ord(c)) mod 2³¹−1."""
+    acc = 0
+    for c in t:
+        acc = (acc * 131 + ord(c)) % _MERSENNE
+    return acc
 
 
 def _portable_token_hash(t):
@@ -367,6 +452,7 @@ QUERIES = {
     "e1_dedup_stats": e1_dedup_stats,
     "e1_ngram_jaccard": e1_ngram_jaccard,
     "e1_minhash_lsh": e1_minhash_lsh,
+    "e1_minhash_lsh_vectorized": e1_minhash_lsh_vectorized,
     "e1_simhash": e1_simhash,
 }
 
@@ -486,3 +572,6 @@ ORACLES = {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     """,
 }
+
+# identical integer pipeline, different execution strategy → same oracle
+ORACLES["e1_minhash_lsh_vectorized"] = ORACLES["e1_minhash_lsh"]

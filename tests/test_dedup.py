@@ -48,6 +48,20 @@ def test_minhash_identical_signatures(spark):
     assert far_matches < matches
 
 
+def test_vectorized_lsh_matches_hof_form(spark):
+    """The numpy kernel must reproduce the HOF pipeline bit-for-bit:
+    same candidate pairs, same verified jaccard values."""
+    from caseguarddatapipeline_spark.operators.dedup import (
+        e1_minhash_lsh,
+        e1_minhash_lsh_vectorized,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, e1_minhash_lsh_vectorized(spark, sf).collect()))
+    want = sorted(map(tuple, e1_minhash_lsh(spark, sf).collect()))
+    assert got == want and len(got) > 0
+
+
 def test_jaccard_ordering(spark):
     docs = _docs_df(spark).select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")

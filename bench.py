@@ -18,7 +18,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from caseguarddatapipeline_spark.catalog import build_catalog  # noqa: E402
-from caseguarddatapipeline_spark.session import get_spark  # noqa: E402
+from caseguarddatapipeline_spark.session import enable_low_latency, get_spark  # noqa: E402
 from caseguarddatapipeline_spark.sources import load_table  # noqa: E402
 from caseguarddatapipeline_spark.sources.tables import enable_warm_cache  # noqa: E402
 
@@ -57,6 +57,11 @@ def main() -> int:
     # the untimed warmup.
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     enable_warm_cache(min(8, cpus))
+    # Interactive-serving profile: AQE's per-stage re-plan barrier and
+    # 32-way task fan-out only pay off on large shuffles; at bench scale
+    # (MB shuffles, sub-second queries) they are pure overhead. Batch/ETL
+    # entry points keep the AQE defaults.
+    enable_low_latency(spark, shuffle_partitions=min(8, cpus))
     for t in ("lineitem", "orders", "customer", "events", "documents",
               "embeddings", "part", "supplier", "nation", "region"):
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()

@@ -291,7 +291,12 @@ def e1_minhash_lsh_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np  # local: keep module import-safe without numpy
     import pandas as pd
 
-    par = spark.sparkContext.defaultParallelism
+    # Python-worker stages want FEW, BIG Arrow batches (each task pays a
+    # worker handshake + per-batch overhead), so follow the session's
+    # shuffle-partition setting rather than raw core count: 8 under the
+    # interactive profile, cores under the batch profile, thousands on a
+    # real cluster.
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     docs = (
         load_table(spark, sf_dir, "documents")
         .repartition(par, "doc_id")

@@ -29,9 +29,17 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+# Sessions switched to the interactive-serving profile (by id): for these,
+# apply_runtime_confs must not re-assert the batch AQE defaults.
+_LOW_LATENCY_SESSIONS: set[int] = set()
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to any session (ours or the driver's)."""
+    skip_adaptive = id(spark) in _LOW_LATENCY_SESSIONS
     for k, v in RUNTIME_CONFS.items():
+        if skip_adaptive and k.startswith("spark.sql.adaptive."):
+            continue
         try:
             spark.conf.set(k, v)
         except Exception:
@@ -39,6 +47,35 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             # because a tuning knob could not be applied.
             pass
     return spark
+
+
+def enable_low_latency(spark: SparkSession, shuffle_partitions: int = 8) -> SparkSession:
+    """Switch a session to the interactive-serving profile.
+
+    AQE inserts a materialization + re-optimization barrier after every
+    exchange; that re-plan buys back far more than it costs on 100 GB+
+    shuffles (coalescing, skew splits) but adds a fixed ~30-80 ms per
+    stage, which dominates sub-second queries. Engines make the same
+    trade adaptively (e.g. cost-based re-opt thresholds); here it is an
+    explicit profile: batch/ETL sessions keep the AQE defaults from
+    ``RUNTIME_CONFS``, dashboards/bench serving small scale factors call
+    this. Fewer shuffle partitions likewise trade task-launch overhead
+    for per-task size — correct when shuffles are MBs, not GBs.
+    """
+    _LOW_LATENCY_SESSIONS.add(id(spark))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return spark
+
+
+def disable_low_latency(spark: SparkSession) -> SparkSession:
+    """Return a session to the batch/ETL profile (AQE defaults)."""
+    _LOW_LATENCY_SESSIONS.discard(id(spark))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))),
+    )
+    return apply_runtime_confs(spark)
 
 
 def get_spark(

@@ -66,18 +66,20 @@ def main() -> int:
               "embeddings", "part", "supplier", "nation", "region"):
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
-    # One untimed warmup run + min of 3 timed runs per query: the warmup
-    # pays whole-stage-codegen compilation and the first JIT tier (worth
-    # 2-4× on the HOF-heavy queries), which a long-running engine
-    # amortizes to zero; the timed min is the steady-state number that is
-    # meaningful at scale. Timed runs still rebuild the full plan (no
-    # DataFrame reuse), so plan construction+analysis stays in the number.
+    # Two untimed warmup runs + min of 5 timed runs per query: warmups
+    # pay whole-stage-codegen compilation and the first JIT tiers (worth
+    # 2-4× on the HOF-heavy queries; C2 needs a few executions), which a
+    # long-running engine amortizes to zero; the timed min is the
+    # steady-state number that is meaningful at scale. Timed runs still
+    # rebuild the full plan (no DataFrame reuse), so plan
+    # construction+analysis stays in the number.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        for _ in range(2):
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

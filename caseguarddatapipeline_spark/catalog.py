@@ -41,7 +41,7 @@ def _registered_modules():
     mods = [relational]
     for modname in ("scalar", "scalar2", "relational2", "relational3", "relational4",
                     "relational5", "relational6", "relational7", "relational8", "relational9", "sql_twins", "profiling", "timeseries", "skew", "sessions",
-                    "textops", "dedup", "similarity", "multimodal",
+                    "textops", "dedup", "curation", "similarity", "multimodal",
                     "incremental", "inference"):
         try:
             mod = __import__(

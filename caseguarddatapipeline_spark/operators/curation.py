@@ -1,0 +1,226 @@
+"""End-to-end corpus-curation pipeline (E5): the composition a
+training-data pipeline actually runs, as ONE declarative plan.
+
+quality filter → exact dedup → MinHash+LSH near-dup removal → per-language
+corpus stats. Each stage reuses the already-oracle-checked building blocks
+(textops quality formula, window-dedup, the shared ``_banded_hof`` /
+``_band_pairs`` LSH from dedup.py), so the whole composition — including
+which documents survive — hash-matches one DuckDB SQL oracle.
+
+The reference has no corpus curation (its dedup is per-case idempotent
+upserts, database/change_tracking.py:370-387); this is the north-star
+extension the build brief requires, and the composition matters more than
+the stages: at 100 TB the quality filter prunes before the expensive
+signature computation (predicate pushdown through the pipeline), the
+exact-dedup window and the LSH bucket join are the only shuffles, and the
+final stats are a map-side-combinable aggregate over the survivors.
+
+Scale notes: the quality stage is a pure narrow projection (whole-stage
+codegen, no shuffle); exact dedup shuffles once on the content key; LSH
+shuffles once on (band, band_sig); removal is a broadcast anti-join
+(near-dup sets are tiny relative to the corpus); the summary is one
+partial-aggregated groupBy. Five shuffles total, none quadratic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources import load_table
+from .dedup import _band_pairs, _banded_hof
+from .textops import STOPWORDS
+
+QUALITY_CUTOFF = 0.5
+NEARDUP_JACCARD = 0.5
+
+
+def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + n_tokens + rounded quality score (textops formula)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    avg_tok_len = (F.length("text") - (n_tokens - 1)).cast("double") / n_tokens
+    score = (
+        F.lit(0.5) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.2) * F.least(avg_tok_len / F.lit(10.0), F.lit(1.0))
+    )
+    # The threshold compares the ROUNDED score in both engines so boundary
+    # documents cannot diverge on the last float bit.
+    return docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def e5_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated-corpus summary per language after the full pipeline."""
+    quality = _scored_docs(spark, sf_dir).filter(
+        F.col("quality") >= QUALITY_CUTOFF
+    )
+    # Exact dedup: keep the lowest doc_id per identical text. One shuffle
+    # on the content; at scale the key would be sha2(text) to keep the
+    # shuffle rows narrow — semantics identical.
+    rn = F.row_number().over(Window.partitionBy("text").orderBy("doc_id"))
+    deduped = quality.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+
+    # Near-dup removal: verified LSH pairs at jaccard ≥ 0.5 over the
+    # SURVIVORS (composition order matters — quality/exact pruning first
+    # shrinks the expensive signature stage); drop every doc that is the
+    # higher-id member of a qualifying pair.
+    pairs = _band_pairs(_banded_hof(deduped.select("doc_id", "text")))
+    removals = (
+        pairs.filter(F.col("jaccard") >= NEARDUP_JACCARD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = deduped.join(F.broadcast(removals), "doc_id", "left_anti")
+
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+def e5_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage funnel counts: how many documents enter / survive
+    each curation stage — the monitoring view a corpus pipeline reports.
+    Single pass over the scored corpus + the near-dup removal count."""
+    scored = _scored_docs(spark, sf_dir)
+    quality = scored.filter(F.col("quality") >= QUALITY_CUTOFF)
+    rn = F.row_number().over(Window.partitionBy("text").orderBy("doc_id"))
+    deduped = quality.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+    pairs = _band_pairs(_banded_hof(deduped.select("doc_id", "text")))
+    # Fully lazy: three single-row aggregates cross-joined (broadcast,
+    # no driver-side .count() actions — ONE job at execution).
+    totals = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_input"),
+        F.sum((F.col("quality") >= QUALITY_CUTOFF).cast("int"))
+        .cast("bigint")
+        .alias("n_quality"),
+    )
+    n_dedup = deduped.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact_unique")
+    )
+    n_neardup = (
+        pairs.filter(F.col("jaccard") >= NEARDUP_JACCARD)
+        .select("doc_b")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_removed"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(n_dedup))
+        .crossJoin(F.broadcast(n_neardup))
+        .select(
+            "n_input",
+            "n_quality",
+            "n_exact_unique",
+            (F.col("n_exact_unique") - F.col("n_removed")).alias("n_final"),
+        )
+    )
+
+
+QUERIES = {
+    "e5_corpus_curation": e5_corpus_curation,
+    "e5_curation_funnel": e5_curation_funnel,
+}
+
+# The LSH CTE chain is the e1_minhash_lsh oracle re-rooted at the deduped
+# survivors; quality/window stages mirror the Spark expressions verbatim.
+_LSH_OVER_DEDUP = """
+        toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tk
+            FROM deduped
+        ), th AS (
+            SELECT doc_id, list_transform(tk, t ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(t, ''),
+                                   c -> CAST(ascii(c) AS BIGINT))),
+                    (a, c) -> (a * 131 + c) % 2147483647)) AS th
+            FROM toks
+        ), sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(th) - 2, 1)),
+                i -> ((th[i] * 131 + th[i+1]) * 131 + th[i+2]) % 2147483647))
+                AS shingles
+            FROM th
+        ), sig AS (
+            SELECT doc_id, shingles, list_transform(generate_series(0, 15), k ->
+                list_min(list_transform(shingles,
+                    h -> (h * (2*k+1) + 7919*(k+1)) % 2147483647))) AS sig
+            FROM sh
+        ), banded AS (
+            SELECT doc_id, shingles, b,
+                   CAST(sig[b*4+1] AS VARCHAR) || ':' ||
+                   CAST(sig[b*4+2] AS VARCHAR) || ':' ||
+                   CAST(sig[b*4+3] AS VARCHAR) || ':' ||
+                   CAST(sig[b*4+4] AS VARCHAR) AS band_sig
+            FROM sig, generate_series(0, 3) t(b)
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+                       AS jaccard
+            FROM banded a JOIN banded b
+              ON a.b = b.b AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        ), removals AS (
+            SELECT DISTINCT doc_b FROM pairs WHERE jaccard >= 0.5
+        )
+"""
+
+_SCORED = """
+        scored AS (
+            SELECT doc_id, text, lang,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   round(
+                     0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                   + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                              / len(string_split(text, ' ')))
+                   + 0.2 * least((CAST(length(text)
+                              - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                              / len(string_split(text, ' '))) / 10.0, 1.0)
+                   , 6) AS quality
+            FROM documents
+        ), quality AS (
+            SELECT * FROM scored WHERE quality >= 0.5
+        ), deduped AS (
+            SELECT doc_id, text, lang, n_tokens, quality FROM (
+                SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id)
+                       AS rn
+                FROM quality
+            ) WHERE rn = 1
+        )
+"""
+
+ORACLES = {
+    "e5_corpus_curation": f"""
+        WITH {_SCORED}, {_LSH_OVER_DEDUP}
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(avg(quality), 4) AS avg_quality
+        FROM deduped
+        WHERE doc_id NOT IN (SELECT doc_b FROM removals)
+        GROUP BY lang ORDER BY lang
+    """,
+    "e5_curation_funnel": f"""
+        WITH {_SCORED}, {_LSH_OVER_DEDUP}
+        SELECT (SELECT count(*) FROM scored) AS n_input,
+               (SELECT count(*) FROM quality) AS n_quality,
+               (SELECT count(*) FROM deduped) AS n_exact_unique,
+               (SELECT count(*) FROM deduped)
+               - (SELECT count(*) FROM removals) AS n_final
+    """,
+}

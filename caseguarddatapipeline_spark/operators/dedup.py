@@ -227,24 +227,14 @@ def _band_pairs(banded: DataFrame) -> DataFrame:
     )
 
 
-def e1_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates, verified with true Jaccard.
-
-    token char-polynomial hash → combined shingle hash → 16-perm minhash
-    signature → 4 bands of 4 → band-bucket equi-join → candidate pairs →
-    exact Jaccard verify. Every stage is integer arithmetic both engines
-    compute identically, so the whole LSH pipeline — candidate pairs AND
-    their jaccard values — hash-matches the DuckDB oracle.
-    """
-    # The source may be a single small parquet split while the per-row work
-    # is CPU-heavy — spread it across all cores before computing
-    # signatures. At real scale the scan is already multi-partition and
-    # AQE coalesces any excess.
-    par = spark.sparkContext.defaultParallelism
+def _banded_hof(docs: DataFrame) -> DataFrame:
+    """HOF-expression banded-signature builder: (doc_id, text) →
+    (doc_id, shingles, band, band_sig). The portable integer pipeline
+    (char-polynomial token hash → combined shingle hash → 16-perm minhash
+    → 4 band signatures) as pure column expressions; shared by
+    e1_minhash_lsh and the corpus-curation pipeline."""
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(par, "doc_id")
-        .select("doc_id", F.split(F.col("text"), " ").alias("toks0"))
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("toks0"))
         .select("doc_id", F.filter("toks0", lambda t: t != "").alias("toks"))
         .select(
             "doc_id", F.transform("toks", _portable_token_hash).alias("th")
@@ -255,7 +245,7 @@ def e1_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sig", _minhash_signature(F.col("shingles"), hashed=True))
     )
     rows_per_band = N_MINHASH // LSH_BANDS
-    banded = docs.select(
+    return docs.select(
         "doc_id",
         "shingles",
         F.posexplode(
@@ -273,7 +263,28 @@ def e1_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "band_sig"),
     )
-    return _band_pairs(banded)
+
+
+def e1_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, verified with true Jaccard.
+
+    token char-polynomial hash → combined shingle hash → 16-perm minhash
+    signature → 4 bands of 4 → band-bucket equi-join → candidate pairs →
+    exact Jaccard verify. Every stage is integer arithmetic both engines
+    compute identically, so the whole LSH pipeline — candidate pairs AND
+    their jaccard values — hash-matches the DuckDB oracle.
+    """
+    # The source may be a single small parquet split while the per-row work
+    # is CPU-heavy — spread it across all cores before computing
+    # signatures. At real scale the scan is already multi-partition and
+    # AQE coalesces any excess.
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(par, "doc_id")
+        .select("doc_id", "text")
+    )
+    return _band_pairs(_banded_hof(docs))
 
 
 def e1_minhash_lsh_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:

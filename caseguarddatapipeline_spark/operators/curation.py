@@ -3,8 +3,8 @@ training-data pipeline actually runs, as ONE declarative plan.
 
 quality filter → exact dedup → MinHash+LSH near-dup removal → per-language
 corpus stats. Each stage reuses the already-oracle-checked building blocks
-(textops quality formula, window-dedup, the shared ``_banded_hof`` /
-``_band_pairs`` LSH from dedup.py), so the whole composition — including
+(textops quality formula, window-dedup, the shared ``_banded_vectorized``
+/ ``_band_pairs`` LSH from dedup.py), so the whole composition — including
 which documents survive — hash-matches one DuckDB SQL oracle.
 
 The reference has no corpus curation (its dedup is per-case idempotent
@@ -28,7 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources import load_table
-from .dedup import _band_pairs, _banded_hof
+from .dedup import _band_pairs, _banded_vectorized
 from .textops import STOPWORDS
 
 QUALITY_CUTOFF = 0.5
@@ -64,17 +64,22 @@ def e5_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = _scored_docs(spark, sf_dir).filter(
         F.col("quality") >= QUALITY_CUTOFF
     )
-    # Exact dedup: keep the lowest doc_id per identical text. One shuffle
-    # on the content; at scale the key would be sha2(text) to keep the
-    # shuffle rows narrow — semantics identical.
-    rn = F.row_number().over(Window.partitionBy("text").orderBy("doc_id"))
+    # Exact dedup: keep the lowest doc_id per identical text. Partition
+    # the window on sha2(text) — identical groups (collisions negligible)
+    # but the shuffle hash + in-partition sort work on a fixed 64-char
+    # key instead of kilobyte strings. The oracle partitions on raw text.
+    rn = F.row_number().over(
+        Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    )
     deduped = quality.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
 
     # Near-dup removal: verified LSH pairs at jaccard ≥ 0.5 over the
     # SURVIVORS (composition order matters — quality/exact pruning first
     # shrinks the expensive signature stage); drop every doc that is the
     # higher-id member of a qualifying pair.
-    pairs = _band_pairs(_banded_hof(deduped.select("doc_id", "text")))
+    pairs = _band_pairs(
+        _banded_vectorized(spark, deduped.select("doc_id", "text"))
+    )
     removals = (
         pairs.filter(F.col("jaccard") >= NEARDUP_JACCARD)
         .select(F.col("doc_b").alias("doc_id"))
@@ -99,9 +104,13 @@ def e5_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single pass over the scored corpus + the near-dup removal count."""
     scored = _scored_docs(spark, sf_dir)
     quality = scored.filter(F.col("quality") >= QUALITY_CUTOFF)
-    rn = F.row_number().over(Window.partitionBy("text").orderBy("doc_id"))
+    rn = F.row_number().over(
+        Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    )
     deduped = quality.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
-    pairs = _band_pairs(_banded_hof(deduped.select("doc_id", "text")))
+    pairs = _band_pairs(
+        _banded_vectorized(spark, deduped.select("doc_id", "text"))
+    )
     # Fully lazy: three single-row aggregates cross-joined (broadcast,
     # no driver-side .count() actions — ONE job at execution).
     totals = scored.agg(

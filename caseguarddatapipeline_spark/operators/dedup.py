@@ -287,14 +287,13 @@ def e1_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _band_pairs(_banded_hof(docs))
 
 
-def e1_minhash_lsh_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-vectorized twin of e1_minhash_lsh: the per-document signature
+def _banded_vectorized(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Arrow-vectorized twin of ``_banded_hof``: (doc_id, text) →
+    (doc_id, shingles, band, band_sig). The per-document signature
     kernel (char-polynomial token hash → combined shingle hash → 16-perm
     minhash → 4 band signatures) runs in numpy over Arrow batches via
-    mapInPandas — identical integer arithmetic, so it shares the HOF
-    form's DuckDB oracle — while the cross-document part (band-bucket
-    shuffle + in-bucket Jaccard verify) stays in Spark via the shared
-    ``_band_pairs`` tail. The HOF interpreter pays per character per
+    mapInPandas — identical integer arithmetic, so callers share the HOF
+    form's DuckDB oracles. The HOF interpreter pays per character per
     expression node; here the per-token loop is Python but the
     shingle/signature math is one (shingles × 16) numpy broadcast per
     doc. Docs with < n tokens would diverge (the HOF form emits a NULL
@@ -308,11 +307,7 @@ def e1_minhash_lsh_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interactive profile, cores under the batch profile, thousands on a
     # real cluster.
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(par, "doc_id")
-        .select("doc_id", "text")
-    )
+    docs = docs.repartition(par, "doc_id").select("doc_id", "text")
     M = _MERSENNE
     A = np.array([2 * i + 1 for i in range(N_MINHASH)], dtype=np.int64)
     B = np.array([7919 * (i + 1) for i in range(N_MINHASH)], dtype=np.int64)
@@ -358,10 +353,18 @@ def e1_minhash_lsh_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    banded = docs.mapInPandas(
+    return docs.mapInPandas(
         kernel, "doc_id long, band int, band_sig string, shingles array<long>"
     )
-    return _band_pairs(banded)
+
+
+def e1_minhash_lsh_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the Arrow-vectorized signature kernel
+    (``_banded_vectorized``) and the shared band-bucket verify tail —
+    same results and oracle as e1_minhash_lsh, ~25% faster at sf0.1 and
+    widening with document length."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _band_pairs(_banded_vectorized(spark, docs))
 
 
 def _py_token_hash(t: str) -> int:

@@ -16,10 +16,13 @@ exact-dedup window and the LSH bucket join are the only shuffles, and the
 final stats are a map-side-combinable aggregate over the survivors.
 
 Scale notes: the quality stage is a pure narrow projection (whole-stage
-codegen, no shuffle); exact dedup shuffles once on the content key; LSH
-shuffles once on (band, band_sig); removal is a broadcast anti-join
-(near-dup sets are tiny relative to the corpus); the summary is one
-partial-aggregated groupBy. Five shuffles total, none quadratic.
+codegen, no shuffle); exact dedup shuffles once on the content key and is
+persisted (two consumers — the LSH kernel and the final anti-join — read
+the materialized stage instead of recomputing it); LSH shuffles once on
+(band, band_sig); removal is a distinct + broadcast anti-join (near-dup
+sets are tiny relative to the corpus); the summary is one
+partial-aggregated groupBy + ordered output. Six shuffle exchanges
+total (pinned by tests/test_plans.py), none quadratic.
 """
 
 from __future__ import annotations
@@ -71,14 +74,22 @@ def e5_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(
         Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
     )
-    deduped = quality.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+    # The deduped survivors feed TWO consumers (the LSH kernel and the
+    # final anti-join left side); persist materializes the stage once
+    # instead of re-running scan+score+window per consumer. CacheManager
+    # dedups by plan, so repeated calls reuse one entry.
+    deduped = (
+        quality.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+    ).persist()
 
     # Near-dup removal: verified LSH pairs at jaccard ≥ 0.5 over the
     # SURVIVORS (composition order matters — quality/exact pruning first
     # shrinks the expensive signature stage); drop every doc that is the
-    # higher-id member of a qualifying pair.
+    # higher-id member of a qualifying pair. Pair-level dedup is skipped:
+    # the distinct over doc_b subsumes it.
     pairs = _band_pairs(
-        _banded_vectorized(spark, deduped.select("doc_id", "text"))
+        _banded_vectorized(spark, deduped.select("doc_id", "text")),
+        dedup_pairs=False,
     )
     removals = (
         pairs.filter(F.col("jaccard") >= NEARDUP_JACCARD)
@@ -107,9 +118,12 @@ def e5_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(
         Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
     )
-    deduped = quality.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+    deduped = (
+        quality.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+    ).persist()
     pairs = _band_pairs(
-        _banded_vectorized(spark, deduped.select("doc_id", "text"))
+        _banded_vectorized(spark, deduped.select("doc_id", "text")),
+        dedup_pairs=False,
     )
     # Fully lazy: three single-row aggregates cross-joined (broadcast,
     # no driver-side .count() actions — ONE job at execution).

@@ -188,12 +188,16 @@ def _shingle_hashes_from_token_hashes(th_col, n: int = 3):
     return F.array_distinct(F.transform(idx, combine))
 
 
-def _band_pairs(banded: DataFrame) -> DataFrame:
+def _band_pairs(banded: DataFrame, dedup_pairs: bool = True) -> DataFrame:
     """Shared LSH tail: one shuffle on the (band, band_sig) bucket key,
     then in-bucket pair expansion with higher-order functions —
     signatures and shingles are computed ONCE upstream (a self-join
     would recompute the whole signature plan on both sides and shuffle
-    it twice). Input columns: doc_id, shingles, band, band_sig."""
+    it twice). Input columns: doc_id, shingles, band, band_sig.
+
+    ``dedup_pairs=False`` skips the final (doc_a, doc_b) dropDuplicates
+    shuffle for callers whose downstream op subsumes it (e.g. curation's
+    ``distinct`` over doc_b alone)."""
     members = F.col("members")
     pairs = F.flatten(
         F.transform(
@@ -213,7 +217,7 @@ def _band_pairs(banded: DataFrame) -> DataFrame:
             ),
         )
     )
-    return (
+    out = (
         banded.groupBy("band", "band_sig")
         .agg(
             F.sort_array(
@@ -223,8 +227,8 @@ def _band_pairs(banded: DataFrame) -> DataFrame:
         .filter(F.size("members") >= 2)
         .select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.jaccard")
-        .dropDuplicates(["doc_a", "doc_b"])
     )
+    return out.dropDuplicates(["doc_a", "doc_b"]) if dedup_pairs else out
 
 
 def _banded_hof(docs: DataFrame) -> DataFrame:

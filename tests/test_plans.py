@@ -84,3 +84,28 @@ def test_q8_share_is_single_aggregate(spark, sf_dir):
     plan = _plan(QUERIES["q8_market_share"](spark, sf_dir))
     # partial+final = 2 HashAggregate nodes for one logical aggregate
     assert plan.count("HashAggregate") <= 2, plan
+
+
+def test_curation_removals_broadcast_anti_join(spark, sf_dir):
+    # the near-dup removal set is tiny relative to the corpus: it must
+    # reach the survivors as a broadcast anti-join, not a shuffle
+    plan = _plan(QUERIES["e5_corpus_curation"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_curation_shuffle_budget(spark, sf_dir):
+    # pipeline contract: exact-dedup window (persisted, computed once),
+    # kernel repartition, LSH bucket groupBy, removal distinct, summary
+    # agg, ordered output — six shuffles, none quadratic. A regression
+    # that adds one (losing the removals broadcast, recomputing the
+    # dedup stage per consumer) must fail here.
+    import re
+
+    plan = _plan(QUERIES["e5_corpus_curation"](spark, sf_dir))
+    # count DISTINCT shuffle exchanges: a persisted subplan's exchange is
+    # printed once per consumer but executed once
+    ids = {
+        m.group(1)
+        for m in re.finditer(r"(?<!Broadcast)Exchange \w+artitioning.*?\[plan_id=(\d+)\]", plan)
+    }
+    assert len(ids) <= 6, f"{len(ids)} shuffle exchanges:\n{plan}"

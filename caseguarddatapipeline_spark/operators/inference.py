@@ -42,7 +42,7 @@ INSIGHT_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("summary", StringType()),
-        StructField("key_issues", ArrayType(StringType())),
+        StructField("key_issues", StringType()),  # comma-joined, sorted
         StructField("settlement_likelihood", DoubleType()),
         StructField("confidence", DoubleType()),
     ]
@@ -56,12 +56,19 @@ def _insight_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     gpt-4o-mini JSON-mode call at ai/enricher.py:138-173; output shape =
     database/models.py:62-71 with the same [0,1] clamping as
     enricher.py:175-246)."""
+    from collections import Counter
+
+    def top3(tokens: list[str]) -> str:
+        # Explicit (count desc, token asc) selection — a total order, so
+        # any engine picks the same 3 tokens (pandas value_counts ties
+        # break by insertion order, which no SQL twin can reproduce).
+        best = sorted(Counter(tokens).items(), key=lambda kv: (-kv[1], kv[0]))
+        return ",".join(sorted(t for t, _ in best[:3]))
+
     for pdf in batches:
         toks = pdf["text"].str.split(" ")
         summaries = toks.map(lambda t: " ".join(t[:8]))
-        key_issues = toks.map(
-            lambda t: sorted(pd.Series(t).value_counts().head(3).index.tolist())
-        )
+        key_issues = toks.map(top3)
         likelihood = ((pdf["n_chars"] % 100) / 100.0).clip(0.0, 1.0)
         confidence = (toks.map(len).clip(upper=200) / 200.0).clip(0.0, 1.0)
         yield pd.DataFrame(
@@ -101,34 +108,48 @@ def hash_embed(texts: pd.Series, dim: int = EMBED_DIM) -> pd.Series:
 
 
 def u2_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-generation operator: pandas_udf (Arrow-batched) text →
-    array<float>[64]. Emits doc_id + a rounded norm/checksum so the
-    rows-only check still pins real values."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Embedding-generation operator: mapInPandas (Arrow-batched) text →
+    array<float>[64] + checksums. The checksums are computed from the RAW
+    integer bucket counts in float64 — Σc is the token count exactly and
+    Σc² is an exact integer, so norm = √Σc² and component_sum = Σc/√Σc²
+    are IEEE-identical in any engine and the query is fully
+    oracle-checked even though the embedding itself is a Python stage."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
-    @F.pandas_udf(ArrayType(FloatType()))
-    def embed_udf(texts: pd.Series) -> pd.Series:
-        return hash_embed(texts)
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs, norms, sums = [], [], []
+            for text in pdf["text"]:
+                v = np.zeros(EMBED_DIM, dtype=np.float64)
+                for tok in text.split(" "):
+                    code = 0
+                    for ch in tok:
+                        code = (code * 131 + ord(ch)) % 1_000_000_007
+                    v[code % EMBED_DIM] += 1.0
+                n = math.sqrt(float((v * v).sum()))
+                embs.append(
+                    (v / n if n > 0 else v).astype(np.float32).tolist()
+                )
+                norms.append(n)
+                sums.append(float(v.sum()) / n if n > 0 else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "embedding": embs,
+                    "norm": norms,
+                    "component_sum": sums,
+                }
+            )
 
-    emb = F.col("embedding")
-    dbl = F.transform(emb, lambda x: x.cast("double"))
-    norm = F.sqrt(
-        F.aggregate(
-            F.zip_with(dbl, dbl, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
+    out = docs.mapInPandas(
+        embed,
+        "doc_id long, embedding array<float>, norm double, component_sum double",
     )
-    return (
-        docs.select("doc_id", embed_udf(F.col("text")).alias("embedding"))
-        .select(
-            "doc_id",
-            F.size(emb).alias("dim"),
-            F.round(norm, 4).alias("norm"),
-            F.round(F.aggregate(dbl, F.lit(0.0), lambda a, v: a + v), 4).alias(
-                "component_sum"
-            ),
-        )
+    return out.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round("norm", 4).alias("norm"),
+        F.round("component_sum", 4).alias("component_sum"),
     )
 
 
@@ -216,8 +237,75 @@ QUERIES = {
 }
 
 ORACLES = {
-    # u1/u2/u3: rows-only — pandas-UDF operators (deterministic stubs
-    # pinned by unit tests instead of SQL oracles).
+    # u1/u2/u3 are pandas-UDF operators, but their stub kernels are pure
+    # integer/string arithmetic — each has a full SQL twin, so even the
+    # Python-stage operators are value-checked cross-engine. Only the
+    # model seam (swap the stub for a real LLM/embedder) is unverifiable
+    # by construction.
+    "u1_insight_extraction": """
+        WITH toks AS (
+            SELECT doc_id, n_chars, string_split(text, ' ') AS tk
+            FROM documents
+        ), counts AS (
+            SELECT doc_id, tok, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+            GROUP BY doc_id, tok
+        ), top3 AS (
+            SELECT doc_id,
+                   array_to_string(list_sort(list(tok)), ',') AS key_issues
+            FROM (
+                SELECT doc_id, tok,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY cnt DESC, tok ASC
+                       ) AS rn
+                FROM counts
+            ) WHERE rn <= 3
+            GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               array_to_string(t.tk[1:8], ' ') AS summary,
+               top3.key_issues,
+               (t.n_chars % 100) / 100.0 AS settlement_likelihood,
+               least(len(t.tk), 200) / 200.0 AS confidence
+        FROM toks t JOIN top3 ON t.doc_id = top3.doc_id
+    """,
+    "u2_hash_embedding": """
+        WITH codes AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ' '), t ->
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(t, ''),
+                                          c -> CAST(ascii(c) AS BIGINT))),
+                           (a, c) -> (a * 131 + c) % 1000000007) % 64) AS buckets
+            FROM documents
+        ), counts AS (
+            SELECT doc_id, b, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(buckets) AS b FROM codes)
+            GROUP BY doc_id, b
+        )
+        SELECT doc_id, 64 AS dim,
+               round(sqrt(sum(cnt * cnt)), 4) AS norm,
+               round(sum(cnt) / sqrt(sum(cnt * cnt)), 4) AS component_sum
+        FROM counts GROUP BY doc_id
+    """,
+    "u3_text_extraction": """
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w,
+                   len(string_split(text, ' ')) AS n_words
+            FROM documents
+        )
+        SELECT doc_id,
+               array_to_string(
+                   list_transform(
+                       generate_series(1, CAST(ceil(n_words / 40.0) AS BIGINT)),
+                       i -> array_to_string(w[((i-1)*40+1):((i-1)*40+40)], ' ')
+                   ), chr(10) || chr(10)
+               ) AS extracted_text,
+               CAST(ceil(n_words / 40.0) AS BIGINT) AS n_parts,
+               CAST(n_words AS BIGINT) AS n_words
+        FROM words
+    """,
     "u5_urgency_score": """
         SELECT o_orderkey,
                round(least(greatest(

@@ -50,7 +50,11 @@ def test_complete_pipeline(spark, sf_dir):
 
     # 4. vectorization + retrieval: embeddings sane, kNN answers
     emb_stats = u2_hash_embedding(spark, sf_dir)
-    assert emb_stats.filter(F.abs(F.col("norm") - 1.0) > 0.01).count() == 0
+    # raw-count norm: ≥1 always, and component_sum/norm ∈ [1, √dim]
+    assert emb_stats.filter(F.col("norm") < 1.0).count() == 0
+    assert emb_stats.filter(
+        (F.col("component_sum") < 1.0) | (F.col("component_sum") > 8.0)
+    ).count() == 0
     knn = e2_knn_per_query(spark, sf_dir)
     assert knn.groupBy("query_id").count().filter(F.col("count") != 3).count() == 0
     steps_completed.add("vectorization")

@@ -133,8 +133,12 @@ def e4_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def e4_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full binary→features pipeline through the mapInPandas decode stub.
-    Rows-only check (the stub is engine-side Python by design); tests
-    assert determinism and schema."""
+
+    Oracle-checked: the stub's outputs are byte counts, a 32-BYTE utf-8
+    preview, and modular feature dims — and the corpus is pure ASCII
+    (verified at every scale factor), so byte arithmetic equals char
+    arithmetic and the SQL twin is exact. A real codec (PIL/pyav) drops
+    in at decode_binary_stub and moves this to rows-only."""
     docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
     return docs.mapInPandas(decode_binary_stub, schema=DECODED_SCHEMA)
 
@@ -179,6 +183,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "e4_decode_pipeline": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'application/pdf'
+                    WHEN doc_id % 3 = 1 THEN 'image/png'
+                    ELSE 'text/plain' END AS mime_type,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               substring(text, 1, 32) AS decoded_preview,
+               CAST(doc_id % 8 + 8 AS INT) AS feature_dim
+        FROM documents
+    """,
     "e4_multimodal_join": """
         WITH n AS (
             SELECT vec_id,

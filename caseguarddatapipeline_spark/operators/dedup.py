@@ -31,7 +31,7 @@ engine-specific hash oracles — xxhash64 remains only in the optional
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources import load_table
 
@@ -379,6 +379,77 @@ def _py_token_hash(t: str) -> int:
     return acc
 
 
+def e1_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components clustering of the near-dup graph — the
+    keep-one-per-CLUSTER semantics real corpus dedup needs (pairwise
+    doc_b removal under-merges: a~b, b~c must collapse a,b,c into one
+    cluster even when a~c was never a candidate pair).
+
+    Iterative min-label propagation on the LSH pair graph: every node
+    starts as its own label; each round takes the min over neighbors'
+    labels; fixpoint = per-component minimum doc_id. Each round is one
+    distributed join + groupBy (the GraphFrames/Pregel pattern);
+    convergence takes O(component diameter) rounds — near-dup clusters
+    are shallow, and the loop guards with a hard cap. Per-round persist +
+    unpersist keeps lineage flat (no exponential plan growth). The
+    oracle is a DuckDB RECURSIVE CTE computing the same transitive
+    closure, so even this iterative algorithm is value-checked
+    cross-engine. Output: member doc_id, cluster_id (= min doc in the
+    component), cluster_size.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = (
+        _band_pairs(_banded_vectorized(spark, docs))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(20):  # hard cap >> any realistic near-dup diameter
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("label")
+    out = labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    ).orderBy("doc_id")
+    pairs.unpersist()
+    edges.unpersist()
+    return out
+
+
 def _portable_token_hash(t):
     """31-bit char-polynomial token hash: (acc·131 + ascii(c)) mod 2³¹−1.
     Integer arithmetic both engines compute identically (verified
@@ -477,6 +548,7 @@ QUERIES = {
     "e1_minhash_lsh": e1_minhash_lsh,
     "e1_minhash_lsh_vectorized": e1_minhash_lsh_vectorized,
     "e1_simhash": e1_simhash,
+    "e1_dedup_clusters": e1_dedup_clusters,
 }
 
 ORACLES = {
@@ -598,3 +670,25 @@ ORACLES = {
 
 # identical integer pipeline, different execution strategy → same oracle
 ORACLES["e1_minhash_lsh_vectorized"] = ORACLES["e1_minhash_lsh"]
+
+# Iterative min-label propagation converges to exactly the transitive
+# closure a recursive CTE computes — the same LSH pair SQL feeds both.
+ORACLES["e1_dedup_clusters"] = f"""
+    WITH RECURSIVE fil AS (
+        SELECT doc_a, doc_b FROM ({ORACLES["e1_minhash_lsh"]})
+        WHERE jaccard >= 0.5
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM fil
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM fil
+    ), reach(src, dst) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), labels AS (
+        SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM labels ORDER BY doc_id
+"""

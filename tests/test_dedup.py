@@ -62,6 +62,28 @@ def test_vectorized_lsh_matches_hof_form(spark):
     assert got == want and len(got) > 0
 
 
+def test_dedup_clusters_merge_chains(spark):
+    """a~b and b~c (but never a~c as a direct pair) must land in ONE
+    cluster — the transitive semantics pairwise removal misses."""
+    from caseguarddatapipeline_spark.operators.dedup import e1_dedup_clusters
+
+    sf = "/root/testdata/sf0.01"
+    rows = e1_dedup_clusters(spark, sf).collect()
+    assert rows, "no near-dup clusters found"
+    by_cluster: dict[int, list[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    for cid, members in by_cluster.items():
+        assert cid == min(members)  # label = component min
+        assert all(
+            r["cluster_size"] == len(members)
+            for r in rows
+            if r["cluster_id"] == cid
+        )
+    # the corpus contains at least one transitive chain (cluster of ≥3)
+    assert any(len(m) >= 3 for m in by_cluster.values())
+
+
 def test_jaccard_ordering(spark):
     docs = _docs_df(spark).select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")

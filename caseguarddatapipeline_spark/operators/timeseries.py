@@ -12,7 +12,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources import load_table
 
@@ -73,9 +73,71 @@ def a27_daily_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed as-of join: each event picks the LATEST order of the
+    same customer at-or-before the event time (the point-in-time lookup
+    every time-series store ships as a primitive; the reference's
+    serialno-watermark check at change_tracking.py:154-246 is the same
+    "state as of this moment" question).
+
+    Spark lacks ASOF JOIN, so this is the scale-correct composition: tag
+    both sides, union, ONE shuffle on the key, and an ignore-nulls
+    last_value window carries the most recent order attributes forward
+    onto each event row. No range explode, no per-row subquery — state
+    flows in a single sort within each key partition. Ties (two orders
+    at the same instant) break deterministically by highest o_orderkey;
+    the DuckDB oracle is the identical union+window, so every matched
+    attribute is value-checked."""
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    left = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(1).alias("is_left"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    right = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(0).alias("is_left"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(
+            F.col("t").asc(),
+            F.col("is_left").asc(),
+            F.col("o_orderkey").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = left.unionByName(right)
+    return (
+        u.withColumn(
+            "matched_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "matched_totalprice",
+            F.last("o_totalprice", ignorenulls=True).over(w),
+        )
+        .filter(F.col("is_left") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            "matched_orderkey",
+            "matched_totalprice",
+        )
+    )
+
+
 QUERIES = {
     "a26_price_trend": a26_price_trend,
     "a27_daily_order_spine": a27_daily_order_spine,
+    "t10_asof_join": t10_asof_join,
 }
 
 ORACLES = {
@@ -111,5 +173,31 @@ ORACLES = {
                coalesce(day_value, 0.0) AS day_value,
                (n_orders IS NULL) AS was_gap
         FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+    "t10_asof_join": """
+        WITH u AS (
+            SELECT user_id AS k, ts AS t, event_id, 1 AS is_left,
+                   CAST(NULL AS BIGINT) AS o_orderkey,
+                   CAST(NULL AS DOUBLE) AS o_totalprice
+            FROM events
+            UNION ALL
+            SELECT o_custkey, o_orderdate, NULL, 0, o_orderkey, o_totalprice
+            FROM orders
+        ), m AS (
+            SELECT event_id, k, is_left,
+                   last_value(o_orderkey IGNORE NULLS) OVER (
+                       PARTITION BY k
+                       ORDER BY t ASC, is_left ASC, o_orderkey ASC NULLS FIRST
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS matched_orderkey,
+                   last_value(o_totalprice IGNORE NULLS) OVER (
+                       PARTITION BY k
+                       ORDER BY t ASC, is_left ASC, o_orderkey ASC NULLS FIRST
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS matched_totalprice
+            FROM u
+        )
+        SELECT event_id, k AS user_id, matched_orderkey, matched_totalprice
+        FROM m WHERE is_left = 1
     """,
 }

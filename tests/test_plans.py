@@ -101,6 +101,10 @@ def test_curation_shuffle_budget(spark, sf_dir):
     # dedup stage per consumer) must fail here.
     import re
 
+    # start from a cold cache: once another test has materialized the
+    # persisted dedup stage, the two consumer printouts of the cached
+    # subplan stop sharing plan_ids and the dedup-by-id undercounts
+    spark.catalog.clearCache()
     plan = _plan(QUERIES["e5_corpus_curation"](spark, sf_dir))
     # count DISTINCT shuffle exchanges: a persisted subplan's exchange is
     # printed once per consumer but executed once

@@ -154,9 +154,40 @@ def e5_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e5_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (80/10/10).
+
+    The bucket comes from the portable char-polynomial hash of the TEXT,
+    not the doc_id: re-ingesting the corpus with different ids keeps
+    every document in the same split (the leakage-safety property a
+    training pipeline needs — id-based splits shuffle membership on
+    every re-crawl). Pure column expressions; summary per split with
+    exact integer membership both engines agree on."""
+    from .dedup import _portable_token_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(_portable_token_hash(F.col("text")), F.lit(1000))
+    split = (
+        F.when(bucket < 800, F.lit("train"))
+        .when(bucket < 900, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    toks = F.split(F.col("text"), " ")
+    return (
+        docs.select(split.alias("split"), F.size(toks).alias("n_tokens"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
 QUERIES = {
     "e5_corpus_curation": e5_corpus_curation,
     "e5_curation_funnel": e5_curation_funnel,
+    "e5_train_split": e5_train_split,
 }
 
 # The LSH CTE chain is the e1_minhash_lsh oracle re-rooted at the deduped
@@ -245,5 +276,22 @@ ORACLES = {
                (SELECT count(*) FROM deduped) AS n_exact_unique,
                (SELECT count(*) FROM deduped)
                - (SELECT count(*) FROM removals) AS n_final
+    """,
+    "e5_train_split": """
+        WITH b AS (
+            SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                       (a, c) -> (a * 131 + c) % 2147483647) % 1000 AS bucket,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < 800 THEN 'train'
+                    WHEN bucket < 900 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM b
+        GROUP BY 1 ORDER BY split
     """,
 }

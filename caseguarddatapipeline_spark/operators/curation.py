@@ -184,10 +184,60 @@ def e5_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVAL_SET_MAX_DOC = 50  # doc_id < 50 stands in for the benchmark/eval set
+CONTAMINATION_MIN_SHARED = 5  # shared distinct 3-grams to flag
+
+
+def e5_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag (train, eval) document pairs that
+    share ≥ CONTAMINATION_MIN_SHARED distinct 3-gram shingles — the
+    n-gram-overlap check run before training so eval data is not
+    memorized from the corpus.
+
+    Scale shape: an INVERTED-INDEX join, deliberately different from
+    LSH — both sides explode to (doc, shingle_hash) rows and equi-join
+    on the hash, so the shuffle key is the shingle (common shingles
+    hot-spot → at 100 TB the eval side is small and broadcasts, which is
+    exactly what the planner picks here). Counting DISTINCT shared
+    shingles per pair is one groupBy after the join. Same portable
+    integer shingle hashes as the dedup family → exact SQL oracle."""
+    from .dedup import (
+        _portable_token_hash,
+        _shingle_hashes_from_token_hashes,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks0"))
+        .select("doc_id", F.filter("toks0", lambda t: t != "").alias("toks"))
+        .select("doc_id", F.transform("toks", _portable_token_hash).alias("th"))
+        .select(
+            "doc_id",
+            F.explode(
+                _shingle_hashes_from_token_hashes(F.col("th"))
+            ).alias("h"),
+        )
+    )
+    eval_side = docs.filter(F.col("doc_id") < EVAL_SET_MAX_DOC).select(
+        F.col("doc_id").alias("eval_doc"), "h"
+    )
+    train_side = docs.filter(F.col("doc_id") >= EVAL_SET_MAX_DOC).select(
+        F.col("doc_id").alias("train_doc"), "h"
+    )
+    return (
+        train_side.join(F.broadcast(eval_side), "h")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count_distinct("h").alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAMINATION_MIN_SHARED)
+        .orderBy("train_doc", "eval_doc")
+    )
+
+
 QUERIES = {
     "e5_corpus_curation": e5_corpus_curation,
     "e5_curation_funnel": e5_curation_funnel,
     "e5_train_split": e5_train_split,
+    "e5_decontaminate": e5_decontaminate,
 }
 
 # The LSH CTE chain is the e1_minhash_lsh oracle re-rooted at the deduped
@@ -293,5 +343,30 @@ ORACLES = {
                CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         FROM b
         GROUP BY 1 ORDER BY split
+    """,
+    "e5_decontaminate": """
+        WITH sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(th) - 2, 1)),
+                i -> ((th[i] * 131 + th[i+1]) * 131 + th[i+2]) % 2147483647)))
+                AS h
+            FROM (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(string_split(text, ' '), t -> t <> ''),
+                           t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                    list_transform(string_split(t, ''),
+                                                   c -> CAST(ascii(c) AS BIGINT))),
+                                    (a, c) -> (a * 131 + c) % 2147483647)) AS th
+                FROM documents
+            )
+        )
+        SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+               count(DISTINCT t.h) AS n_shared
+        FROM sh t JOIN sh e ON t.h = e.h
+        WHERE t.doc_id >= 50 AND e.doc_id < 50
+        GROUP BY t.doc_id, e.doc_id
+        HAVING count(DISTINCT t.h) >= 5
+        ORDER BY train_doc, eval_doc
     """,
 }

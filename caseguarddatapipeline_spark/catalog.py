@@ -40,7 +40,7 @@ def build_catalog() -> tuple[dict[str, QueryFn], dict[str, str]]:
 def _registered_modules():
     mods = [relational]
     for modname in ("scalar", "scalar2", "relational2", "relational3", "relational4",
-                    "relational5", "relational6", "relational7", "relational8", "relational9", "sql_twins", "profiling", "timeseries", "skew", "sessions",
+                    "relational5", "relational6", "relational7", "relational8", "relational9", "relational10", "sql_twins", "profiling", "timeseries", "skew", "sessions",
                     "textops", "dedup", "curation", "similarity", "multimodal",
                     "incremental", "inference"):
         try:

@@ -80,9 +80,36 @@ def t9_idempotent_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("entity_id", "stored_serialno", "is_active")
 
 
+def t11_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history derivation: turn the per-entity event stream
+    into versioned dimension rows (valid_from, valid_to, is_current) —
+    the warehouse-standard change-history shape the reference's
+    change_tracking rows approximate with per-update audit records
+    (database/change_tracking.py:248-307).
+
+    One window per entity ordered by time: valid_to = lead(ts); the open
+    row has NULL valid_to. Combined with t10_asof_join this gives exact
+    point-in-time reconstruction of any entity's state. Ties (two events
+    same entity+ts) order deterministically by event_id. Timestamps are
+    emitted as strings for cross-engine hash parity."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return events.select(
+        F.col("user_id").alias("entity_id"),
+        F.col("event_type").alias("state"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
 QUERIES = {
     "t2_watermark_advance": t2_watermark_advance,
     "t9_idempotent_upsert": t9_idempotent_upsert,
+    "t11_scd2_history": t11_scd2_history,
 }
 
 _STORE_CTE = """
@@ -116,5 +143,16 @@ ORACLES = {
                CASE WHEN crm.entity_id IS NOT NULL THEN TRUE
                     ELSE store.is_active END AS is_active
         FROM store FULL OUTER JOIN crm ON store.entity_id = crm.entity_id
+    """,
+    "t11_scd2_history": """
+        SELECT user_id AS entity_id,
+               event_type AS state,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                        '%Y-%m-%d %H:%M:%S') AS valid_to,
+               (lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id)) IS NULL AS is_current
+        FROM events
     """,
 }

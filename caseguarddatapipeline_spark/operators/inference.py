@@ -229,11 +229,45 @@ def u5_urgency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_CHARS = 800  # vector_config chunk size (fdm_solicitors.json:44-45)
+MAX_EMBED_CHARS = 32_000  # embedder input cap (embedder.py:148-151)
+
+
+def u7_embedding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-vectorization chunking (embedder.py:76-151 semantics on the
+    corpus): truncate each document to the embedder input cap, split into
+    fixed CHUNK_CHARS character chunks, one output row per chunk with its
+    index — the fan-out that feeds u2's embedding stage. Pure column
+    expressions (sequence + explode + substring): a narrow per-row
+    transform with no shuffle, which is what you want in front of a
+    100 TB embedding run."""
+    docs = load_table(spark, sf_dir, "documents")
+    capped = F.substring(F.col("text"), 1, MAX_EMBED_CHARS)
+    n_chunks = F.ceil(F.least(F.length("text"), F.lit(MAX_EMBED_CHARS)) / F.lit(CHUNK_CHARS)).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        capped.alias("capped"),
+        (F.length("text") > MAX_EMBED_CHARS).alias("truncated"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"),
+    )
+    chunk_text = F.expr(
+        f"substring(capped, chunk_index * {CHUNK_CHARS} + 1, {CHUNK_CHARS})"
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_index",
+        chunk_text.alias("chunk_text"),
+        F.length(chunk_text).alias("n_chars"),
+        "truncated",
+    )
+
+
 QUERIES = {
     "u1_insight_extraction": u1_insight_extraction,
     "u2_hash_embedding": u2_hash_embedding,
     "u3_text_extraction": u3_text_extraction,
     "u5_urgency_score": u5_urgency_score,
+    "u7_embedding_chunks": u7_embedding_chunks,
 }
 
 ORACLES = {
@@ -305,6 +339,28 @@ ORACLES = {
                CAST(ceil(n_words / 40.0) AS BIGINT) AS n_parts,
                CAST(n_words AS BIGINT) AS n_words
         FROM words
+    """,
+    "u7_embedding_chunks": """
+        WITH capped AS (
+            SELECT doc_id,
+                   substring(text, 1, 32000) AS capped,
+                   length(text) > 32000 AS truncated,
+                   CAST(ceil(least(length(text), 32000) / 800.0) AS INT)
+                       AS n_chunks
+            FROM documents
+        )
+        , idx AS (
+            SELECT doc_id, capped, truncated,
+                   unnest(generate_series(0, n_chunks - 1)) AS i
+            FROM capped
+        )
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_index,
+               substring(capped, CAST(i AS INT) * 800 + 1, 800) AS chunk_text,
+               length(substring(capped, CAST(i AS INT) * 800 + 1, 800))
+                   AS n_chars,
+               truncated
+        FROM idx
     """,
     "u5_urgency_score": """
         SELECT o_orderkey,

@@ -233,11 +233,47 @@ def e5_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRATUM_CAP = 40  # max docs kept per language
+
+
+def e5_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: cap each language stratum at
+    STRATUM_CAP documents, choosing members by CONTENT-HASH order — the
+    language-balancing step of corpus assembly, reproducible across
+    engines and re-ingestions (no RNG, no id dependence). One window
+    shuffle on the stratum key; emits the per-language kept counts and
+    token volume."""
+    from .dedup import _portable_token_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.pmod(_portable_token_hash(F.col("text")), F.lit(1_000_000))
+    w = Window.partitionBy("lang").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    kept = (
+        docs.select(
+            "doc_id", "lang", h.alias("h"),
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRATUM_CAP)
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("h").cast("bigint").alias("min_hash"),
+            F.max("h").cast("bigint").alias("max_hash"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "e5_corpus_curation": e5_corpus_curation,
     "e5_curation_funnel": e5_curation_funnel,
     "e5_train_split": e5_train_split,
     "e5_decontaminate": e5_decontaminate,
+    "e5_stratified_sample": e5_stratified_sample,
 }
 
 # The LSH CTE chain is the e1_minhash_lsh oracle re-rooted at the deduped
@@ -368,5 +404,27 @@ ORACLES = {
         GROUP BY t.doc_id, e.doc_id
         HAVING count(DISTINCT t.h) >= 5
         ORDER BY train_doc, eval_doc
+    """,
+    "e5_stratified_sample": """
+        WITH h AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                       (a, c) -> (a * 131 + c) % 2147483647) % 1000000 AS hh
+            FROM documents
+        ), kept AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY lang ORDER BY hh ASC, doc_id ASC) AS rn
+                FROM h
+            ) WHERE rn <= 40
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(min(hh) AS BIGINT) AS min_hash,
+               CAST(max(hh) AS BIGINT) AS max_hash
+        FROM kept GROUP BY lang ORDER BY lang
     """,
 }

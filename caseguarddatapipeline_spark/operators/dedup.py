@@ -188,16 +188,46 @@ def _shingle_hashes_from_token_hashes(th_col, n: int = 3):
     return F.array_distinct(F.transform(idx, combine))
 
 
+_BUCKET_CAP = 64  # max members whose pair expansion runs inside one task
+
+
+def _pair_jaccard(sh_a, sh_b):
+    return F.round(
+        F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+        / F.size(F.array_union(sh_a, sh_b)),
+        6,
+    )
+
+
 def _band_pairs(banded: DataFrame, dedup_pairs: bool = True) -> DataFrame:
     """Shared LSH tail: one shuffle on the (band, band_sig) bucket key,
-    then in-bucket pair expansion with higher-order functions —
-    signatures and shingles are computed ONCE upstream (a self-join
-    would recompute the whole signature plan on both sides and shuffle
-    it twice). Input columns: doc_id, shingles, band, band_sig.
+    then in-bucket pair expansion — signatures and shingles are computed
+    ONCE upstream. Input columns: doc_id, shingles, band, band_sig.
+
+    Skew guard: a degenerate bucket (thousands of identical docs) must not
+    concentrate its quadratic pair expansion in a single task — AQE cannot
+    split a groupBy group. A window count over the bucket key (same single
+    shuffle; the groupBy below reuses its partitioning) routes each bucket:
+
+    - ``≤ _BUCKET_CAP`` members → collect_list + higher-order-function pair
+      expansion, all inside one aggregation (no second shuffle, and the
+      giant-array buffer is bounded by the cap);
+    - ``> _BUCKET_CAP``  members → within-bucket self-join on the bucket
+      key: identical pair set, but the quadratic work is spread across
+      tasks and AQE's skew-join splitting applies.
+
+    Both paths emit the same (doc_a, doc_b, jaccard) rows, so the DuckDB
+    oracle (all within-bucket pairs) holds at every bucket size — pinned by
+    tests/test_dedup.py's 1k-identical-docs regression.
 
     ``dedup_pairs=False`` skips the final (doc_a, doc_b) dropDuplicates
     shuffle for callers whose downstream op subsumes it (e.g. curation's
     ``distinct`` over doc_b alone)."""
+    w = Window.partitionBy("band", "band_sig")
+    sized = banded.withColumn("bucket_n", F.count(F.lit(1)).over(w)).filter(
+        F.col("bucket_n") >= 2
+    )
+
     members = F.col("members")
     pairs = F.flatten(
         F.transform(
@@ -207,27 +237,40 @@ def _band_pairs(banded: DataFrame, dedup_pairs: bool = True) -> DataFrame:
                 lambda m2: F.struct(
                     m["doc_id"].alias("doc_a"),
                     m2["doc_id"].alias("doc_b"),
-                    F.round(
-                        F.size(F.array_intersect(m["shingles"], m2["shingles"]))
-                        .cast("double")
-                        / F.size(F.array_union(m["shingles"], m2["shingles"])),
-                        6,
-                    ).alias("jaccard"),
+                    _pair_jaccard(m["shingles"], m2["shingles"]).alias("jaccard"),
                 ),
             ),
         )
     )
-    out = (
-        banded.groupBy("band", "band_sig")
+    small_pairs = (
+        sized.filter(F.col("bucket_n") <= _BUCKET_CAP)
+        .groupBy("band", "band_sig")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("doc_id", "shingles"))
             ).alias("members")
         )
-        .filter(F.size("members") >= 2)
         .select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.jaccard")
     )
+
+    big = sized.filter(F.col("bucket_n") > _BUCKET_CAP).select(
+        "band", "band_sig", "doc_id", "shingles"
+    )
+    big_pairs = (
+        big.alias("a")
+        .join(big.alias("b"), ["band", "band_sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            _pair_jaccard(F.col("a.shingles"), F.col("b.shingles")).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+    out = small_pairs.unionByName(big_pairs)
     return out.dropDuplicates(["doc_a", "doc_b"]) if dedup_pairs else out
 
 

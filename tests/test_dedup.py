@@ -84,6 +84,42 @@ def test_dedup_clusters_merge_chains(spark):
     assert any(len(m) >= 3 for m in by_cluster.values())
 
 
+def test_degenerate_bucket_routes_to_selfjoin(spark):
+    """Skew guard: a bucket with 1k identical docs (way over _BUCKET_CAP)
+    must take the distributed within-bucket self-join path — and still
+    emit exactly the C(1000,2) jaccard=1.0 pairs the all-in-one-task
+    HOF expansion would have produced. Mixed corpus checks that the two
+    routes union cleanly: the small near-dup bucket still pairs too."""
+    from caseguarddatapipeline_spark.operators.dedup import (
+        _BUCKET_CAP,
+        _band_pairs,
+        _banded_hof,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    n_dup = 1000
+    rows = [(i, base) for i in range(n_dup)]
+    rows.append((n_dup, near))
+    rows.append((n_dup + 1, "completely different content about spark shuffles here yes"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert n_dup > _BUCKET_CAP
+
+    banded = _banded_hof(docs)
+    got = _band_pairs(banded).collect()
+    ident = [r for r in got if r["doc_a"] < n_dup and r["doc_b"] < n_dup]
+    assert len(ident) == n_dup * (n_dup - 1) // 2
+    assert all(r["jaccard"] == 1.0 for r in ident)
+    # the near-dup doc shares 3 of 4 bands with the identical group -> it
+    # must still surface via the big-bucket route despite not being exact
+    near_pairs = [r for r in got if r["doc_b"] == n_dup]
+    assert near_pairs and all(0.4 < r["jaccard"] < 1.0 for r in near_pairs)
+    # the physical plan routes oversized buckets through a join, not a
+    # single-task HOF expansion
+    plan = _band_pairs(banded)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan
+
+
 def test_jaccard_ordering(spark):
     docs = _docs_df(spark).select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")

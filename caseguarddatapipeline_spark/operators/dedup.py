@@ -550,36 +550,92 @@ def e1_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEARDUP_BLOCKS = 8  # B(B+1)/2 = 36 block-pair tasks; at scale pick B ≈ n/50k
+
+
 def e1_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (north-star E1 variant): doc
     pairs whose embedding cosine exceeds a threshold — semantic near-dups
-    that text shingling misses (paraphrases, translations).
+    that text shingling misses (paraphrases, translations). Threshold 0.35
+    sits at the ~99.9th percentile of the corpus' pair-cosine distribution.
 
-    Exact pairwise on the vec_id<vec_id triangle; at 100 TB the identical
-    query runs after an LSH/IVF bucket stage (e2_lsh_buckets /
-    e2_ivf_search) so the self-join is per-bucket instead of global —
-    the threshold filter itself is unchanged. Threshold 0.35 sits at the
-    ~99.9th percentile of the synthetic corpus' pair-cosine distribution.
+    Scale shape: **blocked exact all-pairs**, not a self-join. Each vector
+    gets a block id (vec_id mod B); a broadcast grid of the B(B+1)/2
+    upper-triangle block pairs fans each block out to its partners (plain
+    equi-joins — no BroadcastNestedLoopJoin, no cartesian); one shuffle on
+    (block_a, block_b) groups the two blocks' vectors together, and an
+    Arrow-batched numpy kernel computes the |A|×|B| cosine matrix per
+    task. Work is spread evenly across block pairs regardless of data
+    skew, replication factor is B (not n), and the per-task kernel is a
+    BLAS matmul instead of a per-pair codegen fold.
+
+    Why not pre-bucket with e2_lsh_buckets' hyperplanes (the obvious ANN
+    composition)? Measured on this corpus: at τ=0.35 (θ≈70°, per-plane
+    agreement p≈0.61) every plane-band config that reaches even ~99%
+    recall generates MORE candidate pairs than brute force — 16×2 bands:
+    3.1× brute with 13 misses; 48×3: 5.3× brute, 0 misses at sf0.01 but
+    34 misses at sf0.1. Hyperplane LSH only prunes at high cosine; at a
+    low threshold the blocked-exact matmul is both faster and exact, so
+    the DuckDB all-pairs oracle holds at every sf by construction.
     """
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
-    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    B = NEARDUP_BLOCKS
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(B) for b in range(B) if a <= b],
+        "block_a int, block_b int",
     )
-    a = emb.select(
-        F.col("vec_id").alias("doc_a"), dbl(F.col("embedding")).alias("ea")
+    blocks = emb.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        F.pmod("vec_id", F.lit(B)).cast("int").alias("blk"),
     )
-    b = emb.select(
-        F.col("vec_id").alias("doc_b"), dbl(F.col("embedding")).alias("eb")
+    tagged = (
+        blocks.join(F.broadcast(grid), F.col("blk") == F.col("block_a"))
+        .select("block_a", "block_b", F.lit(True).alias("is_a"), "vec_id", "emb")
+        .unionByName(
+            blocks.join(F.broadcast(grid), F.col("blk") == F.col("block_b"))
+            .select(
+                "block_a", "block_b", F.lit(False).alias("is_a"), "vec_id", "emb"
+            )
+        )
     )
-    cos = dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(dot(F.col("ea"), F.col("ea")))
-        * F.sqrt(dot(F.col("eb"), F.col("eb")))
-    )
-    return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
-        .filter(F.col("cosine") >= 0.35)
+
+    def _block_cosines(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        diagonal = pdf["block_a"].iat[0] == pdf["block_b"].iat[0]
+        if diagonal:
+            # both join legs delivered the diagonal block; keep one copy
+            a_rows = b_rows = pdf[pdf["is_a"]]
+        else:
+            a_rows = pdf[pdf["is_a"]]
+            b_rows = pdf[~pdf["is_a"]]
+        if not len(a_rows) or not len(b_rows):
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "cosine": "float64"}
+            )
+        A = np.stack(a_rows["emb"].to_numpy()).astype(np.float64)
+        Bm = np.stack(b_rows["emb"].to_numpy()).astype(np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        Bm /= np.linalg.norm(Bm, axis=1, keepdims=True)
+        cos = np.round(A @ Bm.T, 6)
+        hit = cos >= 0.35
+        if diagonal:  # symmetric matrix: keep each pair once
+            hit &= np.triu(np.ones_like(hit), k=1).astype(bool)
+        ia, ib = np.nonzero(hit)
+        doc_a = a_rows["vec_id"].to_numpy()[ia]
+        doc_b = b_rows["vec_id"].to_numpy()[ib]
+        lo = np.minimum(doc_a, doc_b)
+        hi = np.maximum(doc_a, doc_b)
+        keep = lo < hi
+        return pd.DataFrame(
+            {"doc_a": lo[keep], "doc_b": hi[keep], "cosine": cos[ia, ib][keep]}
+        )
+
+    return tagged.groupBy("block_a", "block_b").applyInPandas(
+        _block_cosines, "doc_a bigint, doc_b bigint, cosine double"
     )
 
 

@@ -102,3 +102,18 @@ def test_e1_embedding_neardup_triangle(spark, sf_dir):
     assert df.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
     assert df.filter(F.col("cosine") < 0.35).count() == 0
     assert df.filter(F.col("cosine") > 1.0).count() == 0
+
+
+def test_e1_embedding_neardup_blocked_plan(spark, sf_dir):
+    """The blocked all-pairs design must fan out via block-key equi-joins —
+    a BroadcastNestedLoopJoin / cartesian over the full table is the exact
+    shape this operator exists to avoid."""
+    plan = (
+        e1_embedding_neardup(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the numpy matmul kernel

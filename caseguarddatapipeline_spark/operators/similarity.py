@@ -196,22 +196,53 @@ def e2_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
 
     # Lloyd iterations: cell means over the previous assignment. Each
-    # round is one distributed agg; empty cells keep their old centroid.
+    # round shuffles only per-partition PARTIAL SUMS — mapInPandas folds
+    # every input partition down to ≤k (cell, count, sum-vector) rows with
+    # one numpy reduction, so the exchange carries partitions×k rows
+    # instead of n×dim posexploded values (64× the corpus width; 3072×
+    # with production-sized vectors). A k-row zip_with agg finishes the
+    # mean; empty cells keep their old centroid.
+    import pandas as pd
+
+    dim = 64
+
+    def _partial_sums(batches):
+        import numpy as np
+
+        acc: dict[int, list] = {}  # cell -> [count, sum-vector]
+        for pdf in batches:
+            for cell, grp in pdf.groupby("cell"):
+                m = np.stack(grp["emb"].to_numpy())
+                if cell in acc:
+                    acc[cell][0] += len(m)
+                    acc[cell][1] += m.sum(axis=0)
+                else:
+                    acc[cell] = [len(m), m.sum(axis=0)]
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "cell": list(acc),
+                    "n": [v[0] for v in acc.values()],
+                    "sums": [v[1] for v in acc.values()],
+                }
+            )
+
+    zeros = F.array_repeat(F.lit(0.0), dim)
+    vec_sum = F.aggregate(
+        F.collect_list("sums"),
+        zeros,
+        lambda a, x: F.zip_with(a, x, lambda u, v: u + v),
+    )
     centroids = seeds
     for _ in range(n_iters):
         refined_rows = (
-            corpus.select(
-                assign(centroids).alias("cell"),
-                F.posexplode("emb").alias("pos", "v"),
-            )
-            .groupBy("cell", "pos")
-            .agg(F.avg("v").alias("c"))
+            corpus.select(assign(centroids).alias("cell"), "emb")
+            .mapInPandas(_partial_sums, "cell int, n long, sums array<double>")
             .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                    lambda s: s["c"],
-                ).alias("centroid")
+            .agg(F.sum("n").alias("n"), vec_sum.alias("s"))
+            .select(
+                "cell",
+                F.transform("s", lambda v: v / F.col("n")).alias("centroid"),
             )
             .collect()
         )

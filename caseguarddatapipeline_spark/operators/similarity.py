@@ -343,25 +343,36 @@ def e2_knn_per_query_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     qn = np.sqrt((qm * qm).sum(axis=1))  # (5,)
 
     def score(batches):
+        # Per-batch partial top-k: the global top-3 per query is the
+        # top-3 of each batch's top-3, so only ≤ 3×|queries| rows per
+        # Arrow batch cross back to the JVM (instead of n×|queries|) and
+        # the ranking window runs over a candidate set of index-metadata
+        # size. Selection uses the FINAL ordering key — (round-4 cosine
+        # desc, vec_id asc) — so batch-local pruning can never flip a
+        # rounding tie at the global boundary.
         for pdf in batches:
             m = np.array(pdf["embedding"].tolist(), dtype=np.float64)  # (n, d)
             nrm = np.sqrt((m * m).sum(axis=1))  # (n,)
-            cos = (m @ qm.T) / np.outer(nrm, qn)  # (n, 5)
-            n = len(pdf)
+            cos = np.round((m @ qm.T) / np.outer(nrm, qn), 4)  # (n, 5)
             vec_ids = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_c = [], [], []
+            for j, qid in enumerate(q_ids):
+                valid = vec_ids != qid
+                vv, cc = vec_ids[valid], cos[valid, j]
+                top = np.lexsort((vv, -cc))[:3]
+                out_q.append(np.full(len(top), qid))
+                out_v.append(vv[top])
+                out_c.append(cc[top])
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(q_ids, n),
-                    "vec_id": np.tile(vec_ids, len(q_ids)),
-                    "cosine": cos.T.reshape(-1),
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "cosine": np.concatenate(out_c),
                 }
             )
 
     scored = emb.select("vec_id", "embedding").mapInPandas(
         score, "query_id long, vec_id long, cosine double"
-    )
-    scored = scored.filter(F.col("vec_id") != F.col("query_id")).select(
-        "query_id", "vec_id", F.round("cosine", 4).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

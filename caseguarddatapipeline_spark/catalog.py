@@ -118,7 +118,7 @@ def _registered_modules():
         "relational5", "relational6", "relational7", "relational8",
         "relational9", "relational10", "sql_twins", "profiling", "timeseries",
         "skew", "sessions", "textops", "dedup", "curation", "similarity",
-        "multimodal", "incremental", "inference", "rest_fetch",
+        "multimodal", "incremental", "inference", "rest_fetch", "canonical",
     ):
         mod = __import__(
             f"caseguarddatapipeline_spark.operators.{modname}",

@@ -389,6 +389,24 @@ def w5_batch_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w5_batch_numbering_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5, partition-keyed twin: batch ids scoped per order month — the
+    form that survives 100×. The window partitions by a natural batch key
+    (sync date in the reference's daily runs), so the sort is per-key and
+    distributes across the cluster instead of collapsing onto the single
+    partition a global ORDER BY forces. Batch identity = (batch_month,
+    batch_id); consumers that need the faithful global numbering use the
+    w5_batch_numbering twin."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    w = Window.partitionBy(month).orderBy("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        month.alias("batch_month"),
+        F.floor((F.row_number().over(w) - 1) / 100).alias("batch_id"),
+    )
+
+
 def w7_priority_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Priority classification (status_detector.py:283-309): value bands →
     critical/high/medium/low."""
@@ -491,6 +509,7 @@ QUERIES = {
     "w1_recent_orders": w1_recent_orders,
     "w2_recent_events_per_entity": w2_recent_events_per_entity,
     "w5_batch_numbering": w5_batch_numbering,
+    "w5_batch_numbering_by_key": w5_batch_numbering_by_key,
     "w7_priority_bands": w7_priority_bands,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -651,6 +670,14 @@ ORACLES = {
     "w5_batch_numbering": """
         SELECT o_orderkey,
                CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 100) AS BIGINT) AS batch_id
+        FROM orders
+    """,
+    "w5_batch_numbering_by_key": """
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m') AS batch_month,
+               CAST(floor((row_number() OVER (PARTITION BY strftime(o_orderdate, '%Y-%m')
+                                              ORDER BY o_orderkey) - 1) / 100) AS BIGINT)
+                 AS batch_id
         FROM orders
     """,
     "w7_priority_bands": """

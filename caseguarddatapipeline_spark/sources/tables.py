@@ -52,7 +52,23 @@ _TABLE_CACHE: dict[tuple[int, str, str, int | None], DataFrame] = {}
 # 100 TB you would cache dimensions and let facts stream, which is
 # exactly what selective enable_warm_cache() calls express.
 _WARM_CACHE: dict[str, int | None] = {"partitions": None}
-_WARM_MIN_BYTES = 1 << 20  # repartition only tables big enough to matter
+# Repartition threshold for cached tables: anything that downstream
+# operators scan in parallel (facts AND the Python-kernel input
+# documents, ~600 KB at sf0.1) must be cached multi-partition, or every
+# query over it pays a runtime repartition shuffle (~190 ms measured) or
+# serializes its CPU-heavy kernel onto one task. True dimension lookups
+# (nation/region/supplier, < 128 KB) stay single-partition.
+_WARM_MIN_BYTES = 1 << 17
+
+# Per-table layout overrides: embeddings is row-tiny (2k × 64-d at
+# sf0.1) with per-row work that is one SIMD matmul row — fanning it out
+# only multiplies Python-stage task overhead (measured +80 ms on the
+# cosine kernels), and the operators that DO need width (the blocked
+# all-pairs matmul, IVF assignment) repartition on their block grid
+# explicitly. At a real 100 TB scale factor the embedding table is no
+# longer tiny and the size threshold above takes over — the override is
+# the small-corpus serving posture, not a semantic difference.
+_WARM_OVERRIDES: dict[str, int] = {"embeddings": 1}
 
 
 def enable_warm_cache(n_partitions: int) -> None:
@@ -88,8 +104,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             ),
         )
     if warm:
-        if os.path.getsize(path) >= _WARM_MIN_BYTES:
-            df = df.repartition(warm)
+        n = _WARM_OVERRIDES.get(
+            name, warm if os.path.getsize(path) >= _WARM_MIN_BYTES else 1
+        )
+        if n > 1:
+            df = df.repartition(n)
         df = df.cache()
     _TABLE_CACHE[key] = df
     return df

@@ -24,65 +24,74 @@ from .operators.reconcile import RECONCILIATION_SUMMARY_SQL, reconciliation_summ
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# First 50 = the driver's CORRECTNESS window. Flagship + bench headliners +
-# ALL of e1/e2/e5 + one representative per SURVEY §2 family (J4, A6, W2, F1,
-# F11, N2, U1-U3, T2/T9, S, P) + this round's new operators.
+# First 50 = the driver's CORRECTNESS window. The window ROTATES across
+# rounds so driver-level evidence accumulates over the whole catalog
+# instead of re-proving the same 50 queries: rounds 1-2 covered the
+# flagship, the bench headliners, and the full E1/E2/E5 families (all
+# green — see CORRECTNESS_r01/r02.json); round 3 keeps the flagship and
+# one representative per SURVEY §2 family and fills the remaining slots
+# with queries that had no green driver row in any prior round (TPC-H
+# shapes, the A-family tail, P/J/W/F/N members). Every rotated-out query
+# stays oracle-checked by tools/parity.py and tools/driver_sim.py over
+# the FULL catalog. Rows-only entries (e2_ivf_search) are deliberately
+# kept out of the window: they can never turn a slot green.
 _PRIORITY = [
+    # Flagship + per-family representatives (driver-green in r1/r2 —
+    # continuity evidence that rotation didn't break what was proven)
     "a1_reconciliation_summary",
     "a1_reconciliation_summary_sql",
     "q1_pricing_summary_sql",
-    "q3_shipping_priority_sql",
-    "q5_regional_volume_sql",
-    "q18_large_orders_sql",
-    "j5_brand_revenue",
-    "a5_group_stats",
-    "a6_hourly_throughput",
-    "w2_recent_events_per_entity",
-    "f11_json_decode_validate",
+    "e1_minhash_lsh_vectorized",
+    "e2_knn_per_query_vectorized",
+    "e5_corpus_curation",
     "e3_quality_score",
     "e4_multimodal_join",
-    # E1 dedup family — complete
-    "e1_exact_dedup",
-    "e1_dedup_stats",
-    "e1_embedding_neardup",
-    "e1_ngram_jaccard",
-    "e1_minhash_lsh",
-    "e1_minhash_lsh_vectorized",
-    "e1_simhash",
-    "e1_dedup_clusters",
-    "e1_fuzzy_name_match",
-    # E2 similarity family — complete
-    "e2_cosine_topk",
-    "e2_knn_per_query",
-    "e2_cosine_topk_vectorized",
-    "e2_knn_per_query_vectorized",
-    "e2_embedding_norms",
-    "e2_lsh_buckets",
-    "e2_ivf_search",
-    # E5 curation family — complete
-    "e5_corpus_curation",
-    "e5_curation_funnel",
-    "e5_train_split",
-    "e5_decontaminate",
-    "e5_stratified_sample",
-    # One representative per §2 family
     "p1_active_filter",
     "j4_watermark_updates",
-    "w5_batch_numbering",
+    "w2_recent_events_per_entity",
     "f1_multiformat_dates",
     "n2_explode_history_filtered",
-    "s4_paged_search",
     "u1_insight_extraction",
-    "u2_hash_embedding",
-    "u3_text_extraction",
     "t2_watermark_advance",
-    "t9_idempotent_upsert",
-    "e3_language_id",
-    "e4_decode_pipeline",
-    # Round-2 additions
-    "p2_canonical_config",
-    "w5_batch_numbering_by_key",
     "s3_rest_case_fetch",
+    # Round-3 additions (new operators this round)
+    "s5_soap_fetch",
+    "u3_format_dispatch",
+    "e2_ivf_search_1round",
+    # Never-driver-verified before round 3: TPC-H shape set
+    "q2_min_cost_supplier",
+    "q4_order_priority_check",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q21_waiting_orders_suppliers",
+    "q22_dormant_customers",
+    # Never-driver-verified: A-family analytics tail
+    "a14_cube_counts",
+    "a15_distinct_users",
+    "a18_value_percentiles",
+    "a20_priority_pivot",
+    "a23_value_histogram",
+    "a25_data_profile",
+    "a27_daily_order_spine",
+    # Never-driver-verified: P/J/W/F family members
+    "p3_nested_path_projection",
+    "p6_tenant_isolation_filter",
+    "j6_inlist_lookup",
+    "j10_intersect_snapshots",
+    "w3_doc_cap_per_case",
+    "w8_sessionize",
+    "f18_null_normalization",
+    "f20_ratio_metrics",
 ]
 
 

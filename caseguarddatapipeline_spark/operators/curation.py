@@ -96,7 +96,13 @@ def e5_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    kept = deduped.join(F.broadcast(removals), "doc_id", "left_anti")
+    # No broadcast hint: the removal set is data-dependent (near-dup rate
+    # of the corpus) — a crawl-heavy corpus can put 10%+ of all docs in
+    # it, and a forced broadcast of an unbounded set is an OOM at scale.
+    # Under AQE the runtime size decides the strategy (small removal set
+    # → broadcast anyway); the anti-join key is the same doc_id the LSH
+    # stage already shuffled on.
+    kept = deduped.join(removals, "doc_id", "left_anti")
 
     return (
         kept.groupBy("lang")

@@ -55,6 +55,10 @@ class Resilient:
         self._clock = clock
         self._consecutive_failures = 0
         self._opened_at: float | None = None
+        # Invocations of fn consumed by the most recent __call__ — the
+        # retry-exhaustion signal dead-letter triage keys on (T4). 0 when
+        # the circuit fast-failed without touching fn.
+        self.last_attempts = 0
 
     @property
     def is_open(self) -> bool:
@@ -68,12 +72,14 @@ class Resilient:
         return True
 
     def __call__(self, *args: Any, **kwargs: Any) -> Any:
+        self.last_attempts = 0
         if self.is_open:
             if self._fallback is not None:
                 return self._fallback(*args, **kwargs)
             raise CircuitOpenError("circuit open; failing fast")
         last_exc: Exception | None = None
         for attempt in range(self._max_attempts):
+            self.last_attempts = attempt + 1
             try:
                 result = self._fn(*args, **kwargs)
                 self._consecutive_failures = 0

@@ -382,6 +382,128 @@ def e2_knn_per_query_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One-round-quantizer cache: (session, sf_dir) → k rounded centroid
+# vectors. Index metadata (k×dim doubles), same posture as _QVEC_CACHE.
+_IVF1_CACHE: dict[tuple[int, str], list[list[float]]] = {}
+
+_IVF1_K, _IVF1_NPROBE = 16, 4
+
+
+def _ivf1_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    key = (id(spark), sf_dir)
+    if key not in _IVF1_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        seeds = [
+            list(r["e"])
+            for r in emb.filter(F.col("vec_id") < _IVF1_K)
+            .orderBy("vec_id")
+            .select(_dbl(F.col("embedding")).alias("e"))
+            .collect()
+        ]
+        corpus = emb.select("vec_id", _dbl(F.col("embedding")).alias("emb"))
+        # nearest seed by cosine, rounded to 6dp before the argmax so a
+        # last-ulp float-association difference can never flip a cell
+        # assignment between engines; ties break to the lowest cell id
+        # (array_position returns the FIRST maximal index — the same
+        # order the oracle's row_number(ORDER BY cos DESC, cell ASC)
+        # produces).
+        cos6 = F.transform(
+            _cell_cosines(seeds, F.col("emb")), lambda c: F.round(c, 6)
+        )
+        cells = corpus.select(
+            "emb",
+            (F.array_position(cos6, F.array_max(cos6)) - 1).cast("int").alias("cell"),
+        )
+        cent_rows = (
+            cells.select("cell", F.posexplode("emb").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("v"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+            .select("cell", F.transform("pv", lambda s: F.round(s["v"], 6)).alias("c"))
+            .collect()
+        )
+        by_cell = {r["cell"]: list(r["c"]) for r in cent_rows}
+        _IVF1_CACHE[key] = [
+            by_cell.get(i, [round(v, 6) for v in seeds[i]]) for i in range(_IVF1_K)
+        ]
+    return _IVF1_CACHE[key]
+
+
+def e2_ivf_search_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable IVF ANN: the quantizer is pinned to exactly ONE
+    Lloyd round seeded by the first k=16 vectors, which makes the whole
+    pipeline — assignment, centroid means, multi-probe search — plain
+    relational algebra with an exact DuckDB oracle (the general
+    iterative build stays in ``e2_ivf_search``; only the iteration
+    count was the non-SQL part). Assignment cosines and centroid
+    components are rounded to 6dp in BOTH engines so cross-engine float
+    association can't flip an argmax. Search: each query probes its
+    nprobe=4 nearest of k=16 cells — candidates come from an equi-join
+    on cell id (~nprobe/k of the corpus, not a full scan); at 100 TB
+    `cell` persists as a partition column and the probe join becomes
+    partition pruning. Mirrors the reference's Pinecone serving path
+    (etl/flows/process_case.py:292-318) with the index in-engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _ivf1_centroids(spark, sf_dir)
+
+    corpus = emb.select("vec_id", _dbl(F.col("embedding")).alias("emb"))
+    seeds = [
+        list(r["e"])
+        for r in emb.filter(F.col("vec_id") < _IVF1_K)
+        .orderBy("vec_id")
+        .select(_dbl(F.col("embedding")).alias("e"))
+        .collect()
+    ]
+    cos6_seed = F.transform(
+        _cell_cosines(seeds, F.col("emb")), lambda c: F.round(c, 6)
+    )
+    cells = corpus.select(
+        "vec_id",
+        "emb",
+        (F.array_position(cos6_seed, F.array_max(cos6_seed)) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+
+    cos6_cent = F.transform(
+        _cell_cosines(centroids, F.col("q_emb")), lambda c: F.round(c, 6)
+    )
+    cos_idx = F.transform(
+        cos6_cent, lambda c, i: F.struct(c.alias("cos"), (-i).alias("neg_idx"))
+    )
+    probes_arr = F.transform(
+        F.slice(F.reverse(F.array_sort(cos_idx)), 1, _IVF1_NPROBE),
+        lambda s: -s["neg_idx"],
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"), _dbl(F.col("embedding")).alias("q_emb")
+        )
+        .select("query_id", "q_emb", F.explode(probes_arr).alias("probe_cell"))
+    )
+
+    cos = _dot(F.col("emb"), F.col("q_emb")) / (
+        _norm(F.col("emb")) * _norm(F.col("q_emb"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cells.join(
+            F.broadcast(queries),
+            (cells.cell == queries.probe_cell) & (cells.vec_id != queries.query_id),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+    )
+
+
 QUERIES = {
     "e2_cosine_topk": e2_cosine_topk,
     "e2_knn_per_query": e2_knn_per_query,
@@ -390,6 +512,7 @@ QUERIES = {
     "e2_embedding_norms": e2_embedding_norms,
     "e2_lsh_buckets": e2_lsh_buckets,
     "e2_ivf_search": e2_ivf_search,
+    "e2_ivf_search_1round": e2_ivf_search_1round,
 }
 
 _DOT = "list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), list_transform({b}, y -> CAST(y AS DOUBLE)))"
@@ -462,3 +585,66 @@ ORACLES = {
 # so they share the same oracles
 ORACLES["e2_cosine_topk_vectorized"] = ORACLES["e2_cosine_topk"]
 ORACLES["e2_knn_per_query_vectorized"] = ORACLES["e2_knn_per_query"]
+
+# The one-Lloyd-round IVF is plain relational algebra end-to-end:
+# seed-assignment (argmax as row_number over rounded cosines), centroid
+# means (per-dimension avg over a generated index), multi-probe ranking,
+# and the final candidate top-k. Empty seed cells keep their (rounded)
+# seed vector, mirroring the Spark fallback.
+ORACLES["e2_ivf_search_1round"] = """
+    WITH corpus AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ), seeds AS (
+        SELECT vec_id AS cell, emb AS s_emb FROM corpus WHERE vec_id < 16
+    ), seed_scored AS (
+        SELECT c.vec_id, c.emb, s.cell,
+               round(list_dot_product(c.emb, s.s_emb)
+                     / (sqrt(list_dot_product(c.emb, c.emb))
+                        * sqrt(list_dot_product(s.s_emb, s.s_emb))), 6) AS cos6
+        FROM corpus c CROSS JOIN seeds s
+    ), assigned AS (
+        SELECT vec_id, emb, cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cos6 DESC, cell ASC) AS rn
+              FROM seed_scored)
+        WHERE rn = 1
+    ), cent_dims AS (
+        SELECT a.cell, j.j, round(avg(a.emb[j.j]), 6) AS v
+        FROM assigned a CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
+        GROUP BY a.cell, j.j
+    ), cents0 AS (
+        SELECT cell, list(v ORDER BY j) AS c_emb FROM cent_dims GROUP BY cell
+    ), cents AS (
+        SELECT cell, c_emb FROM cents0
+        UNION ALL
+        SELECT s.cell, list_transform(s.s_emb, v -> round(v, 6))
+        FROM seeds s WHERE s.cell NOT IN (SELECT cell FROM cents0)
+    ), queries AS (
+        SELECT vec_id AS query_id, emb AS q_emb FROM corpus WHERE vec_id < 5
+    ), probe_scored AS (
+        SELECT q.query_id, q.q_emb, ct.cell,
+               round(list_dot_product(q.q_emb, ct.c_emb)
+                     / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                        * sqrt(list_dot_product(ct.c_emb, ct.c_emb))), 6) AS cos6
+        FROM queries q CROSS JOIN cents ct
+    ), probes AS (
+        SELECT query_id, q_emb, cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos6 DESC, cell ASC) AS rn
+              FROM probe_scored)
+        WHERE rn <= 4
+    ), cand AS (
+        SELECT p.query_id, a.vec_id, a.cell,
+               round(list_dot_product(a.emb, p.q_emb)
+                     / (sqrt(list_dot_product(a.emb, a.emb))
+                        * sqrt(list_dot_product(p.q_emb, p.q_emb))), 4) AS cosine
+        FROM assigned a JOIN probes p
+          ON a.cell = p.cell AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, CAST(cell AS INT) AS cell, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+    FROM cand
+    QUALIFY rank <= 3
+"""

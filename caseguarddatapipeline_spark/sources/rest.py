@@ -73,7 +73,10 @@ def rest_fetch(
                 out["case_ref"].append(ref)
                 out["payload"].append(payload)
                 out["fetch_status"].append(status)
-                out["attempts"].append(1)
+                # real retry count from the wrapper — DLQ triage (T4)
+                # distinguishes retry-exhausted rows from first-try
+                # failures by this column
+                out["attempts"].append(wrapped.last_attempts)
             yield pd.DataFrame(out)
 
     return refs.select(ref_col).mapInPandas(stage, FETCH_SCHEMA)

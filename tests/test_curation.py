@@ -23,3 +23,35 @@ def test_summary_matches_funnel(spark):
     summary = e5_corpus_curation(spark, SF).collect()
     assert sum(r["n_docs"] for r in summary) == funnel["n_final"]
     assert all(0.5 <= r["avg_quality"] <= 1.0 for r in summary)
+
+
+def test_neardup_removal_survives_high_dup_corpus(spark):
+    """Crawl-heavy shape: most of the corpus is near-identical, so the
+    removal set is a large fraction of all docs — the case that made the
+    forced-broadcast hint dangerous. The un-hinted anti-join must
+    complete and keep exactly one representative per near-dup group."""
+    import pyspark.sql.functions as F
+
+    from caseguarddatapipeline_spark.operators.dedup import (
+        _band_pairs,
+        _banded_vectorized,
+    )
+
+    rows = []
+    for g in range(200):
+        # per-group disjoint vocabulary: no cross-group shingle overlap,
+        # so each pair is its own near-dup group
+        text = " ".join(f"w{g}x{j}" for j in range(12))
+        rows.append((2 * g, text))
+        rows.append((2 * g + 1, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = _band_pairs(_banded_vectorized(spark, docs), dedup_pairs=False)
+    removals = (
+        pairs.filter(F.col("jaccard") >= 0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = docs.join(removals, "doc_id", "left_anti").collect()
+    # removal set = 200 docs = 50% of the corpus; exactly the lower id
+    # of each pair survives
+    assert sorted(r["doc_id"] for r in kept) == [2 * g for g in range(200)]

@@ -87,8 +87,11 @@ def test_q8_share_is_single_aggregate(spark, sf_dir):
 
 
 def test_curation_removals_broadcast_anti_join(spark, sf_dir):
-    # the near-dup removal set is tiny relative to the corpus: it must
-    # reach the survivors as a broadcast anti-join, not a shuffle
+    # the removal set carries NO broadcast hint (it is data-dependent and
+    # can be 10%+ of a crawl-heavy corpus — forcing it is an OOM at
+    # scale); on this corpus Catalyst's size estimate still chooses a
+    # broadcast anti-join on its own, and under AQE the runtime size
+    # re-decides per batch
     plan = _plan(QUERIES["e5_corpus_curation"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 

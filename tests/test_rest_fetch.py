@@ -60,6 +60,32 @@ def test_transient_failure_retries_to_success(spark):
     [row] = rest_fetch(refs, factory, sleep=lambda _s: None).collect()
     assert row["fetch_status"] == "ok"
     assert row["payload"] == "ok-A-1@3"
+    # the attempts column carries the REAL retry count from Resilient
+    # (fail, fail, success = 3), not a constant
+    assert row["attempts"] == 3
+
+
+def test_attempts_column_reports_exhaustion(spark):
+    refs = spark.createDataFrame([("A-1",), ("POISON-2",)], "case_ref string").coalesce(1)
+
+    def factory():
+        def fetch(ref: str) -> str:
+            if ref.startswith("POISON"):
+                raise RuntimeError("endpoint 500")
+            return f"ok-{ref}"
+
+        return fetch
+
+    rows = {
+        r["case_ref"]: r
+        for r in rest_fetch(
+            refs, factory, sleep=lambda _s: None, max_attempts=2
+        ).collect()
+    }
+    assert rows["A-1"]["attempts"] == 1
+    # dead-letter row shows retry exhaustion: all max_attempts consumed
+    assert rows["POISON-2"]["fetch_status"] == "failed"
+    assert rows["POISON-2"]["attempts"] == 2
 
 
 def test_fetch_preserves_row_count(spark, sf_dir):

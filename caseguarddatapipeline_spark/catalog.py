@@ -128,6 +128,7 @@ def _registered_modules():
         "relational9", "relational10", "sql_twins", "profiling", "timeseries",
         "skew", "sessions", "textops", "dedup", "curation", "similarity",
         "multimodal", "incremental", "inference", "rest_fetch", "canonical",
+        "soap_fetch",
     ):
         mod = __import__(
             f"caseguarddatapipeline_spark.operators.{modname}",

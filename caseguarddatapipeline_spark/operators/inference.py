@@ -210,6 +210,95 @@ def u3_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(make_text_extractor(), schema=EXTRACT_SCHEMA)
 
 
+# Per-format decode dispatch (U3 breadth): format → (admission/priority
+# class, extractor name, decode fn over a pandas Series of unicode
+# text). Priority classes follow P4's admission config
+# (docproc/format_config.py:44-53 processing_priority: pdf/doc high,
+# eml/msg/txt medium; formats outside the config fall back to low); the
+# decode bodies stand in for the per-format parser fan-out that
+# format_config.py:147-230 funnels into LlamaParse — each is
+# deterministic string arithmetic so the whole dispatch pipeline has an
+# exact SQL twin. A real deployment swaps fn bodies for pypdf /
+# html2text / extract_msg keyed on the same map.
+_U3_DISPATCH: dict[str, tuple[str, str, object]] = {
+    "ACROBAT-PDF": (
+        "high",
+        "pdf_markdown",
+        lambda texts: texts.str.split(" ").map(
+            lambda w: "\n\n".join(
+                " ".join(w[i : i + 40]) for i in range(0, len(w), 40)
+            )
+        ),
+    ),
+    "TEXT": ("medium", "plain", lambda texts: texts),
+    "HTML": (
+        "low",
+        "html_strip",
+        lambda texts: "[html] " + texts.str.replace(r"<[^>]*>", "", regex=True),
+    ),
+    "EMAIL-MSG": (
+        "medium",
+        "msg_preview",
+        lambda texts: "[msg] " + texts.str.slice(0, 500),
+    ),
+}
+
+U3_DISPATCH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("doc_format", StringType()),
+        StructField("priority_class", StringType()),
+        StructField("extractor", StringType()),
+        StructField("extracted_text", StringType()),
+        StructField("n_chars_out", LongType()),
+    ]
+)
+
+
+def u3_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 breadth: multi-format document extraction behind the dispatch
+    map. The manifest assigns each doc a format (the S5 shape); the
+    mapInPandas stage groups each Arrow batch by format and runs that
+    format's decode fn vectorized over the group — one dispatch per
+    (batch, format), not per row. Full SQL oracle across all 4 formats."""
+    fmts = list(_U3_DISPATCH)
+    fmt_arr = F.array(*[F.lit(f) for f in fmts])
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.element_at(fmt_arr, (F.col("doc_id") % len(fmts) + 1).cast("int")).alias(
+            "doc_format"
+        ),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf["payload"].map(
+                lambda b: bytes(b).decode("utf-8", errors="replace")
+            )
+            out = []
+            for fmt, idx in pdf.groupby("doc_format").groups.items():
+                cls, name, fn = _U3_DISPATCH[fmt]
+                extracted = fn(texts.loc[idx])
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": pdf["doc_id"].loc[idx],
+                            "doc_format": fmt,
+                            "priority_class": cls,
+                            "extractor": name,
+                            "extracted_text": extracted,
+                            "n_chars_out": extracted.str.len().astype("int64"),
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                columns=[f.name for f in U3_DISPATCH_SCHEMA.fields]
+            )
+
+    return docs.mapInPandas(extract, schema=U3_DISPATCH_SCHEMA)
+
+
 def u5_urgency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Urgency heuristic (enricher.py:313-355) — pure column expressions,
     no UDF needed (SURVEY.md §2.8 U5): recency + magnitude blend."""
@@ -266,6 +355,7 @@ QUERIES = {
     "u1_insight_extraction": u1_insight_extraction,
     "u2_hash_embedding": u2_hash_embedding,
     "u3_text_extraction": u3_text_extraction,
+    "u3_format_dispatch": u3_format_dispatch,
     "u5_urgency_score": u5_urgency_score,
     "u7_embedding_chunks": u7_embedding_chunks,
 }
@@ -276,6 +366,43 @@ ORACLES = {
     # Python-stage operators are value-checked cross-engine. Only the
     # model seam (swap the stub for a real LLM/embedder) is unverifiable
     # by construction.
+    "u3_format_dispatch": """
+        WITH m AS (
+            SELECT doc_id, text,
+                   ['ACROBAT-PDF','TEXT','HTML','EMAIL-MSG']
+                       [CAST(doc_id % 4 AS INT) + 1] AS doc_format
+            FROM documents
+        ), ex AS (
+            SELECT doc_id, doc_format,
+                   CASE doc_format
+                       WHEN 'ACROBAT-PDF' THEN 'high'
+                       WHEN 'TEXT' THEN 'medium'
+                       WHEN 'EMAIL-MSG' THEN 'medium'
+                       ELSE 'low' END AS priority_class,
+                   CASE doc_format
+                       WHEN 'ACROBAT-PDF' THEN 'pdf_markdown'
+                       WHEN 'TEXT' THEN 'plain'
+                       WHEN 'HTML' THEN 'html_strip'
+                       ELSE 'msg_preview' END AS extractor,
+                   CASE doc_format
+                       WHEN 'ACROBAT-PDF' THEN array_to_string(
+                           list_transform(
+                               range(0, CAST(ceil(len(string_split(text, ' ')) / 40.0) AS INT)),
+                               i -> array_to_string(
+                                   string_split(text, ' ')[i*40+1 : i*40+40], ' ')),
+                           chr(10) || chr(10))
+                       WHEN 'TEXT' THEN text
+                       WHEN 'HTML' THEN '[html] ' ||
+                           regexp_replace(text, '<[^>]*>', '', 'g')
+                       ELSE '[msg] ' || substring(text, 1, 500) END
+                       AS extracted_text
+            FROM m
+        )
+        SELECT doc_id, doc_format, priority_class, extractor,
+               extracted_text,
+               CAST(length(extracted_text) AS BIGINT) AS n_chars_out
+        FROM ex
+    """,
     "u1_insight_extraction": """
         WITH toks AS (
             SELECT doc_id, n_chars, string_split(text, ' ') AS tk

@@ -82,6 +82,79 @@ def process_job_batch(batch: DataFrame, fail_predicate=None) -> DataFrame:
     )
 
 
+def kafka_queue_options(
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = False,
+    group_id_prefix: str | None = None,
+) -> dict[str, str]:
+    """Option map for the Kafka job-queue source — the transport a
+    production deployment swaps in for the file queue (the reference's
+    Redis BRPOP loop, etl/worker.py:112-136; Kafka is the durable
+    at-least-once equivalent). Separated from the reader call so the
+    contract is unit-testable without a broker or the
+    spark-sql-kafka connector on the classpath.
+    ``max_offsets_per_trigger`` is the Kafka analog of the file source's
+    ``maxFilesPerTrigger`` rate limit (T5)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if group_id_prefix is not None:
+        opts["groupIdPrefix"] = group_id_prefix
+    return opts
+
+
+def parse_job_records(records: DataFrame) -> DataFrame:
+    """Kafka frames arrive as (key binary, value binary, topic, …): decode
+    the JSON value into typed job rows against JOB_SCHEMA. Works on any
+    frame with a ``value`` column (streaming or batch), so the parse
+    contract is testable without a broker."""
+    return records.select(
+        F.from_json(F.col("value").cast("string"), JOB_SCHEMA).alias("job")
+    ).select("job.*")
+
+
+def queue_source(
+    spark: SparkSession,
+    mode: str = "files",
+    *,
+    queue_dir: str | None = None,
+    max_files_per_trigger: int = 10,
+    **kafka_opts,
+) -> DataFrame:
+    """S10 queue source seam: one call site, two transports.
+
+    ``files`` (default, sandbox-runnable) reads the JSON job directory;
+    ``kafka`` builds the Kafka reader from ``kafka_queue_options(**
+    kafka_opts)`` and decodes values via ``parse_job_records`` — the
+    swap a production deployment makes first (requires the
+    spark-sql-kafka-0-10 package on the classpath)."""
+    if mode == "files":
+        if queue_dir is None:
+            raise ValueError("files mode requires queue_dir=")
+        return (
+            spark.readStream.schema(JOB_SCHEMA)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .json(queue_dir)
+        )
+    if mode == "kafka":
+        raw = (
+            spark.readStream.format("kafka")
+            .options(**kafka_queue_options(**kafka_opts))
+            .load()
+        )
+        return parse_job_records(raw)
+    raise ValueError(f"unknown queue transport {mode!r}")
+
+
 def run_jobs_stream(
     spark: SparkSession,
     queue_dir: str,
@@ -100,10 +173,11 @@ def run_jobs_stream(
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(dlq_dir, exist_ok=True)
 
-    stream = (
-        spark.readStream.schema(JOB_SCHEMA)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .json(queue_dir)
+    stream = queue_source(
+        spark,
+        "files",
+        queue_dir=queue_dir,
+        max_files_per_trigger=max_files_per_trigger,
     )
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:

@@ -103,3 +103,33 @@ def test_jdbc_upsert_validates_keys(spark):
     df = spark.createDataFrame([(1,)], "a long")
     with pytest.raises(ValueError):
         jdbc_upsert(df, "t", ["missing"], lambda: None)
+
+
+def test_jdbc_scan_roundtrip_embedded_derby(spark, tmp_path):
+    """S7 integration: the partitioned jdbc_scan contract EXECUTED
+    end-to-end against an embedded Derby database (the Derby driver
+    ships on Spark's classpath), no network: Spark's JDBC writer
+    populates the table, jdbc_scan reads it back with a 4-way
+    partitioned stride and a pushed filter."""
+    url = f"jdbc:derby:{tmp_path}/s7db;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    src = spark.range(0, 100).selectExpr(
+        "id AS case_id", "CAST(id * 7 % 13 AS INT) AS serialno"
+    )
+    (src.write.format("jdbc")
+        .option("url", url).option("dbtable", "CASES").option("driver", driver)
+        .mode("overwrite").save())
+
+    from caseguarddatapipeline_spark.sources.jdbc import jdbc_scan
+
+    df = jdbc_scan(
+        spark, url, table="CASES",
+        partition_column="case_id", lower_bound=0, upper_bound=100,
+        num_partitions=4, driver=driver,
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r["case_id"]: r["serialno"] for r in df.collect()}
+    assert len(rows) == 100 and all(rows[i] == i * 7 % 13 for i in range(100))
+    # predicate pushes into the remote query (PushedFilters on the scan)
+    plan = df.filter("case_id < 10")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "case_id" in plan

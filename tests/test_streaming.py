@@ -66,3 +66,50 @@ def test_drain_queue_end_to_end(spark, sf_dir, tmp_path):
     assert all(r["retry_count"] == MAX_RETRIES - 1 for r in dead.collect())
     # no job processed twice
     assert done.select("job_id").distinct().count() == n_done
+
+
+def test_kafka_queue_option_contract():
+    from caseguarddatapipeline_spark.streaming.jobs import kafka_queue_options
+
+    opts = kafka_queue_options(
+        "broker1:9092,broker2:9092",
+        "case_processing_queue",
+        starting_offsets="latest",
+        max_offsets_per_trigger=5000,
+        group_id_prefix="caseflow",
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "case_processing_queue",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "5000",
+        "groupIdPrefix": "caseflow",
+    }
+
+
+def test_kafka_value_parse_contract(spark):
+    """parse_job_records decodes Kafka-shaped (value binary) frames into
+    typed job rows — proven on a batch frame, no broker needed."""
+    import json
+
+    from caseguarddatapipeline_spark.streaming.jobs import parse_job_records
+
+    payload = json.dumps(
+        {"job_id": 7, "entity_id": 7, "change_type": "new",
+         "priority": 1, "retry_count": 0}
+    ).encode()
+    frame = spark.createDataFrame(
+        [(b"key-7", payload)], "key binary, value binary"
+    )
+    [row] = parse_job_records(frame).collect()
+    assert (row["job_id"], row["priority"], row["change_type"]) == (7, 1, "new")
+
+
+def test_queue_source_rejects_unknown_transport(spark):
+    import pytest as _pytest
+
+    from caseguarddatapipeline_spark.streaming.jobs import queue_source
+
+    with _pytest.raises(ValueError, match="unknown queue transport"):
+        queue_source(spark, "redis")

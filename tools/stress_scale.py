@@ -10,6 +10,16 @@ data, as a real larger corpus would); no synthetic files are written.
 
 Usage: python tools/stress_scale.py [replicas] [sf_dir]
 Prints one JSON line: rows, seconds and Mrows/s per shape.
+
+Curve mode: ``python tools/stress_scale.py curve`` runs the 16 bench
+headliners at sf0.001/0.01/0.1 under the serving profile and prints,
+per query, the runtime at each scale factor plus the derived split into
+FIXED overhead (the sf0.001 runtime — data is negligible there) and
+MARGINAL sec/GB (Δruntime / Δbytes between sf0.001 and sf0.1). This is
+the quantitative form of the fixed-floor argument: Spark's per-query
+constant dominates at bench scale and amortizes to zero as data grows,
+while marginal sec/GB is the number that actually projects to 100 TB.
+Writes SCALE_CURVE.json at the repo root.
 """
 
 from __future__ import annotations
@@ -36,7 +46,99 @@ def _replicate(df, key_cols: list[str], n: int, max_key):
     return out.drop("rep")
 
 
+def curve() -> int:
+    import os
+
+    from caseguarddatapipeline_spark.catalog import build_catalog
+    from caseguarddatapipeline_spark.session import enable_low_latency
+    from caseguarddatapipeline_spark.sources import tables as T
+    from caseguarddatapipeline_spark.sources.tables import enable_warm_cache
+
+    import bench
+
+    sf_dirs = [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]
+    spark = get_spark("scale-curve")
+    queries, _ = build_catalog()
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    sizes = {
+        d: sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+        for d in sf_dirs
+    }
+    # JIT pre-warm: run the whole suite once at the largest sf BEFORE any
+    # timing, so the first-measured scale factor doesn't absorb codegen
+    # compilation that the later ones get for free (the plan shapes, and
+    # therefore the generated code, are identical across sfs).
+    enable_warm_cache(min(8, cpus))
+    enable_low_latency(spark, shuffle_partitions=min(4, cpus))
+    for t in T.TABLES:
+        load_table(spark, sf_dirs[-1], t).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    for name in bench.BENCH_QUERIES:
+        queries[name](spark, sf_dirs[-1]).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    results: dict[str, dict[str, float]] = {n: {} for n in bench.BENCH_QUERIES}
+    for sf_dir in sf_dirs:
+        # fresh serving-profile state per scale factor, like bench.py
+        T._TABLE_CACHE.clear()
+        T._SCOPED_VIEWS.clear()
+        spark.catalog.clearCache()
+        enable_warm_cache(min(8, cpus))
+        enable_low_latency(spark, shuffle_partitions=min(4, cpus))
+        for t in T.TABLES:
+            load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+        for name in bench.BENCH_QUERIES:
+            fn = queries[name]
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(min(bench._DOP.get(name, bench._DOP_DEFAULT), cpus)),
+            )
+            for _ in range(2):
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            results[name][sf_dir] = round(best, 3)
+
+    lo, hi = sf_dirs[0], sf_dirs[-1]
+    gb = (sizes[hi] - sizes[lo]) / 1e9
+    out = {
+        name: {
+            "sec": {d.rsplit("/", 1)[-1]: v for d, v in r.items()},
+            "fixed_sec": r[lo],
+            "marginal_sec_per_gb": round(max(r[hi] - r[lo], 0.0) / gb, 2),
+        }
+        for name, r in results.items()
+    }
+    doc = {
+        "metric": "scale_curve",
+        "bytes": {d.rsplit("/", 1)[-1]: sizes[d] for d in sf_dirs},
+        "queries": out,
+        "suite_fixed_sec": round(sum(r[lo] for r in results.values()), 3),
+        "suite_marginal_sec_per_gb": round(
+            sum(max(r[hi] - r[lo], 0.0) for r in results.values()) / gb, 2
+        ),
+    }
+    Path(__file__).resolve().parent.parent.joinpath("SCALE_CURVE.json").write_text(
+        json.dumps(doc, indent=1) + "\n"
+    )
+    print(json.dumps(doc))
+    spark.stop()
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "curve":
+        return curve()
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     spark = get_spark("stress")

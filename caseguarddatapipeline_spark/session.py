@@ -100,6 +100,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Executor↔python-worker transport over unix domain sockets
+        # (Spark 4): shaves ~30 ms of per-task handshake off every
+        # Python-stage query (measured 0.206→0.177 s on an identity
+        # mapInPandas); same-host communication in any deployment.
+        .config("spark.python.unix.domain.socket.enabled", "true")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

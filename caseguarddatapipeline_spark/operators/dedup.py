@@ -375,7 +375,7 @@ def _banded_vectorized(spark: SparkSession, docs: DataFrame) -> DataFrame:
             )
             sh = np.unique(((th[:-2] * 131 + th[1:-1]) * 131 + th[2:]) % M)
             sig = ((sh[:, None] * A[None, :] + B[None, :]) % M).min(axis=0)
-            sh_list = sh.tolist()
+            sh_list = sh.astype(np.int32).tolist()
             for b in range(LSH_BANDS):
                 doc_ids.append(doc_id)
                 bands.append(b)
@@ -448,7 +448,10 @@ def _banded_vectorized(spark: SparkSession, docs: DataFrame) -> DataFrame:
                 sig[:, k] = np.minimum.reduceat(
                     (sv * A[k] + B[k]) % M, seg_starts
                 )
-            shingle_lists = np.split(sv, np.cumsum(cnt)[:-1])
+            # shingle values are < 2³¹−1 by construction — int32 halves
+            # the bytes the bucket shuffle and the cap-window sort move
+            # (shingles dominate row width at ~420 B/row)
+            shingle_lists = np.split(sv.astype(np.int32), np.cumsum(cnt)[:-1])
             band_sigs = [
                 ":".join(
                     str(v)
@@ -473,7 +476,7 @@ def _banded_vectorized(spark: SparkSession, docs: DataFrame) -> DataFrame:
             )
 
     return docs.mapInPandas(
-        kernel, "doc_id long, band int, band_sig string, shingles array<long>"
+        kernel, "doc_id long, band int, band_sig string, shingles array<int>"
     )
 
 

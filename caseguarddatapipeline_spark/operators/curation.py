@@ -115,6 +115,26 @@ def e5_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e5_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus diagnostics: exact-duplicate rate by origin —
+    the report that tells a curation run WHICH feed is flooding the
+    corpus (crawl snapshots routinely exceed 30% exact dups). One
+    groupBy over (source), count vs count-distinct-text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("text").alias("n_unique"),
+            F.round(
+                1.0 - F.count_distinct("text") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 def e5_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage-by-stage funnel counts: how many documents enter / survive
     each curation stage — the monitoring view a corpus pipeline reports.
@@ -280,6 +300,7 @@ QUERIES = {
     "e5_train_split": e5_train_split,
     "e5_decontaminate": e5_decontaminate,
     "e5_stratified_sample": e5_stratified_sample,
+    "e5_dedup_rate_by_source": e5_dedup_rate_by_source,
 }
 
 # The LSH CTE chain is the e1_minhash_lsh oracle re-rooted at the deduped
@@ -352,6 +373,13 @@ _SCORED = """
 """
 
 ORACLES = {
+    "e5_dedup_rate_by_source": """
+        SELECT source, count(*) AS n_docs,
+               count(DISTINCT text) AS n_unique,
+               round(1.0 - count(DISTINCT text) / CAST(count(*) AS DOUBLE), 6)
+                   AS dup_rate
+        FROM documents GROUP BY source ORDER BY source
+    """,
     "e5_corpus_curation": f"""
         WITH {_SCORED}, {_LSH_OVER_DEDUP}
         SELECT lang, count(*) AS n_docs,

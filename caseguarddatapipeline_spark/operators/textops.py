@@ -190,8 +190,46 @@ def e3_ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e3_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-trigram fraction per document — the repetition quality
+    signal corpus filters use (boilerplate / looping generations show
+    high ratios): 1 − distinct-trigrams / total-trigrams. Pure column
+    expressions (narrow, no shuffle) like the rest of E3; downstream
+    curation would add ``repetition ≤ τ`` to the quality predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    return (
+        docs.select("doc_id", "lang", tri.alias("tri"))
+        .select(
+            "doc_id",
+            "lang",
+            F.size("tri").alias("n_trigrams"),
+            F.size(F.array_distinct("tri")).alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_trigrams",
+            "n_distinct",
+            F.round(
+                1.0 - F.col("n_distinct") / F.col("n_trigrams").cast("double"), 6
+            ).alias("repetition_ratio"),
+        )
+    )
+
+
 QUERIES = {
     "e3_token_count": e3_token_count,
+    "e3_repetition_ratio": e3_repetition_ratio,
     "e3_quality_score": e3_quality_score,
     "e3_language_id": e3_language_id,
     "e3_doc_fingerprint": e3_doc_fingerprint,
@@ -201,6 +239,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "e3_repetition_ratio": """
+        WITH t AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS toks
+            FROM documents
+        ), tri AS (
+            SELECT doc_id, lang,
+                   list_transform(range(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       AS tri
+            FROM t
+        )
+        SELECT doc_id, lang,
+               CAST(len(tri) AS INT) AS n_trigrams,
+               CAST(len(list_distinct(tri)) AS INT) AS n_distinct,
+               round(1.0 - len(list_distinct(tri)) / CAST(len(tri) AS DOUBLE), 6)
+                   AS repetition_ratio
+        FROM tri
+    """,
     "e3_token_count": """
         WITH t AS (
             SELECT lang, source, len(string_split(text, ' ')) AS n_tokens

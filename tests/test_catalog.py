@@ -42,3 +42,14 @@ def test_entry_contract(spark):
     }
     assert set(mod.queries()) == set(QUERIES)
     assert set(mod.oracle_sql()) == set(ORACLES)
+
+
+def test_driver_window_all_oracle_backed():
+    """The driver verifies the first 50 catalog entries: every one of
+    those slots must have a value oracle (a rows-only entry can never
+    turn its slot green — the round-2 lesson with e2_ivf_search), and
+    the window must actually be full."""
+    window = list(QUERIES)[:50]
+    assert len(window) == 50
+    missing = [n for n in window if n not in ORACLES]
+    assert not missing, f"window slots without oracles: {missing}"

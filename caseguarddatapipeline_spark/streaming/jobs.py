@@ -155,6 +155,35 @@ def queue_source(
     raise ValueError(f"unknown queue transport {mode!r}")
 
 
+def kafka_sink_options(
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    checkpoint_dir: str | None = None,
+) -> dict[str, str]:
+    """Option map for the Kafka job-queue SINK (the enqueue side of
+    S9 — the reference's LPUSH, etl/flows/sync_daily.py:246-317).
+    Unit-testable without a broker, like ``kafka_queue_options``."""
+    opts = {"kafka.bootstrap.servers": bootstrap_servers, "topic": topic}
+    if checkpoint_dir is not None:
+        opts["checkpointLocation"] = checkpoint_dir
+    return opts
+
+
+def jobs_to_kafka_records(jobs: DataFrame) -> DataFrame:
+    """Encode typed job rows as Kafka (key, value) pairs: key =
+    entity id (stable partitioning → per-entity ordering in the topic,
+    the property the reference's per-case queue discipline relies on),
+    value = the JSON payload ``parse_job_records`` decodes. Round-trips
+    with the source side by construction."""
+    return jobs.select(
+        F.col("job_id").cast("string").cast("binary").alias("key"),
+        F.to_json(
+            F.struct("job_id", "entity_id", "change_type", "priority", "retry_count")
+        ).cast("binary").alias("value"),
+    )
+
+
 def run_jobs_stream(
     spark: SparkSession,
     queue_dir: str,

@@ -113,3 +113,30 @@ def test_queue_source_rejects_unknown_transport(spark):
 
     with _pytest.raises(ValueError, match="unknown queue transport"):
         queue_source(spark, "redis")
+
+
+def test_kafka_sink_roundtrip_contract(spark):
+    """jobs → kafka records → parse_job_records reproduces the rows:
+    the enqueue and consume sides agree by construction."""
+    from caseguarddatapipeline_spark.streaming.jobs import (
+        jobs_to_kafka_records,
+        kafka_sink_options,
+        parse_job_records,
+    )
+
+    assert kafka_sink_options("b:9092", "jobs", checkpoint_dir="/tmp/ck") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "jobs",
+        "checkpointLocation": "/tmp/ck",
+    }
+    jobs = spark.createDataFrame(
+        [(1, 1, "new", 1, 0), (2, 2, "update", 2, 1)],
+        "job_id long, entity_id long, change_type string, priority int, retry_count int",
+    )
+    records = jobs_to_kafka_records(jobs)
+    assert dict(records.dtypes) == {"key": "binary", "value": "binary"}
+    back = sorted(
+        (r["job_id"], r["entity_id"], r["change_type"], r["priority"], r["retry_count"])
+        for r in parse_job_records(records).collect()
+    )
+    assert back == [(1, 1, "new", 1, 0), (2, 2, "update", 2, 1)]

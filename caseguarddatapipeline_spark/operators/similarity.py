@@ -384,12 +384,16 @@ def e2_knn_per_query_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # One-round-quantizer cache: (session, sf_dir) → k rounded centroid
 # vectors. Index metadata (k×dim doubles), same posture as _QVEC_CACHE.
-_IVF1_CACHE: dict[tuple[int, str], list[list[float]]] = {}
+_IVF1_CACHE: dict[tuple[int, str], tuple[list[list[float]], list[list[float]]]] = {}
 
 _IVF1_K, _IVF1_NPROBE = 16, 4
 
 
-def _ivf1_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+def _ivf1_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[list[float]], list[list[float]]]:
+    """(seeds, one-round centroids) — both index metadata (k×dim),
+    collected once per (session, sf_dir) and reused across plan builds."""
     key = (id(spark), sf_dir)
     if key not in _IVF1_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
@@ -424,9 +428,10 @@ def _ivf1_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
             .collect()
         )
         by_cell = {r["cell"]: list(r["c"]) for r in cent_rows}
-        _IVF1_CACHE[key] = [
+        cents = [
             by_cell.get(i, [round(v, 6) for v in seeds[i]]) for i in range(_IVF1_K)
         ]
+        _IVF1_CACHE[key] = (seeds, cents)
     return _IVF1_CACHE[key]
 
 
@@ -445,16 +450,9 @@ def e2_ivf_search_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition pruning. Mirrors the reference's Pinecone serving path
     (etl/flows/process_case.py:292-318) with the index in-engine."""
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = _ivf1_centroids(spark, sf_dir)
+    seeds, centroids = _ivf1_index(spark, sf_dir)
 
     corpus = emb.select("vec_id", _dbl(F.col("embedding")).alias("emb"))
-    seeds = [
-        list(r["e"])
-        for r in emb.filter(F.col("vec_id") < _IVF1_K)
-        .orderBy("vec_id")
-        .select(_dbl(F.col("embedding")).alias("e"))
-        .collect()
-    ]
     cos6_seed = F.transform(
         _cell_cosines(seeds, F.col("emb")), lambda c: F.round(c, 6)
     )

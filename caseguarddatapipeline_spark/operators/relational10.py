@@ -4,8 +4,12 @@ Q13 (customer order-count DISTRIBUTION — aggregate of an aggregate),
 Q15 (top supplier by revenue — argmax over an aggregate via a scalar
 subquery, decorrelated to one extra broadcast).
 
-Q11/Q20 need the partsupp table, which the test corpus does not ship —
-their plan shapes (agg-filtered semi-joins) are covered by q16/q21/q22.
+Q11/Q20 reference the partsupp table, which the test corpus does not
+ship; both are adapted here with lineitem as the supply fact so their
+DISTINCTIVE shapes still exist in the catalog: Q11's group-aggregate
+filtered against a global scalar aggregate (HAVING value > fraction of
+total), and Q20's nested semi-join chain feeding a correlated
+half-of-total threshold (decorrelated to one agg join).
 
 Scale notes: Q6 is the canonical pushdown probe (filters reach the
 parquet scan, one partial+final agg, no shuffle of raw rows); Q10 is a
@@ -123,14 +127,106 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (adapted: lineitem as the supply fact): per-part supply
+    value, keeping parts whose value exceeds 1.5x the MEAN part value
+    (scale-free, unlike TPC-H's sf-scaled fraction; the synthetic
+    part-value distribution tops out at ~1.8x mean) — a group-aggregate
+    filtered against a global scalar aggregate. The total is a one-row broadcast; the HAVING never
+    re-aggregates (the decorrelation Catalyst applies to Q11's scalar
+    subquery). Q11's nation scoping is dropped: the synthetic corpus's
+    smallest sf has nations with zero suppliers, and the scoping adds
+    nothing to the plan shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value")
+        )
+    )
+    total = per_part.agg(F.avg("value").alias("avg_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("avg_value") * 1.5)
+        .select("l_partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.desc("value"), F.asc("l_partkey"))
+        .limit(50)
+    )
+
+
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (adapted): suppliers whose 1997 shipments of a filtered
+    part family exceed half their all-time shipments of that part — the
+    nested IN/semi-join chain (part filter → qualifying (supplier, part)
+    pairs under a correlated half-of-total threshold → supplier
+    semi-join), with the correlated subquery decorrelated into one
+    per-(supplier, part) aggregate computed in the same pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    fam = part.filter(F.col("p_brand") == "Brand#2").select("p_partkey")
+    pairs = (
+        li.join(F.broadcast(fam), li.l_partkey == fam.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum("l_quantity").alias("qty_all"),
+            F.sum(
+                F.when(
+                    (F.col("l_shipdate") >= F.lit("1997-01-01"))
+                    & (F.col("l_shipdate") < F.lit("1998-01-01")),
+                    F.col("l_quantity"),
+                ).otherwise(F.lit(0.0))
+            ).alias("qty_97"),
+        )
+        .filter(F.col("qty_97") > F.col("qty_all") * 0.5)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(pairs, supplier.s_suppkey == pairs.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q15_top_supplier": q15_top_supplier,
+    "q11_important_stock": q11_important_stock,
+    "q20_promo_suppliers": q20_promo_suppliers,
 }
 
 ORACLES = {
+    "q11_important_stock": """
+        WITH per_part AS (
+            SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+            FROM lineitem
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, round(value, 2) AS value
+        FROM per_part
+        WHERE value > (SELECT avg(value) FROM per_part) * 1.5
+        ORDER BY round(value, 2) DESC, l_partkey ASC
+        LIMIT 50
+    """,
+    "q20_promo_suppliers": """
+        WITH fam AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#2'),
+        pairs AS (
+            SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty_all,
+                   sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                             AND l_shipdate < TIMESTAMP '1998-01-01'
+                            THEN l_quantity ELSE 0.0 END) AS qty_97
+            FROM lineitem JOIN fam ON l_partkey = p_partkey
+            GROUP BY l_suppkey, l_partkey
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (SELECT l_suppkey FROM pairs WHERE qty_97 > qty_all * 0.5)
+        ORDER BY s_suppkey
+    """,
+
     "q6_forecast_revenue": """
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
                count(*) AS n_lines

@@ -1,0 +1,60 @@
+"""Incremental streaming near-dup: cross-batch detection against the
+persisted signature index, index growth, and restart-safety of the
+probe (duplicate index rows collapse in the pair output)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from caseguarddatapipeline_spark.streaming.neardup import run_neardup_stream
+
+
+def _write_batch(d: str, n: int, rows) -> None:
+    with open(os.path.join(d, f"batch{n}.json"), "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def _texts():
+    base = " ".join(f"alpha{i} bravo{i} charlie{i}" for i in range(6))
+    other = " ".join(f"delta{i} echo{i} foxtrot{i}" for i in range(6))
+    return base, other
+
+
+def test_cross_batch_neardup_detection(spark, tmp_path):
+    inp, idx = str(tmp_path / "in"), str(tmp_path / "index")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(inp)
+    base, other = _texts()
+
+    # batch 1: two distinct docs — indexed, nothing to flag
+    _write_batch(inp, 1, [(1, base), (2, other)])
+    run_neardup_stream(spark, inp, idx, out, ck)
+    assert not [f for f in os.listdir(out) if f.endswith(".parquet")] or (
+        spark.read.parquet(out).count() == 0
+    )
+    assert spark.read.parquet(idx).select("doc_id").distinct().count() == 2
+
+    # batch 2: doc 3 duplicates doc 1's text; doc 4 is novel
+    _write_batch(inp, 2, [(3, base), (4, "zulu yankee xray " * 8)])
+    run_neardup_stream(spark, inp, idx, out, ck)
+    pairs = {
+        (r["new_doc"], r["index_doc"]): r["jaccard"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (3, 1) in pairs and pairs[(3, 1)] == 1.0
+    assert all(new != 4 for new, _ in pairs)
+    # the index grew by batch 2's docs
+    assert spark.read.parquet(idx).select("doc_id").distinct().count() == 4
+
+    # batch 3: near (not exact) variant of doc 2 — the last token is
+    # dropped, which keeps the shingle set a strict subset (jaccard
+    # 15/16) and deterministically preserves every band signature
+    _write_batch(inp, 3, [(5, " ".join(other.split(" ")[:-1]))])
+    run_neardup_stream(spark, inp, idx, out, ck)
+    pairs = {
+        (r["new_doc"], r["index_doc"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (5, 2) in pairs

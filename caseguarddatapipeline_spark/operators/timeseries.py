@@ -134,13 +134,105 @@ def t10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t12_range_join_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized RANGE (point-in-interval) join — the other primitive
+    Spark lacks natively. Per user, 'signup'/'error' events open state
+    intervals (valid until the next such event — t11's SCD2 windows);
+    every 'purchase' event is tagged with the interval containing it. A
+    naive formulation is a theta join (key equality + BETWEEN), which
+    Spark executes as a per-key nested loop; the scale-correct shape
+    bucketizes time, explodes each interval to the DAY buckets it
+    overlaps (clamped to the event horizon, so the fan-out is bounded by
+    interval length, never unbounded), equi-joins on (key, day) and
+    applies the exact range predicate locally — an O(n·m)-per-key loop
+    becomes a hash join. Intervals partition time per key, so each probe
+    matches at most one interval; the DuckDB oracle is the DIRECT theta
+    join, proving the bucketed rewrite exact."""
+    events = load_table(spark, sf_dir, "events")
+
+    iv = (
+        events.filter(F.col("event_type").isin("signup", "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+        )
+        .withColumn("valid_to", F.lead("valid_from").over(
+            Window.partitionBy("user_id").orderBy("valid_from")
+        ))
+    )
+    horizon = events.agg(
+        F.max(F.col("ts") + F.expr("interval 1 second")).alias("h")
+    )
+    clamped = (
+        iv.crossJoin(F.broadcast(horizon))
+        .withColumn("hi", F.coalesce("valid_to", F.col("h")))
+        .filter(F.col("hi") > F.col("valid_from"))
+        .withColumn(
+            "day",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("day", "valid_from"),
+                    F.date_trunc("day", F.expr("hi - interval 1 microsecond")),
+                    F.expr("interval 1 day"),
+                )
+            ),
+        )
+        .select("user_id", "state", "valid_from", "valid_to", "day")
+    )
+    probe = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.date_trunc("day", "ts").alias("day"),
+    )
+    return (
+        probe.join(
+            clamped,
+            (probe.p_user == clamped.user_id) & (probe.day == clamped.day),
+        )
+        .filter(
+            (F.col("p_ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("p_ts") < F.col("valid_to")))
+        )
+        .select(
+            "event_id",
+            F.col("p_user").alias("entity_id"),
+            "state",
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        )
+    )
+
+
 QUERIES = {
     "a26_price_trend": a26_price_trend,
     "a27_daily_order_spine": a27_daily_order_spine,
     "t10_asof_join": t10_asof_join,
+    "t12_range_join_state": t12_range_join_state,
 }
 
 ORACLES = {
+    # The oracle is the DIRECT theta join (key equality + range
+    # predicate) — value-equality with the Spark side proves the
+    # bucketized equi-join rewrite exact.
+    # The oracle is the DIRECT theta join (key equality + range
+    # predicate) — value-equality with the Spark side proves the
+    # bucketized equi-join rewrite exact.
+    "t12_range_join_state": """
+        WITH iv AS (
+            SELECT user_id, event_type AS state, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+            FROM events
+            WHERE event_type IN ('signup', 'error')
+        )
+        SELECT e.event_id, e.user_id AS entity_id, iv.state,
+               strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+        FROM events e JOIN iv
+          ON e.user_id = iv.user_id
+         AND e.ts >= iv.valid_from
+         AND (iv.valid_to IS NULL OR e.ts < iv.valid_to)
+        WHERE e.event_type = 'purchase'
+    """,
     "a26_price_trend": """
         SELECT o_orderstatus,
                count(*) AS n_orders,

@@ -66,7 +66,12 @@ def curated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         split.alias("split"),
         capped.alias("capped"),
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"),
+        # n_chunks = 0 (zero-length text surviving the quality gate) must
+        # emit zero chunk rows, not sequence(0, -1) = [0, -1].
+        F.explode(
+            F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1))
+            .otherwise(F.array().cast("array<int>"))
+        ).alias("chunk_index"),
     )
     chunk_text = F.expr(
         f"substring(capped, chunk_index * {CHUNK_CHARS} + 1, {CHUNK_CHARS})"

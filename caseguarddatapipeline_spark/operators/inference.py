@@ -337,7 +337,13 @@ def u7_embedding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         capped.alias("capped"),
         (F.length("text") > MAX_EMBED_CHARS).alias("truncated"),
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"),
+        # n_chunks can be 0 (empty text): sequence(0, -1) would yield the
+        # descending [0, -1], so gate on an empty array — explode drops the
+        # row, matching the oracle's unnest(generate_series(0, -1)) → 0 rows.
+        F.explode(
+            F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1))
+            .otherwise(F.array().cast("array<int>"))
+        ).alias("chunk_index"),
     )
     chunk_text = F.expr(
         f"substring(capped, chunk_index * {CHUNK_CHARS} + 1, {CHUNK_CHARS})"

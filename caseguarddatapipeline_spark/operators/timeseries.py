@@ -215,9 +215,6 @@ ORACLES = {
     # The oracle is the DIRECT theta join (key equality + range
     # predicate) — value-equality with the Spark side proves the
     # bucketized equi-join rewrite exact.
-    # The oracle is the DIRECT theta join (key equality + range
-    # predicate) — value-equality with the Spark side proves the
-    # bucketized equi-join rewrite exact.
     "t12_range_join_state": """
         WITH iv AS (
             SELECT user_id, event_type AS state, ts AS valid_from,

@@ -65,10 +65,12 @@ _WARM_MIN_BYTES = 1 << 17
 # only multiplies Python-stage task overhead (measured +80 ms on the
 # cosine kernels), and the operators that DO need width (the blocked
 # all-pairs matmul, IVF assignment) repartition on their block grid
-# explicitly. At a real 100 TB scale factor the embedding table is no
-# longer tiny and the size threshold above takes over — the override is
-# the small-corpus serving posture, not a semantic difference.
+# explicitly. The override is the small-corpus serving posture, not a
+# semantic difference — so it is size-gated: past _WARM_OVERRIDE_MAX_BYTES
+# the general _WARM_MIN_BYTES threshold takes over and the table is cached
+# multi-partition like any other fact.
 _WARM_OVERRIDES: dict[str, int] = {"embeddings": 1}
+_WARM_OVERRIDE_MAX_BYTES = 8 << 20
 
 
 def enable_warm_cache(n_partitions: int) -> None:
@@ -104,9 +106,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             ),
         )
     if warm:
-        n = _WARM_OVERRIDES.get(
-            name, warm if os.path.getsize(path) >= _WARM_MIN_BYTES else 1
-        )
+        size = os.path.getsize(path)
+        n = warm if size >= _WARM_MIN_BYTES else 1
+        if name in _WARM_OVERRIDES and size < _WARM_OVERRIDE_MAX_BYTES:
+            n = _WARM_OVERRIDES[name]
         if n > 1:
             df = df.repartition(n)
         df = df.cache()

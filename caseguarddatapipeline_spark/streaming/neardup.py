@@ -16,9 +16,12 @@ Per batch (foreachBatch):
    ``band`` so the probe join prunes to matching band directories.
 
 State lives in parquet, not executor memory: the index is re-readable
-across restarts (the checkpoint makes batch ids replay-safe; re-run
-appends for a replayed batch produce duplicate index rows, which the
-probe tolerates — candidate pairs dedupe on (new_doc, index_doc)). At
+across restarts. foreachBatch is at-least-once, so each side handles a
+replayed batch explicitly: candidate pairs write to
+``out_dir/batch_id=N`` with dynamic partition overwrite — a replay
+overwrites its own partition, making the pair output exactly-once —
+while the index side appends (a replay's duplicate signature rows are
+tolerated by the probe's groupBy-max dedupe on (new_doc, index_doc)). At
 100 TB-ingest scale the index is additionally bucketed on band_sig so
 the per-batch probe is a bucket-pruned merge join, and a TTL compaction
 drops signatures past the dedup horizon.
@@ -100,7 +103,11 @@ def run_neardup_stream(
                 has_index = False
             if has_index:
                 (probe_index(banded, index)
-                    .write.mode("append").parquet(out_dir))
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(out_dir))
             (banded.write.mode("append").partitionBy("band").parquet(index_dir))
         finally:
             banded.unpersist()

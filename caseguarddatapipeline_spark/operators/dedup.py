@@ -581,17 +581,31 @@ def _portable_token_hash(t):
     )
 
 
+# Bit-band boundaries for the 32-bit fingerprint: 7 bands of 5/5/5/5/4/4/4
+# bits. Any pair at Hamming distance ≤ 6 has its ≤ 6 differing bits spread
+# over at most 6 of the 7 bands, so by pigeonhole it agrees EXACTLY on at
+# least one band — the same band-equality guarantee the MinHash LSH join
+# above rides, here made deterministic instead of probabilistic.
+_SIMHASH_BANDS = [(0, 5), (5, 5), (10, 5), (15, 5), (20, 4), (24, 4), (28, 4)]
+
+
 def e1_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints: per-bit majority vote over token hashes.
 
     fingerprint = Σ_b 2^b · [Σ_tokens sign(bit_b(hash(token)))] > 0.
-    Near-dup pairs = Hamming distance ≤ 6 on a bounded slice. The token
-    hash is the portable char polynomial, so fingerprints (and therefore
-    hamming distances) hash-match the DuckDB oracle exactly; hashes are
+    Near-dup pairs = Hamming distance ≤ 6 over the WHOLE corpus. Pair
+    generation is a banded EQUI-join, not all-pairs: each fingerprint
+    explodes to its 7 (band, band-bits) slices (_SIMHASH_BANDS — pigeonhole
+    makes the candidate set complete for Hamming ≤ 6), candidates equi-join
+    on the slice, dedupe, and the exact bit_count verify filters — the
+    identical generate-then-verify shape as the MinHash band join above, so
+    cost is shuffle-on-band-key linear, never quadratic. The token hash is
+    the portable char polynomial, so fingerprints (and therefore hamming
+    distances) hash-match the DuckDB oracle exactly; hashes are
     materialized once per token instead of per (token, bit)."""
     docs = (
         _spread(
-            load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60),
+            load_table(spark, sf_dir, "documents"),
             spark.sparkContext.defaultParallelism,
             "doc_id",
         )
@@ -614,15 +628,39 @@ def e1_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
     )
     sigs = docs.select("doc_id", fp.alias("simhash"))
-    a, b2 = sigs.alias("a"), sigs.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(b2, F.col("a.doc_id") < F.col("b.doc_id"))
+    band_slices = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright("simhash", off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bits"),
+            )
+            for i, (off, width) in enumerate(_SIMHASH_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "simhash", F.explode(band_slices).alias("s")
+    ).select("doc_id", "simhash", F.col("s.band").alias("band"), F.col("s.bits").alias("bits"))
+    a, b2 = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
         )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        candidates.select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= 6)
     )
 
@@ -716,9 +754,71 @@ def e1_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e1_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with an IVF candidate generator — the COMPOSED
+    ANN form of e1_embedding_neardup: assign every vector to its top-2
+    cells of the 1-round k-means quantizer (similarity._ivf1_index — the
+    same oracle-pinned quantizer e2_ivf_search_1round serves), self-join
+    on cell id, verify candidates with the exact cosine. All relational:
+    the only shuffle is the equi-join on `cell`, so per-task work is
+    bounded by cell size (pick k ≈ n/cell_target as the corpus grows; at
+    100 TB `cell` persists as a partition column and the self-join is
+    partition-local).
+
+    τ-ROUTING RULE (measured, see e1_embedding_neardup's docstring for
+    the low-τ numbers): cell blocking prunes only when the threshold is
+    high enough that near-dup pairs co-quantize — candidate volume is
+    Σ|cell|²/2 ≈ n²/(2k) vs brute force's n²/2·(1/B-blocking overhead),
+    and recall is the fraction of τ-pairs sharing a top-2 cell. Route
+    HIGH-τ (tight paraphrase/near-identical dedup, τ ≳ 0.8, where
+    neighbors and their cells coincide) through THIS operator; route
+    low-τ sweeps (this corpus' τ=0.35 sits at the 99.9th pair
+    percentile but only ~0.5 max pair cosine) through the blocked exact
+    matmul, which is both exact and cheaper there. The catalog pins
+    τ=0.35 so the same-cell candidate semantics is checkable against
+    the exact operator's output on one corpus: at sf0.01 this generator
+    recovers 167 of the exact operator's 271 pairs (62% — exactly the
+    low-τ recall loss the routing rule exists to avoid).
+    """
+    from .similarity import _cell_cosines, _dbl, _dot, _ivf1_index, _norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cents = _ivf1_index(spark, sf_dir)
+    corpus = emb.select("vec_id", _dbl(F.col("embedding")).alias("emb"))
+    cos6 = F.transform(
+        _cell_cosines(cents, F.col("emb")), lambda c: F.round(c, 6)
+    )
+    cos_idx = F.transform(
+        cos6, lambda c, i: F.struct(c.alias("cos"), (-i).alias("neg_idx"))
+    )
+    top2 = F.transform(
+        F.slice(F.reverse(F.array_sort(cos_idx)), 1, 2), lambda s: -s["neg_idx"]
+    )
+    assigned = corpus.select("vec_id", "emb", F.explode(top2).alias("cell"))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
+        _norm(F.col("a.emb")) * _norm(F.col("b.emb"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+        .distinct()
+    )
+
+
 QUERIES = {
     "e1_exact_dedup": e1_exact_dedup,
     "e1_embedding_neardup": e1_embedding_neardup,
+    "e1_embedding_neardup_ivf": e1_embedding_neardup_ivf,
     "e1_dedup_stats": e1_dedup_stats,
     "e1_ngram_jaccard": e1_ngram_jaccard,
     "e1_minhash_lsh": e1_minhash_lsh,
@@ -815,7 +915,7 @@ ORACLES = {
             SELECT doc_id,
                    list_filter(list_distinct(string_split(text, ' ')),
                                t -> t <> '') AS toks
-            FROM documents WHERE doc_id < 60
+            FROM documents
         ), hashes AS (
             SELECT doc_id,
                    unnest(list_transform(toks, t ->
@@ -846,6 +946,35 @@ ORACLES = {
 
 # identical integer pipeline, different execution strategy → same oracle
 ORACLES["e1_minhash_lsh_vectorized"] = ORACLES["e1_minhash_lsh"]
+
+# Same 1-round quantizer the e2 search oracle pins (shared CTE chain), then:
+# top-2 cell multi-assignment by centroid cosine, same-cell candidate pairs,
+# exact-cosine verify. DISTINCT collapses pairs sharing both top-2 cells.
+from .similarity import IVF1_CENTS_SQL  # noqa: E402  (after ORACLES: oracle-only dep)
+
+ORACLES["e1_embedding_neardup_ivf"] = IVF1_CENTS_SQL + """
+    , cent_scored AS (
+        SELECT c.vec_id, c.emb, ct.cell,
+               round(list_dot_product(c.emb, ct.c_emb)
+                     / (sqrt(list_dot_product(c.emb, c.emb))
+                        * sqrt(list_dot_product(ct.c_emb, ct.c_emb))), 6) AS cos6
+        FROM corpus c CROSS JOIN cents ct
+    ), multi AS (
+        SELECT vec_id, emb, cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cos6 DESC, cell ASC) AS rn
+              FROM cent_scored)
+        WHERE rn <= 2
+    )
+    SELECT DISTINCT doc_a, doc_b, cosine FROM (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               round(list_dot_product(a.emb, b.emb)
+                     / (sqrt(list_dot_product(a.emb, a.emb))
+                        * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+        FROM multi a JOIN multi b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.35
+"""
 
 # Iterative min-label propagation converges to exactly the transitive
 # closure a recursive CTE computes — the same LSH pair SQL feeds both.

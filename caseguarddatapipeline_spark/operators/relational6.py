@@ -86,26 +86,56 @@ def j11_except_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def e1_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-level near-dup pairs by bounded edit distance on customer
-    names (bounded slice): levenshtein ≤ 1 on a blocked candidate set
-    (same name length ±1 — at scale the block key is the shuffle key)."""
-    customer = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_custkey") < 200
+    names — the dedup family's last mode (typo dupes that token/shingle
+    methods miss; the fuzzy client-name matching of crm/discovery.py).
+
+    Candidate generation is a deletion-neighborhood EQUI-join (the
+    SymSpell/FastSS blocking scheme): every string at edit distance ≤ 1
+    from ``s`` shares a member of {s} ∪ deletions₁(s) with it — a
+    substitution pair shares the deletion at the substituted position,
+    an insert/delete pair shares the shorter string itself. So exploding
+    each name to its ≤ len+1 variant hashes and equi-joining on the
+    variant hash produces a complete candidate set with NO theta/nested-
+    loop join (length-blocking would degenerate here: the names are
+    fixed-width, one block = all-pairs). Blocks are tiny and uniformly
+    hashed, so the shuffle key is skew-free at any corpus size; exact
+    ``levenshtein ≤ 1`` verifies candidates (which also absorbs hash
+    collisions). Cost is (len+1)× row fan-out on the narrow
+    (hash, key, name) projection — linear, not quadratic."""
+    customer = load_table(spark, sf_dir, "customer")
+    c = customer.select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
     )
-    a = customer.select(
-        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a")
+    deletions = F.expr(
+        "transform(sequence(1, greatest(length(name), 1)), i -> "
+        "concat(substring(name, 1, i - 1), substring(name, i + 1, length(name))))"
     )
-    b = customer.select(
-        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b")
+    variants = c.select(
+        "key",
+        "name",
+        F.explode(F.array_union(F.array(F.col("name")), deletions)).alias(
+            "variant"
+        ),
+    ).select("key", "name", F.xxhash64("variant").alias("block"))
+    a = variants.select(
+        "block", F.col("key").alias("key_a"), F.col("name").alias("name_a")
     )
-    return (
+    b = variants.select(
+        F.col("block").alias("block_b"),
+        F.col("key").alias("key_b"),
+        F.col("name").alias("name_b"),
+    )
+    candidates = (
         a.join(
             b,
-            (F.col("key_a") < F.col("key_b"))
-            & (
-                F.abs(F.length("name_a") - F.length("name_b")) <= 1
-            ),
+            (F.col("block") == F.col("block_b"))
+            & (F.col("key_a") < F.col("key_b")),
         )
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .select("key_a", "key_b", "name_a", "name_b")
+        .distinct()
+    )
+    return (
+        candidates.withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("edit_dist") <= 1)
         .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
     )
@@ -192,12 +222,14 @@ ORACLES = {
         EXCEPT
         SELECT o_custkey, o_orderpriority FROM orders WHERE o_totalprice > 150000
     """,
+    # The oracle is the DIRECT all-pairs definition (length prefilter only
+    # narrows the loop) — value-equality proves the deletion-neighborhood
+    # equi-join candidate generator complete for edit distance ≤ 1.
     "e1_fuzzy_name_match": """
-        WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 200)
         SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
                a.c_name AS name_a, b.c_name AS name_b,
                CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
-        FROM c a JOIN c b
+        FROM customer a JOIN customer b
           ON a.c_custkey < b.c_custkey
          AND abs(length(a.c_name) - length(b.c_name)) <= 1
         WHERE levenshtein(a.c_name, b.c_name) <= 1

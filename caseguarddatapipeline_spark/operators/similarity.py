@@ -584,12 +584,11 @@ ORACLES = {
 ORACLES["e2_cosine_topk_vectorized"] = ORACLES["e2_cosine_topk"]
 ORACLES["e2_knn_per_query_vectorized"] = ORACLES["e2_knn_per_query"]
 
-# The one-Lloyd-round IVF is plain relational algebra end-to-end:
-# seed-assignment (argmax as row_number over rounded cosines), centroid
-# means (per-dimension avg over a generated index), multi-probe ranking,
-# and the final candidate top-k. Empty seed cells keep their (rounded)
-# seed vector, mirroring the Spark fallback.
-ORACLES["e2_ivf_search_1round"] = """
+# Shared 1-round-quantizer CTE chain (seed assignment → per-dimension
+# centroid means, empty cells keeping their rounded seed): reused verbatim
+# by the e2 search oracle below AND the e1_embedding_neardup_ivf oracle
+# (operators/dedup.py), so both cross-engine checks pin the SAME quantizer.
+IVF1_CENTS_SQL = """
     WITH corpus AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         FROM embeddings
@@ -618,7 +617,15 @@ ORACLES["e2_ivf_search_1round"] = """
         UNION ALL
         SELECT s.cell, list_transform(s.s_emb, v -> round(v, 6))
         FROM seeds s WHERE s.cell NOT IN (SELECT cell FROM cents0)
-    ), queries AS (
+    )"""
+
+# The one-Lloyd-round IVF is plain relational algebra end-to-end:
+# seed-assignment (argmax as row_number over rounded cosines), centroid
+# means (per-dimension avg over a generated index), multi-probe ranking,
+# and the final candidate top-k. Empty seed cells keep their (rounded)
+# seed vector, mirroring the Spark fallback.
+ORACLES["e2_ivf_search_1round"] = IVF1_CENTS_SQL + """
+    , queries AS (
         SELECT vec_id AS query_id, emb AS q_emb FROM corpus WHERE vec_id < 5
     ), probe_scored AS (
         SELECT q.query_id, q.q_emb, ct.cell,

@@ -96,6 +96,43 @@ def test_curation_removals_broadcast_anti_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
+# Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast side — a
+# 1-row scalar aggregate or a fixed O(1) query set — so the "loop" is O(n·1):
+# the correct plan, not a quadratic risk. Everything else must ride an
+# equi-key (blocking/banding/bucketing).
+BNLJ_BOUNDED = {
+    "q11_important_stock": "scalar threshold subquery (1-row broadcast)",
+    "q22_dormant_customers": "scalar avg-acctbal subquery (1-row broadcast)",
+    "t12_range_join_state": "event-horizon scalar (1-row broadcast)",
+    "e3_tfidf_term": "corpus df/total stats (1-row broadcast)",
+    "e3_ranked_search": "corpus total-docs scalar (1-row broadcast)",
+    "e5_curation_funnel": "funnel stage counts (scalar aggregates)",
+    "e2_cosine_topk": "single query vector (1-row broadcast)",
+    "e2_knn_per_query": "fixed 5-vector query set broadcast",
+    "e1_ngram_jaccard": "documented capped verification stage behind the "
+    "LSH candidate generator (dedup.py e1_minhash_lsh)",
+}
+
+
+def test_no_nested_loop_or_cartesian_anywhere(spark, sf_dir):
+    # Catalog-wide scale pin: no operator may plan a CartesianProduct, and
+    # BroadcastNestedLoopJoin only with a bounded (scalar/fixed-size)
+    # broadcast side per BNLJ_BOUNDED. A theta join hiding behind a row
+    # cap passes small-scale correctness but is quadratic at 100 TB; this
+    # catches it at plan-build time.
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = _plan(fn(spark, sf_dir))
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BOUNDED:
+            bad.append("BroadcastNestedLoopJoin")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"nested-loop/cartesian plans: {offenders}"
+
+
 def test_curation_shuffle_budget(spark, sf_dir):
     # pipeline contract: exact-dedup window (persisted, computed once),
     # kernel repartition, LSH bucket groupBy, removal distinct, summary

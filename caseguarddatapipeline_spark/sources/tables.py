@@ -60,17 +60,12 @@ _WARM_CACHE: dict[str, int | None] = {"partitions": None}
 # (nation/region/supplier, < 128 KB) stay single-partition.
 _WARM_MIN_BYTES = 1 << 17
 
-# Per-table layout overrides: embeddings is row-tiny (2k × 64-d at
-# sf0.1) with per-row work that is one SIMD matmul row — fanning it out
-# only multiplies Python-stage task overhead (measured +80 ms on the
-# cosine kernels), and the operators that DO need width (the blocked
-# all-pairs matmul, IVF assignment) repartition on their block grid
-# explicitly. The override is the small-corpus serving posture, not a
-# semantic difference — so it is size-gated: past _WARM_OVERRIDE_MAX_BYTES
-# the general _WARM_MIN_BYTES threshold takes over and the table is cached
-# multi-partition like any other fact.
-_WARM_OVERRIDES: dict[str, int] = {"embeddings": 1}
-_WARM_OVERRIDE_MAX_BYTES = 8 << 20
+# (A former per-table override pinned embeddings to one cached partition
+# to spare the Arrow cosine kernels task fan-out overhead; since the
+# cosine operators route small/narrow corpora through codegen HOF plans
+# — operators/similarity._use_arrow_kernel — the cached HOF loop now
+# WANTS width, so embeddings follows the same size threshold as every
+# other table.)
 
 
 def enable_warm_cache(n_partitions: int) -> None:
@@ -106,10 +101,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             ),
         )
     if warm:
-        size = os.path.getsize(path)
-        n = warm if size >= _WARM_MIN_BYTES else 1
-        if name in _WARM_OVERRIDES and size < _WARM_OVERRIDE_MAX_BYTES:
-            n = _WARM_OVERRIDES[name]
+        n = warm if os.path.getsize(path) >= _WARM_MIN_BYTES else 1
         if n > 1:
             df = df.repartition(n)
         df = df.cache()

@@ -109,6 +109,8 @@ BNLJ_BOUNDED = {
     "e5_curation_funnel": "funnel stage counts (scalar aggregates)",
     "e2_cosine_topk": "single query vector (1-row broadcast)",
     "e2_knn_per_query": "fixed 5-vector query set broadcast",
+    "e2_cosine_topk_vectorized": "small-corpus route → same 1-row-broadcast plan",
+    "e2_knn_per_query_vectorized": "small-corpus route → same 5-row-broadcast plan",
     "e1_ngram_jaccard": "documented capped verification stage behind the "
     "LSH candidate generator (dedup.py e1_minhash_lsh)",
 }

@@ -27,71 +27,79 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # First 50 = the driver's CORRECTNESS window. The window ROTATES across
 # rounds so driver-level evidence accumulates over the whole catalog
 # instead of re-proving the same 50 queries: rounds 1-2 covered the
-# flagship, the bench headliners, and the full E1/E2/E5 families (all
-# green — see CORRECTNESS_r01/r02.json); round 3 keeps the flagship and
-# one representative per SURVEY §2 family and fills the remaining slots
-# with queries that had no green driver row in any prior round (TPC-H
-# shapes, the A-family tail, P/J/W/F/N members). Every rotated-out query
-# stays oracle-checked by tools/parity.py and tools/driver_sim.py over
-# the FULL catalog. Rows-only entries (e2_ivf_search) are deliberately
-# kept out of the window: they can never turn a slot green.
+# flagship, the bench headliners, and the full E1/E2/E5 families; round 3
+# added the TPC-H shape set and the A/P/J/W/F tails (49/50 green, the one
+# red being the q12 oracle-dtype artifact fixed this round). Round 4
+# finishes the sweep: every oracle-backed entry that has never had a
+# driver-green CORRECTNESS row (36 entries), plus q12 (to record the
+# dtype fix green), plus e1_fuzzy_name_match / e1_simhash (reworked this
+# round from capped nested-loop pair joins to uncapped blocked equi-joins
+# — re-proving them under the new plans), plus 11 continuity slots for
+# the flagship and the bench headliners whose serving path changed this
+# round (e2 cosine/knn cost-routing). Every rotated-out query stays
+# oracle-checked by tools/parity.py and tools/driver_sim.py over the
+# FULL catalog. Rows-only entries (e2_ivf_search,
+# a16_approx_distinct_users) are deliberately kept out of the window:
+# they can never turn a slot green.
 _PRIORITY = [
-    # Flagship + per-family representatives (driver-green in r1/r2 —
-    # continuity evidence that rotation didn't break what was proven)
+    # Continuity: flagship + bench headliners (driver-green r1-r3;
+    # e2 entries re-proven because their kernel routing changed this round)
     "a1_reconciliation_summary",
     "a1_reconciliation_summary_sql",
     "q1_pricing_summary_sql",
     "e1_minhash_lsh_vectorized",
+    "e2_cosine_topk_vectorized",
     "e2_knn_per_query_vectorized",
     "e5_corpus_curation",
     "e3_quality_score",
     "e4_multimodal_join",
     "p1_active_filter",
-    "j4_watermark_updates",
-    "w2_recent_events_per_entity",
-    "f1_multiformat_dates",
-    "n2_explode_history_filtered",
-    "u1_insight_extraction",
     "t2_watermark_advance",
-    "s3_rest_case_fetch",
-    # Round-3 additions (new operators this round)
-    "s5_soap_fetch",
-    "u3_format_dispatch",
-    "e2_ivf_search_1round",
-    # Never-driver-verified before round 3: TPC-H shape set
-    "q2_min_cost_supplier",
-    "q4_order_priority_check",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
+    # Fix-evidence: red-or-reworked in round 3, must record green now
     "q12_priority_shipping",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q21_waiting_orders_suppliers",
-    "q22_dormant_customers",
-    # Never-driver-verified: A-family analytics tail
-    "a14_cube_counts",
-    "a15_distinct_users",
-    "a18_value_percentiles",
-    "a20_priority_pivot",
-    "a23_value_histogram",
-    "a25_data_profile",
-    "a27_daily_order_spine",
-    # Never-driver-verified: P/J/W/F family members
-    "p3_nested_path_projection",
-    "p6_tenant_isolation_filter",
-    "j6_inlist_lookup",
-    "j10_intersect_snapshots",
-    "w3_doc_cap_per_case",
-    "w8_sessionize",
-    "f18_null_normalization",
-    "f20_ratio_metrics",
+    "e1_fuzzy_name_match",
+    "e1_simhash",
+    # Never-driver-verified: SURVEY §2 base-inventory members
+    "p2_canonical_projection",
+    "p7_significant_event_filter",
+    "p8_stable_sample",
+    "a8_status_distribution",
+    "a11_queue_depth",
+    "w6_listing_sort",
+    "w9_rolling_activity",
+    "n6_column_append_merge",
+    "u5_urgency_score",
+    "u6_label_centroids",
+    "u7_embedding_chunks",
+    "j11_except_snapshots",
+    # Never-driver-verified: TPC-H shapes missed by the round-3 window
+    "q5_regional_volume",
+    "q11_important_stock",
+    "q18_large_orders",
+    "q20_promo_suppliers",
+    # Never-driver-verified: A-family extension tail
+    "a17_salted_hotkey_agg",
+    "a19_reconciliation_quality",
+    "a21_unpivot_metrics",
+    "a22_argmax_order",
+    "a24_corr_stats",
+    "a26_price_trend",
+    # Never-driver-verified: temporal operators
+    "t10_asof_join",
+    "t11_scd2_history",
+    "t12_range_join_state",
+    # Never-driver-verified: E-family training-data operators
+    "e1_embedding_neardup_ivf",
+    "e3_token_count",
+    "e3_repetition_ratio",
+    "e3_doc_fingerprint",
+    "e3_tfidf_term",
+    "e3_bpe_tokens",
+    "e3_ranked_search",
+    "e3_pii_scrub",
+    "e4_binary_metadata",
+    "e4_frame_sample",
+    "e5_dedup_rate_by_source",
 ]
 
 

@@ -55,16 +55,67 @@ def csv_case_scan(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
-def write_partitioned(df: DataFrame, path: str, *keys: str) -> None:
+def object_store_options(
+    endpoint_url: str,
+    access_key: str,
+    secret_key: str,
+    *,
+    region: str | None = None,
+    path_style: bool = True,
+) -> dict[str, str]:
+    """S6 deployment config: the reference's Spaces client settings
+    (storage/spaces.py:36-72 — endpoint_url, credentials, region,
+    path-style addressing) expressed as the public Hadoop ``fs.s3a.*``
+    keys Spark's S3A filesystem reads. Returned as a dict so the same
+    map works at session-build time (``spark.hadoop.`` prefix) or at
+    runtime via ``configure_object_store``."""
+    opts = {
+        "fs.s3a.endpoint": endpoint_url,
+        "fs.s3a.access.key": access_key,
+        "fs.s3a.secret.key": secret_key,
+        "fs.s3a.path.style.access": str(path_style).lower(),
+    }
+    if region is not None:
+        opts["fs.s3a.endpoint.region"] = region
+    return opts
+
+
+def configure_object_store(spark: SparkSession, options: dict[str, str]) -> None:
+    """Apply ``object_store_options`` to a live session's Hadoop
+    configuration, after which ``write_partitioned``/``read_partition``
+    accept ``s3a://bucket/...`` paths verbatim (hadoop-aws jar required
+    on the classpath, as in any S3-enabled Spark deployment)."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in options.items():
+        hconf.set(k, v)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, *keys: str, options: dict[str, str] | None = None
+) -> None:
     """S6: write with the tenant/zone partition layout. Readers filtering
     on the partition keys prune directories (the Spark analog of the
-    reference's key-prefix listing)."""
-    df.write.mode("overwrite").partitionBy(*keys).parquet(path)
+    reference's key-prefix listing). ``options`` passes writer options
+    (e.g. ``compression``) straight through; for object-store targets,
+    configure the filesystem once via ``configure_object_store`` and pass
+    an ``s3a://`` path."""
+    writer = df.write.mode("overwrite").partitionBy(*keys)
+    if options:
+        writer = writer.options(**options)
+    writer.parquet(path)
 
 
-def read_partition(spark: SparkSession, path: str, **filters) -> DataFrame:
+def read_partition(
+    spark: SparkSession,
+    path: str,
+    options: dict[str, str] | None = None,
+    **filters,
+) -> DataFrame:
     """S6 read side: scan + partition-key filters (pruned at planning)."""
-    df = spark.read.parquet(path)
+    reader = spark.read
+    if options:
+        reader = reader.options(**options)
+    df = reader.parquet(path)
     for k, v in filters.items():
         df = df.filter(F.col(k) == v)
     return df

@@ -184,6 +184,28 @@ def jobs_to_kafka_records(jobs: DataFrame) -> DataFrame:
     )
 
 
+def enqueue_jobs_kafka(
+    jobs: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    checkpoint_dir: str | None = None,
+):
+    """S9 Kafka enqueue, composed end-to-end: typed job rows →
+    (key, value) records → a fully-configured Kafka writer. Returns the
+    UNSTARTED writer (``DataStreamWriter`` for streaming inputs,
+    ``DataFrameWriter`` for batch) so deployments call ``.start()`` /
+    ``.save()`` themselves — and so the whole seam short of the broker
+    handshake is unit-testable without the spark-sql-kafka connector."""
+    records = jobs_to_kafka_records(jobs)
+    opts = kafka_sink_options(
+        bootstrap_servers, topic, checkpoint_dir=checkpoint_dir
+    )
+    if jobs.isStreaming:
+        return records.writeStream.format("kafka").options(**opts)
+    return records.write.format("kafka").options(**opts)
+
+
 def run_jobs_stream(
     spark: SparkSession,
     queue_dir: str,

@@ -140,3 +140,30 @@ def test_kafka_sink_roundtrip_contract(spark):
         for r in parse_job_records(records).collect()
     )
     assert back == [(1, 1, "new", 1, 0), (2, 2, "update", 2, 1)]
+
+
+def test_enqueue_jobs_kafka_builds_configured_writer(spark, tmp_path):
+    """The composed S9 enqueue seam returns an unstarted, fully-configured
+    writer for both batch and streaming inputs (no broker needed to build)."""
+    from pyspark.sql.readwriter import DataFrameWriter
+    from pyspark.sql.streaming.readwriter import DataStreamWriter
+
+    from caseguarddatapipeline_spark.streaming.jobs import (
+        JOB_SCHEMA,
+        enqueue_jobs_kafka,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, 1, "new", 1, 0)],
+        "job_id long, entity_id long, change_type string, priority int, retry_count int",
+    )
+    w = enqueue_jobs_kafka(batch, "b:9092", "jobs")
+    assert isinstance(w, DataFrameWriter)
+
+    qdir = tmp_path / "queue"
+    qdir.mkdir()
+    stream = spark.readStream.schema(JOB_SCHEMA).json(str(qdir))
+    sw = enqueue_jobs_kafka(
+        stream, "b:9092", "jobs", checkpoint_dir=str(tmp_path / "ck")
+    )
+    assert isinstance(sw, DataStreamWriter)

@@ -44,6 +44,18 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     a, b = _canon(spark_pdf), _canon(duck_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The real driver hashes raw values, so an int64-vs-float64 column
+        # (e.g. Spark BIGINT vs a DuckDB HUGEINT sum widened to float) hash-
+        # mismatches even when the values are equal. Surface that here so
+        # oracle dtype drift is caught locally (the q12 round-3 red row was
+        # exactly this artifact).
+        kinds = {av.dtype.kind, bv.dtype.kind}
+        if kinds & {"i", "u"} and "f" in kinds:
+            problems.append(
+                f"col {c}: dtype-kind mismatch spark={av.dtype} duck={bv.dtype}"
+                " (driver value-hash would differ; CAST the oracle)"
+            )
+            continue
         try:
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 ok = ((av - bv).abs() < 1e-9) | (av.isna() & bv.isna())

@@ -134,7 +134,7 @@ def _registered_modules():
         "scalar", "scalar2", "relational2", "relational3", "relational4",
         "relational5", "relational6", "relational7", "relational8",
         "relational9", "relational10", "sql_twins", "profiling", "timeseries",
-        "skew", "sessions", "textops", "dedup", "curation", "similarity",
+        "skew", "sessions", "textops", "dedup", "curation", "similarity", "pq",
         "multimodal", "incremental", "inference", "rest_fetch", "canonical",
         "soap_fetch",
     ):

@@ -17,20 +17,41 @@ def a10_worker_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the worker class; 'error' events are failures)."""
     events = load_table(spark, sf_dir, "events")
     is_fail = F.col("event_type") == "error"
-    per_user = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("jobs_processed"),
-        F.count(F.when(~is_fail, 1)).alias("jobs_successful"),
-        F.count(F.when(is_fail, 1)).alias("jobs_failed"),
-        F.round(F.avg("value"), 4).alias("avg_processing_value"),
+    # The 4dp mean is computed ENTIRELY in integer arithmetic: exact
+    # micro-unit sums (values are non-negative currency doubles), then
+    # half-up rounding as (2S + 100n) DIV (200n) — because round(double)
+    # on a true half-way quotient (e.g. 3148.24/64 = 49.19125) rounds UP
+    # in Spark but half-to-even in DuckDB, flipping the driver hash at
+    # sf0.1 group sizes. Integer division agrees everywhere.
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("jobs_processed"),
+            F.count(F.when(~is_fail, 1)).alias("jobs_successful"),
+            F.count(F.when(is_fail, 1)).alias("jobs_failed"),
+            F.sum(
+                (F.col("value").cast("decimal(18,6)") * 1000000).cast("long")
+            ).alias("s_micro"),
+        )
+    )
+    avg_4dp = (
+        F.expr("(2 * s_micro + 100 * jobs_processed) DIV (200 * jobs_processed)")
+        .cast("double")
+        / 10000.0
     )
     return per_user.select(
         "user_id",
         "jobs_processed",
         "jobs_successful",
         "jobs_failed",
-        "avg_processing_value",
-        F.round(
-            F.col("jobs_successful").cast("double") / F.col("jobs_processed"), 6
+        avg_4dp.alias("avg_processing_value"),
+        (
+            F.expr(
+                "(2 * jobs_successful * 1000000 + jobs_processed)"
+                " DIV (2 * jobs_processed)"
+            ).cast("double")
+            / 1000000.0
         ).alias("success_rate"),
     )
 
@@ -147,17 +168,24 @@ QUERIES = {
 
 ORACLES = {
     "a10_worker_metrics": """
+        -- Ratios are half-up-rounded in INTEGER arithmetic ((2k+n) // 2n
+        -- scaled): round(double) disagrees across engines on exact
+        -- half-way quotients (Spark half-up, DuckDB half-to-even).
         WITH per_user AS (
             SELECT user_id,
                    count(*) AS jobs_processed,
                    count(CASE WHEN event_type <> 'error' THEN 1 END) AS jobs_successful,
                    count(CASE WHEN event_type = 'error' THEN 1 END) AS jobs_failed,
-                   round(avg(value), 4) AS avg_processing_value
+                   sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS s_micro
             FROM events GROUP BY user_id
         )
         SELECT user_id, jobs_processed, jobs_successful, jobs_failed,
-               avg_processing_value,
-               round(CAST(jobs_successful AS DOUBLE) / jobs_processed, 6) AS success_rate
+               CAST((2 * s_micro + 100 * jobs_processed)
+                    // (200 * jobs_processed) AS DOUBLE) / 10000.0
+                   AS avg_processing_value,
+               CAST((2 * jobs_successful * 1000000 + jobs_processed)
+                    // (2 * jobs_processed) AS DOUBLE) / 1000000.0
+                   AS success_rate
         FROM per_user
     """,
     "a12_performance_summary": """

@@ -32,3 +32,54 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     hits = sum(len(ivf_sets[q] & brute_sets[q]) for q in brute_sets)
     total = sum(len(brute_sets[q]) for q in brute_sets)
     assert hits / total >= 0.6, f"IVF recall {hits}/{total}"
+
+
+def test_pq_search_shape_and_recall(spark, sf_dir):
+    """PQ-ADC top-3: right shape (5 queries × 3 ranked rows, nonneg
+    distances ascending) and useful recall against exact kNN — PQ is an
+    approximation of L2 while the exact ranking is cosine, but the corpus
+    embeddings are near-unit-norm so the neighbor sets largely agree."""
+    from caseguarddatapipeline_spark.operators.pq import e2_pq_search_1round
+
+    rows = e2_pq_search_1round(spark, sf_dir).collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        assert r["adist"] >= 0.0
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["adist"]))
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for pairs in by_q.values():
+        pairs.sort()
+        assert [p[0] for p in pairs] == [1, 2, 3]
+        dists = [p[1] for p in pairs]
+        assert dists == sorted(dists)
+
+    import numpy as np
+
+    from caseguarddatapipeline_spark.sources import load_table
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    # The synthetic corpus is near-uniform on the sphere (exact top-3
+    # distance ≈1.3 vs median pairwise ≈2.0), so a 4×16-code codebook's
+    # quantization error (~0.76) swamps the neighbor gap and exact-top-3
+    # recall is genuinely low (numpy simulation of the same quantizer:
+    # 5/15). The meaningful invariant is that PQ returns NEAR neighbors:
+    # every pick sits in the exact-L2 top quartile (measured: worst rank
+    # 86 of 499, i.e. top 18%), with some exact-top-3 hits.
+    hits = 0
+    for q in range(5):
+        exact = sorted(
+            (float(np.sum((emb[v] - emb[q]) ** 2)), v)
+            for v in emb
+            if v != q
+        )
+        rank_of = {v: i for i, (_, v) in enumerate(exact)}
+        top3 = {v for _, v in exact[:3]}
+        picks = {r["vec_id"] for r in rows if r["query_id"] == q}
+        hits += len(picks & top3)
+        worst = max(rank_of[v] for v in picks)
+        assert worst <= 0.25 * len(emb), f"query {q}: exact rank {worst}"
+    assert hits >= 2, f"PQ exact-top-3 hits {hits}/15"

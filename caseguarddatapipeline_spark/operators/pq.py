@@ -15,23 +15,24 @@ asymmetric-distance computation (ADC): per query, a tiny M×k table of
 exact query-subvector→centroid distances; a vector's approximate distance
 is the sum of M table lookups selected by its codes.
 
-Everything here is relational algebra on equi-joins — no UDF, no collect:
+Two search entries:
 
-- codebook training is pinned to exactly ONE Lloyd round per subspace,
-  seeded by the first k vectors' subvectors (the same determinism contract
-  as ``e2_ivf_search_1round``), so the full pipeline has an exact DuckDB
-  oracle. Distances are rounded to 6dp before every argmin and centroid
-  components to 6dp, so cross-engine float association can never flip an
-  assignment; ties break to the lowest cell id in both engines.
-- the ADC table (|queries|×M×k rows — 320 here) broadcasts; candidates
-  come from an equi-join of the CODES relation (4 small ints per vector)
-  with that table, then a (query_id, vec_id) partial-sum groupBy. At 100 TB
-  the codes relation is the only corpus-wide scan — the 64×-compressed
-  representation — and the groupBy is map-side-combinable (M rows per key).
-  For latency-critical serving the same table feeds a numpy gather inside
-  mapInPandas; for recall-critical routing PQ composes with the IVF cells
-  (FAISS IVFPQ) exactly as ``e1_embedding_neardup_ivf`` composes cells with
-  exact verification.
+- ``e2_pq_search_1round`` — flat ADC scan over the full codes relation
+  (FAISS ``IndexPQ``): the corpus-wide pass touches only the compressed
+  representation.
+- ``e2_ivfpq_search_1round`` — IVF cells route each query to nprobe=4 of
+  16 coarse partitions, PQ codes score only the candidates inside them
+  (FAISS ``IndexIVFPQ`` with by_residual=false): compute AND memory
+  pruning composed. At 100 TB `cell` persists as a partition column, so
+  the probe join is partition pruning over a 64×-compressed corpus.
+
+Everything is relational algebra on equi-joins — no UDF, no collect:
+codebook training is pinned to exactly ONE Lloyd round per subspace,
+seeded by the first k vectors' subvectors (the same determinism contract
+as ``e2_ivf_search_1round``), so the full pipeline has an exact DuckDB
+oracle. Distances are rounded to 6dp before every argmin and centroid
+components to 6dp, so cross-engine float association can never flip an
+assignment; ties break to the lowest cell/code id in both engines.
 """
 
 from __future__ import annotations
@@ -40,8 +41,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources import load_table
+from .similarity import IVF1_CENTS_SQL, _cell_cosines, _ivf1_index
 
 M, SUBDIM, K, N_QUERIES, TOPK = 4, 16, 16, 5, 3
+NPROBE = 4
+
+def _w_argmin():
+    return Window.partitionBy("vec_id", "m").orderBy(F.asc("d6"), F.asc("cell"))
 
 
 def _l2sq(a, b):
@@ -51,6 +57,13 @@ def _l2sq(a, b):
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, v: acc + v,
+    )
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
 
 
@@ -68,34 +81,20 @@ def _subvectors(corpus: DataFrame) -> DataFrame:
     return corpus.select("vec_id", F.inline(parts))
 
 
-def e2_pq_search_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-compressed ANN, driver-checkable end-to-end.
-
-    Train (1 Lloyd round/subspace) → encode (argmin code per subspace) →
-    ADC search (per-query distance table + code equi-join + partial-sum
-    groupBy). Queries are the first 5 vectors, ranked by approximate
-    distance ascending with vec_id tie-break, top-3 each."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
-    )
-    subs = _subvectors(corpus)
-
+def _pq_codebooks(subs: DataFrame) -> DataFrame:
+    """One Lloyd round per subspace: nearest seed per (vector, subspace),
+    then the per-dimension mean of each (subspace, cell) group. Empty
+    cells keep their (rounded) seed subvector, as in the IVF twin.
+    Returns (m, cell, c_sub[16])."""
     seeds = subs.filter(F.col("vec_id") < K).select(
         F.col("m").alias("sm"),
         F.col("vec_id").alias("cell"),
         F.col("sub").alias("s_sub"),
     )
-
-    # One Lloyd round: nearest seed per (vector, subspace), then the
-    # per-dimension mean of each (subspace, cell) group.
-    w_argmin = Window.partitionBy("vec_id", "m").orderBy(
-        F.asc("d6"), F.asc("cell")
-    )
     assigned = (
         subs.join(F.broadcast(seeds), F.col("m") == F.col("sm"))
         .withColumn("d6", F.round(_l2sq(F.col("sub"), F.col("s_sub")), 6))
-        .withColumn("rn", F.row_number().over(w_argmin))
+        .withColumn("rn", F.row_number().over(_w_argmin()))
         .filter(F.col("rn") == 1)
         .select("vec_id", "m", "sub", "cell")
     )
@@ -111,7 +110,6 @@ def e2_pq_search_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("pv", lambda s: F.round(s["v"], 6)).alias("c_sub"),
         )
     )
-    # Empty cells keep their (rounded) seed subvector, as in the IVF twin.
     empty = (
         seeds.join(
             cents0,
@@ -124,27 +122,33 @@ def e2_pq_search_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("s_sub", lambda v: F.round(v, 6)).alias("c_sub"),
         )
     )
-    cents = cents0.unionByName(empty).localCheckpoint(eager=False)
+    return cents0.unionByName(empty).localCheckpoint(eager=False)
 
-    # Encode: the corpus keeps only (vec_id, m, code) — the compressed form.
-    codes = (
+
+def _pq_codes(subs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Encode: the corpus keeps only (vec_id, m, code) — the 64×-
+    compressed form (argmin codebook entry per subspace)."""
+    return (
         subs.join(
             F.broadcast(cents.withColumnRenamed("m", "cm")),
             F.col("m") == F.col("cm"),
         )
         .withColumn("d6", F.round(_l2sq(F.col("sub"), F.col("c_sub")), 6))
-        .withColumn("rn", F.row_number().over(w_argmin))
+        .withColumn("rn", F.row_number().over(_w_argmin()))
         .filter(F.col("rn") == 1)
         .select("vec_id", "m", F.col("cell").alias("code"))
     )
 
-    # ADC: exact query-subvector → centroid distances (|q|×M×K rows).
+
+def _adc_table(subs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Exact query-subvector → codebook-entry distances: |queries|×M×K
+    rows (320 here) — the tiny table every ADC scan broadcasts."""
     queries = subs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("m").alias("qm"),
         F.col("sub").alias("q_sub"),
     )
-    dtab = queries.join(
+    return queries.join(
         cents.withColumnRenamed("m", "cm"), F.col("qm") == F.col("cm")
     ).select(
         "query_id",
@@ -152,6 +156,19 @@ def e2_pq_search_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").alias("code"),
         F.round(_l2sq(F.col("q_sub"), F.col("c_sub")), 6).alias("d"),
     )
+
+
+def e2_pq_search_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat PQ-ADC ANN, driver-checkable end-to-end.
+
+    Train (1 Lloyd round/subspace) → encode (argmin code per subspace) →
+    ADC search (per-query distance table + code equi-join + partial-sum
+    groupBy). Queries are the first 5 vectors, ranked by approximate
+    distance ascending with vec_id tie-break, top-3 each."""
+    subs = _subvectors(_corpus(spark, sf_dir))
+    cents = _pq_codebooks(subs)
+    codes = _pq_codes(subs, cents)
+    dtab = _adc_table(subs, cents)
 
     w_rank = Window.partitionBy("query_id").orderBy(
         F.asc("adist"), F.asc("vec_id")
@@ -166,67 +183,140 @@ def e2_pq_search_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"e2_pq_search_1round": e2_pq_search_1round}
+def e2_ivfpq_search_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed PQ-ADC ANN (FAISS IVFPQ, by_residual=false).
+
+    The coarse stage is EXACTLY ``e2_ivf_search_1round``'s quantizer
+    (cosine assignment to 16 one-Lloyd-round cells, nprobe=4 multi-probe
+    per query); the scoring stage is EXACTLY ``e2_pq_search_1round``'s
+    ADC. Candidates come from the cell equi-join (~nprobe/k of the
+    corpus), and scoring touches only their M=4 codes — so the scan cost
+    is pruned by the coarse index AND the bytes-per-candidate by PQ.
+    Output: per query, top-3 candidates by approximate distance
+    ascending, with the cell each candidate came from."""
+    corpus = _corpus(spark, sf_dir)
+    subs = _subvectors(corpus)
+    cents = _pq_codebooks(subs)
+    codes = _pq_codes(subs, cents)
+    dtab = _adc_table(subs, cents)
+
+    # Coarse stage, shared with e2_ivf_search_1round via _ivf1_index.
+    seeds, centroids = _ivf1_index(spark, sf_dir)
+    cos6_seed = F.transform(
+        _cell_cosines(seeds, F.col("emb")), lambda c: F.round(c, 6)
+    )
+    cells = corpus.select(
+        "vec_id",
+        (F.array_position(cos6_seed, F.array_max(cos6_seed)) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+    cos6_cent = F.transform(
+        _cell_cosines(centroids, F.col("q_emb")), lambda c: F.round(c, 6)
+    )
+    cos_idx = F.transform(
+        cos6_cent, lambda c, i: F.struct(c.alias("cos"), (-i).alias("neg_idx"))
+    )
+    probes_arr = F.transform(
+        F.slice(F.reverse(F.array_sort(cos_idx)), 1, NPROBE),
+        lambda s: -s["neg_idx"],
+    )
+    probes = (
+        corpus.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
+        .select("query_id", F.explode(probes_arr).alias("probe_cell"))
+    )
+
+    cand = cells.join(
+        F.broadcast(probes),
+        (cells.cell == probes.probe_cell) & (cells.vec_id != probes.query_id),
+    ).select("query_id", "vec_id", "cell")
+
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("vec_id")
+    )
+    return (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(dtab), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id", "cell")
+        .agg(F.round(F.sum("d"), 4).alias("adist"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOPK)
+    )
+
+
+QUERIES = {
+    "e2_pq_search_1round": e2_pq_search_1round,
+    "e2_ivfpq_search_1round": e2_ivfpq_search_1round,
+}
 
 _L2SQ = (
     "round(list_sum(list_transform(range(1, 17),"
     " j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j]))), 6)"
 )
 
+# PQ CTE chain (p_-prefixed to compose with IVF1_CENTS_SQL, which owns the
+# corpus/seeds/assigned/cents names for the COARSE quantizer): subvector
+# split → per-subspace 1-round codebooks → codes → per-query ADC table.
+_PQ_CTES = f"""
+     p_subs AS (
+        SELECT vec_id, mm.m AS m,
+               list_slice(emb, mm.m * 16 + 1, mm.m * 16 + 16) AS sub
+        FROM corpus CROSS JOIN (SELECT unnest(range(4)) AS m) mm
+    ), p_seeds AS (
+        SELECT m, vec_id AS cell, sub AS s_sub FROM p_subs WHERE vec_id < 16
+    ), p_seed_d AS (
+        SELECT s.vec_id, s.m, s.sub, sd.cell,
+               {_L2SQ.format(a='s.sub', b='sd.s_sub')} AS d6
+        FROM p_subs s JOIN p_seeds sd ON s.m = sd.m
+    ), p_assigned AS (
+        SELECT vec_id, m, sub, cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                           ORDER BY d6 ASC, cell ASC) AS rn
+              FROM p_seed_d)
+        WHERE rn = 1
+    ), p_cent_dims AS (
+        SELECT a.m, a.cell, jj.j, round(avg(a.sub[jj.j]), 6) AS v
+        FROM p_assigned a CROSS JOIN (SELECT unnest(range(1, 17)) AS j) jj
+        GROUP BY a.m, a.cell, jj.j
+    ), p_cents0 AS (
+        SELECT m, cell, list(v ORDER BY j) AS c_sub
+        FROM p_cent_dims GROUP BY m, cell
+    ), p_cents AS (
+        SELECT m, cell, c_sub FROM p_cents0
+        UNION ALL
+        SELECT s.m, s.cell, list_transform(s.s_sub, v -> round(v, 6))
+        FROM p_seeds s
+        WHERE NOT EXISTS (SELECT 1 FROM p_cents0 c
+                          WHERE c.m = s.m AND c.cell = s.cell)
+    ), p_enc_d AS (
+        SELECT s.vec_id, s.m, c.cell,
+               {_L2SQ.format(a='s.sub', b='c.c_sub')} AS d6
+        FROM p_subs s JOIN p_cents c ON s.m = c.m
+    ), p_codes AS (
+        SELECT vec_id, m, cell AS code
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                           ORDER BY d6 ASC, cell ASC) AS rn
+              FROM p_enc_d)
+        WHERE rn = 1
+    ), p_queries AS (
+        SELECT vec_id AS query_id, m, sub AS q_sub
+        FROM p_subs WHERE vec_id < 5
+    ), p_dtab AS (
+        SELECT q.query_id, c.m, c.cell AS code,
+               {_L2SQ.format(a='q.q_sub', b='c.c_sub')} AS d
+        FROM p_queries q JOIN p_cents c ON q.m = c.m
+    )"""
+
 ORACLES = {
     "e2_pq_search_1round": f"""
     WITH corpus AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         FROM embeddings
-    ), subs AS (
-        SELECT vec_id, mm.m AS m,
-               list_slice(emb, mm.m * 16 + 1, mm.m * 16 + 16) AS sub
-        FROM corpus CROSS JOIN (SELECT unnest(range(4)) AS m) mm
-    ), seeds AS (
-        SELECT m, vec_id AS cell, sub AS s_sub FROM subs WHERE vec_id < 16
-    ), seed_d AS (
-        SELECT s.vec_id, s.m, s.sub, sd.cell,
-               {_L2SQ.format(a='s.sub', b='sd.s_sub')} AS d6
-        FROM subs s JOIN seeds sd ON s.m = sd.m
-    ), assigned AS (
-        SELECT vec_id, m, sub, cell
-        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
-                                           ORDER BY d6 ASC, cell ASC) AS rn
-              FROM seed_d)
-        WHERE rn = 1
-    ), cent_dims AS (
-        SELECT a.m, a.cell, jj.j, round(avg(a.sub[jj.j]), 6) AS v
-        FROM assigned a CROSS JOIN (SELECT unnest(range(1, 17)) AS j) jj
-        GROUP BY a.m, a.cell, jj.j
-    ), cents0 AS (
-        SELECT m, cell, list(v ORDER BY j) AS c_sub
-        FROM cent_dims GROUP BY m, cell
-    ), cents AS (
-        SELECT m, cell, c_sub FROM cents0
-        UNION ALL
-        SELECT s.m, s.cell, list_transform(s.s_sub, v -> round(v, 6))
-        FROM seeds s
-        WHERE NOT EXISTS (SELECT 1 FROM cents0 c
-                          WHERE c.m = s.m AND c.cell = s.cell)
-    ), enc_d AS (
-        SELECT s.vec_id, s.m, c.cell,
-               {_L2SQ.format(a='s.sub', b='c.c_sub')} AS d6
-        FROM subs s JOIN cents c ON s.m = c.m
-    ), codes AS (
-        SELECT vec_id, m, cell AS code
-        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
-                                           ORDER BY d6 ASC, cell ASC) AS rn
-              FROM enc_d)
-        WHERE rn = 1
-    ), queries AS (
-        SELECT vec_id AS query_id, m, sub AS q_sub FROM subs WHERE vec_id < 5
-    ), dtab AS (
-        SELECT q.query_id, c.m, c.cell AS code,
-               {_L2SQ.format(a='q.q_sub', b='c.c_sub')} AS d
-        FROM queries q JOIN cents c ON q.m = c.m
-    ), cand AS (
+    ),{_PQ_CTES}
+    , cand AS (
         SELECT d.query_id, co.vec_id, round(sum(d.d), 4) AS adist
-        FROM codes co JOIN dtab d ON co.m = d.m AND co.code = d.code
+        FROM p_codes co JOIN p_dtab d ON co.m = d.m AND co.code = d.code
         WHERE co.vec_id <> d.query_id
         GROUP BY d.query_id, co.vec_id
     )
@@ -234,5 +324,41 @@ ORACLES = {
            CAST(row_number() OVER (PARTITION BY query_id
                                    ORDER BY adist ASC, vec_id ASC) AS INT) AS rank
     FROM cand QUALIFY rank <= {TOPK}
+    """,
+    # IVF1_CENTS_SQL supplies the COARSE stage (corpus/seeds/assigned/
+    # cents — identical to the e2_ivf_search_1round oracle); the p_* CTEs
+    # supply the PQ stage; probes route, codes score.
+    "e2_ivfpq_search_1round": IVF1_CENTS_SQL + f""",{_PQ_CTES}
+    , queries AS (
+        SELECT vec_id AS query_id, emb AS q_emb FROM corpus WHERE vec_id < 5
+    ), probe_scored AS (
+        SELECT q.query_id, ct.cell,
+               round(list_dot_product(q.q_emb, ct.c_emb)
+                     / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                        * sqrt(list_dot_product(ct.c_emb, ct.c_emb))), 6) AS cos6
+        FROM queries q CROSS JOIN cents ct
+    ), probes AS (
+        SELECT query_id, cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos6 DESC, cell ASC) AS rn
+              FROM probe_scored)
+        WHERE rn <= {NPROBE}
+    ), ivf_cand AS (
+        SELECT p.query_id, a.vec_id, a.cell
+        FROM assigned a JOIN probes p
+          ON a.cell = p.cell AND a.vec_id <> p.query_id
+    ), scored AS (
+        SELECT ic.query_id, ic.vec_id, CAST(ic.cell AS INT) AS cell,
+               round(sum(dt.d), 4) AS adist
+        FROM ivf_cand ic
+        JOIN p_codes co ON co.vec_id = ic.vec_id
+        JOIN p_dtab dt ON dt.query_id = ic.query_id
+                      AND dt.m = co.m AND dt.code = co.code
+        GROUP BY ic.query_id, ic.vec_id, ic.cell
+    )
+    SELECT query_id, vec_id, cell, adist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist ASC, vec_id ASC) AS INT) AS rank
+    FROM scored QUALIFY rank <= {TOPK}
     """,
 }

@@ -83,3 +83,28 @@ def test_pq_search_shape_and_recall(spark, sf_dir):
         worst = max(rank_of[v] for v in picks)
         assert worst <= 0.25 * len(emb), f"query {q}: exact rank {worst}"
     assert hits >= 2, f"PQ exact-top-3 hits {hits}/15"
+
+
+def test_ivfpq_dominated_by_flat_pq(spark, sf_dir):
+    """IVFPQ scores the same ADC distance over an IVF-restricted candidate
+    set, so per query its rank-k approximate distance can never beat flat
+    PQ's rank-k (subset dominance) — an exact invariant tying the two
+    entries together. Also: 5 queries × 3 ranked rows, cells in [0, 16)."""
+    from caseguarddatapipeline_spark.operators.pq import (
+        e2_ivfpq_search_1round,
+        e2_pq_search_1round,
+    )
+
+    flat = {}
+    for r in e2_pq_search_1round(spark, sf_dir).collect():
+        flat.setdefault(r["query_id"], {})[r["rank"]] = r["adist"]
+    ivfpq_rows = e2_ivfpq_search_1round(spark, sf_dir).collect()
+    assert len(ivfpq_rows) == 15
+    routed = {}
+    for r in ivfpq_rows:
+        assert 0 <= r["cell"] < 16
+        routed.setdefault(r["query_id"], {})[r["rank"]] = r["adist"]
+    assert set(routed) == {0, 1, 2, 3, 4}
+    for q in routed:
+        for k in (1, 2, 3):
+            assert routed[q][k] >= flat[q][k] - 1e-9, (q, k)

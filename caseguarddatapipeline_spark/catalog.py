@@ -135,6 +135,7 @@ def _registered_modules():
         "relational5", "relational6", "relational7", "relational8",
         "relational9", "relational10", "sql_twins", "profiling", "timeseries",
         "skew", "sessions", "textops", "dedup", "curation", "similarity", "pq",
+        "layout",
         "multimodal", "incremental", "inference", "rest_fetch", "canonical",
         "soap_fetch",
     ):

@@ -294,6 +294,48 @@ def e5_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e5_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing weights: per-source sampling multipliers
+    that move the corpus toward an equal-share-per-source token budget
+    (the mixture step of training-corpus assembly; cf. the per-tenant
+    balancing posture in the reference's tenant config, config.py:46-81).
+    weight_s = target_share / actual_share = total_chars /
+    (n_sources × chars_s), capped at 3.0× so rare domains are upsampled
+    but never repeated unboundedly. Shares and weights are half-up-rounded
+    to 6dp in INTEGER arithmetic ((2a+b) DIV 2b scaled) — the same
+    engine-exact ratio discipline as a10. One groupBy shuffle; the totals
+    side is a broadcast scalar."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    totals = per_source.agg(
+        F.sum("n_chars").alias("total_chars"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    share = (
+        F.expr("(2 * n_chars * 1000000 + total_chars) DIV (2 * total_chars)")
+        .cast("double")
+        / 1000000.0
+    )
+    weight = F.least(
+        F.expr(
+            "(2 * total_chars * 1000000 + n_sources * n_chars)"
+            " DIV (2 * n_sources * n_chars)"
+        ).cast("double")
+        / 1000000.0,
+        F.lit(3.0),
+    )
+    return per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        share.alias("char_share"),
+        weight.alias("sample_weight"),
+    )
+
+
 QUERIES = {
     "e5_corpus_curation": e5_corpus_curation,
     "e5_curation_funnel": e5_curation_funnel,
@@ -301,6 +343,7 @@ QUERIES = {
     "e5_decontaminate": e5_decontaminate,
     "e5_stratified_sample": e5_stratified_sample,
     "e5_dedup_rate_by_source": e5_dedup_rate_by_source,
+    "e5_domain_mixture": e5_domain_mixture,
 }
 
 # The LSH CTE chain is the e1_minhash_lsh oracle re-rooted at the deduped
@@ -373,6 +416,24 @@ _SCORED = """
 """
 
 ORACLES = {
+    "e5_domain_mixture": """
+        WITH per_source AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars
+            FROM documents GROUP BY source
+        ), totals AS (
+            SELECT CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   count(*) AS n_sources
+            FROM per_source
+        )
+        SELECT source, n_docs, n_chars,
+               CAST((2 * n_chars * 1000000 + total_chars)
+                    // (2 * total_chars) AS DOUBLE) / 1000000.0 AS char_share,
+               least(CAST((2 * total_chars * 1000000 + n_sources * n_chars)
+                          // (2 * n_sources * n_chars) AS DOUBLE) / 1000000.0,
+                     3.0) AS sample_weight
+        FROM per_source CROSS JOIN totals
+    """,
     "e5_dedup_rate_by_source": """
         SELECT source, count(*) AS n_docs,
                count(DISTINCT text) AS n_unique,

@@ -106,10 +106,57 @@ def t11_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t13_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a daily rollup (the scheduled sync's
+    aggregate refresh, etl/flows/sync_daily.py:246-317, done the warehouse
+    way): count/sum are decomposable monoids, so the stored per-day
+    partials for CLOSED days merge with a re-aggregation of only the OPEN
+    tail (last 7 days here) — at 100 TB the historical raw partitions are
+    never rescanned, only the rollup state (days × groups rows) plus the
+    tail partition. This entry materializes both stages in one plan
+    (partials < cutoff ∪ partials ≥ cutoff → re-agg), which is exactly
+    equivalent to the full recompute — the oracle IS the direct groupBy,
+    so the driver check proves the merge identity, not just the shape.
+    Sums ride as exact BIGINT micro-units (value is a 2dp currency
+    double), so the merged and recomputed totals are bit-identical."""
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        F.to_date("ts").alias("day"),
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("v_micro"),
+    )
+    cutoff = days.agg(F.date_sub(F.max("day"), 7).alias("cutoff"))
+    tagged = days.crossJoin(F.broadcast(cutoff))
+
+    def partials(side):
+        return side.groupBy("day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_micro").alias("total_value_micro"),
+        )
+
+    hist = partials(tagged.filter(F.col("day") < F.col("cutoff")))
+    delta = partials(tagged.filter(F.col("day") >= F.col("cutoff")))
+    return (
+        hist.unionByName(delta)
+        .groupBy("day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value_micro").alias("total_value_micro"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "total_value_micro",
+        )
+    )
+
+
 QUERIES = {
     "t2_watermark_advance": t2_watermark_advance,
     "t9_idempotent_upsert": t9_idempotent_upsert,
     "t11_scd2_history": t11_scd2_history,
+    "t13_incremental_rollup": t13_incremental_rollup,
 }
 
 _STORE_CTE = """
@@ -143,6 +190,15 @@ ORACLES = {
                CASE WHEN crm.entity_id IS NOT NULL THEN TRUE
                     ELSE store.is_active END AS is_active
         FROM store FULL OUTER JOIN crm ON store.entity_id = crm.entity_id
+    """,
+    # The oracle is the FULL recompute — the driver hash proves the
+    # incremental partial-merge path produces the identical rollup.
+    "t13_incremental_rollup": """
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               count(*) AS n_events,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                    AS BIGINT) AS total_value_micro
+        FROM events GROUP BY day
     """,
     "t11_scd2_history": """
         SELECT user_id AS entity_id,

@@ -97,3 +97,39 @@ def test_multiformat_date_roundtrip(spark, dates):
     for r in out:
         assert r["p_uk"] == r["d"], f"uk parse {r}"
         assert r["p_ord"] == r["d"], f"ordinal parse {r}"
+
+
+xy_lists = st.lists(
+    st.tuples(st.integers(0, 255), st.integers(0, 255)),
+    min_size=1,
+    max_size=40,
+    unique=True,
+)
+
+
+def _morton_ref(x: int, y: int, bits: int = 8) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((x >> b) & 1) << (2 * b)
+        z |= ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+@given(pairs=xy_lists)
+@settings(**_SETTINGS)
+def test_zvalue_matches_reference_and_is_bijective(spark, pairs):
+    """The JVM-expression Morton code equals the bit-level reference for
+    arbitrary 8-bit inputs (so the oracle SQL twin is checking the right
+    function), and the interleave is a bijection on the 16-bit domain
+    (distinct (x,y) → distinct z — the property range-partitioning by z
+    relies on for contiguous, non-overlapping file slices)."""
+    from caseguarddatapipeline_spark.operators.layout import zvalue_col
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zvalue_col(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _morton_ref(x, y), (x, y)
+    assert len(set(got.values())) == len(pairs)

@@ -336,6 +336,45 @@ def e5_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEQ_LEN = 2048
+
+
+def e5_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end in
+    stable (source, doc_id) order and cut into SEQ_LEN=2048-token training
+    sequences; a document starts in the bin its cumulative offset falls
+    into (the standard greedy packing most training pipelines use).
+    Packing runs PER SOURCE — a window keyed on the shard, never a global
+    single-partition sort — which is exactly how a 100 TB corpus packs:
+    each shard/file-group independently, in parallel. Emits per-bin
+    occupancy (docs, tokens, fill permille vs SEQ_LEN — can exceed 1000
+    where a doc straddles the boundary and overflows into the next cut).
+    All integer arithmetic; the oracle is the same window cumsum."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = toks.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / SEQ_LEN
+        ).cast("long"),
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.expr(f"(2 * sum(n_tokens) * 1000 + {SEQ_LEN}) DIV (2 * {SEQ_LEN})")
+        .alias("fill_permille"),
+    )
+
+
 QUERIES = {
     "e5_corpus_curation": e5_corpus_curation,
     "e5_curation_funnel": e5_curation_funnel,
@@ -344,6 +383,7 @@ QUERIES = {
     "e5_stratified_sample": e5_stratified_sample,
     "e5_dedup_rate_by_source": e5_dedup_rate_by_source,
     "e5_domain_mixture": e5_domain_mixture,
+    "e5_sequence_pack": e5_sequence_pack,
 }
 
 # The LSH CTE chain is the e1_minhash_lsh oracle re-rooted at the deduped
@@ -416,6 +456,25 @@ _SCORED = """
 """
 
 ORACLES = {
+    "e5_sequence_pack": """
+        WITH toks AS (
+            SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ), binned AS (
+            SELECT source, n_tokens,
+                   CAST((sum(n_tokens) OVER (PARTITION BY source
+                                             ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING)
+                         - n_tokens) // 2048 AS BIGINT) AS bin_id
+            FROM toks
+        )
+        SELECT source, bin_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               (2 * CAST(sum(n_tokens) AS BIGINT) * 1000 + 2048) // (2 * 2048)
+                   AS fill_permille
+        FROM binned GROUP BY source, bin_id
+    """,
     "e5_domain_mixture": """
         WITH per_source AS (
             SELECT source, count(*) AS n_docs,

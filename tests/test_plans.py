@@ -102,6 +102,8 @@ def test_curation_removals_broadcast_anti_join(spark, sf_dir):
 # equi-key (blocking/banding/bucketing).
 BNLJ_BOUNDED = {
     "q11_important_stock": "scalar threshold subquery (1-row broadcast)",
+    "e5_domain_mixture": "corpus totals scalar (1-row broadcast)",
+    "t13_incremental_rollup": "cutoff-date scalar (1-row broadcast)",
     "q22_dormant_customers": "scalar avg-acctbal subquery (1-row broadcast)",
     "t12_range_join_state": "event-horizon scalar (1-row broadcast)",
     "e3_tfidf_term": "corpus df/total stats (1-row broadcast)",

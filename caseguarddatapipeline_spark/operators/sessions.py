@@ -126,13 +126,90 @@ def u6_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w10_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: how many users complete signup → view →
+    purchase IN CHRONOLOGICAL ORDER (dashboard.py:311-382's conversion
+    counters, done as one window pass instead of per-user loops).
+    Running-seen flags over a single (user, ts, event_id) sort: a stage
+    counts only once every earlier stage has already occurred — one
+    shuffle on user_id, and the two chained window ops reuse the same
+    sort. Output is one row of stage cardinalities."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seen_signup = F.max(
+        F.when(F.col("event_type") == "signup", 1).otherwise(0)
+    ).over(w)
+    staged = events.select(
+        "user_id", "ts", "event_id", "event_type", seen_signup.alias("s_seen")
+    )
+    seen_view = F.max(
+        F.when((F.col("event_type") == "view") & (F.col("s_seen") == 1), 1)
+        .otherwise(0)
+    ).over(w)
+    staged2 = staged.select(
+        "user_id",
+        "event_type",
+        "s_seen",
+        seen_view.alias("v_seen"),
+    )
+    per_user = staged2.groupBy("user_id").agg(
+        F.max("s_seen").alias("did_signup"),
+        F.max("v_seen").alias("did_view_after"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("v_seen") == 1), 1
+            ).otherwise(0)
+        ).alias("did_purchase_after"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("did_signup").cast("long").alias("n_signup"),
+        F.sum("did_view_after").cast("long").alias("n_view_after_signup"),
+        F.sum("did_purchase_after").cast("long").alias("n_full_funnel"),
+    )
+
+
 QUERIES = {
     "w8_sessionize": w8_sessionize,
     "w9_rolling_activity": w9_rolling_activity,
     "u6_label_centroids": u6_label_centroids,
+    "w10_event_funnel": w10_event_funnel,
 }
 
 ORACLES = {
+    "w10_event_funnel": """
+        WITH staged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                       OVER w AS s_seen
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        ), staged2 AS (
+            SELECT user_id, event_type, s_seen,
+                   max(CASE WHEN event_type = 'view' AND s_seen = 1
+                            THEN 1 ELSE 0 END) OVER w AS v_seen
+            FROM staged
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        ), per_user AS (
+            SELECT user_id,
+                   max(s_seen) AS did_signup,
+                   max(v_seen) AS did_view_after,
+                   max(CASE WHEN event_type = 'purchase' AND v_seen = 1
+                            THEN 1 ELSE 0 END) AS did_purchase_after
+            FROM staged2 GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               CAST(sum(did_signup) AS BIGINT) AS n_signup,
+               CAST(sum(did_view_after) AS BIGINT) AS n_view_after_signup,
+               CAST(sum(did_purchase_after) AS BIGINT) AS n_full_funnel
+        FROM per_user
+    """,
     "w9_rolling_activity": """
         SELECT user_id, event_id,
                count(*) OVER w AS events_last_hour,

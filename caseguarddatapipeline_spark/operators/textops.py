@@ -227,6 +227,54 @@ def e3_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e3_trigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistical quality signal: how 'familiar' each document's
+    word trigrams are relative to the whole corpus — the fully-relational
+    stand-in for the n-gram-LM perplexity filters corpus pipelines run
+    (low familiarity ≈ rare/garbled text, very high ≈ boilerplate).
+    Build the LM (trigram → corpus count, one explode + groupBy shuffle),
+    join each document's trigrams back against it (equi-join on the
+    trigram; AQE splits the hot-trigram skew), and aggregate an INTEGER
+    familiarity: fam_milli = half-up((Σ counts × 1000) / n_trigrams) — no
+    float logs, so parity is exact. At 100 TB the trigram key becomes a
+    64-bit hash and the LM table is bucketed on it; the shape is
+    unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    exploded = docs.select(
+        "doc_id", "lang", F.explode(tri).alias("trigram")
+    )
+    lm = exploded.groupBy("trigram").agg(
+        F.count(F.lit(1)).alias("corpus_count")
+    )
+    return (
+        exploded.join(lm, "trigram")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("corpus_count").alias("sum_counts"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_trigrams",
+            "sum_counts",
+            F.expr(
+                "(2 * sum_counts * 1000 + n_trigrams) DIV (2 * n_trigrams)"
+            ).alias("fam_milli"),
+        )
+    )
+
+
 QUERIES = {
     "e3_token_count": e3_token_count,
     "e3_repetition_ratio": e3_repetition_ratio,
@@ -236,9 +284,32 @@ QUERIES = {
     "e3_tfidf_term": e3_tfidf_term,
     "e3_bpe_tokens": e3_bpe_tokens,
     "e3_ranked_search": e3_ranked_search,
+    "e3_trigram_familiarity": e3_trigram_familiarity,
 }
 
 ORACLES = {
+    "e3_trigram_familiarity": """
+        WITH t AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS toks
+            FROM documents
+        ), exploded AS (
+            SELECT doc_id, lang, unnest(
+                list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ) AS trigram
+            FROM t
+        ), lm AS (
+            SELECT trigram, count(*) AS corpus_count
+            FROM exploded GROUP BY trigram
+        )
+        SELECT e.doc_id, e.lang,
+               count(*) AS n_trigrams,
+               CAST(sum(lm.corpus_count) AS BIGINT) AS sum_counts,
+               (2 * CAST(sum(lm.corpus_count) AS BIGINT) * 1000 + count(*))
+                   // (2 * count(*)) AS fam_milli
+        FROM exploded e JOIN lm USING (trigram)
+        GROUP BY e.doc_id, e.lang
+    """,
     "e3_repetition_ratio": """
         WITH t AS (
             SELECT doc_id, lang, string_split(text, ' ') AS toks

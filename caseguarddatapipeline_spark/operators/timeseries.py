@@ -204,7 +204,83 @@ def t12_range_join_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t14_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling with LINEAR interpolation — a27's spine zero-fills;
+    metering/fill-forward pipelines instead estimate missing days between
+    known neighbors. Per user (< 20, purchase events only, so gaps
+    actually occur): build the per-user day spine, locate each gap's
+    bracketing observations with ignore-nulls last/first window carries,
+    and interpolate value_micro = prev + (next − prev)·(d − d_prev) DIV
+    (d_next − d_prev) — INTEGER arithmetic end-to-end (values in exact
+    micro-units, days as epoch-day ints), so both engines produce the
+    identical fill. Leading/trailing gaps (no bracket) stay NULL. One
+    shuffle on user_id; the spine explode is per-user-range generated
+    data, not a cross join."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter((F.col("user_id") < 20) & (F.col("event_type") == "purchase"))
+        .groupBy(
+            "user_id", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.sum((F.col("value").cast("decimal(18,6)") * 1000000).cast("long"))
+            .alias("v_micro")
+        )
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs = F.when(
+        F.col("v_micro").isNotNull(),
+        F.struct(F.datediff("day", F.lit("1970-01-01").cast("date")).alias("d"),
+                 F.col("v_micro").alias("v")),
+    )
+    filled = (
+        spine.join(daily, ["user_id", "day"], "left")
+        .withColumn("prev", F.last(obs, ignorenulls=True).over(w_prev))
+        .withColumn("next", F.first(obs, ignorenulls=True).over(w_next))
+        .withColumn("d_i", F.datediff("day", F.lit("1970-01-01").cast("date")))
+    )
+    interp = F.col("prev.v") + (
+        (F.col("next.v") - F.col("prev.v")) * (F.col("d_i") - F.col("prev.d"))
+    ).cast("long") / (F.col("next.d") - F.col("prev.d"))
+    return filled.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("v_micro").isNotNull(), F.col("v_micro"))
+        .otherwise(
+            F.when(
+                F.col("prev").isNotNull() & F.col("next").isNotNull(),
+                F.expr(
+                    "prev.v + ((next.v - prev.v) * (d_i - prev.d))"
+                    " DIV (next.d - prev.d)"
+                ),
+            )
+        )
+        .alias("v_micro_filled"),
+        F.col("v_micro").isNull().alias("was_gap"),
+    )
+
+
 QUERIES = {
+    "t14_interpolate_gaps": t14_interpolate_gaps,
     "a26_price_trend": a26_price_trend,
     "a27_daily_order_spine": a27_daily_order_spine,
     "t10_asof_join": t10_asof_join,
@@ -212,6 +288,48 @@ QUERIES = {
 }
 
 ORACLES = {
+    "t14_interpolate_gaps": """
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                                 AS BIGINT)) AS BIGINT) AS v_micro
+            FROM events
+            WHERE user_id < 20 AND event_type = 'purchase'
+            GROUP BY user_id, CAST(ts AS DATE)
+        ), spine AS (
+            SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+            FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+                  FROM daily GROUP BY user_id)
+        ), joined AS (
+            SELECT s.user_id, s.day, d.v_micro,
+                   date_diff('day', DATE '1970-01-01', s.day) AS d_i
+            FROM spine s LEFT JOIN daily d
+              ON s.user_id = d.user_id AND s.day = d.day
+        ), carried AS (
+            SELECT *,
+                   last_value(CASE WHEN v_micro IS NOT NULL THEN d_i END
+                              IGNORE NULLS) OVER wp AS prev_d,
+                   last_value(CASE WHEN v_micro IS NOT NULL THEN v_micro END
+                              IGNORE NULLS) OVER wp AS prev_v,
+                   first_value(CASE WHEN v_micro IS NOT NULL THEN d_i END
+                               IGNORE NULLS) OVER wn AS next_d,
+                   first_value(CASE WHEN v_micro IS NOT NULL THEN v_micro END
+                               IGNORE NULLS) OVER wn AS next_v
+            FROM joined
+            WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                          ROWS UNBOUNDED PRECEDING),
+                   wn AS (PARTITION BY user_id ORDER BY day
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+               CAST(CASE WHEN v_micro IS NOT NULL THEN v_micro
+                    WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                    THEN prev_v + ((next_v - prev_v) * (d_i - prev_d))
+                                  // (next_d - prev_d)
+                    END AS BIGINT) AS v_micro_filled,
+               v_micro IS NULL AS was_gap
+        FROM carried
+    """,
     # The oracle is the DIRECT theta join (key equality + range
     # predicate) — value-equality with the Spark side proves the
     # bucketized equi-join rewrite exact.

@@ -23,7 +23,7 @@ join output.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources import load_table
 from .reconcile import crm_snapshot, store_snapshot
@@ -152,11 +152,52 @@ def t13_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t15_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply/compaction (the lakehouse materialize step —
+    Delta CDF / Hudi upsert compaction — for the reference's per-row
+    UPDATE/DELETE loops, etl/reconciliation.py:226-268): events are read
+    as an ordered changelog per entity ('error' rows = deletes, the rest
+    = upserts carrying a value), and the final state is latest-op-wins —
+    one window rank per key (shuffle on the entity key, which the state
+    table is bucketed on at scale), delete-latest entities dropped.
+    Emits the surviving state with exact micro-unit values plus the
+    per-entity change count, so re-applying any changelog prefix is
+    verifiable. Oracle: the same rank-1 SQL."""
+    events = load_table(spark, sf_dir, "events")
+    log = events.select(
+        F.col("user_id").alias("entity_id"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("v_micro"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("entity_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    counted = log.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_changes", F.count(F.lit(1)).over(Window.partitionBy("entity_id"))
+    )
+    return (
+        counted.filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "entity_id",
+            F.col("v_micro").alias("value_micro"),
+            F.col("event_id").alias("version"),
+            "n_changes",
+        )
+    )
+
+
 QUERIES = {
     "t2_watermark_advance": t2_watermark_advance,
     "t9_idempotent_upsert": t9_idempotent_upsert,
     "t11_scd2_history": t11_scd2_history,
     "t13_incremental_rollup": t13_incremental_rollup,
+    "t15_cdc_apply": t15_cdc_apply,
 }
 
 _STORE_CTE = """
@@ -190,6 +231,25 @@ ORACLES = {
                CASE WHEN crm.entity_id IS NOT NULL THEN TRUE
                     ELSE store.is_active END AS is_active
         FROM store FULL OUTER JOIN crm ON store.entity_id = crm.entity_id
+    """,
+    "t15_cdc_apply": """
+        WITH log AS (
+            SELECT user_id AS entity_id,
+                   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                   CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                       AS v_micro,
+                   ts, event_id
+            FROM events
+        ), ranked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY entity_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn,
+                   count(*) OVER (PARTITION BY entity_id) AS n_changes
+            FROM log
+        )
+        SELECT entity_id, v_micro AS value_micro, event_id AS version,
+               n_changes
+        FROM ranked WHERE rn = 1 AND op = 'U'
     """,
     # The oracle is the FULL recompute — the driver hash proves the
     # incremental partial-merge path produces the identical rollup.

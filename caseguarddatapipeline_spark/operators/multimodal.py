@@ -175,14 +175,81 @@ def e4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_RATE, BYTES_PER_SAMPLE, VAD_MS = 8_000, 1, 10
+
+
+def e4_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing over the binary modality: interpret each payload as
+    8 kHz mu-law mono (1 byte/sample) and cut 10 ms voice-activity-
+    detection frames — the ASR-preprocessing plan shape (duration from
+    byte length, sequence → explode, offset arithmetic), sample decode
+    left to the codec stub exactly as e4_frame_sample leaves pixels.
+    All integer arithmetic (duration_ms = bytes·1000 DIV bytes-per-
+    second), so the oracle is exact. At 100 TB the frame fan-out is a
+    partition-local explode on the scan — no shuffle until a downstream
+    transcribe/groupBy consumes the frames."""
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    bps = SAMPLE_RATE * BYTES_PER_SAMPLE
+    duration_ms = F.expr(f"octet_length(payload) * 1000 DIV {bps}")
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.octet_length("payload").alias("n_bytes"),
+            duration_ms.alias("duration_ms"),
+        )
+        .filter(F.col("duration_ms") > 0)
+        .select(
+            "doc_id",
+            "n_bytes",
+            "duration_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.expr(f"(duration_ms - 1) DIV {VAD_MS}").cast("int"),
+                )
+            ).alias("frame_index"),
+        )
+    )
+    return chunks.select(
+        "doc_id",
+        "n_bytes",
+        "frame_index",
+        (F.col("frame_index") * VAD_MS).alias("start_ms"),
+        F.least(
+            F.lit(VAD_MS).cast("long"),
+            F.col("duration_ms") - F.col("frame_index") * VAD_MS,
+        ).alias("frame_ms"),
+    )
+
+
 QUERIES = {
     "e4_multimodal_join": e4_multimodal_join,
     "e4_binary_metadata": e4_binary_metadata,
     "e4_decode_pipeline": e4_decode_pipeline,
     "e4_frame_sample": e4_frame_sample,
+    "e4_audio_chunks": e4_audio_chunks,
 }
 
 ORACLES = {
+    "e4_audio_chunks": """
+        WITH b AS (
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes
+            FROM documents
+        ), d AS (
+            SELECT doc_id, CAST(n_bytes AS INT) AS n_bytes,
+                   (n_bytes * 1000) // 8000 AS duration_ms
+            FROM b
+        ), frames AS (
+            SELECT doc_id, n_bytes, duration_ms,
+                   CAST(unnest(range(0, (duration_ms - 1) // 10 + 1)) AS INT)
+                       AS frame_index
+            FROM d WHERE duration_ms > 0
+        )
+        SELECT doc_id, n_bytes, frame_index,
+               frame_index * 10 AS start_ms,
+               least(10, duration_ms - frame_index * 10) AS frame_ms
+        FROM frames
+    """,
     "e4_decode_pipeline": """
         SELECT doc_id,
                CASE WHEN doc_id % 3 = 0 THEN 'application/pdf'

@@ -134,6 +134,7 @@ def _registered_modules():
         "scalar", "scalar2", "relational2", "relational3", "relational4",
         "relational5", "relational6", "relational7", "relational8",
         "relational9", "relational10", "sql_twins", "profiling", "timeseries",
+        "quality",
         "skew", "sessions", "textops", "dedup", "curation", "similarity", "pq",
         "layout",
         "multimodal", "incremental", "inference", "rest_fetch", "canonical",

@@ -780,6 +780,14 @@ def e1_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovers 167 of the exact operator's 271 pairs (62% — exactly the
     low-τ recall loss the routing rule exists to avoid).
     """
+    return _ivf_neardup_pairs(spark, sf_dir)
+
+
+def _ivf_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared IVF-routed candidate pairs: top-2 cell assignment from the
+    1-round quantizer, same-cell self-join, exact-cosine verify at τ=0.35.
+    Serves e1_embedding_neardup_ivf (the pair view) and e1_semantic_dedup
+    (the keep-set view)."""
     from .similarity import _cell_cosines, _dbl, _dot, _ivf1_index, _norm
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -815,10 +823,40 @@ def e1_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic dedup (Abbas et al. 2023, public): route
+    vectors through the IVF cells, then KEEP the smallest vec_id of every
+    near-dup pair and mark the rest dropped with a ``dup_of`` pointer —
+    the curated keep-set, where the pair operators stop at candidates.
+
+    Keep rule: a vector is dropped iff some SMALLER vec_id lies within τ
+    in its candidate cells (dominated-by-smaller-id greedy; ``dup_of`` =
+    the smallest such dominator). Deliberately NOT the transitive closure
+    — e1_dedup_clusters carries that variant — because greedy-by-id is
+    the one-shuffle form: pairs → groupBy(doc_b).min(doc_a) → one
+    broadcast-size anti-side joined back to the corpus. At 100 TB the
+    dropped set shuffles on vec_id alongside the corpus' own partitioning
+    while the pair generation stays cell-local (see _ivf_neardup_pairs).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dropped = (
+        _ivf_neardup_pairs(spark, sf_dir)
+        .groupBy(F.col("doc_b").alias("vec_id"))
+        .agg(F.min("doc_a").alias("dup_of"))
+    )
+    return emb.select("vec_id", "label").join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "label",
+        "dup_of",
+        F.col("dup_of").isNull().alias("kept"),
+    )
+
+
 QUERIES = {
     "e1_exact_dedup": e1_exact_dedup,
     "e1_embedding_neardup": e1_embedding_neardup,
     "e1_embedding_neardup_ivf": e1_embedding_neardup_ivf,
+    "e1_semantic_dedup": e1_semantic_dedup,
     "e1_dedup_stats": e1_dedup_stats,
     "e1_ngram_jaccard": e1_ngram_jaccard,
     "e1_minhash_lsh": e1_minhash_lsh,
@@ -952,7 +990,7 @@ ORACLES["e1_minhash_lsh_vectorized"] = ORACLES["e1_minhash_lsh"]
 # exact-cosine verify. DISTINCT collapses pairs sharing both top-2 cells.
 from .similarity import IVF1_CENTS_SQL  # noqa: E402  (after ORACLES: oracle-only dep)
 
-ORACLES["e1_embedding_neardup_ivf"] = IVF1_CENTS_SQL + """
+_IVF_PAIRS_CTES = IVF1_CENTS_SQL + """
     , cent_scored AS (
         SELECT c.vec_id, c.emb, ct.cell,
                round(list_dot_product(c.emb, ct.c_emb)
@@ -965,15 +1003,28 @@ ORACLES["e1_embedding_neardup_ivf"] = IVF1_CENTS_SQL + """
                                            ORDER BY cos6 DESC, cell ASC) AS rn
               FROM cent_scored)
         WHERE rn <= 2
+    ), pairs AS (
+        SELECT DISTINCT doc_a, doc_b, cosine FROM (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   round(list_dot_product(a.emb, b.emb)
+                         / (sqrt(list_dot_product(a.emb, a.emb))
+                            * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+            FROM multi a JOIN multi b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+        ) WHERE cosine >= 0.35
+    )"""
+
+ORACLES["e1_embedding_neardup_ivf"] = _IVF_PAIRS_CTES + """
+    SELECT doc_a, doc_b, cosine FROM pairs
+"""
+
+# keep-set view over the same candidate pairs: dominated-by-smaller-id
+ORACLES["e1_semantic_dedup"] = _IVF_PAIRS_CTES + """
+    , dropped AS (
+        SELECT doc_b AS vec_id, min(doc_a) AS dup_of FROM pairs GROUP BY doc_b
     )
-    SELECT DISTINCT doc_a, doc_b, cosine FROM (
-        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-               round(list_dot_product(a.emb, b.emb)
-                     / (sqrt(list_dot_product(a.emb, a.emb))
-                        * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
-        FROM multi a JOIN multi b
-          ON a.cell = b.cell AND a.vec_id < b.vec_id
-    ) WHERE cosine >= 0.35
+    SELECT e.vec_id, e.label, d.dup_of, d.dup_of IS NULL AS kept
+    FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
 """
 
 # Iterative min-label propagation converges to exactly the transitive

@@ -1,0 +1,244 @@
+"""Corpus-hygiene operators for the training-data pipeline: a published
+rule-battery quality filter (Gopher-style per-rule flags rather than one
+blended score), a deterministic text canonicalization pass, a seeded
+global shuffle that assigns training shards reproducibly, and
+gaps-and-islands activity analysis over the event stream.
+
+Reference parity: the reference scores document quality while extracting
+text (docproc/extractor.py:210-240 quality_score on extraction output) and
+filters admissible documents by size/format (docproc/format_config.py:86-145);
+these operators generalize that into the rule-battery / canonicalize /
+shuffle-shard stages a 100 TB pretraining corpus build needs. All four are
+pure DataFrame algebra — no Python rows, no collects — so they inherit
+whole-stage codegen and scale with the cluster.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources import load_table
+from .textops import STOPWORDS
+
+# Rule thresholds sit inside the synthetic corpus' observed spread
+# (n_words 10-99, distinct-ratio 0.28-0.72 at sf0.01) so every rule
+# discriminates; at a real corpus these become tenant config (the same
+# pattern config.py uses for canonical fields).
+MIN_WORDS, MAX_WORDS = 20, 90
+MIN_MEAN_WLEN, MAX_MEAN_WLEN = 4.0, 4.9
+MIN_DISTINCT_RATIO = 0.45
+N_SHARDS = 8
+SHUFFLE_SEED = "seed42:"
+
+
+def e3_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-battery quality filter (Gopher/C4 style): each document gets a
+    boolean per rule plus the conjunction, so downstream curation can
+    report WHICH rule rejected a document (e5_curation_funnel composes
+    per-stage counts the same way). Unlike e3_quality_score's blended
+    scalar, the battery is auditable — the form production corpus filters
+    take (Rae et al. 2021 §A1.1, public).
+
+    One scan, one projection — every rule is column algebra over the
+    split-once token array, so the whole battery runs inside one
+    codegen stage and the scan reads only (doc_id, text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    # single-space tokenization ⇒ mean word length is arithmetic, no loop
+    mean_wlen = (F.length("text") - (n_words - 1)).cast("double") / n_words
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_words
+    ok_n_words = (n_words >= MIN_WORDS) & (n_words <= MAX_WORDS)
+    ok_mean_wlen = (mean_wlen >= MIN_MEAN_WLEN) & (mean_wlen <= MAX_MEAN_WLEN)
+    ok_distinct = distinct_ratio >= MIN_DISTINCT_RATIO
+    ok_stopword = F.arrays_overlap(toks, F.array(*[F.lit(s) for s in STOPWORDS]))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        ok_n_words.alias("ok_n_words"),
+        ok_mean_wlen.alias("ok_mean_word_len"),
+        ok_distinct.alias("ok_distinct_ratio"),
+        ok_stopword.alias("ok_stopword"),
+        (ok_n_words & ok_mean_wlen & ok_distinct & ok_stopword).alias("passed"),
+    )
+
+
+def e3_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization pass: lowercase, trim, collapse runs of whitespace
+    (space/tab) to single spaces — the normalization that runs before
+    exact dedup so byte-identical-modulo-whitespace documents collapse to
+    one content key (e1_exact_dedup hashes the canonical form in a real
+    corpus build).
+
+    The synthetic corpus is already single-spaced, so the query first
+    derives a DETERMINISTIC messy variant per doc_id (padding, tabs,
+    uppercasing, doubled spaces — the classes of noise web text carries)
+    and then normalizes it; the oracle applies the identical derivation,
+    making the round-trip exactly checkable. ``norm_key`` md5s the
+    canonical text (md5 is bit-identical across engines, unlike
+    xxhash64 — FIXTURES.md §D)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mode = F.pmod(F.col("doc_id"), F.lit(3))
+    messy = (
+        F.when(mode == 0, F.concat(F.lit("  "), F.regexp_replace("text", " ", "   ")))
+        .when(mode == 1, F.concat(F.upper(F.col("text")), F.lit("\t\t")))
+        .otherwise(F.concat(F.lit("\t "), F.col("text"), F.lit("  ")))
+    )
+    norm = F.lower(F.trim(F.regexp_replace(messy, r"[ \t]+", " ")))
+    return docs.select(
+        "doc_id",
+        F.length(messy).alias("raw_len"),
+        F.length(norm).alias("norm_len"),
+        F.md5(norm).alias("norm_key"),
+        (norm == F.col("text")).alias("roundtrips"),
+    )
+
+
+def e5_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle → training-shard assignment:
+    order documents by md5(seed ‖ doc_id), cut the order into N_SHARDS
+    equal shards (ntile), number positions within each shard. Reproducible
+    across runs/engines because the permutation is a pure function of
+    (seed, doc_id) — the property a training job needs to resume mid-epoch.
+
+    Scale path: ntile's single global sort is exactly what
+    ``repartitionByRange(N, key).sortWithinPartitions(key)`` distributes —
+    range boundaries come from sampling, each shard materializes as one
+    partition, and position-in-shard is a partition-local zipWithIndex;
+    no stage ever holds the global order on one node. The ntile form here
+    keeps the oracle exact; the range form is the 100 TB deployment and
+    differs only at shard boundaries (sampled vs exact quantiles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.lit(SHUFFLE_SEED), F.col("doc_id").cast("string"))).alias(
+            "order_key"
+        ),
+    )
+    sharded = keyed.select(
+        "doc_id",
+        "source",
+        "order_key",
+        F.ntile(N_SHARDS).over(Window.orderBy("order_key")).alias("shard"),
+    )
+    pos = F.row_number().over(Window.partitionBy("shard").orderBy("order_key"))
+    return sharded.select("doc_id", "source", "order_key", "shard", pos.alias("pos"))
+
+
+def w11_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per user
+    (monitoring/dashboard.py:311-382 reports activity continuity; the
+    reference loops per case, this is the one-pass relational form).
+    Classic island key: day − row_number(day) is constant within a
+    consecutive run. One shuffle on user_id; the distinct and both
+    window/group steps reuse that partitioning."""
+    events = load_table(spark, sf_dir, "events")
+    days = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    islands = days.select("user_id", "day", F.date_sub(F.col("day"), rn).alias("island_key"))
+    return (
+        islands.groupBy("user_id", "island_key")
+        .agg(
+            F.min("day").alias("island_start"),
+            F.max("day").alias("island_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .drop("island_key")
+        .select("user_id", "island_start", "island_end", "n_days")
+    )
+
+
+QUERIES = {
+    "e3_gopher_rules": e3_gopher_rules,
+    "e3_text_normalize": e3_text_normalize,
+    "e5_global_shuffle": e5_global_shuffle,
+    "w11_gaps_islands": w11_gaps_islands,
+}
+
+_STOPLIST_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+ORACLES = {
+    "e3_gopher_rules": f"""
+        WITH w AS (
+            SELECT doc_id, text, string_split(text, ' ') AS ws,
+                   len(string_split(text, ' ')) AS n_words
+            FROM documents
+        ), m AS (
+            SELECT doc_id, n_words,
+                   CAST(length(text) - (n_words - 1) AS DOUBLE) / n_words
+                       AS mean_wlen,
+                   CAST(len(list_distinct(ws)) AS DOUBLE) / n_words AS dratio,
+                   len(list_intersect(ws, [{_STOPLIST_SQL}])) > 0 AS ok_stopword
+            FROM w
+        )
+        SELECT doc_id, n_words,
+               round(mean_wlen, 4) AS mean_word_len,
+               round(dratio, 4) AS distinct_ratio,
+               n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS} AS ok_n_words,
+               mean_wlen BETWEEN {MIN_MEAN_WLEN} AND {MAX_MEAN_WLEN}
+                   AS ok_mean_word_len,
+               dratio >= {MIN_DISTINCT_RATIO} AS ok_distinct_ratio,
+               ok_stopword,
+               (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS})
+                   AND (mean_wlen BETWEEN {MIN_MEAN_WLEN} AND {MAX_MEAN_WLEN})
+                   AND dratio >= {MIN_DISTINCT_RATIO}
+                   AND ok_stopword AS passed
+        FROM m
+    """,
+    "e3_text_normalize": """
+        WITH messy AS (
+            SELECT doc_id, text,
+                   CASE doc_id % 3
+                     WHEN 0 THEN '  ' || replace(text, ' ', '   ')
+                     WHEN 1 THEN upper(text) || chr(9) || chr(9)
+                     ELSE chr(9) || ' ' || text || '  '
+                   END AS raw
+            FROM documents
+        )
+        SELECT doc_id,
+               length(raw) AS raw_len,
+               length(lower(trim(regexp_replace(raw, '[ \t]+', ' ', 'g'))))
+                   AS norm_len,
+               md5(lower(trim(regexp_replace(raw, '[ \t]+', ' ', 'g'))))
+                   AS norm_key,
+               lower(trim(regexp_replace(raw, '[ \t]+', ' ', 'g'))) = text
+                   AS roundtrips
+        FROM messy
+    """,
+    "e5_global_shuffle": f"""
+        WITH keyed AS (
+            SELECT doc_id, source,
+                   md5('{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)) AS order_key
+            FROM documents
+        ), sharded AS (
+            SELECT doc_id, source, order_key,
+                   CAST(ntile({N_SHARDS}) OVER (ORDER BY order_key) AS INT)
+                       AS shard
+            FROM keyed
+        )
+        SELECT doc_id, source, order_key, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY order_key)
+                    AS INT) AS pos
+        FROM sharded
+    """,
+    "w11_gaps_islands": """
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), keyed AS (
+            SELECT user_id, day,
+                   day - CAST(row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY day) AS INT)
+                       AS island_key
+            FROM days
+        )
+        SELECT user_id,
+               min(day) AS island_start,
+               max(day) AS island_end,
+               count(*) AS n_days
+        FROM keyed GROUP BY user_id, island_key
+    """,
+}

@@ -1,0 +1,86 @@
+"""Corpus-hygiene operators: rule-battery quality filter, text
+canonicalization, seeded global shuffle, gaps-and-islands, and the
+SemDeDup-shape keep-set."""
+
+from __future__ import annotations
+
+from caseguarddatapipeline_spark.operators.dedup import e1_semantic_dedup
+from caseguarddatapipeline_spark.operators.quality import (
+    N_SHARDS,
+    e3_gopher_rules,
+    e3_text_normalize,
+    e5_global_shuffle,
+    w11_gaps_islands,
+)
+
+
+def test_gopher_rules_flags_consistent(spark, sf_dir):
+    rows = e3_gopher_rules(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.passed == (
+            r.ok_n_words and r.ok_mean_word_len
+            and r.ok_distinct_ratio and r.ok_stopword
+        )
+    # every rule must discriminate on this corpus (thresholds sit inside
+    # the observed spread) — all-true or all-false means a dead rule
+    for flag in ("ok_n_words", "ok_mean_word_len", "ok_distinct_ratio"):
+        vals = {getattr(r, flag) for r in rows}
+        assert vals == {True, False}, f"rule {flag} never fires"
+
+
+def test_text_normalize_roundtrips(spark, sf_dir):
+    rows = e3_text_normalize(spark, sf_dir).collect()
+    assert rows
+    # the derived mess is strictly longer, and normalization recovers the
+    # original (already-canonical) text for every noise mode
+    for r in rows:
+        assert r.raw_len > r.norm_len
+        assert r.roundtrips
+
+
+def test_global_shuffle_deterministic_and_balanced(spark, sf_dir):
+    a = e5_global_shuffle(spark, sf_dir).collect()
+    b = e5_global_shuffle(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == set(range(1, N_SHARDS + 1))
+    sizes = {len(v) for v in by_shard.values()}
+    assert max(sizes) - min(sizes) <= 1  # ntile balance
+    for members in by_shard.values():
+        poss = sorted(r.pos for r in members)
+        assert poss == list(range(1, len(members) + 1))
+        # position order within a shard follows the md5 order key
+        ordered = sorted(members, key=lambda r: r.order_key)
+        assert [r.pos for r in ordered] == poss
+
+
+def test_gaps_islands_invariants(spark, sf_dir):
+    rows = w11_gaps_islands(spark, sf_dir).collect()
+    assert rows
+    seen_days = {}
+    for r in rows:
+        assert r.island_start <= r.island_end
+        assert (r.island_end - r.island_start).days + 1 == r.n_days
+        seen_days.setdefault(r.user_id, []).append(r)
+    # islands of one user never touch or overlap (else they'd be one island)
+    for islands in seen_days.values():
+        islands.sort(key=lambda r: r.island_start)
+        for prev, nxt in zip(islands, islands[1:]):
+            assert (nxt.island_start - prev.island_end).days >= 2
+
+
+def test_semantic_dedup_keep_set(spark, sf_dir):
+    rows = e1_semantic_dedup(spark, sf_dir).collect()
+    assert rows
+    kept = [r for r in rows if r.kept]
+    dropped = [r for r in rows if not r.kept]
+    assert len(kept) + len(dropped) == len(rows)
+    for r in dropped:
+        assert r.dup_of is not None and r.dup_of < r.vec_id
+    for r in kept:
+        assert r.dup_of is None
+    # the keeper side of every pair relation survives: min vec_id overall
+    assert min(r.vec_id for r in rows) in {r.vec_id for r in kept}

@@ -357,7 +357,50 @@ def u7_embedding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed classifier weights: (bias, n_words/100, stopword_ratio,
+# distinct_ratio) — a stand-in for trained fasttext/logreg coefficients
+CLF_W = (-1.45, 0.8, -2.0, 2.5)
+
+
+def u8_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality classifier over the corpus — the learned
+    sibling of the rule battery (quality.e3_gopher_rules): a logistic
+    model over (length, stopword-ratio, distinct-ratio) features, scored
+    in an Arrow-batched mapInPandas kernel exactly the way a real
+    fasttext/sklearn classifier deploys (swap ``_score`` for
+    model.predict_proba; the batch shape, schema, and partitioning stay).
+    The stub's fixed weights keep it oracle-checkable: the same features
+    and sigmoid are plain SQL, so the Python stage is value-verified
+    cross-engine — only the model seam itself is stubbed."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stop = set(("the", "a", "of", "and", "to"))  # textops.STOPWORDS
+    w0, w1, w2, w3 = CLF_W
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = pdf["text"].str.split(" ")
+            n = toks.map(len).to_numpy(dtype="float64")
+            n_stop = toks.map(
+                lambda ts: sum(1 for t in ts if t in stop)
+            ).to_numpy(dtype="float64")
+            n_dist = toks.map(lambda ts: len(set(ts))).to_numpy(dtype="float64")
+            z = w0 + w1 * (n / 100.0) + w2 * (n_stop / n) + w3 * (n_dist / n)
+            p = 1.0 / (1.0 + np.exp(-z))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "p_quality": np.round(p, 6),
+                    "accepted": p >= 0.5,
+                }
+            )
+
+    return docs.mapInPandas(
+        score, "doc_id bigint, p_quality double, accepted boolean"
+    )
+
+
 QUERIES = {
+    "u8_quality_classifier": u8_quality_classifier,
     "u1_insight_extraction": u1_insight_extraction,
     "u2_hash_embedding": u2_hash_embedding,
     "u3_text_extraction": u3_text_extraction,
@@ -372,6 +415,27 @@ ORACLES = {
     # Python-stage operators are value-checked cross-engine. Only the
     # model seam (swap the stub for a real LLM/embedder) is unverifiable
     # by construction.
+    "u8_quality_classifier": """
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                       AS n_stop,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       AS n_dist
+            FROM documents
+        ), z AS (
+            SELECT doc_id,
+                   -1.45 + 0.8 * (n / 100.0) - 2.0 * (n_stop / n)
+                        + 2.5 * (n_dist / n) AS z
+            FROM f
+        )
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-z)), 6) AS p_quality,
+               1.0 / (1.0 + exp(-z)) >= 0.5 AS accepted
+        FROM z
+    """,
     "u3_format_dispatch": """
         WITH m AS (
             SELECT doc_id, text,

@@ -152,10 +152,61 @@ def w11_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e5_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep a document with
+    probability equal to its quality weight (here the distinct-token
+    ratio — the repetition-penalizing signal from the gopher battery).
+    The acceptance draw is the Knuth multiplicative hash of doc_id mapped
+    to [0,1): deterministic, engine-exact integer math (same construction
+    as p8_stable_sample), so the SAME documents survive on every run,
+    engine, and cluster size — unlike ``df.sample`` whose outcome depends
+    on partitioning. This is the up/down-weighting primitive a corpus
+    mixture applies per quality band (e5_domain_mixture holds the
+    per-source weights; this applies a per-DOCUMENT weight)."""
+    from .relational5 import KNUTH, MOD
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    weight = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    draw = F.pmod(F.col("doc_id") * F.lit(KNUTH), F.lit(MOD)) / F.lit(float(MOD))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.round(weight, 6).alias("weight"),
+        F.round(draw, 6).alias("draw"),
+        (draw < weight).alias("kept"),
+    )
+
+
+def e3_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature normalization: z-score, percent rank, and decile
+    of document length WITHIN each source — the per-domain normalization
+    step before mixing heterogeneous sources (raw length is not
+    comparable across a code crawl and a chat log). One shuffle on
+    source; the aggregate (avg/stddev) broadcasts back over the same
+    partitioning and both window functions reuse the same sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source")
+    w_ord = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    z = (F.col("n_chars") - F.avg("n_chars").over(w)) / F.stddev_samp(
+        "n_chars"
+    ).over(w)
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(z, 4).alias("z_len"),
+        F.round(F.percent_rank().over(w_ord), 6).alias("len_pct_rank"),
+        F.ntile(10).over(w_ord).alias("len_decile"),
+    )
+
+
 QUERIES = {
     "e3_gopher_rules": e3_gopher_rules,
     "e3_text_normalize": e3_text_normalize,
+    "e3_zscore_by_source": e3_zscore_by_source,
     "e5_global_shuffle": e5_global_shuffle,
+    "e5_weighted_sample": e5_weighted_sample,
     "w11_gaps_islands": w11_gaps_islands,
 }
 
@@ -224,6 +275,30 @@ ORACLES = {
                CAST(row_number() OVER (PARTITION BY shard ORDER BY order_key)
                     AS INT) AS pos
         FROM sharded
+    """,
+    "e5_weighted_sample": """
+        WITH m AS (
+            SELECT doc_id, source,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS weight,
+                   (doc_id * 2654435761) % 4294967296 / 4294967296.0 AS draw
+            FROM documents
+        )
+        SELECT doc_id, source,
+               round(weight, 6) AS weight,
+               round(draw, 6) AS draw,
+               draw < weight AS kept
+        FROM m
+    """,
+    "e3_zscore_by_source": """
+        SELECT doc_id, source, n_chars,
+               round((n_chars - avg(n_chars) OVER g)
+                     / stddev_samp(n_chars) OVER g, 4) AS z_len,
+               round(percent_rank() OVER w, 6) AS len_pct_rank,
+               CAST(ntile(10) OVER w AS INT) AS len_decile
+        FROM documents
+        WINDOW g AS (PARTITION BY source),
+               w AS (PARTITION BY source ORDER BY n_chars, doc_id)
     """,
     "w11_gaps_islands": """
         WITH days AS (

@@ -128,11 +128,33 @@ def a21_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity corpus counts in ONE pass: per (source, lang),
+    per source, per lang, and the grand total via GROUPING SETS — the
+    explicit-set sibling of a14's cube (cube enumerates ALL 2ⁿ subsets;
+    grouping sets names exactly the granularities a dashboard serves).
+    grouping_id disambiguates the NULL-as-ALL rows from genuine NULLs.
+    One shuffle: Spark expands rows per set map-side, then a single
+    partial+final hash aggregate — same plan family as cube/rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupingSets(
+            [["source", "lang"], ["source"], ["lang"], []], "source", "lang"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.grouping_id("source", "lang").alias("gid"),
+        )
+    )
+
+
 QUERIES = {
     "a18_value_percentiles": a18_value_percentiles,
     "a19_reconciliation_quality": a19_reconciliation_quality,
     "a20_priority_pivot": a20_priority_pivot,
     "a21_unpivot_metrics": a21_unpivot_metrics,
+    "a28_grouping_sets": a28_grouping_sets,
     "p8_stable_sample": p8_stable_sample,
 }
 
@@ -157,6 +179,14 @@ crm AS (
 """
 
 ORACLES = {
+    "a28_grouping_sets": """
+        SELECT source, lang,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(grouping(source, lang) AS INT) AS gid
+        FROM documents
+        GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+    """,
     "a20_priority_pivot": """
         SELECT o_orderstatus,
                count(CASE WHEN o_orderpriority LIKE '1%' THEN 1 END) AS p1,

@@ -84,3 +84,62 @@ def test_semantic_dedup_keep_set(spark, sf_dir):
         assert r.dup_of is None
     # the keeper side of every pair relation survives: min vec_id overall
     assert min(r.vec_id for r in rows) in {r.vec_id for r in kept}
+
+
+def test_weighted_sample_deterministic(spark, sf_dir):
+    from caseguarddatapipeline_spark.operators.quality import e5_weighted_sample
+
+    a = {r.doc_id: r for r in e5_weighted_sample(spark, sf_dir).collect()}
+    b = {r.doc_id: r for r in e5_weighted_sample(spark, sf_dir).collect()}
+    assert {k: (v.kept, v.draw) for k, v in a.items()} == {
+        k: (v.kept, v.draw) for k, v in b.items()
+    }
+    for r in a.values():
+        assert 0.0 <= r.weight <= 1.0 and 0.0 <= r.draw < 1.0
+        assert r.kept == (r.draw < r.weight)
+    # acceptance rate tracks mean weight (law of large numbers, hash draw)
+    kept_rate = sum(r.kept for r in a.values()) / len(a)
+    mean_w = sum(r.weight for r in a.values()) / len(a)
+    assert abs(kept_rate - mean_w) < 0.1
+
+
+def test_zscore_by_source_invariants(spark, sf_dir):
+    from caseguarddatapipeline_spark.operators.quality import e3_zscore_by_source
+
+    rows = e3_zscore_by_source(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for members in by_src.values():
+        zs = [r.z_len for r in members]
+        assert abs(sum(zs) / len(zs)) < 1e-3  # z-scores center at 0
+        deciles = {r.len_decile for r in members}
+        assert deciles <= set(range(1, 11))
+        assert min(r.len_pct_rank for r in members) == 0.0
+
+
+def test_grouping_sets_totals_consistent(spark, sf_dir):
+    from caseguarddatapipeline_spark.operators.relational5 import a28_grouping_sets
+
+    rows = a28_grouping_sets(spark, sf_dir).collect()
+    grand = [r for r in rows if r.gid == 3]
+    per_src = [r for r in rows if r.gid == 1]  # lang aggregated away
+    per_lang = [r for r in rows if r.gid == 2]
+    fine = [r for r in rows if r.gid == 0]
+    assert len(grand) == 1
+    total = grand[0].n_docs
+    assert sum(r.n_docs for r in per_src) == total
+    assert sum(r.n_docs for r in per_lang) == total
+    assert sum(r.n_docs for r in fine) == total
+    assert sum(r.total_chars for r in fine) == grand[0].total_chars
+
+
+def test_quality_classifier_bounds(spark, sf_dir):
+    from caseguarddatapipeline_spark.operators.inference import u8_quality_classifier
+
+    rows = u8_quality_classifier(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.p_quality <= 1.0
+        assert r.accepted == (r.p_quality >= 0.5)
+    assert {r.accepted for r in rows} == {True, False}  # discriminates

@@ -100,9 +100,47 @@ def zorder_write(
     )
 
 
-QUERIES = {"s6_zorder_layout": s6_zorder_layout}
+def s14_scan_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source-file lineage over the document scan: every row is tagged
+    with the physical file it came from via the ``_metadata`` hidden
+    column (no extra IO — the scan already knows its file), then rolled up
+    to file-level counts and key spans. Training-data provenance is a
+    ship-blocking requirement for a corpus build (which crawl snapshot /
+    dump produced these rows?); at 100 TB the same expression tags
+    millions of files and survives into the curated output as a lineage
+    column. The oracle pins the expected layout (one file per table in
+    the driver fixture), verifying the _metadata plumbing end-to-end."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(
+            F.col("_metadata.file_name").alias("file_name"), "doc_id", "n_chars"
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+QUERIES = {
+    "s6_zorder_layout": s6_zorder_layout,
+    "s14_scan_provenance": s14_scan_provenance,
+}
 
 ORACLES = {
+    # the fixture layout is one file per table, so the expected lineage
+    # is a constant — what's under test is Spark's _metadata tagging
+    "s14_scan_provenance": """
+        SELECT 'documents.parquet' AS file_name,
+               count(*) AS n_docs,
+               min(doc_id) AS min_doc_id,
+               max(doc_id) AS max_doc_id,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+    """,
     "s6_zorder_layout": f"""
         WITH keyed AS (
             SELECT o_custkey % 256 AS x,

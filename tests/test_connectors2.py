@@ -210,3 +210,25 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     assert z_x < 0.7 * b_x, f"zorder x-span {z_x} vs baseline {b_x}"
     assert z_y < 180, f"zorder y-span {z_y}"
     assert b_x > 200  # sanity: baseline really is unclustered in x
+
+
+def test_scan_provenance_multi_file(spark, tmp_path):
+    """_metadata lineage over a real multi-file layout: per-file rollups
+    must match what each file actually holds."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "multi")
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("n_chars")
+    )
+    df.repartition(3, "doc_id").write.parquet(path)
+    tagged = (
+        spark.read.parquet(path)
+        .select(F.col("_metadata.file_name").alias("file_name"), "doc_id")
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    )
+    assert len(tagged) == 3
+    assert sum(r.n_docs for r in tagged) == 300
+    assert all(r.file_name.endswith(".parquet") for r in tagged)

@@ -129,6 +129,39 @@ def e5_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sharded.select("doc_id", "source", "order_key", "shard", pos.alias("pos"))
 
 
+def global_shuffle_scaled(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """The 100 TB deployment form of e5_global_shuffle — identical
+    semantics (seeded md5 permutation → shard + in-shard position), zero
+    single-node stages:
+
+    - shard assignment = ``repartitionByRange(n, order_key)``: boundaries
+      come from distributed sampling, each shard is ONE partition — no
+      global-order window (the oracle form's ntile) ever materializes.
+    - in-shard position = partition-local arithmetic on
+      ``monotonically_increasing_id`` AFTER ``sortWithinPartitions``:
+      the id's low 33 bits are the row's index within its partition, so
+      position needs no window and no further shuffle.
+
+    Differs from the ntile form only at shard boundaries (sampled vs
+    exact quantiles) — pinned by tests/test_quality.py, which checks the
+    permutation order and per-shard contiguity are identical."""
+    keyed = docs.withColumn(
+        "order_key",
+        F.md5(F.concat(F.lit(SHUFFLE_SEED), F.col("doc_id").cast("string"))),
+    )
+    ranged = keyed.repartitionByRange(n_shards, "order_key").sortWithinPartitions(
+        "order_key"
+    )
+    mid = F.monotonically_increasing_id()
+    return ranged.select(
+        "doc_id",
+        "source",
+        "order_key",
+        (F.spark_partition_id() + 1).alias("shard"),
+        (mid.bitwiseAND(F.lit((1 << 33) - 1)) + 1).cast("int").alias("pos"),
+    )
+
+
 def w11_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: maximal runs of CONSECUTIVE active days per user
     (monitoring/dashboard.py:311-382 reports activity continuity; the

@@ -143,3 +143,45 @@ def test_quality_classifier_bounds(spark, sf_dir):
         assert 0.0 <= r.p_quality <= 1.0
         assert r.accepted == (r.p_quality >= 0.5)
     assert {r.accepted for r in rows} == {True, False}  # discriminates
+
+
+def test_global_shuffle_scaled_matches_ntile_form(spark, sf_dir):
+    """The repartitionByRange deployment form produces the same seeded
+    permutation as the oracle-checked ntile form: identical global order,
+    contiguous shards, correct in-shard positions — only the shard
+    boundary placement (sampled vs exact quantiles) may differ."""
+    from caseguarddatapipeline_spark.operators.quality import (
+        N_SHARDS,
+        e5_global_shuffle,
+        global_shuffle_scaled,
+    )
+    from caseguarddatapipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scaled = global_shuffle_scaled(docs).collect()
+    again = global_shuffle_scaled(docs).collect()
+    assert sorted(map(tuple, scaled)) == sorted(map(tuple, again))  # deterministic
+
+    by_shard = {}
+    for r in scaled:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert 1 < len(by_shard) <= N_SHARDS
+    # shards are contiguous, non-overlapping ranges of the order key
+    bounds = sorted(
+        (min(r.order_key for r in m), max(r.order_key for r in m), s)
+        for s, m in by_shard.items()
+    )
+    for (_, prev_hi, _), (nxt_lo, _, _) in zip(bounds, bounds[1:]):
+        assert prev_hi < nxt_lo
+    # in-shard positions are 1..n in order-key order, no window needed
+    for members in by_shard.values():
+        members.sort(key=lambda r: r.order_key)
+        assert [r.pos for r in members] == list(range(1, len(members) + 1))
+    # the GLOBAL permutation (order_key sequence) matches the ntile form
+    ntile_order = [
+        r.doc_id
+        for r in sorted(e5_global_shuffle(spark, sf_dir).collect(),
+                        key=lambda r: r.order_key)
+    ]
+    scaled_order = [r.doc_id for r in sorted(scaled, key=lambda r: r.order_key)]
+    assert ntile_order == scaled_order

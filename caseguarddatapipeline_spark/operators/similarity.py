@@ -91,6 +91,42 @@ def e2_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e2_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: 3-NN per query restricted to corpus vectors
+    sharing the query's label — the metadata-predicate + similarity shape
+    every production vector store serves (search within a tenant /
+    collection / document type). The predicate is part of the JOIN key,
+    not a post-filter on scored pairs: each query only scores its own
+    label's vectors, so with label as the table's partition column the
+    scan prunes to |label| rows per query — pre-filtering, which at
+    100 TB is the difference between reading one collection and reading
+    the lake. (Post-filtering — score all, then filter — would also
+    return too few results when a label is sparse.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        _dbl(F.col("embedding")).alias("q_emb"),
+    ).select(
+        "query_id", "q_label", "q_emb", _norm(F.col("q_emb")).alias("q_norm")
+    )
+    corpus = emb.select(
+        "vec_id", "label", _dbl(F.col("embedding")).alias("emb")
+    ).select("vec_id", "label", "emb", _norm(F.col("emb")).alias("nrm"))
+    cos = _dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_norm"))
+    scored = corpus.join(
+        F.broadcast(queries),
+        (F.col("label") == F.col("q_label"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "q_label", "vec_id", F.round(cos, 4).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "q_label", "vec_id", "cosine", "rank")
+    )
+
+
 def e2_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding statistics (norm avg/min/max) — array math in
     aggregation, the sanity check over the vector column."""
@@ -608,6 +644,7 @@ QUERIES = {
     "e2_knn_per_query": e2_knn_per_query,
     "e2_cosine_topk_vectorized": e2_cosine_topk_vectorized,
     "e2_knn_per_query_vectorized": e2_knn_per_query_vectorized,
+    "e2_filtered_search": e2_filtered_search,
     "e2_embedding_norms": e2_embedding_norms,
     "e2_lsh_buckets": e2_lsh_buckets,
     "e2_ivf_search": e2_ivf_search,
@@ -640,6 +677,24 @@ ORACLES = {
             FROM embeddings e JOIN queries ON e.vec_id <> query_id
         )
         SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= 3
+    """,
+    "e2_filtered_search": f"""
+        WITH queries AS (
+            SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
+            FROM embeddings WHERE vec_id < 5
+        ), scored AS (
+            SELECT query_id, q_label, e.vec_id,
+                   round({_DOT.format(a='e.embedding', b='q_emb')}
+                         / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
+                            * sqrt({_DOT.format(a='q_emb', b='q_emb')})), 4) AS cosine
+            FROM embeddings e
+            JOIN queries ON e.label = q_label AND e.vec_id <> query_id
+        )
+        SELECT query_id, q_label, vec_id, cosine,
                CAST(row_number() OVER (PARTITION BY query_id
                                        ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
         FROM scored

@@ -217,7 +217,14 @@ def e3_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     step before mixing heterogeneous sources (raw length is not
     comparable across a code crawl and a chat log). One shuffle on
     source; the aggregate (avg/stddev) broadcasts back over the same
-    partitioning and both window functions reuse the same sort."""
+    partitioning and both window functions reuse the same sort.
+
+    Scale caveat: ``partitionBy(source)`` sorts each source in ONE task —
+    fine for many smallish domains, a straggler when one source is half
+    the corpus. ``zscore_by_source_scaled`` below is the equivalent
+    decomposition with no per-source global sort (histogram + per-value
+    local windows); it is pinned row-identical to this form by
+    tests/test_quality.py."""
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("source")
     w_ord = Window.partitionBy("source").orderBy("n_chars", "doc_id")
@@ -231,6 +238,71 @@ def e3_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_len"),
         F.round(F.percent_rank().over(w_ord), 6).alias("len_pct_rank"),
         F.ntile(10).over(w_ord).alias("len_decile"),
+    )
+
+
+def zscore_by_source_scaled(docs: DataFrame) -> DataFrame:
+    """The skew-proof deployment form of e3_zscore_by_source: identical
+    output, no per-source global sort. Rank decomposes as
+
+        rank(row) = (# rows of this source with a smaller value)   [cum]
+                  + (row_number among ties, by doc_id)             [local]
+
+    - ``cum`` comes from a HISTOGRAM: groupBy(source, n_chars) counts —
+      the running sum over that is a window over sources × distinct
+      values (tiny: thousands of rows), never over documents.
+    - ``local`` is a window over (source, n_chars) — many SMALL
+      partitions, each one tie-group, so no task ever holds a whole
+      source. percent_rank = (rank−1)/(n−1) and ntile's uneven-tile
+      arithmetic are then plain column math from (rank, n).
+
+    The moment partitionBy(source) would straggle (one domain = half the
+    corpus), this shape keeps every task bounded by the largest TIE
+    GROUP instead of the largest SOURCE."""
+    hist = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "source",
+        "n_chars",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("below"),
+    )
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("n_chars").alias("mu"),
+        F.stddev_samp("n_chars").alias("sd"),
+    )
+    local = F.row_number().over(
+        Window.partitionBy("source", "n_chars").orderBy("doc_id")
+    )
+    ranked = (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("local_rn", local)
+        .join(F.broadcast(cum), ["source", "n_chars"])
+        .join(F.broadcast(stats), "source")
+        .withColumn("rnk", F.col("below") + F.col("local_rn"))
+    )
+    # ntile(k) over n rows: the first n%k tiles hold ceil(n/k) rows
+    k = F.lit(10)
+    q, rem = (F.col("n") / k).cast("long"), F.col("n") % k
+    big = rem * (q + 1)  # rows covered by the oversized tiles
+    tile = F.when(
+        F.col("rnk") <= big, ((F.col("rnk") - 1) / (q + 1)).cast("long")
+    ).otherwise(
+        # guard: this branch is unreachable when q = 0 (then big = n), but
+        # ANSI mode evaluates the cast eagerly enough to need a nonzero div
+        rem + ((F.col("rnk") - 1 - big) / F.greatest(q, F.lit(1))).cast("long")
+    ) + 1
+    return ranked.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round((F.col("n_chars") - F.col("mu")) / F.col("sd"), 4).alias("z_len"),
+        F.round((F.col("rnk") - 1) / (F.col("n") - 1), 6).alias("len_pct_rank"),
+        tile.cast("int").alias("len_decile"),
     )
 
 

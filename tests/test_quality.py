@@ -185,3 +185,24 @@ def test_global_shuffle_scaled_matches_ntile_form(spark, sf_dir):
     ]
     scaled_order = [r.doc_id for r in sorted(scaled, key=lambda r: r.order_key)]
     assert ntile_order == scaled_order
+
+
+def test_zscore_scaled_matches_window_form(spark, sf_dir):
+    """The histogram + tie-group-window decomposition is row-identical to
+    the per-source-window form — same z, percent rank, and ntile decile."""
+    from caseguarddatapipeline_spark.operators.quality import (
+        e3_zscore_by_source,
+        zscore_by_source_scaled,
+    )
+    from caseguarddatapipeline_spark.sources import load_table
+
+    base = {
+        r.doc_id: (r.z_len, r.len_pct_rank, r.len_decile)
+        for r in e3_zscore_by_source(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    scaled = {
+        r.doc_id: (r.z_len, r.len_pct_rank, r.len_decile)
+        for r in zscore_by_source_scaled(docs).collect()
+    }
+    assert base == scaled

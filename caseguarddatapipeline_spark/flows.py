@@ -1,0 +1,221 @@
+"""The reference's three entry-point flows, composed from the engine's
+operators — the switch-over surface for a reference user (SURVEY.md §3,
+MIGRATION.md flow table). Each flow is the Prefect orchestration recast as
+DataFrame composition: discovery/validation/enqueue become one lazy plan
+per step, retries and queue draining live in Structured Streaming, and
+reports come from the same aggregates the dashboards use.
+
+- ``onboard_tenant``        = etl/flows/onboard_tenant.py:316-429
+- ``sync_tenant_daily``     = etl/flows/sync_daily.py (the flagship; the
+                              engine's ``entry()`` is its summary step)
+- ``process_case_backlog``  = etl/worker.py:307-358's consume loop
+                              (delegates to streaming/jobs.run_jobs_stream)
+
+Everything is deterministic: the validation sample is hash-ordered (no
+``random.sample``), the accessibility probe is an injectable seam
+(defaults to a deterministic stub; production swaps a REST/SOAP probe),
+and job files are idempotently named, so re-running a flow cannot
+double-enqueue.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.reconcile import reconcile_fused, reconciliation_summary
+from .sources.connectors import csv_case_scan
+from .streaming.jobs import jobs_from_reconciliation, run_jobs_stream
+
+ACCESSIBILITY_FLOOR = 0.8  # onboard_tenant.py:381 warns below 80%
+BACKFILL_PRIORITY = 3  # backfill is lowest priority; daily changes outrank it
+
+
+def _default_probe(df: DataFrame) -> DataFrame:
+    """Deterministic stand-in for the per-case API accessibility check
+    (onboard_tenant.py:120-128 simulates ~95% accessible): a case is
+    'accessible' unless its ref hashes into the 1-in-20 bucket. Swap for
+    a mapInPandas REST/SOAP probe (sources/rest.py, sources/soap.py) in
+    production — the flow only needs an ``accessible`` boolean column."""
+    return df.withColumn(
+        "accessible", F.pmod(F.xxhash64("case_ref"), F.lit(20)) != 0
+    )
+
+
+def onboard_tenant(
+    spark: SparkSession,
+    case_csv_path: str,
+    queue_dir: str,
+    *,
+    include_closed_cases: bool = True,
+    validate_before_queuing: bool = True,
+    batch_size: int = 100,
+    sample_size: int = 10,
+    accessibility_probe=None,
+) -> dict:
+    """Historical backfill bootstrap: discover → validate sample → enqueue.
+
+    Discovery is the S1 CSV scan (one job per case row); validation
+    probes a deterministic hash-ordered sample of ``sample_size`` cases
+    and reports the estimated accessibility rate (flow proceeds with a
+    warning below the 80% floor, like the reference); enqueue writes
+    batch-numbered JSON job files into ``queue_dir`` — the SAME queue
+    ``process_case_backlog`` drains, so onboard + backlog-drain is the
+    complete backfill. Enqueue is one file per batch with deterministic
+    names: re-running overwrites rather than double-queuing. (Job rows
+    are id+priority metadata — kilobytes per thousand cases — so the
+    driver-side batch writer is fine into the millions; beyond that,
+    swap the loop for ``jobs.write.mode("overwrite").json(queue_dir)``:
+    opaque file names, same queue contract, idempotence via overwrite.)"""
+    report: dict = {"steps_completed": [], "final_status": "in_progress"}
+
+    cases = csv_case_scan(spark, case_csv_path)
+    if not include_closed_cases and "is_active" in cases.columns:
+        cases = cases.filter(F.col("is_active"))
+    cases = cases.cache()
+    n_cases = cases.count()
+    report["total_cases_discovered"] = n_cases
+    report["steps_completed"].append("case_discovery")
+    if n_cases == 0:
+        report["final_status"] = "completed_empty"
+        return report
+
+    if validate_before_queuing:
+        probe = accessibility_probe or _default_probe
+        sample = (
+            cases.select("case_ref")
+            .orderBy(F.pmod(F.xxhash64("case_ref"), F.lit(1 << 20)), "case_ref")
+            .limit(sample_size)
+        )
+        probed = probe(sample)
+        agg = probed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("accessible"), 1)).alias("ok"),
+        ).collect()[0]
+        rate = agg.ok / agg.n if agg.n else 0.0
+        report["validation_results"] = {
+            "sample_size": agg.n,
+            "accessible": agg.ok,
+            "inaccessible": agg.n - agg.ok,
+            "estimated_accessibility_rate": round(rate, 4),
+        }
+        report["low_accessibility_warning"] = rate < ACCESSIBILITY_FLOOR
+        report["steps_completed"].append("validation")
+
+    # Enqueue: stable batch numbering (order by case_ref so re-runs slice
+    # identically), one JSON file per batch — the queue contract
+    # streaming/jobs.JOB_SCHEMA expects. Batches of `batch_size` mirror
+    # the reference's enqueue_backfill_jobs slicing.
+    os.makedirs(queue_dir, exist_ok=True)
+    rows = (
+        cases.select(
+            F.abs(F.xxhash64("case_ref")).alias("job_id"),
+            F.abs(F.xxhash64("case_ref")).alias("entity_id"),
+            F.lit("backfill").alias("change_type"),
+            F.lit(BACKFILL_PRIORITY).cast("int").alias("priority"),
+            F.lit(0).cast("int").alias("retry_count"),
+        )
+        .orderBy("job_id")
+        .collect()
+    )
+    n_batches = 0
+    for start in range(0, len(rows), batch_size):
+        batch = rows[start : start + batch_size]
+        path = os.path.join(queue_dir, f"backfill-{start // batch_size:06d}.json")
+        with open(path, "w") as fh:
+            for r in batch:
+                fh.write(json.dumps(r.asDict()) + "\n")
+        n_batches += 1
+    report["queuing_results"] = {
+        "queued_successfully": len(rows),
+        "batches_written": n_batches,
+    }
+    report["jobs_queued"] = len(rows)
+    report["steps_completed"].append("case_queuing")
+
+    report["initial_progress"] = {"queue_depth": len(rows), "processed": 0}
+    report["steps_completed"].append("progress_monitoring")
+    report["final_status"] = "completed"
+    cases.unpersist()
+    return report
+
+
+def sync_tenant_daily(
+    spark: SparkSession,
+    sf_dir: str,
+    queue_dir: str | None = None,
+) -> dict:
+    """Daily incremental reconciliation (the flagship flow): one fused
+    CRM↔store full-outer plan feeds the change-type summary, the quality
+    gate (change rate ≤ 20%, count divergence ≤ 10% —
+    reconciliation.py:324-405), and — when the gate passes and a queue is
+    given — the prioritized job enqueue. The three steps share the
+    ``reconcile_fused`` subplan; nothing is recomputed per step."""
+    detail = reconcile_fused(spark, sf_dir).cache()
+    try:
+        summary = {
+            r.change_type: {
+                "n_entities": r.n_entities,
+                "total_events": r.total_events,
+            }
+            for r in reconciliation_summary(spark, sf_dir).collect()
+        }
+        agg = detail.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("change_type") != "deactivated", 1)).alias("n_crm"),
+            F.count(F.when(F.col("change_type") != "new", 1)).alias("n_store"),
+            F.count(
+                F.when(
+                    F.col("change_type").isin("new", "deactivated", "update"), 1
+                )
+            ).alias("n_changes"),
+        ).collect()[0]
+        change_rate = agg.n_changes / agg.n_total if agg.n_total else 0.0
+        divergence = (
+            abs(agg.n_crm - agg.n_store) / max(agg.n_crm, agg.n_store)
+            if max(agg.n_crm, agg.n_store)
+            else 0.0
+        )
+        quality_ok = change_rate <= 0.2 and divergence <= 0.1
+        report = {
+            "summary": summary,
+            "quality": {
+                "change_rate": round(change_rate, 6),
+                "count_divergence": round(divergence, 6),
+                "quality_ok": quality_ok,
+            },
+            "jobs_queued": 0,
+        }
+        if queue_dir is not None and quality_ok:
+            os.makedirs(queue_dir, exist_ok=True)
+            jobs = jobs_from_reconciliation(detail).orderBy("priority", "job_id")
+            rows = jobs.collect()
+            path = os.path.join(queue_dir, "sync-daily.json")
+            with open(path, "w") as fh:
+                for r in rows:
+                    fh.write(json.dumps(r.asDict()) + "\n")
+            report["jobs_queued"] = len(rows)
+        report["final_status"] = "completed"
+        return report
+    finally:
+        detail.unpersist()
+
+
+def process_case_backlog(
+    spark: SparkSession,
+    queue_dir: str,
+    out_dir: str,
+    dlq_dir: str,
+    checkpoint_dir: str,
+    fail_predicate=None,
+):
+    """Drain the job queue written by ``onboard_tenant`` /
+    ``sync_tenant_daily``: priority-ordered micro-batches, retry
+    re-enqueue, dead-letter routing — streaming/jobs.run_jobs_stream is
+    the whole worker loop."""
+    return run_jobs_stream(
+        spark, queue_dir, out_dir, dlq_dir, checkpoint_dir, fail_predicate
+    )

@@ -1,0 +1,106 @@
+"""Entry-point flows: onboarding backfill (discover → validate → enqueue),
+daily sync (reconcile → quality gate → enqueue), and draining the queue
+they feed."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from caseguarddatapipeline_spark.flows import (
+    onboard_tenant,
+    process_case_backlog,
+    sync_tenant_daily,
+)
+
+CSV_HEADER = "Solicitor Reference,Status,Client,Handler,Date Opened\n"
+
+
+def _write_cases(path, n_active=18, n_complete=7):
+    rows = [CSV_HEADER]
+    for i in range(n_active):
+        rows.append(f"NBC{i:06d}.001,Active,Client {i},Handler A,01/02/2024\n")
+    for i in range(n_complete):
+        rows.append(f"NBC9{i:05d}.001,Complete,Client X,Handler B,03/04/2023\n")
+    path.write_text("".join(rows))
+
+
+def test_onboard_tenant_end_to_end(spark, tmp_path):
+    csv = tmp_path / "cases.csv"
+    _write_cases(csv)
+    queue = str(tmp_path / "queue")
+
+    report = onboard_tenant(spark, str(csv), queue, batch_size=10)
+    assert report["final_status"] == "completed"
+    assert report["total_cases_discovered"] == 25
+    assert report["jobs_queued"] == 25
+    assert report["queuing_results"]["batches_written"] == 3
+    v = report["validation_results"]
+    assert v["sample_size"] == 10
+    assert v["accessible"] + v["inaccessible"] == 10
+
+    # queue files are the JOB_SCHEMA contract
+    files = sorted(os.listdir(queue))
+    assert files == [f"backfill-{i:06d}.json" for i in range(3)]
+    jobs = [json.loads(line) for f in files for line in open(os.path.join(queue, f))]
+    assert len(jobs) == 25
+    assert {j["priority"] for j in jobs} == {3}
+    assert all(j["retry_count"] == 0 for j in jobs)
+
+    # idempotent re-run: same files, same content, no double-enqueue
+    report2 = onboard_tenant(spark, str(csv), queue, batch_size=10)
+    assert report2["jobs_queued"] == 25
+    assert sorted(os.listdir(queue)) == files
+
+    # closed cases excluded on request
+    report3 = onboard_tenant(
+        spark, str(csv), str(tmp_path / "q2"), include_closed_cases=False
+    )
+    assert report3["total_cases_discovered"] == 18
+
+
+def test_onboard_then_drain_backlog(spark, tmp_path):
+    csv = tmp_path / "cases.csv"
+    _write_cases(csv, n_active=12, n_complete=0)
+    queue = str(tmp_path / "queue")
+    onboard_tenant(spark, str(csv), queue, validate_before_queuing=False)
+
+    out, dlq, ckpt = (str(tmp_path / d) for d in ("out", "dlq", "ckpt"))
+    process_case_backlog(spark, queue, out, dlq, ckpt)
+    done = spark.read.parquet(out).collect()  # outcome column dropped on write
+    assert len(done) == 12
+    assert all(r.change_type == "backfill" and r.retry_count == 0 for r in done)
+    queued = {
+        json.loads(line)["job_id"]
+        for f in os.listdir(queue)
+        for line in open(os.path.join(queue, f))
+    }
+    assert {r.job_id for r in done} == queued
+    assert spark.read.parquet(dlq).count() == 0  # dir exists, zero dead rows
+
+
+def test_sync_tenant_daily_gates_and_enqueues(spark, sf_dir, tmp_path):
+    queue = str(tmp_path / "queue")
+    report = sync_tenant_daily(spark, sf_dir, queue)
+    assert report["final_status"] == "completed"
+    assert set(report["summary"]) == {"new", "deactivated", "update", "unchanged"}
+    q = report["quality"]
+    assert 0.0 <= q["change_rate"] <= 1.0
+    assert isinstance(q["quality_ok"], bool)
+    n_actionable = (
+        report["summary"]["new"]["n_entities"]
+        + report["summary"]["update"]["n_entities"]
+    )
+    if q["quality_ok"]:
+        jobs = [
+            json.loads(line)
+            for line in open(os.path.join(queue, "sync-daily.json"))
+        ]
+        assert report["jobs_queued"] == len(jobs) == n_actionable
+        assert {j["change_type"] for j in jobs} <= {"new", "update"}
+        # new cases outrank updates in the queue
+        assert all(
+            j["priority"] == (1 if j["change_type"] == "new" else 2) for j in jobs
+        )
+    else:
+        assert report["jobs_queued"] == 0

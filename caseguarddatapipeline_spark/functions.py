@@ -38,6 +38,11 @@ __all__ = [
     "cosine",
     "l2_norm",
     "dot",
+    "distinct_ratio",
+    "mean_word_len",
+    "normalize_text",
+    "seeded_draw",
+    "seeded_order_key",
 ]
 
 
@@ -91,6 +96,40 @@ def quality_score(text: Column) -> Column:
         + F.lit(0.3) * (F.lit(1.0) - stop)
         + F.lit(0.2) * F.least(avg_tok_len / F.lit(10.0), F.lit(1.0))
     )
+
+
+def distinct_ratio(text: Column) -> Column:
+    """Fraction of distinct tokens — the repetition-penalizing signal in
+    the gopher rule battery and the weighted-sampling weight."""
+    toks = tokens(text)
+    return F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+
+
+def mean_word_len(text: Column) -> Column:
+    """Mean token length under single-space tokenization (arithmetic on
+    lengths, no per-token loop)."""
+    n = F.size(tokens(text))
+    return (F.length(text) - (n - 1)).cast("double") / n
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonicalization before exact dedup: lowercase, trim, collapse
+    space/tab runs — identical to the e3_text_normalize operator."""
+    return F.lower(F.trim(F.regexp_replace(text, r"[ \t]+", " ")))
+
+
+def seeded_draw(key: Column, seed_knuth: int = 2654435761) -> Column:
+    """Deterministic uniform in [0,1) from an integer key via the Knuth
+    multiplicative hash — the engine-exact acceptance draw behind
+    p8_stable_sample / e5_weighted_sample (keys must be < 2³¹ so the
+    product stays ANSI-safe in int64)."""
+    return F.pmod(key * F.lit(seed_knuth), F.lit(4294967296)) / F.lit(4294967296.0)
+
+
+def seeded_order_key(key: Column, seed: str = "seed42:") -> Column:
+    """md5-derived permutation key (bit-identical across engines) — the
+    e5_global_shuffle training order for an arbitrary key column."""
+    return F.md5(F.concat(F.lit(seed), key.cast("string")))
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -63,3 +63,28 @@ def test_minhash_via_api_matches_operator(spark, sf_dir):
     rows = docs.collect()
     assert all(len(r["sig"]) == 16 for r in rows)
     assert all(all(0 <= v < CF.MERSENNE_31 for v in r["sig"]) for r in rows)
+
+
+def test_corpus_hygiene_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "the fast  Fox"), (2, "a a a a")], "id long, text string"
+    )
+    out = df.select(
+        "id",
+        CF.distinct_ratio(F.col("text")).alias("dr"),
+        CF.normalize_text(F.col("text")).alias("norm"),
+        CF.seeded_draw(F.col("id")).alias("draw"),
+        CF.seeded_order_key(F.col("id")).alias("okey"),
+    ).collect()
+    by_id = {r.id: r for r in out}
+    assert by_id[2].dr == 0.25
+    assert by_id[1].norm == "the fast fox"
+    assert 0.0 <= by_id[1].draw < 1.0
+    assert by_id[1].draw != by_id[2].draw
+    assert len(by_id[1].okey) == 32  # md5 hex
+
+    # mean_word_len under single-space tokenization
+    m = spark.createDataFrame([("ab cd",)], "text string").select(
+        CF.mean_word_len(F.col("text")).alias("m")
+    ).collect()[0].m
+    assert m == 2.0

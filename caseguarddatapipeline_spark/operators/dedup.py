@@ -852,7 +852,33 @@ def e1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e1_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generator RECALL report: how many of the exact all-pairs
+    near-dup pairs (τ=0.35) the IVF cell router recovers — the measured
+    form of the τ-routing rule documented on e1_embedding_neardup_ivf
+    (at this deliberately low τ the cells miss distant-neighbor pairs;
+    at dedup's τ≳0.8 recall approaches 1). Keeping it IN the catalog
+    means the routing claim is re-verified against real numbers every
+    round instead of living in a docstring. One row: exact pairs, IVF
+    candidates, overlap, recall."""
+    exact = e1_embedding_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    ivf = _ivf_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    common = exact.join(ivf, ["doc_a", "doc_b"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(ivf.agg(F.count(F.lit(1)).alias("n_ivf")))
+        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
+        .select(
+            "n_exact",
+            "n_ivf",
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_exact"), 4).alias("recall"),
+        )
+    )
+
+
 QUERIES = {
+    "e1_neardup_recall": e1_neardup_recall,
     "e1_exact_dedup": e1_exact_dedup,
     "e1_embedding_neardup": e1_embedding_neardup,
     "e1_embedding_neardup_ivf": e1_embedding_neardup_ivf,
@@ -1016,6 +1042,30 @@ _IVF_PAIRS_CTES = IVF1_CENTS_SQL + """
 
 ORACLES["e1_embedding_neardup_ivf"] = _IVF_PAIRS_CTES + """
     SELECT doc_a, doc_b, cosine FROM pairs
+"""
+
+# recall of the IVF candidate pairs against the exact all-pairs set —
+# both sides are the same CTE algebra the individual oracles pin
+ORACLES["e1_neardup_recall"] = _IVF_PAIRS_CTES + """
+    , exact AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   round(list_dot_product(a.emb, b.emb)
+                         / (sqrt(list_dot_product(a.emb, a.emb))
+                            * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        ) WHERE cosine >= 0.35
+    ), counts AS (
+        SELECT (SELECT count(*) FROM exact) AS n_exact,
+               (SELECT count(*) FROM pairs) AS n_ivf,
+               (SELECT count(*) FROM exact e
+                WHERE EXISTS (SELECT 1 FROM pairs p
+                              WHERE p.doc_a = e.doc_a AND p.doc_b = e.doc_b))
+                   AS n_common
+    )
+    SELECT n_exact, n_ivf, n_common,
+           round(CAST(n_common AS DOUBLE) / n_exact, 4) AS recall
+    FROM counts
 """
 
 # keep-set view over the same candidate pairs: dominated-by-smaller-id

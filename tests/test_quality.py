@@ -206,3 +206,14 @@ def test_zscore_scaled_matches_window_form(spark, sf_dir):
         for r in zscore_by_source_scaled(docs).collect()
     }
     assert base == scaled
+
+
+def test_neardup_recall_invariants(spark, sf_dir):
+    from caseguarddatapipeline_spark.operators.dedup import e1_neardup_recall
+
+    r = e1_neardup_recall(spark, sf_dir).collect()[0]
+    assert r.n_common <= min(r.n_exact, r.n_ivf)
+    assert 0.0 <= r.recall <= 1.0
+    # the IVF candidates are a SUBSET of exact pairs (same τ, same cosine):
+    # every candidate the router emits is a true pair, so n_ivf == n_common
+    assert r.n_ivf == r.n_common

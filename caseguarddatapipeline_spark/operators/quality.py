@@ -162,6 +162,35 @@ def global_shuffle_scaled(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFram
     )
 
 
+def e5_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: documents sorted into quality QUARTILES
+    (easy/high-quality first), seeded-shuffled WITHIN each quartile — the
+    banded ordering curriculum-learning pipelines feed the trainer
+    (ordered between bands, decorrelated within). Band = ntile(4) over
+    the distinct-token-ratio quality signal; within-band position =
+    row_number over the md5 permutation (same key construction as
+    e5_global_shuffle, so the within-band order is reproducible and
+    engine-exact). Global training position = (band, pos) lexicographic.
+
+    Scale: both windows are per-band after a 4-way split; the quartile
+    assignment itself uses the skew-proof histogram decomposition at
+    100 TB (see zscore_by_source_scaled — identical rank algebra)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    quality = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    scored = docs.select(
+        "doc_id",
+        F.round(quality, 6).alias("quality"),
+        F.md5(F.concat(F.lit(SHUFFLE_SEED), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    band = F.ntile(4).over(Window.orderBy(F.col("quality").desc(), F.col("doc_id")))
+    banded = scored.select("doc_id", "quality", "shuffle_key", band.alias("band"))
+    pos = F.row_number().over(Window.partitionBy("band").orderBy("shuffle_key"))
+    return banded.select("doc_id", "quality", "band", pos.alias("pos_in_band"))
+
+
 def w11_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: maximal runs of CONSECUTIVE active days per user
     (monitoring/dashboard.py:311-382 reports activity continuity; the
@@ -311,6 +340,7 @@ QUERIES = {
     "e3_text_normalize": e3_text_normalize,
     "e3_zscore_by_source": e3_zscore_by_source,
     "e5_global_shuffle": e5_global_shuffle,
+    "e5_curriculum_order": e5_curriculum_order,
     "e5_weighted_sample": e5_weighted_sample,
     "w11_gaps_islands": w11_gaps_islands,
 }
@@ -380,6 +410,25 @@ ORACLES = {
                CAST(row_number() OVER (PARTITION BY shard ORDER BY order_key)
                     AS INT) AS pos
         FROM sharded
+    """,
+    "e5_curriculum_order": """
+        WITH scored AS (
+            SELECT doc_id,
+                   round(CAST(len(list_distinct(string_split(text, ' ')))
+                              AS DOUBLE) / len(string_split(text, ' ')), 6)
+                       AS quality,
+                   md5('seed42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+            FROM documents
+        ), banded AS (
+            SELECT doc_id, quality, shuffle_key,
+                   CAST(ntile(4) OVER (ORDER BY quality DESC, doc_id) AS INT)
+                       AS band
+            FROM scored
+        )
+        SELECT doc_id, quality, band,
+               CAST(row_number() OVER (PARTITION BY band ORDER BY shuffle_key)
+                    AS INT) AS pos_in_band
+        FROM banded
     """,
     "e5_weighted_sample": """
         WITH m AS (

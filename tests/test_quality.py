@@ -217,3 +217,20 @@ def test_neardup_recall_invariants(spark, sf_dir):
     # the IVF candidates are a SUBSET of exact pairs (same τ, same cosine):
     # every candidate the router emits is a true pair, so n_ivf == n_common
     assert r.n_ivf == r.n_common
+
+
+def test_curriculum_order_bands(spark, sf_dir):
+    from caseguarddatapipeline_spark.operators.quality import e5_curriculum_order
+
+    rows = e5_curriculum_order(spark, sf_dir).collect()
+    by_band = {}
+    for r in rows:
+        by_band.setdefault(r.band, []).append(r)
+    assert set(by_band) == {1, 2, 3, 4}
+    # bands are ordered by quality: every band-1 doc >= every band-4 doc
+    assert min(r.quality for r in by_band[1]) >= max(r.quality for r in by_band[4])
+    # within a band, positions are a contiguous 1..n permutation
+    for members in by_band.values():
+        assert sorted(r.pos_in_band for r in members) == list(
+            range(1, len(members) + 1)
+        )

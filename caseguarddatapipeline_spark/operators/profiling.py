@@ -82,13 +82,130 @@ def a25_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a29_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the DLT-expectations /
+    contract-test shape; extends the reference's admission checks,
+    database/models.py constraints + docproc/format_config.py:86-145,
+    to a named-rule report): key uniqueness, domain membership, range and
+    null rules in ONE scan per table, referential integrity as one
+    anti-join — each rule a (rule, n_checked, n_violations, passed) row
+    so a pipeline can gate on `passed` per rule instead of failing
+    opaquely. Per-row predicates compose into a single wide aggregate;
+    nothing scans twice."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def _rule(name: str, n_checked, n_violations):
+        return F.struct(
+            F.lit(name).alias("rule"),
+            n_checked.cast("long").alias("n_checked"),
+            n_violations.cast("long").alias("n_violations"),
+        )
+
+    rules_o = (
+        orders.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("dups"),
+            F.count(
+                F.when(
+                    F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1
+                )
+            ).alias("bad_price"),
+            F.count(
+                F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+            ).alias("bad_status"),
+            F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias("null_date"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    _rule("orders.o_orderkey.unique", F.col("n"), F.col("dups")),
+                    _rule("orders.o_totalprice.positive", F.col("n"),
+                          F.col("bad_price")),
+                    _rule("orders.o_orderstatus.in_domain", F.col("n"),
+                          F.col("bad_status")),
+                    _rule("orders.o_orderdate.not_null", F.col("n"),
+                          F.col("null_date")),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+    orphan_count = (
+        li.select("l_orderkey")
+        .join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orphans"))
+    )
+    rules_l = (
+        li.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+            ).alias("bad_discount"),
+        )
+        .crossJoin(orphan_count)
+        .select(
+            F.explode(
+                F.array(
+                    _rule("lineitem.l_discount.in_range", F.col("n"),
+                          F.col("bad_discount")),
+                    _rule("lineitem.l_orderkey.references_orders", F.col("n"),
+                          F.col("orphans")),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+    return rules_o.unionByName(rules_l).withColumn(
+        "passed", F.col("n_violations") == 0
+    )
+
+
 QUERIES = {
     "a23_value_histogram": a23_value_histogram,
     "a24_corr_stats": a24_corr_stats,
     "a25_data_profile": a25_data_profile,
+    "a29_expectations": a29_expectations,
 }
 
 ORACLES = {
+    "a29_expectations": """
+        WITH o AS (
+            SELECT count(*) AS n,
+                   count(*) - count(DISTINCT o_orderkey) AS dups,
+                   count(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                              THEN 1 END) AS bad_price,
+                   count(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                              THEN 1 END) AS bad_status,
+                   count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS null_date
+            FROM orders
+        ), l AS (
+            SELECT count(*) AS n,
+                   count(CASE WHEN l_discount < 0 OR l_discount > 1
+                              THEN 1 END) AS bad_discount
+            FROM lineitem
+        ), orph AS (
+            SELECT count(*) AS orphans FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        ), rules AS (
+            SELECT 'orders.o_orderkey.unique' AS rule,
+                   n AS n_checked, dups AS n_violations FROM o
+            UNION ALL SELECT 'orders.o_totalprice.positive', n, bad_price FROM o
+            UNION ALL SELECT 'orders.o_orderstatus.in_domain', n, bad_status FROM o
+            UNION ALL SELECT 'orders.o_orderdate.not_null', n, null_date FROM o
+            UNION ALL SELECT 'lineitem.l_discount.in_range', n, bad_discount FROM l
+            UNION ALL SELECT 'lineitem.l_orderkey.references_orders',
+                             l.n, orph.orphans FROM l, orph
+        )
+        SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+               CAST(n_violations AS BIGINT) AS n_violations,
+               n_violations = 0 AS passed
+        FROM rules
+    """,
     "a23_value_histogram": """
         WITH b AS (
             SELECT CAST(

@@ -234,3 +234,14 @@ def test_curriculum_order_bands(spark, sf_dir):
         assert sorted(r.pos_in_band for r in members) == list(
             range(1, len(members) + 1)
         )
+
+
+def test_expectations_all_pass_on_clean_fixture(spark, sf_dir):
+    from caseguarddatapipeline_spark.operators.profiling import a29_expectations
+
+    rows = {r.rule: r for r in a29_expectations(spark, sf_dir).collect()}
+    assert len(rows) == 6
+    # the synthetic tables are referentially clean — every rule passes
+    for r in rows.values():
+        assert r.n_violations == 0 and r.passed
+        assert r.n_checked > 0

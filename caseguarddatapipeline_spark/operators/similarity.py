@@ -127,6 +127,36 @@ def e2_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e2_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index HEALTH report: per-cell occupancy of the 1-round IVF
+    quantizer (the production monitoring query behind an ANN serving
+    tier — a lopsided cell histogram means degraded recall/latency and
+    triggers re-training the quantizer). Per cell: member count, share of
+    corpus, and mean member→centroid cosine (cell coherence). Assignment
+    is the same oracle-pinned argmax the search operators use; the only
+    shuffle is the tiny groupBy(cell)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cents = _ivf1_index(spark, sf_dir)
+    corpus = emb.select("vec_id", _dbl(F.col("embedding")).alias("emb"))
+    cos6 = F.transform(_cell_cosines(cents, F.col("emb")), lambda c: F.round(c, 6))
+    assigned = corpus.select(
+        (F.array_position(cos6, F.array_max(cos6)) - 1).cast("int").alias("cell"),
+        F.array_max(cos6).alias("cent_cos"),
+    )
+    per_cell = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("cent_cos"), 4).alias("avg_cent_cosine"),
+    )
+    # share from a window over the k-row aggregate — no second corpus scan
+    total = F.sum("n_members").over(Window.partitionBy())
+    return per_cell.select(
+        "cell",
+        "n_members",
+        F.round(F.col("n_members") / total, 4).alias("share"),
+        "avg_cent_cosine",
+    )
+
+
 def e2_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding statistics (norm avg/min/max) — array math in
     aggregation, the sanity check over the vector column."""
@@ -645,6 +675,7 @@ QUERIES = {
     "e2_cosine_topk_vectorized": e2_cosine_topk_vectorized,
     "e2_knn_per_query_vectorized": e2_knn_per_query_vectorized,
     "e2_filtered_search": e2_filtered_search,
+    "e2_index_stats": e2_index_stats,
     "e2_embedding_norms": e2_embedding_norms,
     "e2_lsh_buckets": e2_lsh_buckets,
     "e2_ivf_search": e2_ivf_search,
@@ -780,6 +811,32 @@ IVF1_CENTS_SQL = """
 # means (per-dimension avg over a generated index), multi-probe ranking,
 # and the final candidate top-k. Empty seed cells keep their (rounded)
 # seed vector, mirroring the Spark fallback.
+# index health: top-1 centroid assignment (same rounded argmax, ties to
+# lowest cell), per-cell occupancy + coherence; share from the k-row agg
+ORACLES["e2_index_stats"] = IVF1_CENTS_SQL + """
+    , cent_scored AS (
+        SELECT c.vec_id, ct.cell,
+               round(list_dot_product(c.emb, ct.c_emb)
+                     / (sqrt(list_dot_product(c.emb, c.emb))
+                        * sqrt(list_dot_product(ct.c_emb, ct.c_emb))), 6) AS cos6
+        FROM corpus c CROSS JOIN cents ct
+    ), routed AS (
+        SELECT vec_id, cell, cos6
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cos6 DESC, cell ASC) AS rn
+              FROM cent_scored)
+        WHERE rn = 1
+    ), per_cell AS (
+        SELECT cell, count(*) AS n_members,
+               round(avg(cos6), 4) AS avg_cent_cosine
+        FROM routed GROUP BY cell
+    )
+    SELECT cell, n_members,
+           round(CAST(n_members AS DOUBLE) / sum(n_members) OVER (), 4) AS share,
+           avg_cent_cosine
+    FROM per_cell
+"""
+
 ORACLES["e2_ivf_search_1round"] = IVF1_CENTS_SQL + """
     , queries AS (
         SELECT vec_id AS query_id, emb AS q_emb FROM corpus WHERE vec_id < 5

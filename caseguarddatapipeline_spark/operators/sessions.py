@@ -173,7 +173,36 @@ def w10_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w12_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity month,
+    counted in each later month they remained active — the
+    activity-continuity analysis dashboard.py:311-382 approximates with
+    per-case loops, as two hash aggregates. Plan: per-(user, month)
+    distinct → broadcast-joinable first-month table → count per (cohort,
+    offset). Shuffles only on user_id and the tiny (cohort, offset)
+    key — no windows, no sorts; at 100 TB both aggs combine map-side."""
+    events = load_table(spark, sf_dir, "events")
+    monthly = events.select(
+        "user_id", F.date_format("ts", "yyyy-MM").alias("month")
+    ).distinct()
+    cohorts = monthly.groupBy("user_id").agg(F.min("month").alias("cohort"))
+    return (
+        monthly.join(cohorts, "user_id")
+        .groupBy(
+            "cohort",
+            (
+                (F.split("month", "-")[0].cast("int") * 12
+                 + F.split("month", "-")[1].cast("int"))
+                - (F.split("cohort", "-")[0].cast("int") * 12
+                   + F.split("cohort", "-")[1].cast("int"))
+            ).alias("month_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
 QUERIES = {
+    "w12_cohort_retention": w12_cohort_retention,
     "w8_sessionize": w8_sessionize,
     "w9_rolling_activity": w9_rolling_activity,
     "u6_label_centroids": u6_label_centroids,
@@ -181,6 +210,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "w12_cohort_retention": """
+        WITH monthly AS (
+            SELECT DISTINCT user_id, strftime(ts, '%Y-%m') AS month
+            FROM events
+        ), cohorts AS (
+            SELECT user_id, min(month) AS cohort FROM monthly GROUP BY user_id
+        )
+        SELECT cohort,
+               (CAST(string_split(month, '-')[1] AS INT) * 12
+                + CAST(string_split(month, '-')[2] AS INT))
+               - (CAST(string_split(cohort, '-')[1] AS INT) * 12
+                  + CAST(string_split(cohort, '-')[2] AS INT)) AS month_offset,
+               count(DISTINCT m.user_id) AS n_active
+        FROM monthly m JOIN cohorts USING (user_id)
+        GROUP BY 1, 2
+    """,
     "w10_event_funnel": """
         WITH staged AS (
             SELECT user_id, ts, event_id, event_type,

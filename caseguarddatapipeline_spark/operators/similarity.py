@@ -141,11 +141,16 @@ def e2_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos6 = F.transform(_cell_cosines(cents, F.col("emb")), lambda c: F.round(c, 6))
     assigned = corpus.select(
         (F.array_position(cos6, F.array_max(cos6)) - 1).cast("int").alias("cell"),
-        F.array_max(cos6).alias("cent_cos"),
+        # 6-dp cosines ×10⁶ are exact integers: the per-cell sum is then
+        # association-order-free, so the 4-dp mean can't flip at a
+        # rounding boundary between engines (or between partition counts)
+        F.round(F.array_max(cos6) * 1e6).cast("long").alias("cent_cos6"),
     )
     per_cell = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.round(F.avg("cent_cos"), 4).alias("avg_cent_cosine"),
+        F.round(
+            F.sum("cent_cos6") / (F.count(F.lit(1)) * F.lit(1e6)), 4
+        ).alias("avg_cent_cosine"),
     )
     # share from a window over the k-row aggregate — no second corpus scan
     total = F.sum("n_members").over(Window.partitionBy())
@@ -828,7 +833,8 @@ ORACLES["e2_index_stats"] = IVF1_CENTS_SQL + """
         WHERE rn = 1
     ), per_cell AS (
         SELECT cell, count(*) AS n_members,
-               round(avg(cos6), 4) AS avg_cent_cosine
+               round(sum(CAST(round(cos6 * 1000000, 0) AS BIGINT))
+                     / (count(*) * 1000000.0), 4) AS avg_cent_cosine
         FROM routed GROUP BY cell
     )
     SELECT cell, n_members,

@@ -861,19 +861,24 @@ def e1_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     means the routing claim is re-verified against real numbers every
     round instead of living in a docstring. One row: exact pairs, IVF
     candidates, overlap, recall."""
-    exact = e1_embedding_neardup(spark, sf_dir).select("doc_a", "doc_b")
-    ivf = _ivf_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    common = exact.join(ivf, ["doc_a", "doc_b"], "left_semi")
-    return (
-        exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        .crossJoin(ivf.agg(F.count(F.lit(1)).alias("n_ivf")))
-        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
-        .select(
-            "n_exact",
-            "n_ivf",
-            "n_common",
-            F.round(F.col("n_common") / F.col("n_exact"), 4).alias("recall"),
-        )
+    exact = e1_embedding_neardup(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_exact")
+    )
+    ivf = _ivf_neardup_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_ivf")
+    )
+    # one full-outer equi-join on the pair key, then ONE aggregate —
+    # membership flags classify each pair as exact-only/ivf-only/common
+    fused = exact.join(ivf, ["doc_a", "doc_b"], "full_outer")
+    return fused.agg(
+        F.count(F.when(F.col("in_exact"), 1)).alias("n_exact"),
+        F.count(F.when(F.col("in_ivf"), 1)).alias("n_ivf"),
+        F.count(F.when(F.col("in_exact") & F.col("in_ivf"), 1)).alias("n_common"),
+    ).select(
+        "n_exact",
+        "n_ivf",
+        "n_common",
+        F.round(F.col("n_common") / F.col("n_exact"), 4).alias("recall"),
     )
 
 

@@ -131,23 +131,23 @@ def a29_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("r.*")
     )
-    orphan_count = (
-        li.select("l_orderkey")
+    # FK check folded into the same scan: LEFT equi-join to the key side,
+    # orphans = rows whose parent key came back NULL — one join, one agg,
+    # no single-row cross-products
+    rules_l = (
+        li.select("l_orderkey", "l_discount")
         .join(
             orders.select("o_orderkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
-            "left_anti",
+            "left",
         )
-        .agg(F.count(F.lit(1)).alias("orphans"))
-    )
-    rules_l = (
-        li.agg(
+        .agg(
             F.count(F.lit(1)).alias("n"),
             F.count(
                 F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
             ).alias("bad_discount"),
+            F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("orphans"),
         )
-        .crossJoin(orphan_count)
         .select(
             F.explode(
                 F.array(

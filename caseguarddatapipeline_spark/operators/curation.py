@@ -375,7 +375,60 @@ def e5_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e5_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATASET CARD summary — the datasheet a corpus release ships
+    (Gebru et al. 2021's datasheets, as a query): corpus-level counts,
+    per-source and per-language composition, exact-dup totals, and the
+    mean quality signal, in one long-format frame (section, key, metric,
+    value). Three map-side-combining aggregates over ONE scan's worth of
+    per-row features, unioned; every value is a double so the frame is
+    sink-uniform (the same long shape a13/a21 and the metrics sink use).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    feat = docs.select(
+        "source",
+        "lang",
+        "text",
+        F.size(toks).cast("double").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("dratio"),
+    )
+
+    def _long(df, section):
+        return df.unpivot(
+            ["key"], [c for c in df.columns if c != "key"], "metric", "value"
+        ).select(F.lit(section).alias("section"), "key", "metric", "value")
+
+    corpus = _long(
+        feat.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.count(F.lit(1)) - F.count_distinct("text"))
+            .cast("double")
+            .alias("n_exact_dups"),
+            F.round(F.avg("dratio"), 4).alias("mean_distinct_ratio"),
+        ).select(F.lit("all").alias("key"), "*"),
+        "corpus",
+    )
+    by_source = _long(
+        feat.groupBy(F.col("source").alias("key")).agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        ),
+        "source",
+    )
+    by_lang = _long(
+        feat.groupBy(F.col("lang").alias("key")).agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.round(F.avg("dratio"), 4).alias("mean_distinct_ratio"),
+        ),
+        "lang",
+    )
+    return corpus.unionByName(by_source).unionByName(by_lang)
+
+
 QUERIES = {
+    "e5_dataset_card": e5_dataset_card,
     "e5_corpus_curation": e5_corpus_curation,
     "e5_curation_funnel": e5_curation_funnel,
     "e5_train_split": e5_train_split,
@@ -456,6 +509,44 @@ _SCORED = """
 """
 
 ORACLES = {
+    "e5_dataset_card": """
+        WITH feat AS (
+            SELECT source, lang, text,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS dratio
+            FROM documents
+        ), corpus AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   sum(n_tokens) AS total_tokens,
+                   CAST(count(*) - count(DISTINCT text) AS DOUBLE)
+                       AS n_exact_dups,
+                   round(avg(dratio), 4) AS mean_distinct_ratio
+            FROM feat
+        )
+        SELECT 'corpus' AS section, 'all' AS key, metric, value FROM (
+            SELECT 'n_docs' AS metric, n_docs AS value FROM corpus
+            UNION ALL SELECT 'total_tokens', total_tokens FROM corpus
+            UNION ALL SELECT 'n_exact_dups', n_exact_dups FROM corpus
+            UNION ALL SELECT 'mean_distinct_ratio', mean_distinct_ratio
+                      FROM corpus
+        )
+        UNION ALL
+        SELECT 'source', source, metric, value FROM (
+            SELECT source, 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value
+            FROM feat GROUP BY source
+            UNION ALL
+            SELECT source, 'total_tokens', sum(n_tokens) FROM feat GROUP BY source
+        )
+        UNION ALL
+        SELECT 'lang', lang, metric, value FROM (
+            SELECT lang, 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value
+            FROM feat GROUP BY lang
+            UNION ALL
+            SELECT lang, 'mean_distinct_ratio', round(avg(dratio), 4)
+            FROM feat GROUP BY lang
+        )
+    """,
     "e5_sequence_pack": """
         WITH toks AS (
             SELECT source, doc_id,

@@ -185,6 +185,29 @@ def compact_parquet(
     return n
 
 
+def convert_format(
+    spark: SparkSession, src: str, dst: str, src_fmt: str, dst_fmt: str
+) -> int:
+    """Format interchange for the lake edge (S6 breadth): read ``src`` in
+    ``src_fmt``, write ``dst`` in ``dst_fmt`` — parquet/orc/json/csv, the
+    formats Spark serves natively. Upstream systems deliver whatever they
+    deliver; the engine normalizes to parquet at ingest and can export
+    back out for consumers that want ORC or CSV. Returns the row count
+    (the integrity check a conversion job logs)."""
+    readers = {"parquet", "orc", "json", "csv"}
+    if src_fmt not in readers or dst_fmt not in readers:
+        raise ValueError(f"unsupported format: {src_fmt} -> {dst_fmt}")
+    reader = spark.read.format(src_fmt)
+    if src_fmt == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    df = reader.load(src)
+    writer = df.write.mode("overwrite").format(dst_fmt)
+    if dst_fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.save(dst)
+    return df.count()
+
+
 def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
     """Schema-on-read over evolving layouts (SURVEY §1.2's permissive raw
     zone): ``mergeSchema`` unions column sets across files written at

@@ -232,3 +232,23 @@ def test_scan_provenance_multi_file(spark, tmp_path):
     assert len(tagged) == 3
     assert sum(r.n_docs for r in tagged) == 300
     assert all(r.file_name.endswith(".parquet") for r in tagged)
+
+
+def test_convert_format_roundtrip(spark, tmp_path, sf_dir):
+    """parquet → ORC → parquet round-trips values exactly (S6 breadth:
+    the engine serves ORC consumers natively)."""
+    from caseguarddatapipeline_spark.sources.connectors import convert_format
+
+    src = f"{sf_dir}/region.parquet"
+    orc, back = str(tmp_path / "r.orc"), str(tmp_path / "r.parquet")
+    n1 = convert_format(spark, src, orc, "parquet", "orc")
+    n2 = convert_format(spark, orc, back, "orc", "parquet")
+    assert n1 == n2 == 5
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(back).collect()))
+    assert a == b
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        convert_format(spark, src, orc, "parquet", "avro")

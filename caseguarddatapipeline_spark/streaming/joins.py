@@ -95,12 +95,14 @@ def run_match_stream(
     within: str = "30 minutes",
     delay: str = "1 hour",
     how: str = "inner",
-) -> None:
+):
     """Drain both file streams through the interval join into parquet.
 
     Append mode: an inner match emits as soon as both rows have arrived;
     an outer (timeout) row emits only when the watermark proves the
-    completion can no longer arrive."""
+    completion can no longer arrive. Returns the finished query — its
+    ``lastProgress["stateOperators"]`` carries the buffered-row counts
+    that prove state stays bounded by the interval, not stream length."""
     os.makedirs(out_dir, exist_ok=True)
     jobs = spark.readStream.schema(JOB_SCHEMA).json(jobs_dir)
     dones = spark.readStream.schema(DONE_SCHEMA).json(dones_dir)
@@ -114,3 +116,4 @@ def run_match_stream(
         .start()
     )
     query.awaitTermination()
+    return query

@@ -82,3 +82,34 @@ def test_left_outer_emits_timeouts_after_watermark(spark, tmp_path):
     assert 2 in got
     assert got[2]["status"] is None and got[2]["latency_sec"] is None
     assert got[9]["status"] == "ok"
+
+
+def test_join_state_evicted_past_watermark(spark, tmp_path):
+    """The interval bound makes buffered state EVICTABLE: once the
+    watermark moves far past old jobs, the state store drops them —
+    buffered rows track the interval horizon, not total stream length."""
+    jobs, dones = tmp_path / "jobs", tmp_path / "dones"
+    out, ckpt = tmp_path / "out", str(tmp_path / "ckpt")
+    _write(jobs, "b1.json", [
+        {"job_id": i, "enqueue_ts": f"2024-01-01 10:{i:02d}:00", "priority": 1}
+        for i in range(20)
+    ])
+    _write(dones, "b1.json", [
+        {"job_id": 0, "done_ts": "2024-01-01 10:05:00", "status": "ok"},
+    ])
+    q1 = run_match_stream(spark, str(jobs), str(dones), str(out), ckpt)
+    s1 = q1.lastProgress["stateOperators"][0]
+    assert s1["numRowsTotal"] > 0  # the 20 jobs are buffered, awaiting matches
+
+    # jump event time a day ahead on BOTH streams: the watermark passes
+    # every batch-1 row's horizon, so their state must be dropped
+    _write(jobs, "b2.json", [
+        {"job_id": 900, "enqueue_ts": "2024-01-02 12:00:00", "priority": 1},
+    ])
+    _write(dones, "b2.json", [
+        {"job_id": 900, "done_ts": "2024-01-02 12:01:00", "status": "ok"},
+    ])
+    q2 = run_match_stream(spark, str(jobs), str(dones), str(out), ckpt)
+    s2 = q2.lastProgress["stateOperators"][0]
+    assert s2["numRowsRemoved"] > 0  # batch-1 state evicted
+    assert s2["numRowsTotal"] <= 2  # only the fresh rows remain buffered

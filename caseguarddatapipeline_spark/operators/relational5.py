@@ -31,6 +31,25 @@ def a18_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_value_percentiles(
+    spark: SparkSession, sf_dir: str, accuracy: int = 10000
+) -> DataFrame:
+    """The mergeable-sketch deployment form of a18: percentile_approx
+    builds a bounded-size quantile sketch per partition and MERGES
+    map-side, so the exact form's per-group sort never happens — at
+    100 TB this is the only viable shape (same swap a16 makes for
+    distinct counts). Rank error ≤ 1/accuracy; pinned against the exact
+    operator by tests/test_quality.py rather than a value-hash oracle
+    (approximate results can't hash-match DuckDB)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.percentile_approx("value", 0.5, accuracy).alias("p50"),
+        F.percentile_approx("value", 0.9, accuracy).alias("p90"),
+        F.percentile_approx("value", 0.99, accuracy).alias("p99"),
+    )
+
+
 def a19_reconciliation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality validation over the reconciliation result
     (reconciliation.py:324-405): one summary row with change rate, count

@@ -245,3 +245,36 @@ def test_expectations_all_pass_on_clean_fixture(spark, sf_dir):
     for r in rows.values():
         assert r.n_violations == 0 and r.passed
         assert r.n_checked > 0
+
+
+def test_approx_percentiles_track_exact(spark, sf_dir):
+    """The mergeable-sketch form honors its rank-error contract: each
+    returned percentile is a REAL sample whose rank is within the sketch
+    bound of the target rank (a18 interpolates, the sketch returns
+    members — so the check is rank-window membership, not equality)."""
+    import math
+
+    from caseguarddatapipeline_spark.operators.relational5 import (
+        approx_value_percentiles,
+    )
+    from caseguarddatapipeline_spark.sources import load_table
+
+    approx = {
+        r.event_type: r for r in approx_value_percentiles(spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    by_type = {}
+    for r in events.collect():
+        by_type.setdefault(r.event_type, []).append(r.value)
+    assert set(approx) == set(by_type)
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        a = approx[et]
+        assert a.n_events == n
+        for q in (0.5, 0.9, 0.99):
+            got = getattr(a, f"p{int(q * 100)}")
+            target = max(1, math.ceil(q * n))
+            lo = vals[max(0, target - 3)]
+            hi = vals[min(n - 1, target + 1)]
+            assert lo <= got <= hi, (et, q, got, lo, hi)

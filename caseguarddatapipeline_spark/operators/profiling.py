@@ -165,14 +165,70 @@ def a29_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a30_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median + MAD (median absolute
+    deviation) and the count of values beyond the 3σ-equivalent robust
+    fence (3 × 1.4826 × MAD) — the monitoring rule that survives the
+    heavy-tailed metrics a mean/stddev z-score chokes on (dashboard.py's
+    alert thresholds, made distribution-free). Two grouped exact-
+    percentile aggregates on the same small key; the join back is
+    broadcast (|event_type| rows). At 100 TB, swap both percentiles for
+    the mergeable sketch (see approx_value_percentiles) — identical
+    shape."""
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad_raw")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.first("med"), 4).alias("median"),
+            F.round(F.first("mad_raw"), 4).alias("mad"),
+            F.count(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad_raw"), 1)
+            ).alias("n_outliers"),
+        )
+    )
+
+
 QUERIES = {
     "a23_value_histogram": a23_value_histogram,
     "a24_corr_stats": a24_corr_stats,
     "a25_data_profile": a25_data_profile,
     "a29_expectations": a29_expectations,
+    "a30_robust_outliers": a30_robust_outliers,
 }
 
 ORACLES = {
+    "a30_robust_outliers": """
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ), dev AS (
+            SELECT e.event_type, med.med,
+                   abs(e.value - med.med) AS adev
+            FROM events e JOIN med USING (event_type)
+        ), mad AS (
+            SELECT event_type, quantile_cont(adev, 0.5) AS mad_raw
+            FROM dev GROUP BY event_type
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               round(any_value(med), 4) AS median,
+               round(any_value(mad_raw), 4) AS mad,
+               count(CASE WHEN adev > 3 * 1.4826 * mad_raw THEN 1 END)
+                   AS n_outliers
+        FROM dev JOIN mad USING (event_type)
+        GROUP BY event_type
+    """,
     "a29_expectations": """
         WITH o AS (
             SELECT count(*) AS n,

@@ -201,8 +201,45 @@ def w12_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w13_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total within group (RATIO_TO_REPORT): each nation's
+    share of its region's revenue — the windowed-aggregate-over-aggregate
+    BI shape. The window runs over the 25-row nation aggregate, never the
+    fact table: facts reduce FIRST (partial+final hash agg), dims join
+    broadcast, and only then does the tiny share window run — the
+    fact-then-window ordering that keeps the window O(groups) at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    # factor-wise decimal casts (the q9 technique): the 2dp×2dp product
+    # and its sum are exact and association-order-free in both engines
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    per_nation = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(revenue.alias("revenue"))
+    )
+    total = F.sum("revenue").over(Window.partitionBy("region"))
+    return per_nation.select(
+        "region",
+        "nation",
+        F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+        F.round((F.col("revenue") / total).cast("double"), 6).alias("share"),
+    )
+
+
 QUERIES = {
     "w12_cohort_retention": w12_cohort_retention,
+    "w13_revenue_share": w13_revenue_share,
     "w8_sessionize": w8_sessionize,
     "w9_rolling_activity": w9_rolling_activity,
     "u6_label_centroids": u6_label_centroids,
@@ -210,6 +247,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "w13_revenue_share": """
+        WITH per_nation AS (
+            SELECT r_name AS region, n_name AS nation,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        )
+        SELECT region, nation,
+               round(CAST(revenue AS DOUBLE), 2) AS revenue,
+               round(CAST(revenue / sum(revenue) OVER (PARTITION BY region)
+                          AS DOUBLE), 6) AS share
+        FROM per_nation
+    """,
     "w12_cohort_retention": """
         WITH monthly AS (
             SELECT DISTINCT user_id, strftime(ts, '%Y-%m') AS month

@@ -222,7 +222,59 @@ def e4_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TILE = 32  # ViT-style square patch edge, pixels
+
+
+def e4_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image patch/tile fan-out over the binary modality: derive each
+    image's (height, width) — in production from the parquet metadata
+    column the decoder wrote; here deterministically from doc_id so the
+    oracle is exact — and emit one row per TILE×TILE patch with its pixel
+    origin and flattened patch index (the ViT patchification plan shape;
+    the pixel extraction itself belongs to the codec stub, exactly as
+    e4_frame_sample leaves frame bytes). A doubly-nested fan-out
+    (rows × tiles_y × tiles_x) as two partition-local explodes — no
+    shuffle until an embedder consumes the patches."""
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    images = docs.filter(F.col("mime_type") == "image/png").select(
+        "doc_id",
+        (64 + (F.col("doc_id") % 4) * TILE).cast("int").alias("img_h"),
+        (64 + (F.col("doc_id") % 3) * TILE).cast("int").alias("img_w"),
+    )
+    tiled = images.select(
+        "doc_id",
+        "img_h",
+        "img_w",
+        (F.col("img_h") / TILE).cast("int").alias("n_ty"),
+        (F.col("img_w") / TILE).cast("int").alias("n_tx"),
+    ).select(
+        "doc_id",
+        "img_h",
+        "img_w",
+        "n_tx",
+        F.explode(F.sequence(F.lit(0), F.col("n_ty") - 1)).alias("tile_y"),
+    ).select(
+        "doc_id",
+        "img_h",
+        "img_w",
+        "n_tx",
+        "tile_y",
+        F.explode(F.sequence(F.lit(0), F.col("n_tx") - 1)).alias("tile_x"),
+    )
+    return tiled.select(
+        "doc_id",
+        "img_h",
+        "img_w",
+        (F.col("tile_y") * F.col("n_tx") + F.col("tile_x")).alias("patch_index"),
+        "tile_y",
+        "tile_x",
+        (F.col("tile_x") * TILE).alias("x0"),
+        (F.col("tile_y") * TILE).alias("y0"),
+    )
+
+
 QUERIES = {
+    "e4_image_tiles": e4_image_tiles,
     "e4_multimodal_join": e4_multimodal_join,
     "e4_binary_metadata": e4_binary_metadata,
     "e4_decode_pipeline": e4_decode_pipeline,
@@ -231,6 +283,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "e4_image_tiles": """
+        WITH images AS (
+            SELECT doc_id,
+                   CAST(64 + (doc_id % 4) * 32 AS INT) AS img_h,
+                   CAST(64 + (doc_id % 3) * 32 AS INT) AS img_w
+            FROM documents WHERE doc_id % 3 = 1
+        ), tiled AS (
+            SELECT doc_id, img_h, img_w,
+                   img_w // 32 AS n_tx, ty.ty AS tile_y, tx.tx AS tile_x
+            FROM images,
+                 LATERAL (SELECT unnest(range(img_h // 32)) AS ty) ty,
+                 LATERAL (SELECT unnest(range(img_w // 32)) AS tx) tx
+        )
+        SELECT doc_id, img_h, img_w,
+               CAST(tile_y * n_tx + tile_x AS INT) AS patch_index,
+               CAST(tile_y AS INT) AS tile_y,
+               CAST(tile_x AS INT) AS tile_x,
+               CAST(tile_x * 32 AS INT) AS x0,
+               CAST(tile_y * 32 AS INT) AS y0
+        FROM tiled
+    """,
     "e4_audio_chunks": """
         WITH b AS (
             SELECT doc_id, octet_length(encode(text)) AS n_bytes

@@ -1,0 +1,85 @@
+"""Minimal versioned table store: immutable snapshot directories plus an
+atomically-swapped latest pointer — time travel, safe concurrent reads,
+and retention, without a table-format dependency.
+
+Layout:  base_dir/v=N/   (immutable parquet snapshot per version)
+         base_dir/_LATEST (one-line pointer file, written tmp+rename)
+
+Semantics a lake needs and plain ``mode("overwrite")`` lacks:
+- WRITER never mutates data a reader might hold open: each write is a
+  NEW directory; the pointer swap is a single rename (atomic on POSIX
+  and object-store-manifest equivalents), so a concurrent
+  ``read_latest`` sees wholly old or wholly new — never a mix.
+- TIME TRAVEL: ``read_version`` pins any retained snapshot (the input
+  a reproducible training run records is a (base_dir, version) pair).
+- RETENTION: ``vacuum`` deletes all but the newest K snapshots, never
+  the pointed-to one.
+
+This is deliberately the 20-line core of what Delta/Iceberg provide —
+where those are available, swap them in; the call sites keep the same
+shape (write → version id, read by version). Diffing two versions is
+``operators.contracts.snapshot_diff(read_version(a), read_version(b))``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_PTR = "_LATEST"
+
+
+def _versions(base_dir: str) -> list[int]:
+    if not os.path.isdir(base_dir):
+        return []
+    return sorted(
+        int(m.group(1))
+        for d in os.listdir(base_dir)
+        if (m := re.fullmatch(r"v=(\d+)", d))
+    )
+
+
+def write_version(df: DataFrame, base_dir: str) -> int:
+    """Write ``df`` as the next immutable snapshot and swap the pointer.
+    Returns the new version id."""
+    os.makedirs(base_dir, exist_ok=True)
+    vs = _versions(base_dir)
+    n = (vs[-1] + 1) if vs else 0
+    df.write.parquet(os.path.join(base_dir, f"v={n}"))
+    tmp = os.path.join(base_dir, f"{_PTR}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(n))
+    os.replace(tmp, os.path.join(base_dir, _PTR))  # atomic swap
+    return n
+
+
+def latest_version(base_dir: str) -> int:
+    with open(os.path.join(base_dir, _PTR)) as fh:
+        return int(fh.read().strip())
+
+
+def read_version(spark: SparkSession, base_dir: str, version: int) -> DataFrame:
+    path = os.path.join(base_dir, f"v={version}")
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"version {version} not retained in {base_dir}")
+    return spark.read.parquet(path)
+
+
+def read_latest(spark: SparkSession, base_dir: str) -> DataFrame:
+    return read_version(spark, base_dir, latest_version(base_dir))
+
+
+def vacuum(base_dir: str, keep: int = 2) -> list[int]:
+    """Drop all but the newest ``keep`` snapshots (the pointed-to version
+    is always retained). Returns the removed version ids."""
+    import shutil
+
+    keep = max(1, keep)
+    vs = _versions(base_dir)
+    current = latest_version(base_dir)
+    removable = [v for v in vs[:-keep] if v != current] if len(vs) > keep else []
+    for v in removable:
+        shutil.rmtree(os.path.join(base_dir, f"v={v}"))
+    return removable

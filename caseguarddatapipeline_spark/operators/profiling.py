@@ -199,7 +199,62 @@ def a30_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a31_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence with LIFT: for each unordered pair of
+    event types, how much more often do they co-occur in one user's
+    history than independence predicts — the association-mining /
+    collaborative-filtering shape (lift = P(a∧b)/(P(a)·P(b)) over users).
+    Per-user distinct types first (≤|type| rows per user), THEN the
+    per-user pair self-join — candidate volume is Σ|types(u)|²/2 with
+    |types| tiny, never |events|²; the base rates broadcast back (one
+    row per type). Lift > 1 rows are the signal a recommender or a
+    funnel designer reads."""
+    events = load_table(spark, sf_dir, "events")
+    ut = events.select("user_id", "event_type").distinct()
+    n_users = ut.select("user_id").distinct().count()  # one scalar
+    base = ut.groupBy(F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    enriched = (
+        pairs.join(
+            F.broadcast(base.select(F.col("t").alias("type_a"),
+                                    F.col("n_t").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(base.select(F.col("t").alias("type_b"),
+                                    F.col("n_t").alias("n_b"))),
+            "type_b",
+        )
+    )
+    lift = (F.col("n_both") * F.lit(float(n_users))) / (
+        F.col("n_a") * F.col("n_b")
+    )
+    return enriched.select(
+        "type_a",
+        "type_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        F.round(lift, 6).alias("lift"),
+    )
+
+
 QUERIES = {
+    "a31_cooccurrence_lift": a31_cooccurrence_lift,
     "a23_value_histogram": a23_value_histogram,
     "a24_corr_stats": a24_corr_stats,
     "a25_data_profile": a25_data_profile,
@@ -208,6 +263,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "a31_cooccurrence_lift": """
+        WITH ut AS (
+            SELECT DISTINCT user_id, event_type FROM events
+        ), base AS (
+            SELECT event_type AS t, count(*) AS n_t FROM ut GROUP BY event_type
+        ), total AS (
+            SELECT count(DISTINCT user_id) AS n_users FROM ut
+        ), pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_both
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, n_both,
+               ba.n_t AS n_a, bb.n_t AS n_b,
+               round(n_both * CAST(n_users AS DOUBLE) / (ba.n_t * bb.n_t), 6)
+                   AS lift
+        FROM pairs
+        JOIN base ba ON ba.t = type_a
+        JOIN base bb ON bb.t = type_b
+        CROSS JOIN total
+    """,
     "a30_robust_outliers": """
         WITH med AS (
             SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -241,7 +241,34 @@ def s4_paged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def n7_rebuild_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested REBUILD — the inverse of the N1/N2 explode direction:
+    collapse each user's events back into one ordered array<struct>
+    history column (the per-case timeline shape the reference fetches as
+    a list of dicts, client.py:197-200, materialized FROM the long
+    table). Serialized with to_json so the oracle compares bytes:
+    Spark's to_json and DuckDB's to_json emit the identical compact
+    encoding for array<struct> (verified), which sidesteps cross-engine
+    struct rendering. One shuffle on user_id; sort_array orders by the
+    struct fields (ts, event_id) so the array order is total and
+    engine-exact."""
+    events = load_table(spark, sf_dir, "events")
+    item = F.struct(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("event_id").alias("eid"),
+        F.col("event_type").alias("et"),
+    )
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.to_json(F.sort_array(F.collect_list(item))).alias("history"),
+        )
+    )
+
+
 QUERIES = {
+    "n7_rebuild_history": n7_rebuild_history,
     "p2_canonical_projection": p2_canonical_projection,
     "p3_nested_path_projection": p3_nested_path_projection,
     "p6_tenant_isolation_filter": p6_tenant_isolation_filter,
@@ -258,6 +285,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "n7_rebuild_history": """
+        SELECT user_id,
+               count(*) AS n_events,
+               to_json(list(struct_pack(
+                            ts := strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                            eid := event_id,
+                            et := event_type)
+                       ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                                event_id, event_type)) AS history
+        FROM events GROUP BY user_id
+    """,
     "p2_canonical_projection": """
         SELECT CAST(o_orderkey AS VARCHAR) AS case_ref,
                o_orderstatus AS status,

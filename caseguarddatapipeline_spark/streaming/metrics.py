@@ -39,6 +39,10 @@ class HealthListener(StreamingQueryListener):
                     "batch_id": p.batchId,
                     "num_input_rows": p.numInputRows,
                     "duration_ms": (p.durationMs or {}).get("triggerExecution"),
+                    # business counters attached with DataFrame.observe ride
+                    # the batch's own plan and surface here per micro-batch —
+                    # the streaming form of operators/observability.py
+                    "observed": dict(p.observedMetrics or {}),
                 },
             )
         )
@@ -48,6 +52,15 @@ class HealthListener(StreamingQueryListener):
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         self.events.append(("idle", event.id, None))
+
+    def observed_totals(self, group: str, field: str) -> float:
+        """Sum one observed metric across all recorded batches (e.g. the
+        per-batch admission counts an ``observe`` on the stream emits)."""
+        total = 0.0
+        for kind, _, d in self.events:
+            if kind == "progress" and d and group in d.get("observed", {}):
+                total += d["observed"][group][field] or 0
+        return total
 
     # -- derived health -----------------------------------------------------
     def summary(self) -> dict:

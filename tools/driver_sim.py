@@ -26,7 +26,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main() -> int:
+    # usage: driver_sim.py [sf_dir] [query ...] — with names given, only
+    # those queries run (entry() smoke still runs): vanilla-session spot
+    # checks without the full 10-minute sweep
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
@@ -47,6 +51,8 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     queries, oracles = mod.queries(), mod.oracle_sql()
+    if only:
+        queries = {n: f for n, f in queries.items() if n in only}
     n_pass = n_fail = n_rows_only = 0
     for name, fn in queries.items():
         try:

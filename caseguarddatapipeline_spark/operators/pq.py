@@ -245,9 +245,54 @@ def e2_ivfpq_search_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e2_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured PQ quality: per-query recall@3 of the ADC search against
+    the EXACT L2 top-3 — the e1_neardup_recall companion for the
+    compressed-corpus path, keeping the 64×-compression quality tradeoff
+    a re-verified number instead of a docstring claim. Exact side is the
+    same JVM fold metric PQ approximates (squared L2), rounded with the
+    vec_id tie-break so both engines rank identically.
+
+    Context for the magnitude: this corpus' synthetic embeddings are
+    near-isotropic (little cross-dimension structure for the K=16,
+    1-round codebooks to exploit), so recall@3 sits around 0.3 at 64×
+    compression — the regime where FAISS guidance says raise K / train
+    more rounds / use OPQ. Real embedding corpora cluster and compress
+    far better; the point of THIS query is that the tradeoff is measured
+    continuously, and a codebook regression (e.g. a broken Lloyd step)
+    shows up as a recall drop the driver would catch."""
+    approx = e2_pq_search_1round(spark, sf_dir).select("query_id", "vec_id")
+    corpus = _corpus(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    dist = F.round(_l2sq(F.col("emb"), F.col("q_emb")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    exact = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dist.alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return queries.select("query_id").join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        F.round(F.coalesce(F.col("n_overlap"), F.lit(0)) / float(TOPK), 4).alias(
+            "recall_at_3"
+        ),
+    )
+
+
 QUERIES = {
     "e2_pq_search_1round": e2_pq_search_1round,
     "e2_ivfpq_search_1round": e2_ivfpq_search_1round,
+    "e2_pq_recall": e2_pq_recall,
 }
 
 _L2SQ = (
@@ -324,6 +369,51 @@ ORACLES = {
            CAST(row_number() OVER (PARTITION BY query_id
                                    ORDER BY adist ASC, vec_id ASC) AS INT) AS rank
     FROM cand QUALIFY rank <= {TOPK}
+    """,
+    # recall of the ADC ranking vs exact L2 top-3 over the same queries
+    "e2_pq_recall": f"""
+    WITH corpus AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),{_PQ_CTES}
+    , cand AS (
+        SELECT d.query_id, co.vec_id, round(sum(d.d), 4) AS adist
+        FROM p_codes co JOIN p_dtab d ON co.m = d.m AND co.code = d.code
+        WHERE co.vec_id <> d.query_id
+        GROUP BY d.query_id, co.vec_id
+    ), approx AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adist ASC, vec_id ASC) AS rank
+            FROM cand)
+        WHERE rank <= {TOPK}
+    ), queries AS (
+        SELECT vec_id AS query_id, emb AS q_emb FROM corpus
+        WHERE vec_id < {N_QUERIES}
+    ), exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dist ASC, vec_id ASC) AS rank
+            FROM (
+                SELECT q.query_id, c.vec_id,
+                       round(list_sum(list_transform(range(1, 65),
+                             j -> (c.emb[j] - q.q_emb[j])
+                                  * (c.emb[j] - q.q_emb[j]))), 6) AS dist
+                FROM corpus c JOIN queries q ON c.vec_id <> q.query_id))
+        WHERE rank <= {TOPK}
+    ), hits AS (
+        SELECT e.query_id, count(*) AS n_overlap
+        FROM exact e JOIN approx a
+          ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        GROUP BY e.query_id
+    )
+    SELECT q.query_id,
+           CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(coalesce(h.n_overlap, 0) / CAST({TOPK} AS DOUBLE), 4)
+               AS recall_at_3
+    FROM queries q LEFT JOIN hits h ON h.query_id = q.query_id
     """,
     # IVF1_CENTS_SQL supplies the COARSE stage (corpus/seeds/assigned/
     # cents — identical to the e2_ivf_search_1round oracle); the p_* CTEs

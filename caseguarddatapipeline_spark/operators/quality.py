@@ -335,8 +335,17 @@ def zscore_by_source_scaled(docs: DataFrame) -> DataFrame:
     )
 
 
+def e3_zscore_by_source_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry for the skew-proof decomposition — identical output
+    to e3_zscore_by_source (same oracle, like the vectorized minhash
+    twin), different physical plan: histogram + tie-group windows instead
+    of one whole-source sort per task."""
+    return zscore_by_source_scaled(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "e3_gopher_rules": e3_gopher_rules,
+    "e3_zscore_by_source_scaled": e3_zscore_by_source_scaled,
     "e3_text_normalize": e3_text_normalize,
     "e3_zscore_by_source": e3_zscore_by_source,
     "e5_global_shuffle": e5_global_shuffle,
@@ -471,3 +480,7 @@ ORACLES = {
         FROM keyed GROUP BY user_id, island_key
     """,
 }
+
+# identical output contract, different execution strategy → same oracle
+# (the e1_minhash_lsh_vectorized pattern)
+ORACLES["e3_zscore_by_source_scaled"] = ORACLES["e3_zscore_by_source"]

@@ -99,6 +99,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # FAIR scheduling: concurrent serving threads (multi-tenant
+        # requests against one session) share the cluster round-robin by
+        # pool instead of FIFO head-of-line blocking; see scheduler_pool.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # Executor↔python-worker transport over unix domain sockets
         # (Spark 4): shaves ~30 ms of per-task handshake off every
@@ -110,3 +114,27 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     return apply_runtime_confs(spark)
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def scheduler_pool(spark: SparkSession, pool: str):
+    """Run the enclosed actions in a named FAIR-scheduler pool.
+
+    Multi-tenant serving shares ONE session across request threads;
+    Spark's scheduler pools stop a tenant's heavy query from starving
+    another's interactive one. The pool assignment is a THREAD-LOCAL
+    property, so each serving thread wraps its work in this context and
+    concurrent tenants schedule fairly (requires the session built with
+    ``spark.scheduler.mode=FAIR`` — get_spark sets it; in the default
+    FIFO mode the property is accepted and simply has no effect, so the
+    code path is deployment-agnostic)."""
+    sc = spark.sparkContext
+    prev = sc.getLocalProperty("spark.scheduler.pool")
+    sc.setLocalProperty("spark.scheduler.pool", pool)
+    try:
+        yield
+    finally:
+        sc.setLocalProperty("spark.scheduler.pool", prev)

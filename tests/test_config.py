@@ -75,3 +75,40 @@ def test_broadcast_roundtrip(spark, tmp_path, monkeypatch):
         .collect()
     )
     assert got == ["fdm", "fdm"]
+
+
+def test_scheduler_pool_thread_isolation(spark):
+    """Pool assignment is thread-local: two concurrent 'tenants' run in
+    their own FAIR pools and both complete with correct results."""
+    import threading
+
+    import pyspark.sql.functions as F
+
+    from caseguarddatapipeline_spark.session import scheduler_pool
+
+    results = {}
+
+    def tenant(name: str, n: int):
+        with scheduler_pool(spark, name):
+            assert (
+                spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+                == name
+            )
+            results[name] = (
+                spark.range(n).agg(F.sum("id").alias("s")).collect()[0].s
+            )
+
+    threads = [
+        threading.Thread(target=tenant, args=(f"tenant_{i}", 10_000 * (i + 1)))
+        for i in range(3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == {
+        f"tenant_{i}": (10_000 * (i + 1) - 1) * (10_000 * (i + 1)) // 2
+        for i in range(3)
+    }
+    # property restored after the context exits
+    assert spark.sparkContext.getLocalProperty("spark.scheduler.pool") is None

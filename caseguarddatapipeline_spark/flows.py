@@ -26,7 +26,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators.reconcile import reconcile_fused, reconciliation_summary
+from .operators.reconcile import reconcile_fused
 from .sources.connectors import csv_case_scan
 from .streaming.jobs import jobs_from_reconciliation, run_jobs_stream
 
@@ -76,6 +76,21 @@ def onboard_tenant(
     if not include_closed_cases and "is_active" in cases.columns:
         cases = cases.filter(F.col("is_active"))
     cases = cases.cache()
+    try:
+        return _onboard_steps(
+            spark, cases, queue_dir, report,
+            validate_before_queuing=validate_before_queuing,
+            batch_size=batch_size, sample_size=sample_size,
+            accessibility_probe=accessibility_probe,
+        )
+    finally:
+        cases.unpersist()
+
+
+def _onboard_steps(
+    spark, cases, queue_dir, report, *, validate_before_queuing,
+    batch_size, sample_size, accessibility_probe,
+):
     n_cases = cases.count()
     report["total_cases_discovered"] = n_cases
     report["steps_completed"].append("case_discovery")
@@ -129,6 +144,16 @@ def onboard_tenant(
             for r in batch:
                 fh.write(json.dumps(r.asDict()) + "\n")
         n_batches += 1
+    # idempotence also needs stale-file cleanup: a re-run that produces
+    # FEWER batches must not leave the previous run's higher-numbered
+    # files behind (they would drain as obsolete jobs)
+    for stale in os.listdir(queue_dir):
+        if (
+            stale.startswith("backfill-")
+            and stale.endswith(".json")
+            and stale >= f"backfill-{n_batches:06d}.json"
+        ):
+            os.remove(os.path.join(queue_dir, stale))
     report["queuing_results"] = {
         "queued_successfully": len(rows),
         "batches_written": n_batches,
@@ -139,7 +164,6 @@ def onboard_tenant(
     report["initial_progress"] = {"queue_depth": len(rows), "processed": 0}
     report["steps_completed"].append("progress_monitoring")
     report["final_status"] = "completed"
-    cases.unpersist()
     return report
 
 
@@ -156,12 +180,20 @@ def sync_tenant_daily(
     ``reconcile_fused`` subplan; nothing is recomputed per step."""
     detail = reconcile_fused(spark, sf_dir).cache()
     try:
+        # summary aggregated FROM the cached detail (not via
+        # reconciliation_summary, which would rebuild the plan and only
+        # reuse the cache if fragment-matching canonicalizes identically)
         summary = {
             r.change_type: {
                 "n_entities": r.n_entities,
                 "total_events": r.total_events,
             }
-            for r in reconciliation_summary(spark, sf_dir).collect()
+            for r in detail.groupBy("change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_entities"),
+                F.sum("crm_event_count").alias("total_events"),
+            )
+            .collect()
         }
         agg = detail.agg(
             F.count(F.lit(1)).alias("n_total"),
@@ -193,11 +225,21 @@ def sync_tenant_daily(
             os.makedirs(queue_dir, exist_ok=True)
             jobs = jobs_from_reconciliation(detail).orderBy("priority", "job_id")
             rows = jobs.collect()
-            path = os.path.join(queue_dir, "sync-daily.json")
+            # filename derived from the watermark CONTENT: Spark's file
+            # stream source tracks seen paths and never re-reads an
+            # overwritten file, so a fixed name would silently drop every
+            # sync after the first. Same watermark → same name → harmless
+            # overwrite (identical content); advanced watermark → new
+            # file the stream picks up.
+            wm = detail.agg(
+                F.max(F.coalesce(F.col("crm_serialno"), F.lit(0))).alias("wm")
+            ).collect()[0].wm or 0
+            path = os.path.join(queue_dir, f"sync-wm{int(wm):012d}.json")
             with open(path, "w") as fh:
                 for r in rows:
                     fh.write(json.dumps(r.asDict()) + "\n")
             report["jobs_queued"] = len(rows)
+            report["queue_file"] = os.path.basename(path)
         report["final_status"] = "completed"
         return report
     finally:

@@ -66,11 +66,19 @@ def snapshot_diff(
     assert value_cols and [c for c in after.columns if c not in key_cols] == value_cols
 
     def keyed(df: DataFrame, side: str) -> DataFrame:
+        # NULLs must contribute to the hash: Spark's hash expressions SKIP
+        # null inputs (the running seed passes through unchanged), so
+        # ('Ann', NULL) and (NULL, 'Ann') would collide and a null-shift
+        # change would read as "unchanged". Coalescing every column to a
+        # sentinel makes each position always feed the chain.
         return df.select(
             *key_cols,
-            F.xxhash64(*[F.col(c).cast("string") for c in value_cols]).alias(
-                f"{side}_hash"
-            ),
+            F.xxhash64(
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00<NULL>"))
+                    for c in value_cols
+                ]
+            ).alias(f"{side}_hash"),
         )
 
     joined = keyed(before, "b").join(keyed(after, "a"), key_cols, "full_outer")

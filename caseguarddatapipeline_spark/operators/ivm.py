@@ -28,10 +28,19 @@ from pyspark.sql import DataFrame
 
 
 def build_state(table: DataFrame, keys: list[str], value_col: str) -> DataFrame:
-    """Materialize the maintained view: per-key count and sum."""
+    """Materialize the maintained view: per-key count and sum.
+
+    The measure is canonicalized to ``coalesce(sum(double), 0.0)`` so the
+    maintained state and a fresh recompute agree by DEFINITION: without
+    it, an all-NULL group recomputes to total=NULL while delta
+    maintenance produces 0.0, and an integer measure's schema would
+    silently widen to double on the first refresh (coalesce in
+    apply_delta) — both would break the pinned equivalence."""
     return table.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(value_col).alias("total"),
+        F.coalesce(F.sum(F.col(value_col).cast("double")), F.lit(0.0)).alias(
+            "total"
+        ),
     )
 
 
@@ -48,7 +57,12 @@ def version_delta(
         signed.groupBy(*keys)
         .agg(
             F.sum("sign").alias("d_rows"),
-            F.sum(F.col(value_col) * F.col("sign")).alias("d_total"),
+            # same canonical double measure as build_state; NULL values
+            # contribute 0 (they never contributed to `total` either)
+            F.coalesce(
+                F.sum(F.col(value_col).cast("double") * F.col("sign")),
+                F.lit(0.0),
+            ).alias("d_total"),
         )
         .filter((F.col("d_rows") != 0) | (F.col("d_total") != 0))
     )

@@ -158,7 +158,9 @@ def global_shuffle_scaled(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFram
         "source",
         "order_key",
         (F.spark_partition_id() + 1).alias("shard"),
-        (mid.bitwiseAND(F.lit((1 << 33) - 1)) + 1).cast("int").alias("pos"),
+        # long, not int: a 100 TB shard can exceed 2^31 rows and the
+        # 33-bit partition-local index goes right up to 2^33
+        (mid.bitwiseAND(F.lit((1 << 33) - 1)) + 1).alias("pos"),
     )
 
 
@@ -330,7 +332,11 @@ def zscore_by_source_scaled(docs: DataFrame) -> DataFrame:
         "source",
         "n_chars",
         F.round((F.col("n_chars") - F.col("mu")) / F.col("sd"), 4).alias("z_len"),
-        F.round((F.col("rnk") - 1) / (F.col("n") - 1), 6).alias("len_pct_rank"),
+        # greatest(n-1, 1): a singleton source must give 0.0 exactly like
+        # percent_rank over a 1-row partition, not NULL from 0/0
+        F.round(
+            (F.col("rnk") - 1) / F.greatest(F.col("n") - 1, F.lit(1)), 6
+        ).alias("len_pct_rank"),
         tile.cast("int").alias("len_decile"),
     )
 

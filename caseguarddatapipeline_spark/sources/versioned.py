@@ -43,11 +43,21 @@ def _versions(base_dir: str) -> list[int]:
 
 def write_version(df: DataFrame, base_dir: str) -> int:
     """Write ``df`` as the next immutable snapshot and swap the pointer.
-    Returns the new version id."""
+    Returns the new version id.
+
+    The snapshot is staged in a dot-prefixed temp directory and renamed
+    into place only after the write committed (_SUCCESS marker present),
+    so a crash mid-write leaves an invisible ``.staging-*`` dir — never a
+    half-populated ``v=N`` that readers or ``vacuum`` would mistake for a
+    real version."""
     os.makedirs(base_dir, exist_ok=True)
     vs = _versions(base_dir)
     n = (vs[-1] + 1) if vs else 0
-    df.write.parquet(os.path.join(base_dir, f"v={n}"))
+    staging = os.path.join(base_dir, f".staging-v{n}")
+    df.write.mode("overwrite").parquet(staging)
+    if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+        raise IOError(f"snapshot write did not commit: {staging}")
+    os.rename(staging, os.path.join(base_dir, f"v={n}"))
     tmp = os.path.join(base_dir, f"{_PTR}.tmp")
     with open(tmp, "w") as fh:
         fh.write(str(n))
@@ -73,7 +83,13 @@ def read_latest(spark: SparkSession, base_dir: str) -> DataFrame:
 
 def vacuum(base_dir: str, keep: int = 2) -> list[int]:
     """Drop all but the newest ``keep`` snapshots (the pointed-to version
-    is always retained). Returns the removed version ids."""
+    is always retained). Returns the removed version ids.
+
+    Retention contract (same as Delta VACUUM): the pointer swap protects
+    concurrent ``read_latest`` RESOLUTION, but a lazily-built DataFrame
+    pinned to an old version keeps referencing its files — run vacuum
+    with a ``keep`` horizon longer than any job still reading an old
+    snapshot, exactly as you would choose a VACUUM retention period."""
     import shutil
 
     keep = max(1, keep)

@@ -66,3 +66,20 @@ def test_snapshot_diff_classifies(spark, sf_dir):
 
     # reflexive: diff(x, x) is empty
     assert snapshot_diff(before, before, ["o_orderkey"]).count() == 0
+
+
+def test_snapshot_diff_detects_null_shift(spark):
+    """A NULL moving between columns must read as 'changed' — Spark's
+    hash skips NULL inputs, so the value hash coalesces a sentinel."""
+    before = spark.createDataFrame(
+        [(1, "Ann", None), (2, "Bob", "bb")],
+        "id bigint, first string, nick string",
+    )
+    after = spark.createDataFrame(
+        [(1, None, "Ann"), (2, "Bob", "bb")],
+        "id bigint, first string, nick string",
+    )
+    from caseguarddatapipeline_spark.operators.contracts import snapshot_diff
+
+    diff = {r.id: r.status for r in snapshot_diff(before, after, ["id"]).collect()}
+    assert diff == {1: "changed"}

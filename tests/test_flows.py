@@ -92,10 +92,12 @@ def test_sync_tenant_daily_gates_and_enqueues(spark, sf_dir, tmp_path):
         + report["summary"]["update"]["n_entities"]
     )
     if q["quality_ok"]:
-        jobs = [
-            json.loads(line)
-            for line in open(os.path.join(queue, "sync-daily.json"))
-        ]
+        # filename carries the watermark so the file-stream source sees a
+        # NEW path whenever the sync advances (fixed names are never
+        # re-read by Spark's file source)
+        qfile = report["queue_file"]
+        assert qfile.startswith("sync-wm") and qfile.endswith(".json")
+        jobs = [json.loads(line) for line in open(os.path.join(queue, qfile))]
         assert report["jobs_queued"] == len(jobs) == n_actionable
         assert {j["change_type"] for j in jobs} <= {"new", "update"}
         # new cases outrank updates in the queue
@@ -104,3 +106,21 @@ def test_sync_tenant_daily_gates_and_enqueues(spark, sf_dir, tmp_path):
         )
     else:
         assert report["jobs_queued"] == 0
+
+
+def test_onboard_rerun_removes_stale_batches(spark, tmp_path):
+    """A re-run producing fewer batches must delete the previous run's
+    higher-numbered files — no obsolete jobs left to drain."""
+    csv = tmp_path / "cases.csv"
+    _write_cases(csv, n_active=18, n_complete=7)  # 25 cases → 3 batches of 10
+    queue = str(tmp_path / "queue")
+    onboard_tenant(spark, str(csv), queue, batch_size=10)
+    assert len(os.listdir(queue)) == 3
+
+    report = onboard_tenant(
+        spark, str(csv), queue, batch_size=10, include_closed_cases=False
+    )  # 18 cases → 2 batches
+    assert report["queuing_results"]["batches_written"] == 2
+    assert sorted(os.listdir(queue)) == [
+        "backfill-000000.json", "backfill-000001.json"
+    ]

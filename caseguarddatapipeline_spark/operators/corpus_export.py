@@ -20,35 +20,21 @@ training reader (read only ``split=train``), and chunk rows carry
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from ..sources import load_table
-from .curation import NEARDUP_JACCARD, QUALITY_CUTOFF, _scored_docs
-from .dedup import _band_pairs, _banded_vectorized, _portable_token_hash
+from .curation import _curated_docs
+from .dedup import _portable_token_hash
 from .inference import CHUNK_CHARS, MAX_EMBED_CHARS
 
 
 def curated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full transform: curated survivors, split-tagged, chunked."""
-    quality = _scored_docs(spark, sf_dir).filter(
-        F.col("quality") >= QUALITY_CUTOFF
-    )
-    rn = F.row_number().over(
-        Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
-    )
-    deduped = (
-        quality.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
-    ).persist()
-    removals = (
-        _band_pairs(
-            _banded_vectorized(spark, deduped.select("doc_id", "text")),
-            dedup_pairs=False,
-        )
-        .filter(F.col("jaccard") >= NEARDUP_JACCARD)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    kept = deduped.join(removals, "doc_id", "left_anti")
+    """The full transform: curated survivors, split-tagged, chunked.
+
+    Survivors come from curation._curated_docs — the same pipeline the
+    oracle-checked e5_corpus_curation summarizes, shared so curation
+    semantics cannot drift between the verified query and the export."""
+    kept = _curated_docs(spark, sf_dir)
 
     bucket = F.pmod(_portable_token_hash(F.col("text")), F.lit(1000))
     split = (

@@ -62,8 +62,13 @@ def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def e5_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curated-corpus summary per language after the full pipeline."""
+def _curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's SURVIVORS: quality gate → exact dedup →
+    LSH near-dup removal. The single definition both the oracle-checked
+    summary (e5_corpus_curation) and the training-corpus export
+    (corpus_export.curated_chunks) consume — curation semantics change
+    in exactly one place or the exported corpus silently diverges from
+    the verified queries."""
     quality = _scored_docs(spark, sf_dir).filter(
         F.col("quality") >= QUALITY_CUTOFF
     )
@@ -102,10 +107,14 @@ def e5_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Under AQE the runtime size decides the strategy (small removal set
     # → broadcast anyway); the anti-join key is the same doc_id the LSH
     # stage already shuffled on.
-    kept = deduped.join(removals, "doc_id", "left_anti")
+    return deduped.join(removals, "doc_id", "left_anti")
 
+
+def e5_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated-corpus summary per language after the full pipeline."""
     return (
-        kept.groupBy("lang")
+        _curated_docs(spark, sf_dir)
+        .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),

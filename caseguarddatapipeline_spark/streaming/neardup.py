@@ -6,23 +6,27 @@ flagged at ingest time instead of waiting for the next full-corpus
 sweep.
 
 Per batch (foreachBatch):
-1. the Arrow-vectorized signature kernel (operators/dedup.py
+1. admission: rows with NULL/short text (< 3 tokens — below the shingle
+   width) divert out of the signature path instead of poisoning it; a
+   malformed line must not wedge the stream on a poison batch;
+2. the Arrow-vectorized signature kernel (operators/dedup.py
    ``_banded_vectorized`` — same integer arithmetic as the oracle-
    checked batch operator) produces (doc_id, band, band_sig, shingles);
-2. candidates = equi-join against the index on (band, band_sig) —
+3. candidates = equi-join against the index on (band, band_sig) —
    the posting-list probe, NOT all-pairs; exact Jaccard verifies on the
-   carried shingle sets and pairs ≥ the threshold append to ``out_dir``;
-3. the batch's own signatures append to the index, partitioned by
-   ``band`` so the probe join prunes to matching band directories.
+   carried shingle sets and pairs ≥ the threshold land in
+   ``out_dir/batch_id=N``;
+4. the batch's own signatures land in ``index_dir/ingest_batch=N``.
 
 State lives in parquet, not executor memory: the index is re-readable
-across restarts. foreachBatch is at-least-once, so each side handles a
-replayed batch explicitly: candidate pairs write to
-``out_dir/batch_id=N`` with dynamic partition overwrite — a replay
-overwrites its own partition, making the pair output exactly-once —
-while the index side appends (a replay's duplicate signature rows are
-tolerated by the probe's groupBy-max dedupe on (new_doc, index_doc)). At
-100 TB-ingest scale the index is additionally bucketed on band_sig so
+across restarts. foreachBatch is at-least-once, so BOTH sides are
+replay-exact: pairs AND index signatures write with dynamic partition
+overwrite into their own batch partition — a replayed batch overwrites
+its own partitions byte-for-byte — and the probe reads only index
+partitions with ``ingest_batch < N``, so a replay whose index write
+already committed cannot match the batch against its own signatures
+(which would emit within-batch pairs the original run never produced).
+At 100 TB-ingest scale the index is additionally bucketed on band_sig so
 the per-batch probe is a bucket-pruned merge join, and a TTL compaction
 drops signatures past the dedup horizon.
 
@@ -44,6 +48,7 @@ from ..operators.dedup import _banded_vectorized, _pair_jaccard
 DOC_STREAM_SCHEMA = "doc_id long, text string"
 
 NEARDUP_THRESHOLD = 0.5
+MIN_TOKENS = 3  # shingle width: shorter docs have no 3-gram signature
 
 
 def probe_index(banded: DataFrame, index: DataFrame) -> DataFrame:
@@ -72,6 +77,20 @@ def probe_index(banded: DataFrame, index: DataFrame) -> DataFrame:
     )
 
 
+def _read_index(sess: SparkSession, index_dir: str, before_batch: int) -> DataFrame | None:
+    """Index partitions from batches BEFORE the current one, or None when
+    nothing is indexed yet. The existence check replaces a bare
+    except-everything (which would also swallow real read failures as
+    'first batch', silently dropping the batch's pairs)."""
+    has_parts = os.path.isdir(index_dir) and any(
+        d.startswith("ingest_batch=") for d in os.listdir(index_dir)
+    )
+    if not has_parts:
+        return None
+    index = sess.read.parquet(index_dir)
+    return index.filter(F.col("ingest_batch") < before_batch)
+
+
 def run_neardup_stream(
     spark: SparkSession,
     input_dir: str,
@@ -94,21 +113,32 @@ def run_neardup_stream(
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        banded = _banded_vectorized(sess, batch.select("doc_id", "text")).persist()
+        # admission gate: the signature kernel needs >= MIN_TOKENS tokens;
+        # malformed/short rows divert rather than failing the micro-batch
+        admissible = batch.filter(
+            F.col("doc_id").isNotNull()
+            & F.col("text").isNotNull()
+            & (F.size(F.split(F.col("text"), " ")) >= MIN_TOKENS)
+        )
+        banded = _banded_vectorized(
+            sess, admissible.select("doc_id", "text")
+        ).persist()
         try:
-            try:
-                index = sess.read.parquet(index_dir)
-                has_index = len(index.columns) > 0
-            except Exception:  # first batch: no index yet
-                has_index = False
-            if has_index:
+            index = _read_index(sess, index_dir, batch_id)
+            if index is not None:
                 (probe_index(banded, index)
                     .withColumn("batch_id", F.lit(batch_id))
                     .write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
                     .partitionBy("batch_id")
                     .parquet(out_dir))
-            (banded.write.mode("append").partitionBy("band").parquet(index_dir))
+            # index write is replay-exact too: the batch owns its
+            # ingest_batch partition and overwrites it on replay
+            (banded.withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch", "band")
+                .parquet(index_dir))
         finally:
             banded.unpersist()
 

@@ -58,3 +58,36 @@ def test_cross_batch_neardup_detection(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert (5, 2) in pairs
+
+
+def test_poison_rows_divert_instead_of_wedging(spark, tmp_path):
+    """Short/null-text rows must not fail the micro-batch (a poison batch
+    would replay forever); they divert at the admission gate while
+    admissible rows still index and probe."""
+    import json
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    with open(input_dir / "b1.json", "w") as fh:
+        fh.write(json.dumps({"doc_id": 1, "text": base}) + "\n")
+        fh.write(json.dumps({"doc_id": 2, "text": "too short"}) + "\n")
+        fh.write(json.dumps({"doc_id": 3, "text": None}) + "\n")
+        fh.write(json.dumps({"doc_id": None, "text": base}) + "\n")
+    run_neardup_stream(
+        spark, str(input_dir), str(tmp_path / "idx"), str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    # only the admissible doc reached the index
+    idx = spark.read.parquet(str(tmp_path / "idx"))
+    assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == {1}
+
+    # a later near-dup of doc 1 still matches (pipeline alive and correct)
+    with open(input_dir / "b2.json", "w") as fh:
+        fh.write(json.dumps({"doc_id": 9, "text": base + " twist"}) + "\n")
+    run_neardup_stream(
+        spark, str(input_dir), str(tmp_path / "idx"), str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    pairs = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert {(r.new_doc, r.index_doc) for r in pairs} == {(9, 1)}

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..sources import load_table
 from .curation import _curated_docs
 from .dedup import _portable_token_hash
-from .inference import CHUNK_CHARS, MAX_EMBED_CHARS
+from .inference import chunk_explode
 
 
 def curated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,33 +42,14 @@ def curated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < 900, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    capped = F.substring(F.col("text"), 1, MAX_EMBED_CHARS)
-    n_chunks = F.ceil(
-        F.least(F.length("text"), F.lit(MAX_EMBED_CHARS)) / F.lit(CHUNK_CHARS)
-    ).cast("int")
-    chunks = kept.select(
-        "doc_id",
-        "lang",
-        "quality",
-        split.alias("split"),
-        capped.alias("capped"),
-        # n_chunks = 0 (zero-length text surviving the quality gate) must
-        # emit zero chunk rows, not sequence(0, -1) = [0, -1].
-        F.explode(
-            F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1))
-            .otherwise(F.array().cast("array<int>"))
-        ).alias("chunk_index"),
-    )
-    chunk_text = F.expr(
-        f"substring(capped, chunk_index * {CHUNK_CHARS} + 1, {CHUNK_CHARS})"
-    )
-    return chunks.select(
+    tagged = kept.withColumn("split", split)
+    return chunk_explode(tagged, "lang", "quality", "split").select(
         "doc_id",
         "lang",
         "split",
         "chunk_index",
-        chunk_text.alias("chunk_text"),
-        F.length(chunk_text).alias("n_chars"),
+        "chunk_text",
+        "n_chars",
         F.round("quality", 6).alias("quality"),
     )
 

@@ -322,21 +322,22 @@ CHUNK_CHARS = 800  # vector_config chunk size (fdm_solicitors.json:44-45)
 MAX_EMBED_CHARS = 32_000  # embedder input cap (embedder.py:148-151)
 
 
-def u7_embedding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-vectorization chunking (embedder.py:76-151 semantics on the
-    corpus): truncate each document to the embedder input cap, split into
-    fixed CHUNK_CHARS character chunks, one output row per chunk with its
-    index — the fan-out that feeds u2's embedding stage. Pure column
-    expressions (sequence + explode + substring): a narrow per-row
-    transform with no shuffle, which is what you want in front of a
-    100 TB embedding run."""
-    docs = load_table(spark, sf_dir, "documents")
+def chunk_explode(docs: DataFrame, *carry) -> DataFrame:
+    """The shared cap-and-chunk fan-out (embedder.py:76-151 semantics):
+    truncate ``text`` to the embedder input cap, one output row per
+    CHUNK_CHARS chunk with (chunk_index, chunk_text, n_chars), carrying
+    any ``carry`` columns through. Pure column expressions (sequence +
+    explode + substring): a narrow per-row transform with no shuffle.
+    Consumed by u7_embedding_chunks AND corpus_export.curated_chunks —
+    one definition of the chunk geometry."""
     capped = F.substring(F.col("text"), 1, MAX_EMBED_CHARS)
-    n_chunks = F.ceil(F.least(F.length("text"), F.lit(MAX_EMBED_CHARS)) / F.lit(CHUNK_CHARS)).cast("int")
+    n_chunks = F.ceil(
+        F.least(F.length("text"), F.lit(MAX_EMBED_CHARS)) / F.lit(CHUNK_CHARS)
+    ).cast("int")
     chunks = docs.select(
         "doc_id",
+        *carry,
         capped.alias("capped"),
-        (F.length("text") > MAX_EMBED_CHARS).alias("truncated"),
         # n_chunks can be 0 (empty text): sequence(0, -1) would yield the
         # descending [0, -1], so gate on an empty array — explode drops the
         # row, matching the oracle's unnest(generate_series(0, -1)) → 0 rows.
@@ -350,10 +351,22 @@ def u7_embedding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return chunks.select(
         "doc_id",
+        *carry,
         "chunk_index",
         chunk_text.alias("chunk_text"),
         F.length(chunk_text).alias("n_chars"),
-        "truncated",
+    )
+
+
+def u7_embedding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-vectorization chunking: the shared ``chunk_explode`` fan-out
+    over the corpus, carrying the truncation flag — the stage that feeds
+    u2's embedding kernel in front of a 100 TB embedding run."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "truncated", F.length("text") > MAX_EMBED_CHARS
+    )
+    return chunk_explode(docs, "truncated").select(
+        "doc_id", "chunk_index", "chunk_text", "n_chars", "truncated"
     )
 
 

@@ -113,6 +113,8 @@ BNLJ_BOUNDED = {
     "e2_knn_per_query": "fixed 5-vector query set broadcast",
     "e2_cosine_topk_vectorized": "small-corpus route → same 1-row-broadcast plan",
     "e2_knn_per_query_vectorized": "small-corpus route → same 5-row-broadcast plan",
+    "e2_pq_recall": "exact-side ground truth vs fixed 5-vector query set "
+    "broadcast (same shape as e2_knn_per_query)",
     "e1_ngram_jaccard": "documented capped verification stage behind the "
     "LSH candidate generator (dedup.py e1_minhash_lsh)",
 }

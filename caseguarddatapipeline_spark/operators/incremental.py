@@ -92,8 +92,6 @@ def t11_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     point-in-time reconstruction of any entity's state. Ties (two events
     same entity+ts) order deterministically by event_id. Timestamps are
     emitted as strings for cross-engine hash parity."""
-    from pyspark.sql import Window
-
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)

@@ -27,6 +27,26 @@ def _tokens():
     return F.split(F.col("text"), " ")
 
 
+def _trigrams(toks):
+    """Word trigrams of a token-array column. Guarded for short docs:
+    sequence(1, size-2) with size < 3 would generate a DESCENDING
+    sequence ([1, 0]) and element_at(toks, 0) throws under ANSI — a
+    1-token document must yield an EMPTY trigram list (matching the
+    oracles' exclusive range(1, len-1))."""
+    idx = F.when(
+        F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+
+
 def e3_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counting rolled up per language×source."""
     docs = load_table(spark, sf_dir, "documents")
@@ -198,15 +218,7 @@ def e3_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation would add ``repetition ≤ τ`` to the quality predicate."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens()
-    tri = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-        ),
-    )
+    tri = _trigrams(toks)
     return (
         docs.select("doc_id", "lang", tri.alias("tri"))
         .select(
@@ -241,15 +253,7 @@ def e3_trigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens()
-    tri = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-        ),
-    )
+    tri = _trigrams(toks)
     exploded = docs.select(
         "doc_id", "lang", F.explode(tri).alias("trigram")
     )

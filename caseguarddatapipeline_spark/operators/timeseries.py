@@ -158,7 +158,11 @@ def t12_range_join_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("valid_from"),
         )
         .withColumn("valid_to", F.lead("valid_from").over(
-            Window.partitionBy("user_id").orderBy("valid_from")
+            # state order is (ts, state): two state events at the SAME
+            # timestamp would otherwise make the interval chain (and the
+            # purchases' reported state) nondeterministic between runs
+            # and engines
+            Window.partitionBy("user_id").orderBy("valid_from", "state")
         ))
     )
     horizon = events.agg(
@@ -258,9 +262,6 @@ def t14_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("next", F.first(obs, ignorenulls=True).over(w_next))
         .withColumn("d_i", F.datediff("day", F.lit("1970-01-01").cast("date")))
     )
-    interp = F.col("prev.v") + (
-        (F.col("next.v") - F.col("prev.v")) * (F.col("d_i") - F.col("prev.d"))
-    ).cast("long") / (F.col("next.d") - F.col("prev.d"))
     return filled.select(
         "user_id",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
@@ -336,7 +337,7 @@ ORACLES = {
     "t12_range_join_state": """
         WITH iv AS (
             SELECT user_id, event_type AS state, ts AS valid_from,
-                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS valid_to
             FROM events
             WHERE event_type IN ('signup', 'error')
         )

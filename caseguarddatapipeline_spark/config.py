@@ -9,6 +9,7 @@ cost one send."""
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 import re
@@ -66,10 +67,13 @@ class ConfigCache:
         now = self._clock()
         hit = self._entries.get(path)
         if hit is not None and now - hit[0] < self._ttl:
-            return hit[1]
+            # deep copy: the cache hands the SAME dict to every caller
+            # within the TTL, so one handler mutating its config (key
+            # rotation, field pop) must not corrupt other tenants' view
+            return copy.deepcopy(hit[1])
         cfg = load_tenant_config(path)
         self._entries[path] = (now, cfg)
-        return cfg
+        return copy.deepcopy(cfg)
 
     def invalidate(self, path: str | None = None) -> None:
         if path is None:

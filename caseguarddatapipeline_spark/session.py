@@ -29,14 +29,23 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
-# Sessions switched to the interactive-serving profile (by id): for these,
-# apply_runtime_confs must not re-assert the batch AQE defaults.
-_LOW_LATENCY_SESSIONS: set[int] = set()
+# Sessions switched to the interactive-serving profile (by applicationId —
+# object ids can be REUSED by a new session after the old one is GC'd,
+# which would silently skip AQE confs for an unrelated session): for
+# these, apply_runtime_confs must not re-assert the batch AQE defaults.
+_LOW_LATENCY_SESSIONS: set[str] = set()
+
+
+def _session_tag(spark: SparkSession) -> str:
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:
+        return f"id:{id(spark)}"
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to any session (ours or the driver's)."""
-    skip_adaptive = id(spark) in _LOW_LATENCY_SESSIONS
+    skip_adaptive = _session_tag(spark) in _LOW_LATENCY_SESSIONS
     for k, v in RUNTIME_CONFS.items():
         if skip_adaptive and k.startswith("spark.sql.adaptive."):
             continue
@@ -62,7 +71,7 @@ def enable_low_latency(spark: SparkSession, shuffle_partitions: int = 8) -> Spar
     this. Fewer shuffle partitions likewise trade task-launch overhead
     for per-task size — correct when shuffles are MBs, not GBs.
     """
-    _LOW_LATENCY_SESSIONS.add(id(spark))
+    _LOW_LATENCY_SESSIONS.add(_session_tag(spark))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     return spark
@@ -70,7 +79,7 @@ def enable_low_latency(spark: SparkSession, shuffle_partitions: int = 8) -> Spar
 
 def disable_low_latency(spark: SparkSession) -> SparkSession:
     """Return a session to the batch/ETL profile (AQE defaults)."""
-    _LOW_LATENCY_SESSIONS.discard(id(spark))
+    _LOW_LATENCY_SESSIONS.discard(_session_tag(spark))
     spark.conf.set(
         "spark.sql.shuffle.partitions",
         str(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))),

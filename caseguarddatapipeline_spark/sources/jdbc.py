@@ -26,6 +26,7 @@ stays the transformation core; this module is the IO edge.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -89,6 +90,9 @@ def jdbc_scan(spark: SparkSession, url: str, **kwargs) -> DataFrame:
     return spark.read.format("jdbc").options(**jdbc_scan_options(url, **kwargs)).load()
 
 
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]{0,127}(\.[A-Za-z_][A-Za-z0-9_]{0,127})?")
+
+
 def upsert_statement(
     table: str,
     columns: Sequence[str],
@@ -98,7 +102,17 @@ def upsert_statement(
     """The reference's upsert statement (change_tracking.py:352-394):
     ``INSERT … ON CONFLICT (keys) DO UPDATE SET col = EXCLUDED.col`` for
     every non-key column. Postgres and sqlite share this syntax; the
-    placeholder flips to ``%s`` for psycopg2."""
+    placeholder flips to ``%s`` for psycopg2.
+
+    Identifiers interpolate into SQL, and in this multi-tenant pipeline
+    column names can derive from tenant field mappings — every
+    identifier is validated against a strict pattern so a hostile or
+    malformed mapping cannot splice SQL into the statement executed on
+    every executor connection. (Validation, not quoting: quoted
+    identifiers change case-folding semantics per database.)"""
+    for ident in [table, *columns, *key_columns]:
+        if not _IDENT_RE.fullmatch(ident):
+            raise ValueError(f"invalid SQL identifier: {ident!r}")
     non_key = [c for c in columns if c not in key_columns]
     if not non_key:
         conflict_action = "DO NOTHING"

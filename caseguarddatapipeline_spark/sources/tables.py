@@ -69,12 +69,50 @@ _WARM_MIN_BYTES = 1 << 17
 
 
 def enable_warm_cache(n_partitions: int) -> None:
-    """Turn on warm-table caching for subsequently loaded tables."""
+    """Turn on warm-table caching for subsequently loaded tables.
+    Changing the partitioning releases copies cached under the old
+    setting first — otherwise two full cached copies of every table
+    would coexist (the old one unreachable through any API)."""
+    if _WARM_CACHE["partitions"] not in (None, n_partitions):
+        _release_cached()
     _WARM_CACHE["partitions"] = n_partitions
 
 
 def disable_warm_cache() -> None:
+    _release_cached()
     _WARM_CACHE["partitions"] = None
+
+
+def _release_cached() -> None:
+    for df in _TABLE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session may already be stopped
+    _TABLE_CACHE.clear()
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Stable cache identity for a session (survives id() address reuse)."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:  # stopped/Connect session: fall back to object id
+        return f"id:{id(spark)}"
+
+
+def _data_size(path: str) -> int:
+    """Bytes of actual data under ``path`` — a single file OR a
+    directory-partitioned table (os.path.getsize on a directory returns
+    the ~4 KB inode size, which would classify every partitioned table
+    as tiny and cache it single-partition)."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if not f.startswith((".", "_")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -86,7 +124,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     keeping all downstream timestamp arithmetic timezone-free.
     """
     warm = _WARM_CACHE["partitions"]
-    key = (id(spark), os.path.abspath(sf_dir), name, warm)
+    # key on applicationId, not id(spark): a stopped session's id can be
+    # reused by a NEW session at the same address, which would hand out
+    # DataFrames bound to the dead session
+    key = (_session_key(spark), os.path.abspath(sf_dir), name, warm)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -94,14 +135,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # INTEGER division: epoch-nanos exceed double's 2^53 exact range,
+        # so floor(ts / 1000.0) is off by one microsecond for a large
+        # fraction of modern-epoch values (masked on fixtures whose ns
+        # are exact us*1000); `div` truncates in int64 like DuckDB's //
         df = df.withColumn(
             "ts",
-            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast(
-                "timestamp_ntz"
-            ),
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
     if warm:
-        n = warm if os.path.getsize(path) >= _WARM_MIN_BYTES else 1
+        n = warm if _data_size(path) >= _WARM_MIN_BYTES else 1
         if n > 1:
             df = df.repartition(n)
         df = df.cache()
@@ -134,7 +177,7 @@ def scoped_views(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     instead of one py4j hop per DataFrame method (~10× cheaper plan
     construction for join-heavy queries)."""
     warm = _WARM_CACHE["partitions"]
-    key = (id(spark), os.path.abspath(sf_dir), warm)
+    key = (_session_key(spark), os.path.abspath(sf_dir), warm)
     views = _SCOPED_VIEWS.get(key)
     if views is None:
         tag = f"{abs(hash(key)) % 10**8:08d}"

@@ -23,6 +23,7 @@ runs on Kafka with ``maxOffsetsPerTrigger`` and a Delta DLQ.
 
 from __future__ import annotations
 
+import json
 import os
 
 import pyspark.sql.functions as F
@@ -177,7 +178,7 @@ def jobs_to_kafka_records(jobs: DataFrame) -> DataFrame:
     value = the JSON payload ``parse_job_records`` decodes. Round-trips
     with the source side by construction."""
     return jobs.select(
-        F.col("job_id").cast("string").cast("binary").alias("key"),
+        F.col("entity_id").cast("string").cast("binary").alias("key"),
         F.to_json(
             F.struct("job_id", "entity_id", "change_type", "priority", "retry_count")
         ).cast("binary").alias("value"),
@@ -218,8 +219,15 @@ def run_jobs_stream(
     """Consume the job queue until drained (availableNow trigger).
 
     Each micro-batch: process in priority order; done → out_dir parquet;
-    retry → re-append to queue_dir (picked up by a later batch when run
-    again); dead → dlq_dir. Returns the finished StreamingQuery.
+    retry → re-enqueue into queue_dir (picked up by a later batch when
+    run again); dead → dlq_dir. Returns the finished StreamingQuery.
+
+    All three sinks are REPLAY-EXACT (foreachBatch is at-least-once):
+    done/dead rows land in their own ``batch_id=N`` partition via dynamic
+    overwrite, and retries write ONE deterministically named file per
+    batch — a replayed batch overwrites its own outputs byte-for-byte
+    instead of appending duplicates (which would double-complete jobs and
+    double-consume retry budgets).
     """
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(dlq_dir, exist_ok=True)
@@ -234,19 +242,25 @@ def run_jobs_stream(
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         processed = process_job_batch(batch, fail_predicate).cache()
         try:
-            processed.filter(F.col("outcome") == "done").drop("outcome").write.mode(
-                "append"
-            ).parquet(out_dir)
-            processed.filter(F.col("outcome") == "dead").drop("outcome").write.mode(
-                "append"
-            ).parquet(dlq_dir)
+            for outcome, sink in (("done", out_dir), ("dead", dlq_dir)):
+                (processed.filter(F.col("outcome") == outcome)
+                    .drop("outcome")
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(sink))
             retries = (
                 processed.filter(F.col("outcome") == "retry")
                 .drop("outcome")
                 .withColumn("retry_count", F.col("retry_count") + 1)
             )
-            if retries.limit(1).count() > 0:
-                retries.write.mode("append").json(queue_dir)
+            rows = retries.collect()  # retry sets are small (failed jobs)
+            if rows:
+                path = os.path.join(queue_dir, f"retry-{batch_id:06d}.json")
+                with open(path, "w") as fh:
+                    for r in rows:
+                        fh.write(json.dumps(r.asDict()) + "\n")
         finally:
             processed.unpersist()
 

@@ -34,6 +34,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources import load_table
+from .similarity import _round_half_up
 
 N_MINHASH = 16
 LSH_BANDS = 4  # 4 bands x 4 rows per band
@@ -52,28 +53,6 @@ def _shingles(toks_col, n: int = 3):
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]))
-    )
-
-
-def _hashed_shingles(toks_col, n: int = 3):
-    """Word n-gram shingles as int64 hashes — the scale representation.
-
-    Hashing each shingle immediately (before distinct/set ops) keeps every
-    downstream comparison (distinct, intersect, union, minhash perms) on
-    fixed-width longs instead of ~20-byte strings; Jaccard over hashed sets
-    equals true Jaccard up to negligible collision probability (~n²/2^31).
-    Same pre-split contract as ``_shingles`` (no CSE inside HOF lambdas).
-    """
-    toks = toks_col
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.pmod(
-                F.xxhash64(*[F.element_at(toks, i + j) for j in range(n)]),
-                F.lit(_MERSENNE),
-            ),
-        )
     )
 
 
@@ -370,9 +349,16 @@ def _banded_vectorized(spark: SparkSession, docs: DataFrame) -> DataFrame:
         doc_ids, bands, band_sigs, shingle_sets = [], [], [], []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             th = np.array(
-                [_py_token_hash(t) for t in text.split(" ") if t],
+                [_py_token_hash(t) for t in (text or "").split(" ") if t],
                 dtype=np.int64,
             )
+            if len(th) < 3:
+                # no trigram shingle exists: emit NO signature rows (the
+                # doc can never band-match) instead of letting min() over
+                # an empty array crash the whole job — reachable when a
+                # raw-split token count upstream includes empty strings
+                # this kernel filters out
+                continue
             sh = np.unique(((th[:-2] * 131 + th[1:-1]) * 131 + th[2:]) % M)
             sig = ((sh[:, None] * A[None, :] + B[None, :]) % M).min(axis=0)
             sh_list = sh.astype(np.int32).tolist()
@@ -531,6 +517,7 @@ def e1_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .persist()
     )
+    changed = 0
     for _ in range(20):  # hard cap >> any realistic near-dup diameter
         nbr_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -557,15 +544,37 @@ def e1_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a component deeper than the cap would silently SPLIT into
+        # several cluster_ids — fail loudly instead of returning wrong
+        # clusters (raise the cap or switch to pointer-doubling for
+        # pathological chain-shaped corpora)
+        raise RuntimeError(
+            f"label propagation did not converge in 20 rounds "
+            f"({changed} labels still changing)"
+        )
     w = Window.partitionBy("label")
     out = labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     ).orderBy("doc_id")
+    # pairs/edges fed only the (now-cached) labels fixpoint; labels itself
+    # stays persisted until the NEXT invocation releases it — unpersisting
+    # before the caller's action would force a full LSH recomputation
     pairs.unpersist()
     edges.unpersist()
+    prev = _LABELS_CACHE.get("last")
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _LABELS_CACHE["last"] = labels
     return out
+
+
+_LABELS_CACHE: dict = {}
 
 
 def _portable_token_hash(t):
@@ -735,7 +744,9 @@ def e1_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         Bm = np.stack(b_rows["emb"].to_numpy()).astype(np.float64)
         A /= np.linalg.norm(A, axis=1, keepdims=True)
         Bm /= np.linalg.norm(Bm, axis=1, keepdims=True)
-        cos = np.round(A @ Bm.T, 6)
+        # HALF_UP like the oracle's round(): np.round's half-to-even
+        # could flip the tau-threshold inclusion at a .xxxxx5 boundary
+        cos = _round_half_up(A @ Bm.T, 6)
         hit = cos >= 0.35
         if diagonal:  # symmetric matrix: keep each pair once
             hit &= np.triu(np.ones_like(hit), k=1).astype(bool)

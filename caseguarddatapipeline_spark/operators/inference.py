@@ -37,6 +37,7 @@ from pyspark.sql.types import (
 )
 
 from ..sources import load_table
+from .similarity import _round_half_up
 
 INSIGHT_SCHEMA = StructType(
     [
@@ -89,18 +90,27 @@ def u1_insight_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_insight_batch, schema=INSIGHT_SCHEMA)
 
 
+def _bucket_counts(text: str, dim: int = EMBED_DIM) -> np.ndarray:
+    """Raw token-bucket counts — the ONE definition of the hash-embedder
+    arithmetic (rolling code (c*131 + ord) mod 1e9+7 → bucket), shared by
+    hash_embed and the u2 kernel so the embeddings table and the u2
+    checksums can never desynchronize."""
+    v = np.zeros(dim, dtype=np.float64)
+    for tok in text.split(" "):
+        code = 0
+        for ch in tok:
+            code = (code * 131 + ord(ch)) % 1_000_000_007
+        v[code % dim] += 1.0
+    return v
+
+
 def hash_embed(texts: pd.Series, dim: int = EMBED_DIM) -> pd.Series:
     """Deterministic hash-based embedder: token → bucket via a polynomial
     rolling code, L2-normalized counts. Stands in for
     text-embedding-3-large (embedder.py:138-163)."""
 
     def one(text: str) -> list[float]:
-        v = np.zeros(dim, dtype=np.float64)
-        for tok in text.split(" "):
-            code = 0
-            for ch in tok:
-                code = (code * 131 + ord(ch)) % 1_000_000_007
-            v[code % dim] += 1.0
+        v = _bucket_counts(text, dim)
         n = math.sqrt(float((v * v).sum()))
         return (v / n if n > 0 else v).astype(np.float32).tolist()
 
@@ -120,12 +130,7 @@ def u2_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             embs, norms, sums = [], [], []
             for text in pdf["text"]:
-                v = np.zeros(EMBED_DIM, dtype=np.float64)
-                for tok in text.split(" "):
-                    code = 0
-                    for ch in tok:
-                        code = (code * 131 + ord(ch)) % 1_000_000_007
-                    v[code % EMBED_DIM] += 1.0
+                v = _bucket_counts(text)
                 n = math.sqrt(float((v * v).sum()))
                 embs.append(
                     (v / n if n > 0 else v).astype(np.float32).tolist()
@@ -402,7 +407,8 @@ def u8_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "p_quality": np.round(p, 6),
+                    # HALF_UP to match the SQL twin's round()
+                    "p_quality": _round_half_up(p, 6),
                     "accepted": p >= 0.5,
                 }
             )

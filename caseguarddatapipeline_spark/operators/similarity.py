@@ -27,6 +27,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import pandas_udf
 
 from ..sources import load_table
+from ..sources.tables import _data_size, _session_key
+
+
+def _round_half_up(x, decimals):
+    """Decimal HALF_UP rounding for numpy arrays — matching Spark's
+    F.round / DuckDB's round. np.round is binary-scaled half-to-even,
+    which disagrees with both engines exactly at .xxxx5 boundaries; when
+    a kernel's rounded value is also its ranking or threshold key, that
+    flips top-k membership between the Arrow route and the SQL route."""
+    scale = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
 
 def _dbl(col):
@@ -358,11 +369,11 @@ def e2_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same query re-collects a handful of 64-d vectors otherwise (one extra
 # Spark job per plan build). Keyed by session identity + sf_dir, like the
 # loader's plan cache.
-_QVEC_CACHE: dict[tuple[int, str, str], object] = {}
+_QVEC_CACHE: dict[tuple[str, str, str], object] = {}
 
 
 def _query_vectors(spark: SparkSession, sf_dir: str, upper: int):
-    key = (id(spark), sf_dir, f"lt{upper}")
+    key = (_session_key(spark), sf_dir, f"lt{upper}")
     if key not in _QVEC_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         _QVEC_CACHE[key] = (
@@ -390,7 +401,7 @@ def _use_arrow_kernel(spark: SparkSession, sf_dir: str) -> bool:
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     try:
-        if os.path.getsize(path) >= _ARROW_MIN_BYTES:
+        if _data_size(path) >= _ARROW_MIN_BYTES:
             return True
     except OSError:  # non-local layout: assume big, take the Arrow path
         return True
@@ -525,7 +536,7 @@ def e2_knn_per_query_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             m = np.array(pdf["embedding"].tolist(), dtype=np.float64)  # (n, d)
             nrm = np.sqrt((m * m).sum(axis=1))  # (n,)
-            cos = np.round((m @ qm.T) / np.outer(nrm, qn), 4)  # (n, 5)
+            cos = _round_half_up((m @ qm.T) / np.outer(nrm, qn), 4)  # (n, 5)
             vec_ids = pdf["vec_id"].to_numpy()
             out_q, out_v, out_c = [], [], []
             for j, qid in enumerate(q_ids):
@@ -556,7 +567,7 @@ def e2_knn_per_query_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # One-round-quantizer cache: (session, sf_dir) → k rounded centroid
 # vectors. Index metadata (k×dim doubles), same posture as _QVEC_CACHE.
-_IVF1_CACHE: dict[tuple[int, str], tuple[list[list[float]], list[list[float]]]] = {}
+_IVF1_CACHE: dict[tuple[str, str], tuple[list[list[float]], list[list[float]]]] = {}
 
 _IVF1_K, _IVF1_NPROBE = 16, 4
 
@@ -566,7 +577,7 @@ def _ivf1_index(
 ) -> tuple[list[list[float]], list[list[float]]]:
     """(seeds, one-round centroids) — both index metadata (k×dim),
     collected once per (session, sf_dir) and reused across plan builds."""
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _IVF1_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         seeds = [

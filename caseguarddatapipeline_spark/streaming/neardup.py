@@ -118,7 +118,13 @@ def run_neardup_stream(
         admissible = batch.filter(
             F.col("doc_id").isNotNull()
             & F.col("text").isNotNull()
-            & (F.size(F.split(F.col("text"), " ")) >= MIN_TOKENS)
+            # count NON-EMPTY tokens, matching the kernel's filter — a raw
+            # split counts empty strings ("foo bar " → 3) and would admit
+            # docs the signature kernel sees as 2-token
+            & (
+                F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+                >= MIN_TOKENS
+            )
         )
         banded = _banded_vectorized(
             sess, admissible.select("doc_id", "text")

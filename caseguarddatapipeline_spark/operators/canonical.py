@@ -7,8 +7,10 @@ smart_field_retriever.py:36-97 walks the rules to pull typed values out
 of the raw per-case payload (with parser fallbacks at :332-365). The
 engine's P2 operator was a fixed 5-column alias map; this module is the
 config-first composition: ``apply_field_rules`` takes a rules mapping
-and emits the full typed canonical frame, dispatching each rule's
-extraction_method to the F1-F5 parser expressions.
+and emits the full typed canonical frame; each rule's extraction_method
+MIRRORS the corresponding F1-F5 parser expression (kept behaviorally in
+sync by the shared oracle gate — a semantic change to one that misses
+the other fails parity, not silently drifts).
 
 Everything stays a single Project over the raw frame — rules compile to
 column expressions at plan-build time (no UDF, no per-rule pass), so 30
@@ -49,12 +51,20 @@ def _rule_expr(rule: FieldRule) -> Column:
         out = F.date_format(_parse_date_multi(src), "yyyy-MM-dd")
     elif method == "currency":
         cleaned = F.nullif(F.trim(src), F.lit("[Empty]"))
-        out = F.round(F.regexp_replace(cleaned, r"[£,]", "").cast("double"), 2)
+        # try_cast: arbitrary tenant payloads carry 'N/A'/'TBC' residue —
+        # the dead-letter semantic is NULL, not a job-aborting ANSI cast
+        # error (the reference's parser fallbacks, retriever.py:332-365)
+        out = F.round(
+            F.regexp_replace(cleaned, r"[£,]", "").try_cast("double"), 2
+        )
     elif method == "money_regex":
-        out = F.regexp_extract(src, r"£([0-9,]+\.?[0-9]*)", 1).cast("double")
+        hit = F.regexp_extract(src, r"£([0-9,]+\.?[0-9]*)", 1)
+        # strip the commas the regex admits; try_cast turns a no-match ''
+        # into NULL instead of an ANSI crash
+        out = F.regexp_replace(hit, ",", "").try_cast("double")
     elif method == "date_regex":
         hit = F.regexp_extract(src, r"(\d{1,2}/\d{1,2}/\d{2,4})", 1)
-        out = F.date_format(F.to_date(hit, "dd/MM/yyyy"), "yyyy-MM-dd")
+        out = F.date_format(F.try_to_date(hit, "dd/MM/yyyy"), "yyyy-MM-dd")
     elif method == "keyword_flag":
         out = F.lower(src).contains(rule["param"])
     else:

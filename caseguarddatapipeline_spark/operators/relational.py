@@ -71,7 +71,6 @@ def p5_status_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderstatus",
         F.when(F.lower("o_orderstatus").isin("f"), F.lit(False))
-        .when(F.lower("o_orderstatus").isin("o", "p"), F.lit(True))
         .otherwise(F.lit(True))
         .alias("is_active"),
     )

@@ -36,7 +36,12 @@ def s3_rest_case_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     refs = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") % 11 == 0)
-        .select(F.format_string("NBC-%06d", F.col("c_custkey")).alias("case_ref"))
+        .select(F.concat(
+            # lpad (not %06d): the oracle's lpad TRUNCATES 7+ digit keys
+            # to 6 chars while format_string only pads — at sf >= ~7 the
+            # two diverge; lpad on both sides keeps the contract exact
+            F.lit("NBC-"), F.lpad(F.col("c_custkey").cast("string"), 6, "0")
+        ).alias("case_ref"))
     )
     fetched = rest_fetch(refs, _stub_client)
     parts = F.split(F.col("payload"), r"\|")

@@ -112,9 +112,12 @@ def f3_money_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey",
         sentence.alias("sentence"),
-        F.regexp_extract(sentence, r"£([0-9,]+\.?[0-9]*)", 1)
-        .cast("double")
-        .alias("extracted_amount"),
+        # comma strip + try_cast: the regex admits thousands separators
+        # and a no-match extracts '' — both must degrade to NULL, not an
+        # ANSI cast error (f2_currency_parse's convention)
+        F.regexp_replace(
+            F.regexp_extract(sentence, r"£([0-9,]+\.?[0-9]*)", 1), ",", ""
+        ).try_cast("double").alias("extracted_amount"),
     )
 
 
@@ -130,7 +133,9 @@ def f4_date_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey",
         sentence.alias("sentence"),
-        F.date_format(F.to_date(extracted, "dd/MM/yyyy"), "yyyy-MM-dd").alias(
+        # try_to_date: text without a date substring extracts '' and must
+        # yield NULL (same reason f1's parser chain uses try_to_date)
+        F.date_format(F.try_to_date(extracted, "dd/MM/yyyy"), "yyyy-MM-dd").alias(
             "extracted_date"
         ),
     )
@@ -177,7 +182,9 @@ def f11_json_decode_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.props JSON, pull a typed field, clamp a derived score to [0,1]
     with least/greatest, fall back when the field is missing."""
     events = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    # try_cast: a malformed LLM payload like {"k": "high"} must degrade to
+    # the fallback, not abort the query with an ANSI cast error
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("int")
     score = F.least(
         F.greatest(k.cast("double") / F.lit(100.0), F.lit(0.0)), F.lit(1.0)
     )

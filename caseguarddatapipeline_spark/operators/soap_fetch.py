@@ -45,8 +45,10 @@ def s5_soap_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the broadcast format dimension."""
     fmt_arr = F.array(*[F.lit(f) for f in _FORMATS])
     manifest = load_table(spark, sf_dir, "documents").select(
-        F.format_string("DOC-%06d", F.col("doc_id")).alias("doc_code"),
-        F.element_at(fmt_arr, (F.col("doc_id") % 8 + 1).cast("int")).alias(
+        F.concat(
+            F.lit("DOC-"), F.lpad(F.col("doc_id").cast("string"), 6, "0")
+        ).alias("doc_code"),  # lpad: truncation parity with the oracle
+        F.element_at(fmt_arr, (F.col("doc_id") % len(_FORMATS) + 1).cast("int")).alias(
             "doc_format"
         ),
     )
@@ -72,7 +74,7 @@ ORACLES = {
     "s5_soap_fetch": f"""
         WITH m AS (
             SELECT 'DOC-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS doc_code,
-                   [{_FMT_LIST}][CAST(doc_id % 8 AS INT) + 1] AS doc_format,
+                   [{_FMT_LIST}][CAST(doc_id % {len(_FORMATS)} AS INT) + 1] AS doc_format,
                    CAST(doc_id % 4 AS INT) + 1 AS reps
             FROM documents
         ), fdim(doc_format, mime_type, extension) AS (

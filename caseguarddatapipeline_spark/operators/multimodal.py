@@ -273,8 +273,82 @@ def e4_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BINFIX_N = 64  # docs materialized as real files (bounded fixture, not data-sized)
+_BINFIX_EXT = {0: "pdf", 1: "png", 2: "txt"}  # doc_id % 3 → extension
+
+
+def _binaryfile_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the first _BINFIX_N documents as REAL files on local
+    disk (one file per doc, extension from the payload's MIME class) so
+    ``e4_binaryfile_scan`` exercises a true ``binaryFile`` scan — the
+    reference's on-disk handoff (soap_downloader.py:101-161 writes fetched
+    blobs to temp files before upload). The collect is bounded at
+    _BINFIX_N rows (fixture-sized, like the similarity query-vector
+    cache); idempotent via a marker file, atomic via write-to-tmp+rename
+    so concurrent builders can't expose a half-written dir."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), "caseguard_binfix")
+    out = os.path.join(base, tag)
+    marker = os.path.join(out, "_FIXTURE_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    rows = (
+        with_binary_payload(load_table(spark, sf_dir, "documents"))
+        .filter(F.col("doc_id") < _BINFIX_N)
+        .select("doc_id", "payload")
+        .collect()
+    )
+    os.makedirs(base, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=base)
+    for r in rows:
+        ext = _BINFIX_EXT[r["doc_id"] % 3]
+        with open(os.path.join(tmp, f"doc_{r['doc_id']:06d}.{ext}"), "wb") as f:
+            f.write(bytes(r["payload"]))
+    with open(os.path.join(tmp, "_FIXTURE_COMPLETE"), "w") as f:
+        f.write(str(len(rows)))
+    try:
+        os.rename(tmp, out)
+    except OSError:  # lost the race: another builder finished first
+        pass
+    return out
+
+
+def e4_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE binary-file ingestion: scan a directory of actual on-disk
+    files with ``spark.read.format("binaryFile")`` (path, length, content
+    columns), derive doc_id from the filename and MIME from the
+    extension — exactly how a production blob-store landing zone is read
+    — then route the bytes through the same Arrow-batched decode stub as
+    ``e4_decode_pipeline``. The synthesized-payload pipeline is the
+    oracle twin: file bytes were written from the same payloads, so the
+    decoded outputs must match the in-engine path exactly. At 100 TB the
+    fixture dir is an object-store prefix and binaryFile's
+    pathGlobFilter/recursiveFileLookup handle layout; each file is one
+    row, so partitioning follows files — no shuffle before decode."""
+    fixture = _binaryfile_fixture_dir(spark, sf_dir)
+    bf = spark.read.format("binaryFile").option("pathGlobFilter", "doc_*").load(
+        fixture
+    )
+    docs = bf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.when(F.col("path").endswith(".pdf"), "application/pdf")
+        .when(F.col("path").endswith(".png"), "image/png")
+        .otherwise("text/plain")
+        .alias("mime_type"),
+        F.col("content").alias("payload"),
+    )
+    return docs.mapInPandas(decode_binary_stub, schema=DECODED_SCHEMA)
+
+
 QUERIES = {
     "e4_image_tiles": e4_image_tiles,
+    "e4_binaryfile_scan": e4_binaryfile_scan,
     "e4_multimodal_join": e4_multimodal_join,
     "e4_binary_metadata": e4_binary_metadata,
     "e4_decode_pipeline": e4_decode_pipeline,
@@ -283,6 +357,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    # binaryFile twin: file bytes == utf-8 doc text (ASCII corpus), so the
+    # decode outputs equal the in-engine pipeline restricted to the fixture.
+    "e4_binaryfile_scan": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'application/pdf'
+                    WHEN doc_id % 3 = 1 THEN 'image/png'
+                    ELSE 'text/plain' END AS mime_type,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               substring(text, 1, 32) AS decoded_preview,
+               CAST(doc_id % 8 + 8 AS INT) AS feature_dim
+        FROM documents WHERE doc_id < 64
+    """,
     "e4_image_tiles": """
         WITH images AS (
             SELECT doc_id,

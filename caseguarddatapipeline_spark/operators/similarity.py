@@ -572,6 +572,38 @@ _IVF1_CACHE: dict[tuple[str, str], tuple[list[list[float]], list[list[float]]]] 
 _IVF1_K, _IVF1_NPROBE = 16, 4
 
 
+def _lloyd_round(corpus: DataFrame, cents_in: list[list[float]]) -> list[list[float]]:
+    """One Lloyd round as plain relational algebra: assign every vector to
+    its nearest centroid by cosine — rounded to 6dp before the argmax so a
+    last-ulp float-association difference can never flip a cell assignment
+    between engines; ties break to the lowest cell id (array_position
+    returns the FIRST maximal index — the same order the oracle's
+    row_number(ORDER BY cos DESC, cell ASC) produces) — then recompute
+    centroids as per-cell per-dimension means, rounded to 6dp. Empty cells
+    keep their (rounded) input centroid. Only the k×dim centroid matrix
+    reaches the driver — index metadata, not a data-sized collect."""
+    cos6 = F.transform(
+        _cell_cosines(cents_in, F.col("emb")), lambda c: F.round(c, 6)
+    )
+    cells = corpus.select(
+        "emb",
+        (F.array_position(cos6, F.array_max(cos6)) - 1).cast("int").alias("cell"),
+    )
+    cent_rows = (
+        cells.select("cell", F.posexplode("emb").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("val").alias("v"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select("cell", F.transform("pv", lambda s: F.round(s["v"], 6)).alias("c"))
+        .collect()
+    )
+    by_cell = {r["cell"]: list(r["c"]) for r in cent_rows}
+    return [
+        by_cell.get(i, [round(v, 6) for v in cents_in[i]]) for i in range(_IVF1_K)
+    ]
+
+
 def _ivf1_index(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[list[float]], list[list[float]]]:
@@ -588,34 +620,29 @@ def _ivf1_index(
             .collect()
         ]
         corpus = emb.select("vec_id", _dbl(F.col("embedding")).alias("emb"))
-        # nearest seed by cosine, rounded to 6dp before the argmax so a
-        # last-ulp float-association difference can never flip a cell
-        # assignment between engines; ties break to the lowest cell id
-        # (array_position returns the FIRST maximal index — the same
-        # order the oracle's row_number(ORDER BY cos DESC, cell ASC)
-        # produces).
-        cos6 = F.transform(
-            _cell_cosines(seeds, F.col("emb")), lambda c: F.round(c, 6)
-        )
-        cells = corpus.select(
-            "emb",
-            (F.array_position(cos6, F.array_max(cos6)) - 1).cast("int").alias("cell"),
-        )
-        cent_rows = (
-            cells.select("cell", F.posexplode("emb").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("v"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
-            .select("cell", F.transform("pv", lambda s: F.round(s["v"], 6)).alias("c"))
-            .collect()
-        )
-        by_cell = {r["cell"]: list(r["c"]) for r in cent_rows}
-        cents = [
-            by_cell.get(i, [round(v, 6) for v in seeds[i]]) for i in range(_IVF1_K)
-        ]
+        cents = _lloyd_round(corpus, seeds)
         _IVF1_CACHE[key] = (seeds, cents)
     return _IVF1_CACHE[key]
+
+
+# Two-round-quantizer cache: same posture as _IVF1_CACHE (k×dim metadata).
+_IVF2_CACHE: dict[tuple[str, str], tuple[list[list[float]], list[list[float]]]] = {}
+
+
+def _ivf2_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[list[float]], list[list[float]]]:
+    """(round-1 centroids, round-2 centroids): one more exact Lloyd round
+    on top of ``_ivf1_index``. Round-2 input centroids are already
+    6dp-rounded, so both engines quantize from bit-identical vectors."""
+    key = (_session_key(spark), sf_dir)
+    if key not in _IVF2_CACHE:
+        _, cents1 = _ivf1_index(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.select("vec_id", _dbl(F.col("embedding")).alias("emb"))
+        cents2 = _lloyd_round(corpus, cents1)
+        _IVF2_CACHE[key] = (cents1, cents2)
+    return _IVF2_CACHE[key]
 
 
 def e2_ivf_search_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,21 +661,34 @@ def e2_ivf_search_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
     (etl/flows/process_case.py:292-318) with the index in-engine."""
     emb = load_table(spark, sf_dir, "embeddings")
     seeds, centroids = _ivf1_index(spark, sf_dir)
+    return _ivf_probe_search(emb, seeds, centroids)
 
+
+def _ivf_probe_search(
+    emb: DataFrame,
+    assign_cents: list[list[float]],
+    probe_cents: list[list[float]],
+) -> DataFrame:
+    """Multi-probe IVF search: corpus vectors assigned to cells by
+    ``assign_cents`` (the assignment that produced the final centroids),
+    queries probe their nprobe=4 nearest of ``probe_cents``; candidates
+    ride an equi-join on cell id (~nprobe/k of the corpus, not a full
+    scan). At 100 TB `cell` persists as a partition column and the probe
+    join becomes partition pruning."""
     corpus = emb.select("vec_id", _dbl(F.col("embedding")).alias("emb"))
-    cos6_seed = F.transform(
-        _cell_cosines(seeds, F.col("emb")), lambda c: F.round(c, 6)
+    cos6_assign = F.transform(
+        _cell_cosines(assign_cents, F.col("emb")), lambda c: F.round(c, 6)
     )
     cells = corpus.select(
         "vec_id",
         "emb",
-        (F.array_position(cos6_seed, F.array_max(cos6_seed)) - 1)
+        (F.array_position(cos6_assign, F.array_max(cos6_assign)) - 1)
         .cast("int")
         .alias("cell"),
     )
 
     cos6_cent = F.transform(
-        _cell_cosines(centroids, F.col("q_emb")), lambda c: F.round(c, 6)
+        _cell_cosines(probe_cents, F.col("q_emb")), lambda c: F.round(c, 6)
     )
     cos_idx = F.transform(
         cos6_cent, lambda c, i: F.struct(c.alias("cos"), (-i).alias("neg_idx"))
@@ -685,6 +725,22 @@ def e2_ivf_search_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e2_ivf_search_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable IVF ANN with a TWO-round Lloyd quantizer — the
+    closest exact-oracle stand-in for the fully iterative ``e2_ivf_search``
+    (its n_iters=3 build is only one round away). Both rounds are plain
+    relational algebra (6dp-rounded cosines before every argmax, 6dp-
+    rounded centroid means), so DuckDB reproduces the quantizer bit-for-
+    bit and the whole search has an exact hash oracle. Corpus vectors are
+    assigned by the round-1 centroids (the assignment that produced the
+    round-2 means); queries probe their nprobe=4 nearest round-2
+    centroids. Mirrors the reference's Pinecone serving path
+    (etl/flows/process_case.py:292-318) with the index in-engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents1, cents2 = _ivf2_index(spark, sf_dir)
+    return _ivf_probe_search(emb, cents1, cents2)
+
+
 QUERIES = {
     "e2_cosine_topk": e2_cosine_topk,
     "e2_knn_per_query": e2_knn_per_query,
@@ -696,6 +752,7 @@ QUERIES = {
     "e2_lsh_buckets": e2_lsh_buckets,
     "e2_ivf_search": e2_ivf_search,
     "e2_ivf_search_1round": e2_ivf_search_1round,
+    "e2_ivf_search_2round": e2_ivf_search_2round,
 }
 
 _DOT = "list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), list_transform({b}, y -> CAST(y AS DOUBLE)))"
@@ -852,6 +909,65 @@ ORACLES["e2_index_stats"] = IVF1_CENTS_SQL + """
            round(CAST(n_members AS DOUBLE) / sum(n_members) OVER (), 4) AS share,
            avg_cent_cosine
     FROM per_cell
+"""
+
+# Second exact Lloyd round: re-assign by the (6dp-rounded) round-1
+# centroids, recompute per-dimension means, empty cells keep their round-1
+# centroid — the same algebra Spark's _lloyd_round executes.
+IVF2_CENTS_SQL = IVF1_CENTS_SQL + """
+    , cent_scored2 AS (
+        SELECT c.vec_id, c.emb, ct.cell,
+               round(list_dot_product(c.emb, ct.c_emb)
+                     / (sqrt(list_dot_product(c.emb, c.emb))
+                        * sqrt(list_dot_product(ct.c_emb, ct.c_emb))), 6) AS cos6
+        FROM corpus c CROSS JOIN cents ct
+    ), assigned2 AS (
+        SELECT vec_id, emb, cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cos6 DESC, cell ASC) AS rn
+              FROM cent_scored2)
+        WHERE rn = 1
+    ), cent_dims2 AS (
+        SELECT a.cell, j.j, round(avg(a.emb[j.j]), 6) AS v
+        FROM assigned2 a CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
+        GROUP BY a.cell, j.j
+    ), cents0_2 AS (
+        SELECT cell, list(v ORDER BY j) AS c_emb FROM cent_dims2 GROUP BY cell
+    ), cents2 AS (
+        SELECT cell, c_emb FROM cents0_2
+        UNION ALL
+        SELECT c.cell, c.c_emb FROM cents c
+        WHERE c.cell NOT IN (SELECT cell FROM cents0_2)
+    )"""
+
+ORACLES["e2_ivf_search_2round"] = IVF2_CENTS_SQL + """
+    , queries AS (
+        SELECT vec_id AS query_id, emb AS q_emb FROM corpus WHERE vec_id < 5
+    ), probe_scored AS (
+        SELECT q.query_id, q.q_emb, ct.cell,
+               round(list_dot_product(q.q_emb, ct.c_emb)
+                     / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                        * sqrt(list_dot_product(ct.c_emb, ct.c_emb))), 6) AS cos6
+        FROM queries q CROSS JOIN cents2 ct
+    ), probes AS (
+        SELECT query_id, q_emb, cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos6 DESC, cell ASC) AS rn
+              FROM probe_scored)
+        WHERE rn <= 4
+    ), cand AS (
+        SELECT p.query_id, a.vec_id, a.cell,
+               round(list_dot_product(a.emb, p.q_emb)
+                     / (sqrt(list_dot_product(a.emb, a.emb))
+                        * sqrt(list_dot_product(p.q_emb, p.q_emb))), 4) AS cosine
+        FROM assigned2 a JOIN probes p
+          ON a.cell = p.cell AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, CAST(cell AS INT) AS cell, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+    FROM cand
+    QUALIFY rank <= 3
 """
 
 ORACLES["e2_ivf_search_1round"] = IVF1_CENTS_SQL + """

@@ -20,11 +20,11 @@ double-enqueue.
 
 from __future__ import annotations
 
-import json
 import os
+import shutil
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from .operators.reconcile import reconcile_fused
 from .sources.connectors import csv_case_scan
@@ -32,6 +32,99 @@ from .streaming.jobs import jobs_from_reconciliation, run_jobs_stream
 
 ACCESSIBILITY_FLOOR = 0.8  # onboard_tenant.py:381 warns below 80%
 BACKFILL_PRIORITY = 3  # backfill is lowest priority; daily changes outrank it
+
+JOB_COLS = ["job_id", "entity_id", "change_type", "priority", "retry_count"]
+
+def _job_json():
+    """JSON-lines encoding of a job row — the queue contract both enqueue
+    paths and the stream reader share. ignoreNullFields=false so a null
+    field is an explicit "field":null, exactly like json.dumps on a
+    collected row. (A function, not a module constant: building a Column
+    needs an active SparkContext.)"""
+    return F.to_json(F.struct(*JOB_COLS), {"ignoreNullFields": "false"})
+
+
+def _numbered_jobs(
+    jobs: DataFrame, batch_size: int, order_col: str
+) -> tuple[DataFrame, int]:
+    """Contiguous global sequence numbers WITHOUT a driver collect or a
+    single-partition sort: range-partition on the order key (a cluster-wide
+    sort where every task holds one contiguous key range), count rows per
+    partition (a ≤#partitions-row collect — scheduler metadata, not data),
+    broadcast the cumulative offsets as a literal map, and add
+    partition-local row_numbers. seq = offset[pid] + local_rn − 1;
+    batch = seq DIV batch_size. This is the distributed form of the W5
+    batch numbering (operators/relational.py:376; reference slicing:
+    etl/flows/onboard_tenant.py:206-235) — the global window variant
+    collapses onto one task at 100×, this one never does. Returns
+    (numbered frame, total row count) — the count is free from the
+    per-partition tallies."""
+    spark = jobs.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    parts = (
+        jobs.repartitionByRange(n_parts, order_col)
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    tallies = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("n"))
+    counts = {r["_pid"]: r["n"] for r in tallies.collect()}  # ≤ n_parts rows
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if not offsets:
+        return jobs.withColumn("batch", F.lit(0).cast("long")), 0
+    off_map = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    seq = F.element_at(off_map, F.col("_pid")) + F.row_number().over(w) - 1
+    numbered = parts.withColumn(
+        "batch", F.floor(seq / batch_size).cast("long")
+    ).drop("_pid")
+    return numbered, acc
+
+
+def _write_job_batches(
+    jobs: DataFrame, queue_dir: str, batch_size: int, prefix: str,
+    order_col: str = "job_id",
+) -> tuple[int, int]:
+    """Distributed queue-batch writer: every executor writes its own batch
+    files; the driver only renames (O(#batches) fs-metadata ops, zero row
+    data). repartition("batch") puts each batch whole into one task, so
+    each ``batch=N`` staging dir holds exactly one part file, written in
+    (batch, order_col) order — byte-identical to what the old
+    collect-and-slice writer produced. The rename into the legacy
+    ``{prefix}-NNNNNN.json`` names keeps the file-stream queue contract;
+    on an object store you'd skip the renames and publish the partitioned
+    layout plus a manifest instead. Returns (n_jobs, n_batches)."""
+    staging = os.path.join(queue_dir, f".staging-{prefix}")
+    numbered, n_jobs = _numbered_jobs(jobs, batch_size, order_col)
+    if n_jobs:
+        (
+            numbered.repartition("batch")
+            .sortWithinPartitions("batch", order_col)
+            .select(_job_json().alias("value"), "batch")
+            .write.mode("overwrite")
+            .partitionBy("batch")
+            .text(staging)
+        )
+    n_batches = 0
+    if os.path.isdir(staging):
+        for d in sorted(os.listdir(staging)):
+            if not d.startswith("batch="):
+                continue
+            b = int(d.split("=", 1)[1])
+            files = sorted(
+                f for f in os.listdir(os.path.join(staging, d))
+                if f.startswith("part-")
+            )
+            assert len(files) == 1, f"batch {b} split across tasks: {files}"
+            src = os.path.join(staging, d, files[0])
+            os.replace(src, os.path.join(queue_dir, f"{prefix}-{b:06d}.json"))
+            n_batches += 1
+        shutil.rmtree(staging, ignore_errors=True)
+    return n_jobs, n_batches
 
 
 def _default_probe(df: DataFrame) -> DataFrame:
@@ -65,11 +158,10 @@ def onboard_tenant(
     batch-numbered JSON job files into ``queue_dir`` — the SAME queue
     ``process_case_backlog`` drains, so onboard + backlog-drain is the
     complete backfill. Enqueue is one file per batch with deterministic
-    names: re-running overwrites rather than double-queuing. (Job rows
-    are id+priority metadata — kilobytes per thousand cases — so the
-    driver-side batch writer is fine into the millions; beyond that,
-    swap the loop for ``jobs.write.mode("overwrite").json(queue_dir)``:
-    opaque file names, same queue contract, idempotence via overwrite.)"""
+    names: re-running overwrites rather than double-queuing. The batch
+    slicing AND the file writes are distributed (``_write_job_batches``)
+    — no job row ever crosses the driver, so the flow holds at a 100×
+    tenant onboard."""
     report: dict = {"steps_completed": [], "final_status": "in_progress"}
 
     cases = csv_case_scan(spark, case_csv_path)
@@ -120,30 +212,24 @@ def _onboard_steps(
         report["low_accessibility_warning"] = rate < ACCESSIBILITY_FLOOR
         report["steps_completed"].append("validation")
 
-    # Enqueue: stable batch numbering (order by case_ref so re-runs slice
+    # Enqueue: stable batch numbering (order by job_id so re-runs slice
     # identically), one JSON file per batch — the queue contract
     # streaming/jobs.JOB_SCHEMA expects. Batches of `batch_size` mirror
-    # the reference's enqueue_backfill_jobs slicing.
+    # the reference's enqueue_backfill_jobs slicing, but the slicing and
+    # the file writes are DISTRIBUTED (_write_job_batches): executors
+    # write every row; the driver only renames batch files. A 100×
+    # tenant onboard never funnels job rows through the driver.
     os.makedirs(queue_dir, exist_ok=True)
-    rows = (
-        cases.select(
-            F.abs(F.xxhash64("case_ref")).alias("job_id"),
-            F.abs(F.xxhash64("case_ref")).alias("entity_id"),
-            F.lit("backfill").alias("change_type"),
-            F.lit(BACKFILL_PRIORITY).cast("int").alias("priority"),
-            F.lit(0).cast("int").alias("retry_count"),
-        )
-        .orderBy("job_id")
-        .collect()
+    jobs = cases.select(
+        F.abs(F.xxhash64("case_ref")).alias("job_id"),
+        F.abs(F.xxhash64("case_ref")).alias("entity_id"),
+        F.lit("backfill").alias("change_type"),
+        F.lit(BACKFILL_PRIORITY).cast("int").alias("priority"),
+        F.lit(0).cast("int").alias("retry_count"),
     )
-    n_batches = 0
-    for start in range(0, len(rows), batch_size):
-        batch = rows[start : start + batch_size]
-        path = os.path.join(queue_dir, f"backfill-{start // batch_size:06d}.json")
-        with open(path, "w") as fh:
-            for r in batch:
-                fh.write(json.dumps(r.asDict()) + "\n")
-        n_batches += 1
+    n_jobs, n_batches = _write_job_batches(
+        jobs, queue_dir, batch_size, "backfill"
+    )
     # idempotence also needs stale-file cleanup: a re-run that produces
     # FEWER batches must not leave the previous run's higher-numbered
     # files behind (they would drain as obsolete jobs)
@@ -155,13 +241,13 @@ def _onboard_steps(
         ):
             os.remove(os.path.join(queue_dir, stale))
     report["queuing_results"] = {
-        "queued_successfully": len(rows),
+        "queued_successfully": n_jobs,
         "batches_written": n_batches,
     }
-    report["jobs_queued"] = len(rows)
+    report["jobs_queued"] = n_jobs
     report["steps_completed"].append("case_queuing")
 
-    report["initial_progress"] = {"queue_depth": len(rows), "processed": 0}
+    report["initial_progress"] = {"queue_depth": n_jobs, "processed": 0}
     report["steps_completed"].append("progress_monitoring")
     report["final_status"] = "completed"
     return report
@@ -223,22 +309,38 @@ def sync_tenant_daily(
         }
         if queue_dir is not None and quality_ok:
             os.makedirs(queue_dir, exist_ok=True)
-            jobs = jobs_from_reconciliation(detail).orderBy("priority", "job_id")
-            rows = jobs.collect()
+            jobs = jobs_from_reconciliation(detail)
             # filename derived from the watermark CONTENT: Spark's file
             # stream source tracks seen paths and never re-reads an
             # overwritten file, so a fixed name would silently drop every
             # sync after the first. Same watermark → same name → harmless
             # overwrite (identical content); advanced watermark → new
-            # file the stream picks up.
+            # file the stream picks up. The file itself is written by ONE
+            # EXECUTOR task streaming the sorted rows (repartition(1) +
+            # sortWithinPartitions), not by a driver collect — the single
+            # file is the queue-contract choice; shard per priority when
+            # one sync's job list outgrows a single writer.
             wm = detail.agg(
                 F.max(F.coalesce(F.col("crm_serialno"), F.lit(0))).alias("wm")
             ).collect()[0].wm or 0
+            staging = os.path.join(queue_dir, ".staging-sync")
+            (
+                jobs.repartition(1)
+                .sortWithinPartitions("priority", "job_id")
+                .select(_job_json().alias("value"))
+                .write.mode("overwrite")
+                .text(staging)
+            )
             path = os.path.join(queue_dir, f"sync-wm{int(wm):012d}.json")
-            with open(path, "w") as fh:
-                for r in rows:
-                    fh.write(json.dumps(r.asDict()) + "\n")
-            report["jobs_queued"] = len(rows)
+            parts = sorted(
+                f for f in os.listdir(staging) if f.startswith("part-")
+            )
+            assert len(parts) == 1, f"sync queue split across tasks: {parts}"
+            os.replace(os.path.join(staging, parts[0]), path)
+            shutil.rmtree(staging, ignore_errors=True)
+            # count from the cached reconciliation detail (a metadata-cheap
+            # agg), not by re-reading the queue file on the driver
+            report["jobs_queued"] = jobs.count()
             report["queue_file"] = os.path.basename(path)
         report["final_status"] = "completed"
         return report

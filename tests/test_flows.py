@@ -109,6 +109,94 @@ def test_sync_tenant_daily_gates_and_enqueues(spark, sf_dir, tmp_path):
         assert report["jobs_queued"] == 0
 
 
+def _collect_path_bytes(jobs_df, batch_size, order_cols):
+    """The OLD driver-side enqueue, kept as the test oracle: collect,
+    sort, slice, compact-JSON-encode. The distributed writer must produce
+    byte-identical batch files."""
+    rows = [r.asDict() for r in jobs_df.orderBy(*order_cols).collect()]
+    out = {}
+    for start in range(0, len(rows), batch_size):
+        body = "".join(
+            json.dumps(r, separators=(",", ":")) + "\n"
+            for r in rows[start : start + batch_size]
+        )
+        out[start // batch_size] = body.encode()
+    return out
+
+
+def test_distributed_onboard_enqueue_matches_collect_path(spark, tmp_path):
+    """The round-4 scale-killer fix: executors write the queue batches,
+    the driver only renames — and the files are byte-identical to the
+    collect-and-slice path, batch per batch, including row order."""
+    import pyspark.sql.functions as F
+
+    from caseguarddatapipeline_spark.flows import BACKFILL_PRIORITY
+    from caseguarddatapipeline_spark.sources.connectors import csv_case_scan
+
+    csv = tmp_path / "cases.csv"
+    _write_cases(csv, n_active=137, n_complete=23)  # 160 cases, 16 batches
+    queue = str(tmp_path / "queue")
+    report = onboard_tenant(spark, str(csv), queue, batch_size=10)
+    assert report["jobs_queued"] == 160
+    assert report["queuing_results"]["batches_written"] == 16
+
+    jobs = csv_case_scan(spark, str(csv)).select(
+        F.abs(F.xxhash64("case_ref")).alias("job_id"),
+        F.abs(F.xxhash64("case_ref")).alias("entity_id"),
+        F.lit("backfill").alias("change_type"),
+        F.lit(BACKFILL_PRIORITY).cast("int").alias("priority"),
+        F.lit(0).cast("int").alias("retry_count"),
+    )
+    expected = _collect_path_bytes(jobs, 10, ["job_id"])
+    assert len(expected) == 16
+    for b, body in expected.items():
+        with open(os.path.join(queue, f"backfill-{b:06d}.json"), "rb") as fh:
+            assert fh.read() == body, f"batch {b} differs from collect path"
+
+    # no collect of job rows anywhere in either flow's enqueue
+    import inspect
+
+    import caseguarddatapipeline_spark.flows as flows_mod
+
+    src = inspect.getsource(flows_mod)
+    enqueue_fns = [
+        flows_mod._onboard_steps,
+        flows_mod._numbered_jobs,
+        flows_mod._write_job_batches,
+    ]
+    for fn in enqueue_fns:
+        fn_src = inspect.getsource(fn)
+        collects = [
+            ln for ln in fn_src.splitlines()
+            if ".collect()" in ln
+            and ".collect()[0]" not in ln  # 1-row scalar aggs are fine
+            and "tallies.collect()" not in ln  # ≤#partitions tally rows
+        ]
+        assert not collects, f"{fn.__name__} collects job rows: {collects}"
+    assert src  # module parsed
+
+
+def test_distributed_sync_enqueue_matches_collect_path(spark, sf_dir, tmp_path):
+    """Sync queue file: one executor task streams the sorted rows; bytes
+    must equal the old collect path's (priority, job_id)-ordered dump."""
+    from caseguarddatapipeline_spark.operators.reconcile import reconcile_fused
+    from caseguarddatapipeline_spark.streaming.jobs import jobs_from_reconciliation
+
+    queue = str(tmp_path / "queue")
+    report = sync_tenant_daily(spark, sf_dir, queue)
+    if not report["quality"]["quality_ok"]:
+        return  # gate closed at this sf — nothing enqueued by either path
+    qfile = os.path.join(queue, report["queue_file"])
+    jobs = jobs_from_reconciliation(reconcile_fused(spark, sf_dir))
+    rows = [r.asDict() for r in jobs.orderBy("priority", "job_id").collect()]
+    expected = "".join(
+        json.dumps(r, separators=(",", ":")) + "\n" for r in rows
+    ).encode()
+    with open(qfile, "rb") as fh:
+        assert fh.read() == expected
+    assert report["jobs_queued"] == len(rows)
+
+
 def test_onboard_rerun_removes_stale_batches(spark, tmp_path):
     """A re-run producing fewer batches must delete the previous run's
     higher-numbered files — no obsolete jobs left to drain."""

@@ -1,0 +1,48 @@
+"""Data-dominated throughput floors: the committed STRESS.json record
+(tools/stress_scale.py, 10× sf0.1 ≈ 6 M fact rows on local[32]) must stay
+above the pinned Mrows/s floors. The sf0.1 bench measures per-query fixed
+cost; THIS artifact is the measured form of the 100 TB design claim — if a
+plan change regresses scan/join/window throughput at 10×, the recorded
+numbers drop below the floor and this pin fails on regeneration.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _load():
+    path = REPO / "STRESS.json"
+    assert path.exists(), (
+        "STRESS.json missing — regenerate with `python tools/stress_scale.py 10`"
+    )
+    return json.loads(path.read_text())
+
+
+def test_stress_record_shape():
+    doc = _load()
+    assert doc["metric"] == "stress_scale"
+    assert doc["replicas"] >= 10, "committed record must be the 10x run"
+    assert doc["fact_rows"] >= 5_000_000
+    assert set(doc["shapes"]) == {"agg_scan", "join_agg", "window_topk"}
+
+
+def test_stress_throughput_floors():
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from tools.stress_scale import FLOORS
+
+    doc = _load()
+    # the committed record must have been produced against the same floors
+    assert doc["floors_mrows_per_sec"] == FLOORS
+    for shape, floor in FLOORS.items():
+        got = doc["shapes"][shape]["mrows_per_sec"]
+        assert got >= floor, (
+            f"{shape}: {got} Mrows/s below the {floor} floor — a plan "
+            "regression at data-dominated scale (check for a lost map-side "
+            "combine, an extra shuffle, or a collapsed sort)"
+        )

@@ -1,15 +1,30 @@
-"""Streaming throughput probe: drive the windowed + deduped event
-pipeline from the built-in rate source and report steady-state
-processedRowsPerSecond from the StreamingQueryProgress telemetry.
+"""Streaming throughput probe for the T-family: drive the engine's three
+streaming shapes and record steady-state throughput + state-store
+telemetry, so streaming performance is a measured baseline (STREAM.json)
+with regression floors (tests/test_stream_floor.py), exactly like the
+batch STRESS.json record.
 
-The rate source generates (timestamp, value) rows at a configured rate
-entirely inside the JVM, so this measures the PIPELINE's sustainable
-throughput (watermark tracking, window state updates, dedup state
-lookups, state-store commits) rather than any ingest format. The same
-plan pointed at Kafka gets the same per-row cost plus the source's.
+Pipelines:
+- ``windowed_agg``   — rate source → watermark → 5 s windowed agg per
+  type (state: window panes). Measures watermark tracking + window state
+  updates + state-store commits.
+- ``jobs_parse_dedup`` — rate source → JSON-encode/parse round-trip of
+  the queue contract (streaming/jobs.parse_job_records) → watermarked
+  dropDuplicates on job_id (state: dedup keys). Measures the jobs
+  pipeline's per-row parse + dedup-state cost.
+- ``neardup_drain``  — the full foreachBatch near-dup pipeline
+  (streaming/neardup.run_neardup_stream) draining a generated document
+  corpus: signature kernel + index probe + parquet index growth, timed
+  end-to-end (wall clock, not progress telemetry — foreachBatch work is
+  outside processedRowsPerSecond).
+
+The rate source generates rows entirely inside the JVM, so the first two
+measure the PIPELINE's sustainable throughput rather than any ingest
+format; the same plan pointed at Kafka gets the same per-row cost plus
+the source's.
 
 Usage: python tools/stream_bench.py [rows_per_sec] [seconds]
-Prints one JSON line {"metric": "stream_throughput", ...}.
+Prints one JSON line and (at default args) writes STREAM.json.
 """
 
 from __future__ import annotations
@@ -26,33 +41,24 @@ import pyspark.sql.functions as F  # noqa: E402
 
 from caseguarddatapipeline_spark.session import get_spark  # noqa: E402
 
+# Regression floors (rows/s, local[32]): ~1/3 of the measured round-5
+# numbers so box noise can't trip them but a real per-row cost regression
+# (a Python UDF in the hot path, a lost state-store shortcut, an
+# accidental per-batch full-index rescan) will.
+FLOORS = {
+    "windowed_agg": 100_000.0,
+    "jobs_parse_dedup": 50_000.0,
+    "neardup_drain": 1_000.0,
+}
 
-def main() -> int:
-    rate = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
-    run_s = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    spark = get_spark("stream-bench")
 
-    src = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", str(rate))
-        .option("numPartitions", "8")
-        .load()
-        .select(
-            F.col("value").alias("event_id"),
-            F.col("timestamp").alias("ts"),
-            (F.col("value") % 5).cast("string").alias("event_type"),
-            (F.col("value") % 100).cast("double").alias("value"),
-        )
-    )
-    # the engine's streaming shape: watermark → windowed agg per type
-    windowed = (
-        src.withWatermark("ts", "10 seconds")
-        .groupBy(F.window("ts", "5 seconds").alias("win"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
-    )
+def _run_rate_query(spark, build, run_s: int):
+    """Run a rate-source streaming query for run_s seconds; return
+    (steady rows/s list, last state-operator telemetry)."""
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
-            windowed.writeStream.format("noop")
+            build()
+            .writeStream.format("noop")
             .outputMode("update")
             .option("checkpointLocation", ckpt)
             .start()
@@ -65,21 +71,159 @@ def main() -> int:
         for p in progress
         if p.get("processedRowsPerSecond") and p.get("numInputRows", 0) > 0
     ]
-    # steady state = drop the first half (source ramp + state warmup)
-    steady = rates[len(rates) // 2:] or rates
-    print(
-        json.dumps(
-            {
-                "metric": "stream_throughput",
-                "configured_rows_per_sec": rate,
-                "batches": len(rates),
-                "steady_rows_per_sec": round(max(steady), 1) if steady else 0,
-                "median_rows_per_sec": round(sorted(steady)[len(steady) // 2], 1)
-                if steady
-                else 0,
+    state = {}
+    for p in reversed(progress):
+        ops = p.get("stateOperators") or []
+        if ops:
+            state = {
+                "state_rows": ops[0].get("numRowsTotal"),
+                "state_memory_bytes": ops[0].get("memoryUsedBytes"),
             }
+            break
+    steady = rates[len(rates) // 2 :] or rates
+    out = {
+        "batches": len(rates),
+        "steady_rows_per_sec": round(max(steady), 1) if steady else 0,
+        "median_rows_per_sec": round(sorted(steady)[len(steady) // 2], 1)
+        if steady
+        else 0,
+    }
+    out.update(state)
+    return out
+
+
+def _windowed_agg(spark, rate: int):
+    def build():
+        src = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", str(rate))
+            .option("numPartitions", "8")
+            .load()
+            .select(
+                F.col("value").alias("event_id"),
+                F.col("timestamp").alias("ts"),
+                (F.col("value") % 5).cast("string").alias("event_type"),
+                (F.col("value") % 100).cast("double").alias("value"),
+            )
         )
-    )
+        return (
+            src.withWatermark("ts", "10 seconds")
+            .groupBy(F.window("ts", "5 seconds").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        )
+
+    return build
+
+
+def _jobs_parse_dedup(spark, rate: int):
+    from caseguarddatapipeline_spark.streaming.jobs import parse_job_records
+
+    def build():
+        src = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", str(rate))
+            .option("numPartitions", "8")
+            .load()
+        )
+        # queue-contract JSON round-trip: encode the rate row as a job
+        # record, parse it back through the production parser
+        records = src.select(
+            "timestamp",
+            F.to_json(
+                F.struct(
+                    F.col("value").alias("job_id"),
+                    F.col("value").alias("entity_id"),
+                    F.lit("update").alias("change_type"),
+                    (F.col("value") % 3 + 1).cast("int").alias("priority"),
+                    F.lit(0).cast("int").alias("retry_count"),
+                )
+            ).alias("value"),
+        )
+        jobs = parse_job_records(records.select("value")).withColumn(
+            "ts", F.col("job_id").cast("timestamp")
+        )
+        return (
+            jobs.withWatermark("ts", "10 seconds")
+            .dropDuplicatesWithinWatermark(["job_id"])
+            .groupBy("priority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    return build
+
+
+def _neardup_drain(spark, n_docs: int = 4_000, n_files: int = 8):
+    """Generate a document corpus with planted near-dups, drain it through
+    the full foreachBatch near-dup pipeline, and report docs/sec."""
+    from caseguarddatapipeline_spark.streaming.neardup import run_neardup_stream
+
+    with tempfile.TemporaryDirectory() as root:
+        input_dir = f"{root}/in"
+        # 10-token docs over a small vocabulary; every 10th doc is a
+        # shifted copy of its predecessor → real index hits in the probe
+        base = F.when(
+            F.col("id") % 10 == 0, F.col("id") - 1
+        ).otherwise(F.col("id"))
+        toks = F.concat_ws(
+            " ",
+            *[
+                F.format_string("tok%d", F.pmod(base * 7 + i, F.lit(97)))
+                for i in range(10)
+            ],
+        )
+        (
+            spark.range(n_docs)
+            .select(F.col("id").alias("doc_id"), toks.alias("text"))
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .json(input_dir)
+        )
+        t0 = time.perf_counter()
+        run_neardup_stream(
+            spark,
+            input_dir,
+            f"{root}/index",
+            f"{root}/out",
+            f"{root}/ckpt",
+            max_files_per_trigger=2,
+        )
+        elapsed = time.perf_counter() - t0
+        try:
+            pairs = spark.read.parquet(f"{root}/out").count()
+        except Exception:
+            pairs = 0
+        return {
+            "docs": n_docs,
+            "batches": (n_files + 1) // 2,
+            "elapsed_sec": round(elapsed, 3),
+            "rows_per_sec": round(n_docs / elapsed, 1),
+            "pairs_found": pairs,
+        }
+
+
+def main() -> int:
+    rate = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    run_s = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    spark = get_spark("stream-bench")
+
+    pipelines = {
+        "windowed_agg": _run_rate_query(spark, _windowed_agg(spark, rate), run_s),
+        "jobs_parse_dedup": _run_rate_query(
+            spark, _jobs_parse_dedup(spark, rate), run_s
+        ),
+        "neardup_drain": _neardup_drain(spark),
+    }
+    doc = {
+        "metric": "stream_throughput",
+        "configured_rows_per_sec": rate,
+        "pipelines": pipelines,
+        "floors_rows_per_sec": FLOORS,
+    }
+    if rate >= 500_000 and run_s >= 20:  # the committed record
+        Path(__file__).resolve().parent.parent.joinpath("STREAM.json").write_text(
+            json.dumps(doc, indent=1) + "\n"
+        )
+    print(json.dumps(doc))
     spark.stop()
     return 0
 

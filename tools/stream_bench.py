@@ -152,22 +152,25 @@ def _jobs_parse_dedup(spark, rate: int):
     return build
 
 
-def _neardup_drain(spark, n_docs: int = 4_000, n_files: int = 8):
+def _neardup_drain(spark, n_docs: int = 20_000, n_files: int = 8):
     """Generate a document corpus with planted near-dups, drain it through
     the full foreachBatch near-dup pipeline, and report docs/sec."""
     from caseguarddatapipeline_spark.streaming.neardup import run_neardup_stream
 
     with tempfile.TemporaryDirectory() as root:
         input_dir = f"{root}/in"
-        # 10-token docs over a small vocabulary; every 10th doc is a
-        # shifted copy of its predecessor → real index hits in the probe
+        # 10-token docs whose vocabulary is hash-spread over 100k ids so
+        # unrelated docs share (almost) nothing; every 10th doc copies its
+        # predecessor's base → exactly those pairs hit the index probe
         base = F.when(
             F.col("id") % 10 == 0, F.col("id") - 1
         ).otherwise(F.col("id"))
         toks = F.concat_ws(
             " ",
             *[
-                F.format_string("tok%d", F.pmod(base * 7 + i, F.lit(97)))
+                F.format_string(
+                    "tok%d", F.pmod(F.xxhash64(base) + i * 7919, F.lit(100_000))
+                )
                 for i in range(10)
             ],
         )

@@ -37,9 +37,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # the bench headliners. After this window, every oracle-backed catalog
 # entry has at least one driver-green round. Every rotated-out query
 # stays oracle-checked by tools/parity.py and tools/driver_sim.py over
-# the FULL catalog. Rows-only entries (a16_approx_distinct_users —
-# approximate by construction, pytest-pinned ±rel-sd) are deliberately
-# kept out of the window: they can never turn a slot green.
+# the FULL catalog. Rows-only entries are PERMANENTLY out of the window
+# (they can never turn a slot green) and each carries its own exact
+# evidence elsewhere: a16_approx_distinct_users is approximate by
+# construction (pytest-pinned ±rel-sd vs exact distinct), and
+# e2_ivf_search's iterative quantizer is not SQL-expressible — its
+# exact-oracle stand-ins are e2_ivf_search_1round/_2round (the same
+# algebra with the iteration count pinned), plus the recall assertion in
+# tests/test_similarity.py.
 _PRIORITY = [
     # Continuity: flagship + bench headliners (driver-green r1-r4)
     "a1_reconciliation_summary",

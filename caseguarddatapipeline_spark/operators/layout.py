@@ -125,6 +125,143 @@ def s14_scan_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def list_partition_files(
+    spark: SparkSession, path: str
+) -> dict[str, list[tuple[str, int]]]:
+    """Partition-dir → [(file path, bytes)] via the Hadoop FileSystem API,
+    so the SAME listing works for ``file://`` and ``s3a://`` targets. This
+    is a driver-side METADATA read (one entry per file — the scale class
+    of a table-format manifest), not a data read."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    root_str = fs.makeQualified(root).toString()
+    out: dict[str, list[tuple[str, int]]] = {}
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        name = p.rsplit("/", 1)[-1]
+        if name.startswith(("_", ".")):  # _SUCCESS, checksums, hidden
+            continue
+        rel = p[len(root_str) :].lstrip("/")
+        part = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        out.setdefault(part, []).append((p, st.getLen()))
+    return out
+
+
+def compaction_plan(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_bytes: int = 128 << 20,
+    small_file_ratio: float = 0.5,
+) -> list[dict]:
+    """Which partitions of a partitioned parquet dataset need compaction:
+    more than one file AND average file size below ``small_file_ratio ×
+    target_bytes``. Returns one dict per partition dir with n_files,
+    bytes, and the target file count (ceil(bytes/target)). The streaming
+    sinks (near-dup index ``ingest_batch=N`` partitions, CDC batch
+    outputs) are exactly the writers that fragment at 100 TB — this is
+    the OPTIMIZE/compact maintenance pass a lakehouse schedules against
+    them (Delta OPTIMIZE / Hudi clustering analog, planned from a
+    manifest-sized listing)."""
+    plan = []
+    for part, files in sorted(list_partition_files(spark, path).items()):
+        n, total = len(files), sum(b for _, b in files)
+        needs = n > 1 and (total / n) < small_file_ratio * target_bytes
+        plan.append(
+            {
+                "partition": part,
+                "n_files": n,
+                "bytes": total,
+                "target_files": max(1, -(-total // target_bytes)),
+                "needs_compact": needs,
+            }
+        )
+    return plan
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    *,
+    target_bytes: int = 128 << 20,
+    small_file_ratio: float = 0.5,
+) -> dict:
+    """Rewrite ONLY the fragmented partitions of a parquet dataset, in one
+    distributed job: rows of each needs-compact partition get a file index
+    ``pmod(xxhash64(all data cols), target_files)``, a repartition on
+    (partition cols, file index) gives every output file its own task, the
+    compacted files land in a sibling STAGING dir (Spark forbids
+    overwriting a path being read), and the driver swaps just those
+    partitions' files — delete-old + rename-staged, O(#files) fs-metadata
+    ops, the same commit a table format performs as a manifest update
+    (which is the upgrade path on object stores, where rename is a copy).
+    Untouched partitions keep their original files byte-for-byte; no data
+    row crosses the driver. Idempotent: re-running on a compacted dataset
+    is a no-op (every partition is above the small-file bar)."""
+    before = list_partition_files(spark, path)
+    plan = compaction_plan(
+        spark, path, target_bytes=target_bytes, small_file_ratio=small_file_ratio
+    )
+    todo = [p for p in plan if p["needs_compact"]]
+    if not todo:
+        return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+
+    df = spark.read.parquet(path)
+    data_cols = [c for c in df.columns if c not in partition_cols]
+    # partition dir string ("k1=v1/k2=v2") rebuilt from the row, matched
+    # against the plan to scope the rewrite and fetch target_files
+    part_expr = F.concat_ws(
+        "/",
+        *[F.concat(F.lit(f"{c}="), F.col(c).cast("string")) for c in partition_cols],
+    )
+    plan_df = F.broadcast(
+        spark.createDataFrame(
+            [(p["partition"], p["target_files"]) for p in todo],
+            "_part string, _target_files int",
+        )
+    )
+    fidx = F.pmod(F.xxhash64(*data_cols), F.col("_target_files"))
+    staging = path.rstrip("/") + ".compacting"
+    (
+        df.withColumn("_part", part_expr)
+        .join(plan_df, "_part")
+        .withColumn("_fidx", fidx)
+        .repartition(*partition_cols, "_fidx")
+        .drop("_part", "_target_files", "_fidx")
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(staging)
+    )
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(conf)
+    staged = list_partition_files(spark, staging)
+    for p in todo:
+        part = p["partition"]
+        for f, _ in before.get(part, []):
+            fs.delete(hpath(f), False)
+        dest = hpath(f"{path}/{part}")
+        fs.mkdirs(dest)
+        for f, _ in staged.get(part, []):
+            src = hpath(f)
+            fs.rename(src, hpath(f"{path}/{part}/{src.getName()}"))
+    fs.delete(hpath(staging), True)
+
+    after = list_partition_files(spark, path)
+    return {
+        "partitions_compacted": len(todo),
+        "files_before": sum(p["n_files"] for p in todo),
+        "files_after": sum(len(after.get(p["partition"], [])) for p in todo),
+    }
+
+
 QUERIES = {
     "s6_zorder_layout": s6_zorder_layout,
     "s14_scan_provenance": s14_scan_provenance,

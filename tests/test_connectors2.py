@@ -310,3 +310,58 @@ def test_kafka_reader_plan_build_from_option_contract(spark):
         assert "deploy" in str(exc).lower() or "find" in str(exc).lower()
         pytest.skip("kafka connector jar absent (expected in sandbox)")
     assert {"key", "value", "topic", "partition", "offset"} <= set(df.columns)
+
+
+def test_compaction_rewrites_only_fragmented_partitions(spark, tmp_path):
+    """Small-file compaction (the lakehouse OPTIMIZE pass the streaming
+    sinks need at scale): fragmented partitions collapse to the target
+    file count, content survives exactly, healthy partitions keep their
+    original files untouched, and a second run is a no-op."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from caseguarddatapipeline_spark.operators.layout import (
+        compact_partitions,
+        compaction_plan,
+    )
+
+    path = str(tmp_path / "events")
+    # batch=0/1: fragmented (20 files each); batch=2: already compact (1 file)
+    frag = (
+        spark.range(2_000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 2).alias("batch"),
+            (F.col("id") * 3).alias("v"),
+        )
+        .repartition(20)
+    )
+    frag.write.partitionBy("batch").parquet(path)
+    healthy = spark.range(2_000, 2_500).select(
+        "id", F.lit(2).alias("batch"), (F.col("id") * 3).alias("v")
+    ).coalesce(1)
+    healthy.write.mode("append").partitionBy("batch").parquet(path)
+
+    plan = {p["partition"]: p for p in compaction_plan(spark, path)}
+    assert plan["batch=0"]["needs_compact"] and plan["batch=1"]["needs_compact"]
+    assert not plan["batch=2"]["needs_compact"]
+    healthy_files = sorted(os.listdir(os.path.join(path, "batch=2")))
+
+    before = sorted(
+        map(tuple, spark.read.parquet(path).select("id", "v", "batch").collect())
+    )
+    report = compact_partitions(spark, path, ["batch"])
+    assert report["partitions_compacted"] == 2
+    assert report["files_before"] == 40
+    assert report["files_after"] <= 2  # ~40 KB of data → 1 file per partition
+
+    after = sorted(
+        map(tuple, spark.read.parquet(path).select("id", "v", "batch").collect())
+    )
+    assert after == before  # content byte-exact across the rewrite
+    assert sorted(os.listdir(os.path.join(path, "batch=2"))) == healthy_files
+
+    # idempotence: everything is above the small-file bar now
+    report2 = compact_partitions(spark, path, ["batch"])
+    assert report2["partitions_compacted"] == 0

@@ -91,6 +91,51 @@ def _read_index(sess: SparkSession, index_dir: str, before_batch: int) -> DataFr
     return index.filter(F.col("ingest_batch") < before_batch)
 
 
+def maintain_index(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    keep_batches: int | None = None,
+    target_bytes: int = 128 << 20,
+    small_file_ratio: float = 0.5,
+) -> dict:
+    """The index maintenance pass the module docstring promises: (1) TTL —
+    drop ``ingest_batch=N`` partitions older than the dedup horizon
+    (``keep_batches`` newest kept; None keeps all), because signatures
+    past the horizon can no longer produce actionable pairs and only
+    inflate every probe's build side; (2) COMPACTION — collapse the
+    per-batch small files the foreachBatch writer fragments into
+    (operators/layout.compact_partitions), so the probe's index scan reads
+    target-sized files instead of thousands of shards. Run it off the hot
+    path on whatever cadence the ingest rate demands — the same
+    OPTIMIZE + retention schedule a lakehouse table runs."""
+    import shutil
+
+    from ..operators.layout import compact_partitions
+
+    report: dict = {"batches_dropped": 0}
+    if keep_batches is not None:
+        batches = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(index_dir)
+            if d.startswith("ingest_batch=")
+        )
+        for b in batches[: max(0, len(batches) - keep_batches)]:
+            shutil.rmtree(os.path.join(index_dir, f"ingest_batch={b}"))
+            report["batches_dropped"] += 1
+    if any(d.startswith("ingest_batch=") for d in os.listdir(index_dir)):
+        report.update(
+            compact_partitions(
+                spark,
+                index_dir,
+                ["ingest_batch", "band"],
+                target_bytes=target_bytes,
+                small_file_ratio=small_file_ratio,
+            )
+        )
+    return report
+
+
 def run_neardup_stream(
     spark: SparkSession,
     input_dir: str,

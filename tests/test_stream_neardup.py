@@ -91,3 +91,55 @@ def test_poison_rows_divert_instead_of_wedging(spark, tmp_path):
     )
     pairs = spark.read.parquet(str(tmp_path / "out")).collect()
     assert {(r.new_doc, r.index_doc) for r in pairs} == {(9, 1)}
+
+
+def test_maintain_index_ttl_and_compaction(spark, tmp_path):
+    """Index maintenance: batches past the horizon drop, surviving
+    signatures compact to few files with identical content, and the
+    probe still matches against the maintained index."""
+    from caseguarddatapipeline_spark.streaming.neardup import maintain_index
+
+    inp, idx = str(tmp_path / "in"), str(tmp_path / "index")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(inp)
+    base, other = _texts()
+
+    _write_batch(inp, 1, [(1, "old stale horizon doc " * 4)])
+    run_neardup_stream(spark, inp, idx, out, ck)
+    _write_batch(inp, 2, [(2, base), (3, other)])
+    run_neardup_stream(spark, inp, idx, out, ck)
+
+    kept_before = sorted(
+        map(
+            tuple,
+            spark.read.parquet(idx)
+            .filter("ingest_batch = 1")
+            .select("doc_id", "band", "band_sig")
+            .collect(),
+        )
+    )
+    report = maintain_index(
+        spark, idx, keep_batches=1, target_bytes=1 << 20
+    )
+    assert report["batches_dropped"] == 1
+    assert not os.path.isdir(os.path.join(idx, "ingest_batch=0"))
+
+    survivors = spark.read.parquet(idx)
+    assert {r.doc_id for r in survivors.select("doc_id").distinct().collect()} == {2, 3}
+    kept_after = sorted(
+        map(
+            tuple,
+            survivors.filter("ingest_batch = 1")
+            .select("doc_id", "band", "band_sig")
+            .collect(),
+        )
+    )
+    assert kept_after == kept_before  # compaction preserved content
+
+    # probe still works against the maintained index: near-dup of doc 2
+    _write_batch(inp, 3, [(9, base + " twist")])
+    run_neardup_stream(spark, inp, idx, out, ck)
+    pairs = {
+        (r.new_doc, r.index_doc) for r in spark.read.parquet(out).collect()
+    }
+    assert (9, 2) in pairs

@@ -213,3 +213,35 @@ def test_onboard_rerun_removes_stale_batches(spark, tmp_path):
     assert sorted(os.listdir(queue)) == [
         "backfill-000000.json", "backfill-000001.json"
     ]
+
+
+def test_numbered_jobs_matches_global_ordering_across_sizes(spark):
+    """The distributed numbering (range partition + per-partition offsets)
+    must equal the global collect-based slice numbering for awkward sizes:
+    empty, single row, fewer rows than partitions, batch boundaries landing
+    mid-partition, and ties in the order key."""
+    import pyspark.sql.functions as F
+
+    from caseguarddatapipeline_spark.flows import _numbered_jobs
+
+    for n_rows, batch_size in [(0, 10), (1, 10), (7, 3), (257, 10), (100, 100)]:
+        jobs = spark.range(n_rows).select(
+            # scrambled, duplicated key: two rows per id value when n>100
+            F.pmod(F.col("id") * 37, F.lit(max(n_rows, 1))).alias("job_id"),
+            F.col("id").alias("entity_id"),
+            F.lit("backfill").alias("change_type"),
+            F.lit(3).cast("int").alias("priority"),
+            F.lit(0).cast("int").alias("retry_count"),
+        )
+        numbered, total = _numbered_jobs(jobs, batch_size, "job_id")
+        assert total == n_rows
+        got = sorted(
+            (r["job_id"], r["batch"]) for r in numbered.select("job_id", "batch").collect()
+        )
+        expected_keys = sorted(
+            r["job_id"] for r in jobs.select("job_id").collect()
+        )
+        expected = [
+            (k, i // batch_size) for i, k in enumerate(expected_keys)
+        ]
+        assert got == expected, f"n={n_rows} batch={batch_size}"

@@ -893,8 +893,91 @@ def e1_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# token-set Jaccard threshold τ = 4/5, kept as an integer ratio so every
+# boundary decision (prefix length, length filter, final verify) is pure
+# integer arithmetic — identical in both engines by construction, no float
+# threshold anywhere near a decision
+_PPJ_NUM, _PPJ_DEN = 4, 5
+
+
+def e1_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join by PREFIX FILTERING (PPJoin family) — the
+    third candidate-generation strategy in the dedup kit, alongside
+    MinHash-LSH (probabilistic) and SimHash bands (bitwise). Exact, not
+    probabilistic: order every document's token set by ascending global
+    document frequency (rarest first, ties by token), keep only the
+    PREFIX of p = |s| − ceil(τ·|s|) + 1 tokens — two sets with
+    Jaccard ≥ τ MUST share a prefix token (pigeonhole), so candidates
+    ride an equi-join on prefix tokens, narrowed further by the length
+    filter τ·|a| ≤ |b| ≤ |a|/τ. Every threshold is integer arithmetic
+    (ceil(τ·n) = (τnum·n + τden − 1) DIV τden; verify as
+    τden·|a∩b| ≥ τnum·|a∪b|), so the oracle is exact by construction.
+    At high τ the prefixes are tiny and df-ordering makes them RARE
+    tokens, so posting lists stay short where LSH would still hash every
+    document 128 times — the cheaper exact path for strict dedup. At
+    100 TB the df table is computed once per corpus snapshot and the
+    prefix join partitions by token like any posting-list join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+            )
+        ).alias("tok"),
+    )
+
+    def ceil_tau_int(n):  # ceil(τ·n) in exact integer arithmetic
+        return F.floor((F.lit(_PPJ_NUM) * n + F.lit(_PPJ_DEN - 1)) / F.lit(_PPJ_DEN))
+
+    dfc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix = (
+        toks.join(dfc, "tok")
+        .join(sizes, "doc_id")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= F.col("sz") - ceil_tau_int(F.col("sz")) + 1)
+        .select("tok", "doc_id", "sz")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.sz") >= ceil_tau_int(F.col("a.sz")))
+            & (F.col("a.sz") >= ceil_tau_int(F.col("b.sz"))),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = toks.groupBy("doc_id").agg(F.sort_array(F.collect_list("tok")).alias("toks"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    uni = F.size(F.array_union("toks_a", "toks_b"))
+    return (
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")),
+            "doc_b",
+        )
+        .filter(F.lit(_PPJ_DEN) * inter >= F.lit(_PPJ_NUM) * uni)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / uni, 4).alias("jaccard"),
+        )
+    )
+
+
 QUERIES = {
     "e1_neardup_recall": e1_neardup_recall,
+    "e1_prefix_filter_join": e1_prefix_filter_join,
     "e1_exact_dedup": e1_exact_dedup,
     "e1_embedding_neardup": e1_embedding_neardup,
     "e1_embedding_neardup_ivf": e1_embedding_neardup_ivf,
@@ -908,6 +991,43 @@ QUERIES = {
 }
 
 ORACLES = {
+    "e1_prefix_filter_join": """
+        WITH tok AS (
+            SELECT DISTINCT doc_id, t.tok
+            FROM documents,
+                 LATERAL unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS t(tok)
+        ), dfc AS (
+            SELECT tok, count(*) AS df FROM tok GROUP BY tok
+        ), sz AS (
+            SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id
+        ), ranked AS (
+            SELECT tok.doc_id, tok.tok, sz.sz,
+                   row_number() OVER (PARTITION BY tok.doc_id
+                                      ORDER BY dfc.df, tok.tok) AS pos
+            FROM tok JOIN dfc USING (tok) JOIN sz USING (doc_id)
+        ), prefix AS (
+            SELECT doc_id, tok, sz FROM ranked
+            WHERE pos <= sz - (4 * sz + 4) // 5 + 1
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM prefix a JOIN prefix b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+             AND b.sz >= (4 * a.sz + 4) // 5 AND a.sz >= (4 * b.sz + 4) // 5
+        ), sets AS (
+            SELECT doc_id, list(tok ORDER BY tok) AS toks FROM tok GROUP BY doc_id
+        ), verified AS (
+            SELECT doc_a, doc_b,
+                   len(list_intersect(sa.toks, sb.toks)) AS inter,
+                   len(list_distinct(list_concat(sa.toks, sb.toks))) AS uni
+            FROM cand
+            JOIN sets sa ON sa.doc_id = doc_a
+            JOIN sets sb ON sb.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+        FROM verified WHERE 5 * inter >= 4 * uni
+    """,
     "e1_embedding_neardup": """
         WITH e AS (
             SELECT vec_id,

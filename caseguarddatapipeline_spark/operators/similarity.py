@@ -138,6 +138,46 @@ def e2_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e2_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training: per query, the
+    top-3 most-similar corpus vectors with a DIFFERENT label — the pairs
+    that sit just across the decision boundary, which is exactly what a
+    contrastive/triplet objective needs instead of random negatives
+    (random pairs are trivially far and contribute no gradient). The
+    inverse of ``e2_filtered_search``: the label INEQUALITY rides in the
+    join predicate, so a label-partitioned corpus still prunes the
+    query's own collection out of the scan; at 100 TB you'd compose it
+    with the IVF cell join exactly like ``e1_embedding_neardup_ivf`` so
+    only boundary-adjacent cells are scored. Reference context: the
+    embedder's per-case vectors (vectorization/embedder.py:31-74) are the
+    positives; this op manufactures the negatives a fine-tune needs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        _dbl(F.col("embedding")).alias("q_emb"),
+    ).select(
+        "query_id", "q_label", "q_emb", _norm(F.col("q_emb")).alias("q_norm")
+    )
+    corpus = emb.select(
+        "vec_id", "label", _dbl(F.col("embedding")).alias("emb")
+    ).select("vec_id", "label", "emb", _norm(F.col("emb")).alias("nrm"))
+    cos = _dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_norm"))
+    scored = corpus.join(
+        F.broadcast(queries), F.col("label") != F.col("q_label")
+    ).select(
+        "query_id", "q_label", "vec_id",
+        F.col("label").alias("neg_label"),
+        F.round(cos, 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "q_label", "vec_id", "neg_label", "cosine", "rank")
+    )
+
+
 def e2_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index HEALTH report: per-cell occupancy of the 1-round IVF
     quantizer (the production monitoring query behind an ANN serving
@@ -747,6 +787,7 @@ QUERIES = {
     "e2_cosine_topk_vectorized": e2_cosine_topk_vectorized,
     "e2_knn_per_query_vectorized": e2_knn_per_query_vectorized,
     "e2_filtered_search": e2_filtered_search,
+    "e2_hard_negatives": e2_hard_negatives,
     "e2_index_stats": e2_index_stats,
     "e2_embedding_norms": e2_embedding_norms,
     "e2_lsh_buckets": e2_lsh_buckets,
@@ -799,6 +840,24 @@ ORACLES = {
             JOIN queries ON e.label = q_label AND e.vec_id <> query_id
         )
         SELECT query_id, q_label, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= 3
+    """,
+    "e2_hard_negatives": f"""
+        WITH queries AS (
+            SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
+            FROM embeddings WHERE vec_id < 5
+        ), scored AS (
+            SELECT query_id, q_label, e.vec_id, e.label AS neg_label,
+                   round({_DOT.format(a='e.embedding', b='q_emb')}
+                         / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
+                            * sqrt({_DOT.format(a='q_emb', b='q_emb')})), 4) AS cosine
+            FROM embeddings e
+            JOIN queries ON e.label <> q_label
+        )
+        SELECT query_id, q_label, vec_id, neg_label, cosine,
                CAST(row_number() OVER (PARTITION BY query_id
                                        ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
         FROM scored

@@ -117,6 +117,8 @@ BNLJ_BOUNDED = {
     "broadcast (same shape as e2_knn_per_query)",
     "e1_ngram_jaccard": "documented capped verification stage behind the "
     "LSH candidate generator (dedup.py e1_minhash_lsh)",
+    "e2_hard_negatives": "label-inequality negative mining vs fixed "
+    "5-vector query set broadcast (IVF-composable at scale, see docstring)",
 }
 
 

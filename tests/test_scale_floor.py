@@ -27,7 +27,9 @@ def test_stress_record_shape():
     assert doc["metric"] == "stress_scale"
     assert doc["replicas"] >= 10, "committed record must be the 10x run"
     assert doc["fact_rows"] >= 5_000_000
-    assert set(doc["shapes"]) == {"agg_scan", "join_agg", "window_topk"}
+    assert set(doc["shapes"]) == {
+        "agg_scan", "join_agg", "window_topk", "lsh_neardup"
+    }
 
 
 def test_stress_throughput_floors():

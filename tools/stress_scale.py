@@ -145,27 +145,39 @@ def main() -> int:
 
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
+    docs = load_table(spark, sf_dir, "documents")
     max_ok = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     li_n = _replicate(li, ["l_orderkey"], n, max_ok)
     orders_n = _replicate(orders, ["o_orderkey"], n, max_ok)
+    # near-dup corpus: replicas keep their text, so every replica of a doc
+    # is an exact near-dup of its siblings — the LSH path does real work
+    docs_n = _replicate(docs.select("doc_id", "text"), ["doc_id"], n, max_doc)
 
+    from caseguarddatapipeline_spark.operators.dedup import (
+        _band_pairs,
+        _banded_vectorized,
+    )
+
+    fact_rows = li_n.count()
+    doc_rows = docs_n.count()
     shapes = {
         # q1 shape: scan + filter + 2-key groupBy (map-side combinable)
-        "agg_scan": lambda: li_n.filter(F.col("l_shipdate") <= "1998-09-01")
+        "agg_scan": (lambda: li_n.filter(F.col("l_shipdate") <= "1998-09-01")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity"),
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
             F.count(F.lit(1)),
-        ),
+        ), fact_rows),
         # q18 shape: fact groupBy + fact-fact join (both sides scale)
-        "join_agg": lambda: li_n.groupBy("l_orderkey")
+        "join_agg": (lambda: li_n.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 150)
         .join(orders_n, F.col("l_orderkey") == F.col("o_orderkey"))
-        .agg(F.count(F.lit(1)), F.sum("o_totalprice")),
+        .agg(F.count(F.lit(1)), F.sum("o_totalprice")), fact_rows),
         # window shape: per-key ranking at scaled key cardinality
-        "window_topk": lambda: li_n.withColumn(
+        "window_topk": (lambda: li_n.withColumn(
             "rn",
             F.row_number().over(
                 __import__("pyspark.sql.window", fromlist=["Window"])
@@ -174,12 +186,19 @@ def main() -> int:
             ),
         )
         .filter(F.col("rn") <= 2)
-        .agg(F.count(F.lit(1))),
+        .agg(F.count(F.lit(1))), fact_rows),
+        # compute-heavy kernel shape: the full Arrow-vectorized MinHash+LSH
+        # near-dup pipeline on an n×-replicated document corpus (replica
+        # siblings share text → every bucket does real pair work, bounded
+        # by the skew cap). Throughput here is docs/s through signature +
+        # bucket join + verify — the path where the engine beats DuckDB.
+        "lsh_neardup": (lambda: _band_pairs(
+            _banded_vectorized(spark, docs_n)
+        ).agg(F.count(F.lit(1))), doc_rows),
     }
 
-    rows = li_n.count()
     out: dict[str, dict[str, float]] = {}
-    for name, build in shapes.items():
+    for name, (build, rows) in shapes.items():
         build().write.format("noop").mode("overwrite").save()  # warm
         best = float("inf")
         for _ in range(3):
@@ -187,13 +206,14 @@ def main() -> int:
             build().write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         out[name] = {
+            "rows": rows,
             "sec": round(best, 3),
-            "mrows_per_sec": round(rows / best / 1e6, 1),
+            "mrows_per_sec": round(rows / best / 1e6, 3),
         }
     doc = {
         "metric": "stress_scale",
         "replicas": n,
-        "fact_rows": rows,
+        "fact_rows": fact_rows,
         "shapes": out,
         "floors_mrows_per_sec": FLOORS,
     }
@@ -207,12 +227,13 @@ def main() -> int:
 
 
 # Regression floors for the committed 10× record (local[32], ~6 M fact
-# rows): roughly 1/3 of the round-4 measured throughput (agg 14.4, join
-# 3.1, window 1.0 Mrows/s) so box noise can't trip them but a real plan
-# regression (lost map-side combine, a new shuffle, a collapsed sort)
-# will. tests/test_scale_floor.py pins the committed artifact against
+# rows / 50 k docs): roughly 1/3 of the round-5 measured throughput (agg
+# 15.3, join 2.9, window 0.9 Mrows/s; LSH near-dup 0.026 Mdocs/s) so box
+# noise can't trip them but a real regression (lost map-side combine, a
+# new shuffle, a collapsed sort, a de-vectorized kernel) will. tests/test_scale_floor.py pins the committed artifact against
 # these.
-FLOORS = {"agg_scan": 5.0, "join_agg": 1.0, "window_topk": 0.4}
+FLOORS = {"agg_scan": 5.0, "join_agg": 1.0, "window_topk": 0.4,
+          "lsh_neardup": 0.008}
 
 
 if __name__ == "__main__":

@@ -335,8 +335,11 @@ def sync_tenant_daily(
             parts = sorted(
                 f for f in os.listdir(staging) if f.startswith("part-")
             )
-            assert len(parts) == 1, f"sync queue split across tasks: {parts}"
-            os.replace(os.path.join(staging, parts[0]), path)
+            assert len(parts) <= 1, f"sync queue split across tasks: {parts}"
+            if parts:
+                os.replace(os.path.join(staging, parts[0]), path)
+            else:  # zero actionable jobs: the queue file is legitimately empty
+                open(path, "w").close()
             shutil.rmtree(staging, ignore_errors=True)
             # count from the cached reconciliation detail (a metadata-cheap
             # agg), not by re-reading the queue file on the driver

@@ -245,13 +245,19 @@ def compact_partitions(
     staged = list_partition_files(spark, staging)
     for p in todo:
         part = p["partition"]
-        for f, _ in before.get(part, []):
-            fs.delete(hpath(f), False)
-        dest = hpath(f"{path}/{part}")
-        fs.mkdirs(dest)
+        # stage-in FIRST, delete old files after: a failure mid-swap leaves
+        # extra (duplicate) files — recoverable by re-running — rather than
+        # a partition with missing data. Hadoop rename returns False
+        # instead of raising; surface that as an error.
+        dest_dir = hpath(f"{path}/{part}")
+        fs.mkdirs(dest_dir)
         for f, _ in staged.get(part, []):
             src = hpath(f)
-            fs.rename(src, hpath(f"{path}/{part}/{src.getName()}"))
+            if not fs.rename(src, hpath(f"{path}/{part}/{src.getName()}")):
+                raise OSError(f"compaction rename failed: {f} -> {path}/{part}")
+        for f, _ in before.get(part, []):
+            if not fs.delete(hpath(f), False):
+                raise OSError(f"compaction cleanup failed to delete: {f}")
     fs.delete(hpath(staging), True)
 
     after = list_partition_files(spark, path)

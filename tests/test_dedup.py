@@ -139,3 +139,68 @@ def test_jaccard_ordering(spark):
     assert jac[(0, 3)] == 1.0
     assert jac[(0, 1)] > jac[(0, 2)]
     assert 0.3 < jac[(0, 1)] < 1.0
+
+
+def test_prefix_filter_join_finds_every_pair_above_threshold(spark, tmp_path):
+    """Pigeonhole completeness: prefix filtering must produce EVERY pair
+    with token-set Jaccard >= 4/5 (no false negatives), and nothing below.
+    Verified against brute-force all-pairs on a seeded corpus with planted
+    near-dups at several overlap levels."""
+    import itertools
+    import random
+
+    import pyspark.sql.functions as F
+
+    from caseguarddatapipeline_spark.operators import dedup as D
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(120)]
+    docs = []
+    for i in range(40):
+        toks = rng.sample(vocab, 15)
+        docs.append((2 * i, toks))
+        variant = list(toks)
+        # drop k tokens: J = (15-k)/15 → k=1: 0.933 (in), k=2: 0.867 (in),
+        # k=4: 0.733 (out) — straddles the 0.8 threshold
+        k = [1, 2, 4][i % 3]
+        for t in rng.sample(toks, k):
+            variant.remove(t)
+        docs.append((2 * i + 1, variant))
+
+    sets = {d: frozenset(t) for d, t in docs}
+    expected = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        if 5 * inter >= 4 * uni:
+            expected.add((a, b))
+    assert expected, "corpus must plant pairs above the threshold"
+
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs], "doc_id long, text string"
+    ).coalesce(1).write.parquet(path)
+    # point the operator at the fixture corpus via its sf_dir contract
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.e1_prefix_filter_join(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+
+
+def test_binaryfile_fixture_idempotent(spark, sf_dir):
+    """The binaryFile fixture writer: second call reuses the completed
+    dir (marker file), and the scan sees exactly the fixture docs."""
+    import os
+
+    from caseguarddatapipeline_spark.operators import multimodal as M
+
+    d1 = M._binaryfile_fixture_dir(spark, sf_dir)
+    mtime = os.path.getmtime(os.path.join(d1, "_FIXTURE_COMPLETE"))
+    d2 = M._binaryfile_fixture_dir(spark, sf_dir)
+    assert d1 == d2
+    assert os.path.getmtime(os.path.join(d2, "_FIXTURE_COMPLETE")) == mtime
+    n_files = len([f for f in os.listdir(d1) if f.startswith("doc_")])
+    assert n_files == M._BINFIX_N
+    out = M.e4_binaryfile_scan(spark, sf_dir)
+    assert out.count() == M._BINFIX_N

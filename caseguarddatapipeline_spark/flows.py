@@ -28,12 +28,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from .operators.reconcile import reconcile_fused
 from .sources.connectors import csv_case_scan
-from .streaming.jobs import jobs_from_reconciliation, run_jobs_stream
+from .streaming.jobs import JOB_SCHEMA, jobs_from_reconciliation, run_jobs_stream
 
 ACCESSIBILITY_FLOOR = 0.8  # onboard_tenant.py:381 warns below 80%
 BACKFILL_PRIORITY = 3  # backfill is lowest priority; daily changes outrank it
 
-JOB_COLS = ["job_id", "entity_id", "change_type", "priority", "retry_count"]
+# derived from the stream parser's schema so the enqueue encoding can never
+# drift from what parse_job_records reads back
+JOB_COLS = JOB_SCHEMA.fieldNames()
 
 def _job_json():
     """JSON-lines encoding of a job row — the queue contract both enqueue
@@ -99,6 +101,11 @@ def _write_job_batches(
     on an object store you'd skip the renames and publish the partitioned
     layout plus a manifest instead. Returns (n_jobs, n_batches)."""
     staging = os.path.join(queue_dir, f".staging-{prefix}")
+    # a crashed prior run may have left a staging dir behind; it must never
+    # be adopted as this run's output (obsolete jobs would enqueue), so
+    # clear it up front — the overwrite write would do it anyway, but the
+    # zero-jobs path skips the write entirely
+    shutil.rmtree(staging, ignore_errors=True)
     numbered, n_jobs = _numbered_jobs(jobs, batch_size, order_col)
     if n_jobs:
         (
@@ -119,7 +126,8 @@ def _write_job_batches(
                 f for f in os.listdir(os.path.join(staging, d))
                 if f.startswith("part-")
             )
-            assert len(files) == 1, f"batch {b} split across tasks: {files}"
+            if len(files) != 1:  # real raise: queue integrity must survive -O
+                raise RuntimeError(f"batch {b} split across tasks: {files}")
             src = os.path.join(staging, d, files[0])
             os.replace(src, os.path.join(queue_dir, f"{prefix}-{b:06d}.json"))
             n_batches += 1
@@ -335,7 +343,8 @@ def sync_tenant_daily(
             parts = sorted(
                 f for f in os.listdir(staging) if f.startswith("part-")
             )
-            assert len(parts) <= 1, f"sync queue split across tasks: {parts}"
+            if len(parts) > 1:  # real raise: queue integrity must survive -O
+                raise RuntimeError(f"sync queue split across tasks: {parts}")
             if parts:
                 os.replace(os.path.join(staging, parts[0]), path)
             else:  # zero actionable jobs: the queue file is legitimately empty

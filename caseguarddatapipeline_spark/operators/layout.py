@@ -142,10 +142,11 @@ def list_partition_files(
     while it.hasNext():
         st = it.next()
         p = st.getPath().toString()
-        name = p.rsplit("/", 1)[-1]
-        if name.startswith(("_", ".")):  # _SUCCESS, checksums, hidden
-            continue
         rel = p[len(root_str) :].lstrip("/")
+        # skip hidden/metadata path components anywhere in the tree
+        # (_SUCCESS, checksums, .compact-trash, staging dirs)
+        if any(c.startswith(("_", ".")) for c in rel.split("/")):
+            continue
         part = rel.rsplit("/", 1)[0] if "/" in rel else ""
         out.setdefault(part, []).append((p, st.getLen()))
     return out
@@ -157,6 +158,7 @@ def compaction_plan(
     *,
     target_bytes: int = 128 << 20,
     small_file_ratio: float = 0.5,
+    files: dict[str, list[tuple[str, int]]] | None = None,
 ) -> list[dict]:
     """Which partitions of a partitioned parquet dataset need compaction:
     more than one file AND average file size below ``small_file_ratio ×
@@ -166,10 +168,14 @@ def compaction_plan(
     outputs) are exactly the writers that fragment at 100 TB — this is
     the OPTIMIZE/compact maintenance pass a lakehouse schedules against
     them (Delta OPTIMIZE / Hudi clustering analog, planned from a
-    manifest-sized listing)."""
+    manifest-sized listing). Pass ``files`` (a ``list_partition_files``
+    result) to reuse an existing listing — on object stores the recursive
+    listing IS the expensive metadata call."""
     plan = []
-    for part, files in sorted(list_partition_files(spark, path).items()):
-        n, total = len(files), sum(b for _, b in files)
+    if files is None:
+        files = list_partition_files(spark, path)
+    for part, flist in sorted(files.items()):
+        n, total = len(flist), sum(b for _, b in flist)
         needs = n > 1 and (total / n) < small_file_ratio * target_bytes
         plan.append(
             {
@@ -196,16 +202,35 @@ def compact_partitions(
     ``pmod(xxhash64(all data cols), target_files)``, a repartition on
     (partition cols, file index) gives every output file its own task, the
     compacted files land in a sibling STAGING dir (Spark forbids
-    overwriting a path being read), and the driver swaps just those
-    partitions' files — delete-old + rename-staged, O(#files) fs-metadata
-    ops, the same commit a table format performs as a manifest update
-    (which is the upgrade path on object stores, where rename is a copy).
-    Untouched partitions keep their original files byte-for-byte; no data
-    row crosses the driver. Idempotent: re-running on a compacted dataset
-    is a no-op (every partition is above the small-file bar)."""
+    overwriting a path being read), and the driver swaps each compacted
+    partition DIRECTORY in two renames through a hidden trash dir —
+    O(#partitions) fs-metadata ops, crash-safe (``_recover_interrupted``
+    finishes or rolls back any interrupted swap on the next run; readers
+    never see old and new files together), the same commit a table format
+    performs as a manifest update (the upgrade path on object stores,
+    where rename is a copy). Untouched partitions keep their original
+    files byte-for-byte; no data row crosses the driver. Idempotent:
+    re-running on a compacted dataset is a no-op.
+
+    Supported partition values: primitives whose string form round-trips
+    the directory name (ints, plain strings). A partition whose directory
+    name does NOT reconstruct from its row values (nulls →
+    __HIVE_DEFAULT_PARTITION__, Hive-escaped characters) fails the
+    pre-swap staging check and aborts BEFORE any original file is
+    touched."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(conf)
+    _recover_interrupted(fs, hpath, spark, path)
+
     before = list_partition_files(spark, path)
     plan = compaction_plan(
-        spark, path, target_bytes=target_bytes, small_file_ratio=small_file_ratio
+        spark,
+        path,
+        target_bytes=target_bytes,
+        small_file_ratio=small_file_ratio,
+        files=before,
     )
     todo = [p for p in plan if p["needs_compact"]]
     if not todo:
@@ -238,26 +263,33 @@ def compact_partitions(
         .parquet(staging)
     )
 
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(path).getFileSystem(conf)
     staged = list_partition_files(spark, staging)
+    # pre-swap integrity gate: every todo partition must have staged data.
+    # A missing one means its directory name did not round-trip the row-
+    # value reconstruction (null / escaped / re-typed value) — abort with
+    # NOTHING modified rather than risk deleting a partition whose rewrite
+    # silently missed it.
+    missing = [p["partition"] for p in todo if not staged.get(p["partition"])]
+    if missing:
+        fs.delete(hpath(staging), True)
+        raise ValueError(
+            "compaction aborted, no files touched: staging has no data for "
+            f"partitions {missing} — partition values do not round-trip "
+            "their directory names (null/escaped/re-typed)"
+        )
     for p in todo:
         part = p["partition"]
-        # stage-in FIRST, delete old files after: a failure mid-swap leaves
-        # extra (duplicate) files — recoverable by re-running — rather than
-        # a partition with missing data. Hadoop rename returns False
-        # instead of raising; surface that as an error.
-        dest_dir = hpath(f"{path}/{part}")
-        fs.mkdirs(dest_dir)
-        for f, _ in staged.get(part, []):
-            src = hpath(f)
-            if not fs.rename(src, hpath(f"{path}/{part}/{src.getName()}")):
-                raise OSError(f"compaction rename failed: {f} -> {path}/{part}")
-        for f, _ in before.get(part, []):
-            if not fs.delete(hpath(f), False):
-                raise OSError(f"compaction cleanup failed to delete: {f}")
+        live = hpath(f"{path}/{part}")
+        trash = hpath(f"{path}/{_TRASH}/{part}")
+        fs.mkdirs(trash.getParent())
+        fs.delete(trash, True)  # stale empty leftover cannot block the swap
+        if not fs.rename(live, trash):
+            raise OSError(f"compaction swap-out failed for {part}")
+        if not fs.rename(hpath(f"{staging}/{part}"), live):
+            fs.rename(trash, live)  # roll back so the dataset stays intact
+            raise OSError(f"compaction swap-in failed for {part}")
+        fs.delete(trash, True)
+    fs.delete(hpath(f"{path}/{_TRASH}"), True)
     fs.delete(hpath(staging), True)
 
     after = list_partition_files(spark, path)
@@ -266,6 +298,35 @@ def compact_partitions(
         "files_before": sum(p["n_files"] for p in todo),
         "files_after": sum(len(after.get(p["partition"], [])) for p in todo),
     }
+
+
+_TRASH = ".compact-trash"
+
+
+def _recover_interrupted(fs, hpath, spark: SparkSession, path: str) -> None:
+    """Finish or roll back a swap a crashed run left behind: a partition
+    dir sitting in the trash either still has no live replacement (crash
+    between swap-out and swap-in → restore it) or was fully replaced
+    (crash before trash cleanup → drop it). Runs before planning, so the
+    plan always sees a consistent dataset and duplicates are never read
+    back into a rewrite."""
+    trash_root = hpath(f"{path}/{_TRASH}")
+    if not fs.exists(trash_root):
+        return
+    root_str = fs.makeQualified(trash_root).toString()
+    parts = set()
+    it = fs.listFiles(trash_root, True)
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        rel = p[len(root_str) :].lstrip("/")
+        if "/" in rel:
+            parts.add(rel.rsplit("/", 1)[0])
+    for part in sorted(parts):
+        live = hpath(f"{path}/{part}")
+        if not fs.exists(live):
+            if not fs.rename(hpath(f"{path}/{_TRASH}/{part}"), live):
+                raise OSError(f"compaction recovery failed to restore {part}")
+    fs.delete(trash_root, True)
 
 
 QUERIES = {

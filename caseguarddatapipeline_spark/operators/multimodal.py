@@ -290,7 +290,16 @@ def _binaryfile_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     import os
     import tempfile
 
-    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # tag by path AND the source parquet's (mtime, size) fingerprint: a
+    # regenerated dataset at the same path must invalidate the fixture —
+    # unlike the in-process caches, this one survives restarts
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:  # non-local sf_dir: fall back to the path alone
+        fingerprint = os.path.abspath(sf_dir)
+    tag = hashlib.sha1(fingerprint.encode()).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), "caseguard_binfix")
     out = os.path.join(base, tag)
     marker = os.path.join(out, "_FIXTURE_COMPLETE")
@@ -312,8 +321,14 @@ def _binaryfile_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         f.write(str(len(rows)))
     try:
         os.rename(tmp, out)
-    except OSError:  # lost the race: another builder finished first
-        pass
+    except OSError:
+        import shutil
+
+        if os.path.exists(marker):  # lost the race: winner's dir is complete
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:  # a real failure (stale file at out, permissions): surface it
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
     return out
 
 

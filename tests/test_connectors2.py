@@ -365,3 +365,43 @@ def test_compaction_rewrites_only_fragmented_partitions(spark, tmp_path):
     # idempotence: everything is above the small-file bar now
     report2 = compact_partitions(spark, path, ["batch"])
     assert report2["partitions_compacted"] == 0
+
+
+def test_compaction_recovers_interrupted_swap(spark, tmp_path):
+    """A crash between swap-out and swap-in leaves the partition in the
+    trash; the next maintenance run must restore it (no data loss) and a
+    completed-but-uncleaned swap must drop its trash copy (no duplicate
+    reads)."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from caseguarddatapipeline_spark.operators.layout import (
+        _TRASH,
+        compact_partitions,
+    )
+
+    path = str(tmp_path / "events")
+    df = spark.range(1_000).select(
+        "id", (F.col("id") % 2).alias("batch"), (F.col("id") * 3).alias("v")
+    ).repartition(10)
+    df.write.partitionBy("batch").parquet(path)
+    before = sorted(
+        map(tuple, spark.read.parquet(path).select("id", "v", "batch").collect())
+    )
+
+    # simulate a crash between swap-out and swap-in for batch=1
+    os.makedirs(os.path.join(path, _TRASH), exist_ok=True)
+    shutil.move(
+        os.path.join(path, "batch=1"), os.path.join(path, _TRASH, "batch=1")
+    )
+    assert not os.path.isdir(os.path.join(path, "batch=1"))
+
+    report = compact_partitions(spark, path, ["batch"])
+    assert not os.path.isdir(os.path.join(path, _TRASH))
+    assert report["partitions_compacted"] == 2  # recovery restored batch=1
+    after = sorted(
+        map(tuple, spark.read.parquet(path).select("id", "v", "batch").collect())
+    )
+    assert after == before

@@ -32,10 +32,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # base-inventory and extension tails (50/50 green). Round 5 closes the
 # sweep: the 35 round-4 catalog additions that have never had a
 # driver-green CORRECTNESS row (all parity-green at sf0.01 already),
-# plus the new round-5 entries (binaryFile E4 scan and the exact-oracle
-# IVF search replacement), plus continuity slots for the flagship and
-# the bench headliners. After this window, every oracle-backed catalog
-# entry has at least one driver-green round. Every rotated-out query
+# plus all four round-5 additions, plus 11 continuity slots for the
+# flagship and the bench headliners. After this window, every
+# oracle-backed catalog entry has at least one driver-green round. Every rotated-out query
 # stays oracle-checked by tools/parity.py and tools/driver_sim.py over
 # the FULL catalog. Rows-only entries are PERMANENTLY out of the window
 # (they can never turn a slot green) and each carries its own exact
@@ -58,8 +57,6 @@ _PRIORITY = [
     "e4_multimodal_join",
     "p1_active_filter",
     "t2_watermark_advance",
-    "q3_shipping_priority",
-    "q18_large_orders",
     # Never-driver-verified: round-4 A-family / window extensions
     "a28_grouping_sets",
     "a29_expectations",
@@ -99,9 +96,14 @@ _PRIORITY = [
     "s6_zorder_layout",
     "s14_scan_provenance",
     "u8_quality_classifier",
-    # New in round 5: real binaryFile ingestion + exact-oracle IVF search
+    # New in round 5: real binaryFile ingestion, exact-oracle IVF search,
+    # contrastive negative mining, prefix-filter set-similarity join —
+    # verifying these IN the round they were written leaves ZERO
+    # oracle-backed entries without a driver-green round after r5
     "e4_binaryfile_scan",
     "e2_ivf_search_2round",
+    "e2_hard_negatives",
+    "e1_prefix_filter_join",
 ]
 
 

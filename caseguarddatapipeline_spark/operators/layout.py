@@ -204,13 +204,17 @@ def compact_partitions(
     compacted files land in a sibling STAGING dir (Spark forbids
     overwriting a path being read), and the driver swaps each compacted
     partition DIRECTORY in two renames through a hidden trash dir —
-    O(#partitions) fs-metadata ops, crash-safe (``_recover_interrupted``
-    finishes or rolls back any interrupted swap on the next run; readers
-    never see old and new files together), the same commit a table format
-    performs as a manifest update (the upgrade path on object stores,
-    where rename is a copy). Untouched partitions keep their original
-    files byte-for-byte; no data row crosses the driver. Idempotent:
-    re-running on a compacted dataset is a no-op.
+    O(#partitions) fs-metadata ops; readers never see old and new files
+    TOGETHER (no duplicate rows, ever), at the cost of a brief window per
+    partition where it is absent — acceptable for a maintenance pass run
+    off the hot path. A crash inside that window is healed by
+    ``recover_compaction`` (restore-or-drop), which this function runs
+    first and long-lived readers can run at startup. A table format's
+    manifest commit removes the window entirely — that is the upgrade
+    path on object stores, where rename is a copy and non-atomic.
+    Untouched partitions keep their original files byte-for-byte; no data
+    row crosses the driver. Idempotent: re-running on a compacted dataset
+    is a no-op.
 
     Supported partition values: primitives whose string form round-trips
     the directory name (ints, plain strings). A partition whose directory
@@ -222,7 +226,7 @@ def compact_partitions(
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(conf)
-    _recover_interrupted(fs, hpath, spark, path)
+    recover_compaction(spark, path)
 
     before = list_partition_files(spark, path)
     plan = compaction_plan(
@@ -232,7 +236,11 @@ def compact_partitions(
         small_file_ratio=small_file_ratio,
         files=before,
     )
-    todo = [p for p in plan if p["needs_compact"]]
+    # root-level files (partition key "") are out of scope for the
+    # directory swap — an unpartitioned dataset is compact_parquet's job
+    # (sources/connectors.py); stray root files in a partitioned layout
+    # are left untouched rather than wedging every run
+    todo = [p for p in plan if p["needs_compact"] and p["partition"]]
     if not todo:
         return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
 
@@ -282,13 +290,18 @@ def compact_partitions(
         live = hpath(f"{path}/{part}")
         trash = hpath(f"{path}/{_TRASH}/{part}")
         fs.mkdirs(trash.getParent())
-        fs.delete(trash, True)  # stale empty leftover cannot block the swap
         if not fs.rename(live, trash):
             raise OSError(f"compaction swap-out failed for {part}")
         if not fs.rename(hpath(f"{staging}/{part}"), live):
-            fs.rename(trash, live)  # roll back so the dataset stays intact
-            raise OSError(f"compaction swap-in failed for {part}")
-        fs.delete(trash, True)
+            # roll back so the dataset stays intact; a failed rollback must
+            # NOT pass silently — the original data is only in the trash
+            if not fs.rename(trash, live):
+                raise OSError(
+                    f"compaction swap-in AND rollback failed for {part}: "
+                    f"original data preserved at {path}/{_TRASH}/{part}; "
+                    "restore it manually before the next maintenance run"
+                )
+            raise OSError(f"compaction swap-in failed for {part} (rolled back)")
     fs.delete(hpath(f"{path}/{_TRASH}"), True)
     fs.delete(hpath(staging), True)
 
@@ -303,16 +316,28 @@ def compact_partitions(
 _TRASH = ".compact-trash"
 
 
-def _recover_interrupted(fs, hpath, spark: SparkSession, path: str) -> None:
-    """Finish or roll back a swap a crashed run left behind: a partition
-    dir sitting in the trash either still has no live replacement (crash
-    between swap-out and swap-in → restore it) or was fully replaced
-    (crash before trash cleanup → drop it). Runs before planning, so the
-    plan always sees a consistent dataset and duplicates are never read
-    back into a rewrite."""
+def recover_compaction(spark: SparkSession, path: str) -> int:
+    """Finish or roll back a swap a crashed ``compact_partitions`` run left
+    behind: a partition dir sitting in the trash either has no live (or an
+    empty live) replacement — crash between swap-out and swap-in → restore
+    it — or was fully replaced (crash before trash cleanup → drop it).
+    ``compact_partitions`` calls this before planning so duplicates are
+    never read back into a rewrite; long-running READERS of a dataset under
+    maintenance (e.g. the near-dup index stream) should call it at startup
+    too, closing the window where a crash leaves a partition missing until
+    the next maintenance run. Returns the number of partitions restored.
+
+    Caveat (documented, not solved here): on a filesystem whose directory
+    rename is non-atomic (object stores), a partially-materialized live dir
+    is indistinguishable from a completed swap; deploy on such stores only
+    behind a manifest-committing table format."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(conf)
     trash_root = hpath(f"{path}/{_TRASH}")
     if not fs.exists(trash_root):
-        return
+        return 0
     root_str = fs.makeQualified(trash_root).toString()
     parts = set()
     it = fs.listFiles(trash_root, True)
@@ -321,12 +346,17 @@ def _recover_interrupted(fs, hpath, spark: SparkSession, path: str) -> None:
         rel = p[len(root_str) :].lstrip("/")
         if "/" in rel:
             parts.add(rel.rsplit("/", 1)[0])
+    restored = 0
     for part in sorted(parts):
         live = hpath(f"{path}/{part}")
-        if not fs.exists(live):
+        # "exists but empty" = crash between mkdirs and swap-in: restore too
+        if not fs.exists(live) or not fs.listStatus(live):
+            fs.delete(live, True)
             if not fs.rename(hpath(f"{path}/{_TRASH}/{part}"), live):
                 raise OSError(f"compaction recovery failed to restore {part}")
+            restored += 1
     fs.delete(trash_root, True)
+    return restored
 
 
 QUERIES = {

@@ -179,9 +179,12 @@ def jobs_to_kafka_records(jobs: DataFrame) -> DataFrame:
     with the source side by construction."""
     return jobs.select(
         F.col("entity_id").cast("string").cast("binary").alias("key"),
-        F.to_json(
-            F.struct("job_id", "entity_id", "change_type", "priority", "retry_count")
-        ).cast("binary").alias("value"),
+        # fields derived from JOB_SCHEMA so the Kafka encoding can never
+        # drift from what parse_job_records decodes (same guarantee the
+        # file-queue path gets via flows.JOB_COLS)
+        F.to_json(F.struct(*JOB_SCHEMA.fieldNames()))
+        .cast("binary")
+        .alias("value"),
     )
 
 

@@ -111,8 +111,13 @@ def maintain_index(
     OPTIMIZE + retention schedule a lakehouse table runs."""
     import shutil
 
-    from ..operators.layout import compact_partitions
+    from ..operators.layout import compact_partitions, recover_compaction
 
+    # heal any interrupted swap BEFORE the TTL pass: an expired batch whose
+    # data sits in the compaction trash must be restored first, so the TTL
+    # rmtree (not the trash) is what removes it — otherwise recovery would
+    # resurrect expired signatures or wedge on a missing parent dir
+    recover_compaction(spark, index_dir)
     report: dict = {"batches_dropped": 0}
     if keep_batches is not None:
         batches = sorted(
@@ -147,8 +152,13 @@ def run_neardup_stream(
     """Drain the document stream (availableNow), flagging near-dups of
     previously indexed documents and growing the index; returns the
     finished query."""
+    from ..operators.layout import recover_compaction
+
     os.makedirs(index_dir, exist_ok=True)
     os.makedirs(out_dir, exist_ok=True)
+    # a maintenance run may have crashed mid-swap since the last drain:
+    # heal the index before probing so no partition is silently missing
+    recover_compaction(spark, index_dir)
 
     stream = (
         spark.readStream.schema(DOC_STREAM_SCHEMA)

@@ -32,8 +32,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # base-inventory and extension tails (50/50 green). Round 5 closes the
 # sweep: the 35 round-4 catalog additions that have never had a
 # driver-green CORRECTNESS row (all parity-green at sf0.01 already),
-# plus all four round-5 additions, plus 11 continuity slots for the
-# flagship and the bench headliners. After this window, every
+# plus all seven round-5 additions, plus 8 continuity slots for the
+# flagship and the bench headliners (p1/t2/e3_quality rotated out this
+# round — each already has 2-4 green rounds). After this window, every
 # oracle-backed catalog entry has at least one driver-green round. Every rotated-out query
 # stays oracle-checked by tools/parity.py and tools/driver_sim.py over
 # the FULL catalog. Rows-only entries are PERMANENTLY out of the window
@@ -53,10 +54,7 @@ _PRIORITY = [
     "e2_cosine_topk_vectorized",
     "e2_knn_per_query_vectorized",
     "e5_corpus_curation",
-    "e3_quality_score",
     "e4_multimodal_join",
-    "p1_active_filter",
-    "t2_watermark_advance",
     # Never-driver-verified: round-4 A-family / window extensions
     "a28_grouping_sets",
     "a29_expectations",
@@ -104,6 +102,9 @@ _PRIORITY = [
     "e2_ivf_search_2round",
     "e2_hard_negatives",
     "e1_prefix_filter_join",
+    "e1_span_dedup",
+    "e1_containment_join",
+    "e3_bm25_search",
 ]
 
 

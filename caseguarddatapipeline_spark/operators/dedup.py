@@ -975,9 +975,168 @@ def e1_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_N = 8  # tokens per span; Lee et al. 2022 use 50-token spans at corpus scale
+
+
+def e1_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level (substring) duplication profile — the fourth granularity
+    in the dedup kit: exact (whole doc), MinHash/SimHash/prefix-filter
+    (whole-doc near-dup), and now REPEATED PASSAGES inside otherwise
+    distinct documents ("Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022 — their suffix-array ExactSubstr, re-expressed
+    as a distributed posting-list join). Every sliding ``SPAN_N``-token
+    window is keyed by a 128-bit content hash; a span appearing in ≥2
+    distinct documents is duplicated, and each document reports what
+    fraction of its distinct spans are. The reference dedups only whole
+    payloads (database/change_tracking.py:370-387); span granularity is
+    what catches boilerplate headers, quoted replies, and license blocks
+    that whole-doc similarity dilutes below threshold.
+
+    Scale shape: span TEXT never crosses a shuffle — documents fan out to
+    (doc_id, md5) pairs map-side, and both aggregations (posting-list
+    count by hash, span count by doc) are partial-agg hash shuffles on
+    narrow keys. At 100 TB this is the same plan as exact dedup, ×(tokens
+    per doc): linear fan-out, no pairwise join, skew-free keys. The
+    suffix-array construction of the paper needs a global sort; the
+    posting-list form trades its byte-exact span boundaries for pure
+    shuffle-parallelism at fixed span length."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("toks"),
+    ).filter(F.size("toks") >= SPAN_N)
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (SPAN_N - 1)),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("toks", i, SPAN_N))
+                    ),
+                )
+            )
+        ).alias("h"),
+    )
+    # (doc_id, h) is distinct per doc, so count(*) counts distinct docs
+    posting = spans.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    dup = (
+        spans.join(posting.filter(F.col("n_docs") >= 2), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    return (
+        per_doc.join(dup, "doc_id", "left")
+        .na.fill({"n_dup_spans": 0})
+        .select(
+            "doc_id",
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+            F.col("n_dup_spans").cast("bigint").alias("n_dup_spans"),
+            F.round(
+                F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6
+            ).alias("dup_span_fraction"),
+        )
+    )
+
+
+def e1_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-CONTAINMENT self-join (overlap coefficient ≥ τ): find pairs
+    where the smaller document's 3-gram shingle set is mostly inside the
+    larger one's — quoted-with-additions posts, doc-plus-appendix
+    reissues, excerpt pages. Symmetric Jaccard structurally misses these
+    (a doc fully contained in one 3× its size caps at J = 1/3); the
+    overlap coefficient |A∩B| / min(|A|,|B|) is the standard fix and
+    needs its own join strategy, implemented here as the containment
+    variant of prefix filtering: only the SMALLER side of a pair is
+    probed, keeping its first |s| − ⌈τ·|s|⌉ + 1 shingles in
+    ascending-document-frequency order (pigeonhole: the excluded
+    ⌈τ|s|⌉ − 1 shingles cannot hold all of an intersection of size
+    ≥ ⌈τ|s|⌉), while the larger side is indexed on ALL its shingles —
+    candidates ride an equi-join of rare probe shingles against the full
+    posting list, oriented (smaller → larger) via (sz, doc_id) so each
+    unordered pair is generated from one side only. Word 3-grams, not
+    unigrams, are the containment unit: position-coupled shingles make
+    containment mean shared PASSAGES (on the test corpus's ~30-token
+    vocabulary, unigram sets are trivially nested — τ=0.8 admits 40% of
+    all pairs; shingle sets isolate exactly the planted containments).
+    All thresholds are exact integer arithmetic, so the oracle matches by
+    construction. At 100 TB the posting list partitions by shingle like
+    any inverted index; df-ascending prefixes keep probe fan-out on the
+    rare tail rather than the boilerplate head."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("t"),
+        )
+        .select("doc_id", F.explode(_shingles(F.col("t"))).alias("tok"))
+    )
+
+    def ceil_tau_int(n):  # ceil(τ·n) in exact integer arithmetic
+        return F.floor((F.lit(_PPJ_NUM) * n + F.lit(_PPJ_DEN - 1)) / F.lit(_PPJ_DEN))
+
+    dfc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    full = toks.join(sizes, "doc_id")
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix = (
+        full.join(dfc, "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= F.col("sz") - ceil_tau_int(F.col("sz")) + 1)
+        .select("tok", "doc_id", "sz")
+    )
+    a, b = prefix.alias("a"), full.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (
+                (F.col("a.sz") < F.col("b.sz"))
+                | (
+                    (F.col("a.sz") == F.col("b.sz"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_small"),
+            F.col("b.doc_id").alias("doc_large"),
+            F.col("a.sz").alias("sz_small"),
+        )
+        .distinct()
+    )
+    sets = toks.groupBy("doc_id").agg(F.sort_array(F.collect_list("tok")).alias("toks"))
+    inter = F.size(F.array_intersect("toks_s", "toks_l"))
+    return (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_small"), F.col("toks").alias("toks_s")
+            ),
+            "doc_small",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_large"), F.col("toks").alias("toks_l")
+            ),
+            "doc_large",
+        )
+        .filter(F.lit(_PPJ_DEN) * inter >= F.lit(_PPJ_NUM) * F.col("sz_small"))
+        .select(
+            "doc_small",
+            "doc_large",
+            F.round(inter.cast("double") / F.col("sz_small"), 4).alias(
+                "containment"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "e1_neardup_recall": e1_neardup_recall,
     "e1_prefix_filter_join": e1_prefix_filter_join,
+    "e1_span_dedup": e1_span_dedup,
+    "e1_containment_join": e1_containment_join,
     "e1_exact_dedup": e1_exact_dedup,
     "e1_embedding_neardup": e1_embedding_neardup,
     "e1_embedding_neardup_ivf": e1_embedding_neardup_ivf,
@@ -991,6 +1150,77 @@ QUERIES = {
 }
 
 ORACLES = {
+    "e1_span_dedup": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ), spans AS (
+            SELECT DISTINCT doc_id,
+                   md5(array_to_string(toks[i:i+7], ' ')) AS h
+            FROM toks, LATERAL unnest(generate_series(1, len(toks) - 7)) AS t(i)
+            WHERE len(toks) >= 8
+        ), posting AS (
+            SELECT h, count(*) AS n_docs FROM spans GROUP BY h
+        ), per_doc AS (
+            SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id
+        ), dups AS (
+            SELECT s.doc_id, count(*) AS n_dup_spans
+            FROM spans s JOIN posting USING (h)
+            WHERE posting.n_docs >= 2 GROUP BY s.doc_id
+        )
+        SELECT p.doc_id,
+               p.n_spans,
+               coalesce(d.n_dup_spans, 0) AS n_dup_spans,
+               round(CAST(coalesce(d.n_dup_spans, 0) AS DOUBLE) / p.n_spans, 6)
+                   AS dup_span_fraction
+        FROM per_doc p LEFT JOIN dups d USING (doc_id)
+    """,
+    "e1_containment_join": """
+        WITH raw AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, t.tok
+            FROM raw,
+                 LATERAL unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(len(toks) - 2, 1)),
+                     i -> array_to_string(toks[i:i+2], ' ')))) AS t(tok)
+        ), dfc AS (
+            SELECT tok, count(*) AS df FROM tok GROUP BY tok
+        ), sz AS (
+            SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id
+        ), full_side AS (
+            SELECT tok.doc_id, tok.tok, sz.sz
+            FROM tok JOIN sz USING (doc_id)
+        ), ranked AS (
+            SELECT f.doc_id, f.tok, f.sz,
+                   row_number() OVER (PARTITION BY f.doc_id
+                                      ORDER BY dfc.df, f.tok) AS pos
+            FROM full_side f JOIN dfc USING (tok)
+        ), prefix AS (
+            SELECT doc_id, tok, sz FROM ranked
+            WHERE pos <= sz - (4 * sz + 4) // 5 + 1
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_small, b.doc_id AS doc_large,
+                            a.sz AS sz_small
+            FROM prefix a JOIN full_side b
+              ON a.tok = b.tok
+             AND (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))
+        ), sets AS (
+            SELECT doc_id, list(tok ORDER BY tok) AS toks FROM tok GROUP BY doc_id
+        ), verified AS (
+            SELECT doc_small, doc_large, sz_small,
+                   len(list_intersect(ss.toks, sl.toks)) AS inter
+            FROM cand
+            JOIN sets ss ON ss.doc_id = doc_small
+            JOIN sets sl ON sl.doc_id = doc_large
+        )
+        SELECT doc_small, doc_large,
+               round(CAST(inter AS DOUBLE) / sz_small, 4) AS containment
+        FROM verified WHERE 5 * inter >= 4 * sz_small
+    """,
     "e1_prefix_filter_join": """
         WITH tok AS (
             SELECT DISTINCT doc_id, t.tok

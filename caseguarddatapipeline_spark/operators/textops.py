@@ -279,6 +279,67 @@ def e3_trigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def e3_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Spärck Jones) over the document
+    corpus for the fixed query ``SEARCH_TERMS`` — the OR-semantics,
+    length-normalized complement to ``e3_ranked_search``'s AND+tf-idf:
+    term-frequency SATURATION (k1) stops a term repeated 50× from scoring
+    50×, and length normalization (b) stops long documents from winning
+    on volume alone. score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1−b +
+    b·dl/avgdl)) with the BM25+ idf = ln(1 + (N−df+0.5)/(df+0.5)),
+    k1 = 1.2, b = 0.75.
+
+    Same inverted-index plan as e3_ranked_search: the exploded token
+    stream is filtered to query-term survivors BEFORE its only shuffle
+    (the posting-list groupBy), idf and the corpus length stats ride a
+    2-row and a 1-row broadcast, and top-20 is TakeOrderedAndProject.
+    avgdl enters as exact-integer sum_dl/n_docs inside one expression
+    (b·dl·n_docs/sum_dl) so both engines evaluate the identical IEEE
+    operation sequence; scores round to 6dp."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(_tokens(), lambda t: t != "").alias("toks"),
+    )
+    with_dl = docs.select("doc_id", F.explode("toks").alias("term"), F.size("toks").alias("dl"))
+    postings = (
+        with_dl.filter(F.col("term").isin(SEARCH_TERMS))
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    totals = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("sum_dl"),
+    )
+    contrib = (
+        F.log(
+            1.0
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (
+                (1.0 - BM25_B)
+                + BM25_B * F.col("dl") * F.col("n_docs") / F.col("sum_dl")
+            )
+        )
+    )
+    return (
+        postings.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 QUERIES = {
     "e3_token_count": e3_token_count,
     "e3_repetition_ratio": e3_repetition_ratio,
@@ -288,10 +349,46 @@ QUERIES = {
     "e3_tfidf_term": e3_tfidf_term,
     "e3_bpe_tokens": e3_bpe_tokens,
     "e3_ranked_search": e3_ranked_search,
+    "e3_bm25_search": e3_bm25_search,
     "e3_trigram_familiarity": e3_trigram_familiarity,
 }
 
 ORACLES = {
+    "e3_bm25_search": """
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ), wdl AS (
+            SELECT doc_id, len(toks) AS dl, t.term
+            FROM d, LATERAL unnest(toks) AS t(term)
+        ), postings AS (
+            SELECT doc_id, term, dl, count(*) AS tf
+            FROM wdl WHERE term IN ('scan', 'agg')
+            GROUP BY doc_id, term, dl
+        ), idf AS (
+            SELECT term, count(*) AS df FROM postings GROUP BY term
+        ), totals AS (
+            SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM d
+        )
+        SELECT doc_id,
+               round(sum(
+                   ln(CAST(1 AS DOUBLE)
+                      + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+                         + CAST(0.5 AS DOUBLE))
+                        / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                   * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                   / (CAST(tf AS DOUBLE)
+                      + CAST(1.2 AS DOUBLE)
+                        * (CAST(0.25 AS DOUBLE)
+                           + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+                             * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))
+               ), 6) AS score
+        FROM postings JOIN idf USING (term) CROSS JOIN totals
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 20
+    """,
     "e3_trigram_familiarity": """
         WITH t AS (
             SELECT doc_id, lang, string_split(text, ' ') AS toks

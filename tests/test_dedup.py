@@ -204,3 +204,84 @@ def test_binaryfile_fixture_idempotent(spark, sf_dir):
     assert n_files == M._BINFIX_N
     out = M.e4_binaryfile_scan(spark, sf_dir)
     assert out.count() == M._BINFIX_N
+
+
+def test_span_dedup_counts_match_bruteforce(spark, tmp_path):
+    """Span-level dedup: per-doc distinct-span and duplicated-span counts
+    must match a brute-force sliding-window computation on a corpus with
+    a planted shared passage, an exact duplicate, and a unique doc."""
+    from caseguarddatapipeline_spark.operators import dedup as D
+
+    passage = [f"p{i}" for i in range(12)]  # 12-token shared passage
+    docs = {
+        0: passage + [f"a{i}" for i in range(10)],
+        1: [f"b{i}" for i in range(6)] + passage,
+        2: [f"c{i}" for i in range(20)],  # unique, no dup spans
+        3: passage + [f"a{i}" for i in range(10)],  # exact dup of doc 0
+        4: [f"d{i}" for i in range(5)],  # shorter than SPAN_N: excluded
+    }
+    n = D.SPAN_N
+    spans = {
+        d: {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+        for d, t in docs.items()
+        if len(t) >= n
+    }
+    expected = {}
+    for d, s in spans.items():
+        dup = {x for x in s if any(x in spans[o] for o in spans if o != d)}
+        expected[d] = (len(s), len(dup))
+    assert expected[2][1] == 0 and expected[0][1] > 0
+
+    spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs.items()], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in D.e1_span_dedup(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+    assert 4 not in got  # sub-span-length doc yields no span rows
+
+
+def test_containment_join_completeness(spark, tmp_path):
+    """Containment prefix filtering must produce EVERY pair whose shingle
+    overlap coefficient >= 4/5 (pigeonhole completeness), and nothing
+    below, vs brute-force all-pairs on planted containments."""
+    import itertools
+    import random
+
+    from caseguarddatapipeline_spark.operators import dedup as D
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(400)]
+    docs = {}
+    for i in range(15):
+        big = rng.sample(vocab, 24)
+        docs[3 * i] = big
+        # contiguous slice -> shingle containment 1.0 (planted IN)
+        docs[3 * i + 1] = big[2:14]
+        # slice diluted with foreign tokens -> containment < 0.8 (OUT)
+        docs[3 * i + 2] = big[4:10] + rng.sample(vocab, 6)
+
+    def shingles(toks):
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {d: shingles(t) for d, t in docs.items()}
+    expected = set()
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        m = min(len(sh[a]), len(sh[b]))
+        if 5 * inter >= 4 * m:
+            # orientation: smaller set first, ties by doc_id
+            s, l = (a, b) if (len(sh[a]), a) < (len(sh[b]), b) else (b, a)
+            expected.add((s, l))
+    assert expected, "corpus must plant containment pairs"
+
+    spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs.items()], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["doc_small"], r["doc_large"])
+        for r in D.e1_containment_join(spark, str(tmp_path)).collect()
+    }
+    assert got == expected

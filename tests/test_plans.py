@@ -108,6 +108,7 @@ BNLJ_BOUNDED = {
     "t12_range_join_state": "event-horizon scalar (1-row broadcast)",
     "e3_tfidf_term": "corpus df/total stats (1-row broadcast)",
     "e3_ranked_search": "corpus total-docs scalar (1-row broadcast)",
+    "e3_bm25_search": "corpus (n_docs, sum_dl) scalar (1-row broadcast)",
     "e5_curation_funnel": "funnel stage counts (scalar aggregates)",
     "e2_cosine_topk": "single query vector (1-row broadcast)",
     "e2_knn_per_query": "fixed 5-vector query set broadcast",

@@ -42,3 +42,51 @@ def test_frame_sample_stride_and_bounds(spark, sf_dir):
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r["frame_index"])
     assert all(0 in v for v in by_doc.values())
+
+
+def test_bm25_scores_match_formula(spark, tmp_path):
+    """BM25 on a constructed corpus must reproduce the closed-form score
+    (saturation k1=1.2, length norm b=0.75) and rank a short relevant doc
+    above a long one with equal term frequency."""
+    import math
+
+    from caseguarddatapipeline_spark.operators import textops as T
+
+    docs = {
+        0: ["scan"] * 1 + ["x"] * 9,            # tf=1, dl=10
+        1: ["scan"] * 1 + ["y"] * 49,           # tf=1, dl=50 (longer -> lower)
+        2: ["scan"] * 3 + ["z"] * 7,            # tf=3, dl=10 (saturated boost)
+        3: ["agg", "scan"] + ["w"] * 8,         # both terms
+        4: ["q"] * 12,                          # no terms -> absent
+    }
+    spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs.items()], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    n_docs = len(docs)
+    sum_dl = sum(len(t) for t in docs.values())
+    df = {"scan": 4, "agg": 1}
+
+    def bm25(toks):
+        score = 0.0
+        dl = len(toks)
+        for term in ("scan", "agg"):
+            tf = toks.count(term)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n_docs - df[term] + 0.5) / (df[term] + 0.5))
+            score += (
+                idf
+                * (tf * (T.BM25_K1 + 1.0))
+                / (tf + T.BM25_K1 * ((1.0 - T.BM25_B)
+                                     + T.BM25_B * dl * n_docs / sum_dl))
+            )
+        return score
+
+    got = {r["doc_id"]: r["score"] for r in T.e3_bm25_search(spark, str(tmp_path)).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    for d in got:
+        assert abs(got[d] - bm25(docs[d])) < 1e-6, (d, got[d], bm25(docs[d]))
+    assert got[2] > got[0] > got[1]          # saturation and length norm
+    assert got[2] < 3 * got[0]               # tf=3 scores FAR less than 3x
+    assert got[3] == max(got.values())       # matching both terms wins

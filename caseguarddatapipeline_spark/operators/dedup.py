@@ -993,14 +993,24 @@ def e1_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     that whole-doc similarity dilutes below threshold.
 
     Scale shape: span TEXT never crosses a shuffle — documents fan out to
-    (doc_id, md5) pairs map-side, and both aggregations (posting-list
-    count by hash, span count by doc) are partial-agg hash shuffles on
-    narrow keys. At 100 TB this is the same plan as exact dedup, ×(tokens
-    per doc): linear fan-out, no pairwise join, skew-free keys. The
-    suffix-array construction of the paper needs a global sort; the
-    posting-list form trades its byte-exact span boundaries for pure
-    shuffle-parallelism at fixed span length."""
-    docs = load_table(spark, sf_dir, "documents")
+    (doc_id, md5) pairs map-side, and the expensive span stream is
+    computed ONCE: a count-over-hash window tags each span with its
+    document frequency in the same pass that carries it to the per-doc
+    aggregate, so there is no posting-list self-join re-deriving the
+    stream (the join form recomputes span generation per side — measured
+    2.3× slower at 10×-replicated sf0.1). At 100 TB this is one
+    hash-partitioned sort + one combinable hash aggregate over skew-free
+    128-bit keys; no pairwise stage anywhere. The suffix-array
+    construction of the paper needs a global sort; the posting-list form
+    trades its byte-exact span boundaries for pure shuffle-parallelism at
+    fixed span length."""
+    return span_duplication_profile(load_table(spark, sf_dir, "documents"))
+
+
+def span_duplication_profile(docs: DataFrame) -> DataFrame:
+    """DataFrame-level body of ``e1_span_dedup`` (docs needs doc_id,
+    text) — shared with the scale-stress probe, which runs it on an
+    n×-replicated corpus."""
     toks = docs.select(
         "doc_id",
         F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("toks"),
@@ -1018,21 +1028,20 @@ def e1_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    # (doc_id, h) is distinct per doc, so count(*) counts distinct docs
-    posting = spans.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
-    per_doc = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
-    dup = (
-        spans.join(posting.filter(F.col("n_docs") >= 2), "h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
-    )
+    # (doc_id, h) is distinct per doc, so the per-hash window count IS the
+    # distinct-document frequency of the span
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("h"))
     return (
-        per_doc.join(dup, "doc_id", "left")
-        .na.fill({"n_dup_spans": 0})
+        spans.withColumn("n_docs", n_docs)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(F.col("n_docs") >= 2, 1)).alias("n_dup_spans"),
+        )
         .select(
             "doc_id",
-            F.col("n_spans").cast("bigint").alias("n_spans"),
-            F.col("n_dup_spans").cast("bigint").alias("n_dup_spans"),
+            "n_spans",
+            "n_dup_spans",
             F.round(
                 F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6
             ).alias("dup_span_fraction"),

@@ -157,6 +157,7 @@ def main() -> int:
     from caseguarddatapipeline_spark.operators.dedup import (
         _band_pairs,
         _banded_vectorized,
+        span_duplication_profile,
     )
 
     fact_rows = li_n.count()
@@ -195,6 +196,14 @@ def main() -> int:
         "lsh_neardup": (lambda: _band_pairs(
             _banded_vectorized(spark, docs_n)
         ).agg(F.count(F.lit(1))), doc_rows),
+        # span-level dedup shape: sliding 8-token spans hashed and
+        # posting-list joined (e1_span_dedup) on the replicated corpus —
+        # replica siblings share text, so every span is a cross-replica
+        # duplicate and the dup-join carries the full span stream. Pure
+        # JVM codegen (split/transform/md5), two narrow-key shuffles.
+        "span_dedup": (lambda: span_duplication_profile(docs_n).agg(
+            F.count(F.lit(1)), F.sum("n_dup_spans")
+        ), doc_rows),
     }
 
     out: dict[str, dict[str, float]] = {}
@@ -228,12 +237,13 @@ def main() -> int:
 
 # Regression floors for the committed 10× record (local[32], ~6 M fact
 # rows / 50 k docs): roughly 1/3 of the round-5 measured throughput (agg
-# 15.3, join 2.9, window 0.9 Mrows/s; LSH near-dup 0.026 Mdocs/s) so box
-# noise can't trip them but a real regression (lost map-side combine, a
-# new shuffle, a collapsed sort, a de-vectorized kernel) will. tests/test_scale_floor.py pins the committed artifact against
-# these.
+# 15.3, join 2.9, window 0.9 Mrows/s; LSH near-dup 0.026 and span dedup
+# 0.007 Mdocs/s) so box noise can't trip them but a real regression (lost
+# map-side combine, a new shuffle, a collapsed sort, a de-vectorized
+# kernel, a re-derived span stream) will. tests/test_scale_floor.py pins
+# the committed artifact against these.
 FLOORS = {"agg_scan": 5.0, "join_agg": 1.0, "window_topk": 0.4,
-          "lsh_neardup": 0.008}
+          "lsh_neardup": 0.008, "span_dedup": 0.002}
 
 
 if __name__ == "__main__":

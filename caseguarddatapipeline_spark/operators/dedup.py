@@ -900,6 +900,13 @@ def e1_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PPJ_NUM, _PPJ_DEN = 4, 5
 
 
+def _ceil_tau_int(n):
+    """ceil(τ·n) in exact integer arithmetic — shared by the prefix-filter
+    Jaccard join and the containment join so their thresholds can never
+    desynchronize."""
+    return F.floor((F.lit(_PPJ_NUM) * n + F.lit(_PPJ_DEN - 1)) / F.lit(_PPJ_DEN))
+
+
 def e1_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-similarity self-join by PREFIX FILTERING (PPJoin family) — the
     third candidate-generation strategy in the dedup kit, alongside
@@ -927,9 +934,6 @@ def e1_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok"),
     )
 
-    def ceil_tau_int(n):  # ceil(τ·n) in exact integer arithmetic
-        return F.floor((F.lit(_PPJ_NUM) * n + F.lit(_PPJ_DEN - 1)) / F.lit(_PPJ_DEN))
-
     dfc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
@@ -937,7 +941,7 @@ def e1_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.join(dfc, "tok")
         .join(sizes, "doc_id")
         .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= F.col("sz") - ceil_tau_int(F.col("sz")) + 1)
+        .filter(F.col("pos") <= F.col("sz") - _ceil_tau_int(F.col("sz")) + 1)
         .select("tok", "doc_id", "sz")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
@@ -946,8 +950,8 @@ def e1_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b.sz") >= ceil_tau_int(F.col("a.sz")))
-            & (F.col("a.sz") >= ceil_tau_int(F.col("b.sz"))),
+            & (F.col("b.sz") >= _ceil_tau_int(F.col("a.sz")))
+            & (F.col("a.sz") >= _ceil_tau_int(F.col("b.sz"))),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -1082,9 +1086,6 @@ def e1_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(_shingles(F.col("t"))).alias("tok"))
     )
 
-    def ceil_tau_int(n):  # ceil(τ·n) in exact integer arithmetic
-        return F.floor((F.lit(_PPJ_NUM) * n + F.lit(_PPJ_DEN - 1)) / F.lit(_PPJ_DEN))
-
     dfc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     full = toks.join(sizes, "doc_id")
@@ -1092,7 +1093,7 @@ def e1_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = (
         full.join(dfc, "tok")
         .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= F.col("sz") - ceil_tau_int(F.col("sz")) + 1)
+        .filter(F.col("pos") <= F.col("sz") - _ceil_tau_int(F.col("sz")) + 1)
         .select("tok", "doc_id", "sz")
     )
     a, b = prefix.alias("a"), full.alias("b")

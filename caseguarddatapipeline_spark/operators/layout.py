@@ -226,6 +226,13 @@ def compact_partitions(
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(conf)
+    age = _lease_age(fs, hpath, path)
+    if age is not None and age < LEASE_SECONDS:
+        raise OSError(
+            f"another compaction of {path} appears in progress (swap lease "
+            f"is {age:.0f}s old, expires at {LEASE_SECONDS:.0f}s); wait for "
+            f"it or delete {path}/{_TRASH}/{_LEASE_MARKER} if it is known dead"
+        )
     recover_compaction(spark, path)
 
     before = list_partition_files(spark, path)
@@ -285,16 +292,26 @@ def compact_partitions(
             f"partitions {missing} — partition values do not round-trip "
             "their directory names (null/escaped/re-typed)"
         )
+    # take the swap lease: recovery (reader-side or a second maintenance
+    # run) is a no-op while this marker is fresh, so the per-partition
+    # swaps below cannot be "healed" out from under us mid-flight
+    fs.mkdirs(hpath(f"{path}/{_TRASH}"))
+    fs.create(hpath(f"{path}/{_TRASH}/{_LEASE_MARKER}"), True).close()
     for p in todo:
         part = p["partition"]
         live = hpath(f"{path}/{part}")
         trash = hpath(f"{path}/{_TRASH}/{part}")
         fs.mkdirs(trash.getParent())
         if not fs.rename(live, trash):
+            fs.delete(hpath(f"{path}/{_TRASH}/{_LEASE_MARKER}"), False)
             raise OSError(f"compaction swap-out failed for {part}")
         if not fs.rename(hpath(f"{staging}/{part}"), live):
             # roll back so the dataset stays intact; a failed rollback must
-            # NOT pass silently — the original data is only in the trash
+            # NOT pass silently — the original data is only in the trash.
+            # Either way release the lease first: the loop is abandoned, and
+            # recovery (which the lease no longer blocks) is what heals or
+            # cleans whatever state this run leaves behind.
+            fs.delete(hpath(f"{path}/{_TRASH}/{_LEASE_MARKER}"), False)
             if not fs.rename(trash, live):
                 raise OSError(
                     f"compaction swap-in AND rollback failed for {part}: "
@@ -314,9 +331,23 @@ def compact_partitions(
 
 
 _TRASH = ".compact-trash"
+_LEASE_MARKER = "_IN_PROGRESS"
+LEASE_SECONDS = 600.0
 
 
-def recover_compaction(spark: SparkSession, path: str) -> int:
+def _lease_age(fs, hpath, path: str) -> float | None:
+    """Age in seconds of the swap-phase lease marker, or None if absent."""
+    import time
+
+    marker = hpath(f"{path}/{_TRASH}/{_LEASE_MARKER}")
+    if not fs.exists(marker):
+        return None
+    return time.time() - fs.getFileStatus(marker).getModificationTime() / 1000.0
+
+
+def recover_compaction(
+    spark: SparkSession, path: str, lease_seconds: float = LEASE_SECONDS
+) -> int:
     """Finish or roll back a swap a crashed ``compact_partitions`` run left
     behind: a partition dir sitting in the trash either has no live (or an
     empty live) replacement — crash between swap-out and swap-in → restore
@@ -326,6 +357,17 @@ def recover_compaction(spark: SparkSession, path: str) -> int:
     maintenance (e.g. the near-dup index stream) should call it at startup
     too, closing the window where a crash leaves a partition missing until
     the next maintenance run. Returns the number of partitions restored.
+
+    A crashed swap is distinguished from an IN-FLIGHT one by a lease: the
+    writer drops a ``_IN_PROGRESS`` marker in the trash dir for the swap
+    phase, and recovery is a NO-OP (returns 0) while the marker is younger
+    than ``lease_seconds`` — otherwise a reader starting mid-maintenance
+    would "restore" a partition the active writer just swapped out and
+    then delete the trash out from under its rollback path, recreating
+    exactly the duplicate-rows state the swap protocol forbids. After a
+    real crash the marker ages out and the next caller heals; until then
+    the affected partition stays absent (the documented maintenance
+    window, now bounded by the lease instead of racy).
 
     Caveat (documented, not solved here): on a filesystem whose directory
     rename is non-atomic (object stores), a partially-materialized live dir
@@ -338,6 +380,9 @@ def recover_compaction(spark: SparkSession, path: str) -> int:
     trash_root = hpath(f"{path}/{_TRASH}")
     if not fs.exists(trash_root):
         return 0
+    age = _lease_age(fs, hpath, path)
+    if age is not None and age < lease_seconds:
+        return 0  # an active writer holds the swap lease — do not interfere
     root_str = fs.makeQualified(trash_root).toString()
     parts = set()
     it = fs.listFiles(trash_root, True)

@@ -180,9 +180,13 @@ def jobs_to_kafka_records(jobs: DataFrame) -> DataFrame:
     return jobs.select(
         F.col("entity_id").cast("string").cast("binary").alias("key"),
         # fields derived from JOB_SCHEMA so the Kafka encoding can never
-        # drift from what parse_job_records decodes (same guarantee the
-        # file-queue path gets via flows.JOB_COLS)
-        F.to_json(F.struct(*JOB_SCHEMA.fieldNames()))
+        # drift from what parse_job_records decodes, and null fields kept
+        # explicit so both transports emit identical bytes for the same
+        # row (same guarantees the file-queue path gets via flows.JOB_COLS
+        # and flows._job_json's ignoreNullFields=false)
+        F.to_json(
+            F.struct(*JOB_SCHEMA.fieldNames()), {"ignoreNullFields": "false"}
+        )
         .cast("binary")
         .alias("value"),
     )

@@ -405,3 +405,48 @@ def test_compaction_recovers_interrupted_swap(spark, tmp_path):
         map(tuple, spark.read.parquet(path).select("id", "v", "batch").collect())
     )
     assert after == before
+
+
+def test_compaction_lease_blocks_concurrent_recovery(spark, tmp_path):
+    """While a writer's swap lease is fresh, reader-side recovery must be
+    a no-op (not 'heal' an in-flight swap) and a second maintenance run
+    must refuse to start; once the lease ages out, recovery heals the
+    crashed swap as before."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from caseguarddatapipeline_spark.operators.layout import (
+        _LEASE_MARKER,
+        _TRASH,
+        compact_partitions,
+        recover_compaction,
+    )
+
+    path = str(tmp_path / "events")
+    df = spark.range(200).select(
+        "id", (F.col("id") % 2).alias("batch")
+    ).repartition(4)
+    df.write.partitionBy("batch").parquet(path)
+
+    # simulate an in-flight swap: partition in trash + fresh lease marker
+    os.makedirs(os.path.join(path, _TRASH), exist_ok=True)
+    shutil.move(
+        os.path.join(path, "batch=1"), os.path.join(path, _TRASH, "batch=1")
+    )
+    marker = os.path.join(path, _TRASH, _LEASE_MARKER)
+    open(marker, "w").close()
+
+    assert recover_compaction(spark, path) == 0  # lease held: hands off
+    assert os.path.isdir(os.path.join(path, _TRASH, "batch=1"))
+    with pytest.raises(OSError, match="in progress"):
+        compact_partitions(spark, path, ["batch"])
+
+    # age the lease past expiry -> the swap counts as crashed and heals
+    os.utime(marker, (1, 1))
+    assert recover_compaction(spark, path) == 1
+    assert os.path.isdir(os.path.join(path, "batch=1"))
+    assert not os.path.isdir(os.path.join(path, _TRASH))
+    assert spark.read.parquet(path).count() == 200

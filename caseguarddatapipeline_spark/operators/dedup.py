@@ -1011,15 +1011,15 @@ def e1_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_duplication_profile(load_table(spark, sf_dir, "documents"))
 
 
-def span_duplication_profile(docs: DataFrame) -> DataFrame:
-    """DataFrame-level body of ``e1_span_dedup`` (docs needs doc_id,
-    text) — shared with the scale-stress probe, which runs it on an
-    n×-replicated corpus."""
+def _span_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) stream of per-document DISTINCT ``SPAN_N``-token span
+    hashes (md5) — docs shorter than ``SPAN_N`` tokens contribute no rows.
+    Shared by the batch profile and the streaming span-dedup index."""
     toks = docs.select(
         "doc_id",
         F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("toks"),
     ).filter(F.size("toks") >= SPAN_N)
-    spans = toks.select(
+    return toks.select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -1032,6 +1032,13 @@ def span_duplication_profile(docs: DataFrame) -> DataFrame:
             )
         ).alias("h"),
     )
+
+
+def span_duplication_profile(docs: DataFrame) -> DataFrame:
+    """DataFrame-level body of ``e1_span_dedup`` (docs needs doc_id,
+    text) — shared with the scale-stress probe, which runs it on an
+    n×-replicated corpus."""
+    spans = _span_hashes(docs)
     # (doc_id, h) is distinct per doc, so the per-hash window count IS the
     # distinct-document frequency of the span
     n_docs = F.count(F.lit(1)).over(Window.partitionBy("h"))

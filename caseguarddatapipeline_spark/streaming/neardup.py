@@ -1,9 +1,11 @@
 """Incremental NEAR-dup detection on a document stream — the streaming
-face of the E1 MinHash+LSH family: every micro-batch of newly ingested
+face of the E1 dedup family: every micro-batch of newly ingested
 documents is signature-hashed once and probed against a persisted
 band-signature index, so near-duplicates of ANYTHING seen before are
 flagged at ingest time instead of waiting for the next full-corpus
-sweep.
+sweep. ``run_span_dedup_stream`` (below) is the same protocol at SPAN
+granularity: a persisted span-hash index flags documents arriving with
+already-seen passages.
 
 Per batch (foreachBatch):
 1. admission: rows with NULL/short text (< 3 tokens — below the shingle
@@ -98,6 +100,7 @@ def maintain_index(
     keep_batches: int | None = None,
     target_bytes: int = 128 << 20,
     small_file_ratio: float = 0.5,
+    partition_cols: tuple[str, ...] = ("ingest_batch", "band"),
 ) -> dict:
     """The index maintenance pass the module docstring promises: (1) TTL —
     drop ``ingest_batch=N`` partitions older than the dedup horizon
@@ -133,7 +136,7 @@ def maintain_index(
             compact_partitions(
                 spark,
                 index_dir,
-                ["ingest_batch", "band"],
+                list(partition_cols),
                 target_bytes=target_bytes,
                 small_file_ratio=small_file_ratio,
             )
@@ -202,6 +205,118 @@ def run_neardup_stream(
                 .parquet(index_dir))
         finally:
             banded.unpersist()
+
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def run_span_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 10,
+):
+    """Incremental SPAN-level dedup — the streaming face of
+    ``e1_span_dedup`` (operators/dedup.py): every micro-batch of newly
+    ingested documents is profiled against a persisted span-hash index,
+    so a document arriving with passages already seen ANYWHERE before is
+    flagged at ingest time (the boilerplate/quoted-reply signal the batch
+    operator computes corpus-wide, maintained incrementally).
+
+    Same replay-exact protocol as ``run_neardup_stream``: per batch,
+    (1) docs shorter than ``SPAN_N`` tokens divert (they have no spans);
+    (2) ``_span_hashes`` fans each doc out to distinct 128-bit span keys
+    ONCE, persisted for the batch's two uses; (3) n_dup_spans = spans
+    surviving a LEFT-SEMI join against index partitions with
+    ``ingest_batch < N`` — the semi-join returns each span at most once
+    no matter how many prior documents carry it, so a boilerplate span in
+    a million indexed docs costs one probe hit, not a million joined
+    rows; (4) per-doc profile lands in ``out_dir/batch_id=N`` and the
+    batch's spans in ``index_dir/ingest_batch=N``, both via dynamic
+    partition overwrite so a replayed batch rewrites its own partitions
+    byte-for-byte and never probes its own spans. Maintenance =
+    ``maintain_index(..., partition_cols=("ingest_batch",))`` — same TTL
+    + compaction pass, no band subdirectory. At 100 TB-ingest scale the
+    index is additionally bucketed on the span hash so the probe is a
+    bucket-pruned merge join."""
+    from ..operators.dedup import SPAN_N, _span_hashes
+    from ..operators.layout import recover_compaction
+
+    os.makedirs(index_dir, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
+    recover_compaction(spark, index_dir)
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        admissible = batch.filter(
+            F.col("doc_id").isNotNull()
+            & F.col("text").isNotNull()
+            & (
+                F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+                >= SPAN_N
+            )
+        )
+        spans = _span_hashes(admissible.select("doc_id", "text")).persist()
+        try:
+            per_doc = spans.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_spans")
+            )
+            index = _read_index(sess, index_dir, batch_id)
+            if index is not None:
+                dup = (
+                    spans.join(index.select("h"), "h", "left_semi")
+                    .groupBy("doc_id")
+                    .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+                )
+                profile = per_doc.join(dup, "doc_id", "left").na.fill(
+                    {"n_dup_spans": 0}
+                )
+            else:
+                # cast pins the column to BIGINT like the joined branch's
+                # count() — a first batch writing INT would make the output
+                # dataset's parquet schema drift across batch partitions
+                profile = per_doc.withColumn(
+                    "n_dup_spans", F.lit(0).cast("bigint")
+                )
+            (
+                profile.select(
+                    "doc_id",
+                    "n_spans",
+                    "n_dup_spans",
+                    F.round(
+                        F.col("n_dup_spans").cast("double") / F.col("n_spans"),
+                        6,
+                    ).alias("dup_span_fraction"),
+                )
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+            (
+                spans.withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(index_dir)
+            )
+        finally:
+            spans.unpersist()
 
     query = (
         stream.writeStream.foreachBatch(handle_batch)

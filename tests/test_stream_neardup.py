@@ -143,3 +143,81 @@ def test_maintain_index_ttl_and_compaction(spark, tmp_path):
         (r.new_doc, r.index_doc) for r in spark.read.parquet(out).collect()
     }
     assert (9, 2) in pairs
+
+
+def test_span_dedup_stream_cross_batch(spark, tmp_path):
+    """Streaming span dedup: a later document carrying an indexed passage
+    is flagged with the exact duplicated-span count; novel and short docs
+    divert or report zero; a third batch probes the grown index."""
+    from caseguarddatapipeline_spark.operators.dedup import SPAN_N
+    from caseguarddatapipeline_spark.streaming.neardup import (
+        run_span_dedup_stream,
+    )
+
+    inp, idx = str(tmp_path / "in"), str(tmp_path / "index")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(inp)
+    passage = [f"p{i}" for i in range(SPAN_N + 4)]  # 12 tokens, 5 spans
+    novel = [f"n{i}" for i in range(SPAN_N + 2)]
+
+    # batch 1: the passage doc + a short (span-less) doc
+    _write_batch(inp, 1, [(1, " ".join(passage)), (2, "too short")])
+    run_span_dedup_stream(spark, inp, idx, out, ck)
+    prof = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(prof) == {1}  # short doc diverted
+    assert prof[1]["n_spans"] == 5 and prof[1]["n_dup_spans"] == 0
+    assert spark.read.parquet(idx).count() == 5
+
+    # batch 2: doc 3 = passage + novel tail; doc 4 entirely novel
+    _write_batch(
+        inp, 2, [(3, " ".join(passage + novel)), (4, " ".join(novel))]
+    )
+    run_span_dedup_stream(spark, inp, idx, out, ck)
+    prof = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(out).filter("batch_id = 1").collect()
+    }
+    # doc 3 carries all 5 of doc 1's spans among its own
+    assert prof[3]["n_dup_spans"] == 5
+    assert prof[3]["n_spans"] == len(passage + novel) - SPAN_N + 1
+    assert prof[4]["n_dup_spans"] == 0
+
+    # batch 3: exact replay of doc 4's text under a new id — every span
+    # is now in the index
+    _write_batch(inp, 3, [(5, " ".join(novel))])
+    run_span_dedup_stream(spark, inp, idx, out, ck)
+    row = (
+        spark.read.parquet(out).filter("doc_id = 5").collect()[0]
+    )
+    assert row["n_dup_spans"] == row["n_spans"] == 3
+    assert row["dup_span_fraction"] == 1.0
+
+
+def test_span_index_maintenance_ttl(spark, tmp_path):
+    """maintain_index with span partitioning: TTL drops the oldest batch
+    partitions and compaction keeps the remaining spans byte-identical."""
+    from caseguarddatapipeline_spark.streaming.neardup import (
+        maintain_index,
+        run_span_dedup_stream,
+    )
+
+    inp, idx = str(tmp_path / "in"), str(tmp_path / "index")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(inp)
+    for b in range(1, 4):
+        _write_batch(
+            inp, b, [(b, " ".join(f"b{b}tok{i}" for i in range(12)))]
+        )
+        run_span_dedup_stream(spark, inp, idx, out, ck)
+    before = set(
+        map(tuple, spark.read.parquet(idx).filter("ingest_batch >= 1").collect())
+    )
+    report = maintain_index(
+        spark, idx, keep_batches=2, partition_cols=("ingest_batch",)
+    )
+    assert report["batches_dropped"] == 1
+    kept = spark.read.parquet(idx)
+    assert set(r["ingest_batch"] for r in kept.select("ingest_batch").distinct().collect()) == {1, 2}
+    assert set(map(tuple, kept.collect())) == {
+        t for t in before if t[-1] != 0
+    }

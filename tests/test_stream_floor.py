@@ -26,11 +26,13 @@ def test_stream_record_shape():
         "windowed_agg",
         "jobs_parse_dedup",
         "neardup_drain",
+        "span_drain",
     }
     # the stateful pipelines must actually have exercised the state store
     assert doc["pipelines"]["windowed_agg"].get("state_rows", 0) > 0
-    # the near-dup drain must have found the planted near-duplicate pairs
+    # the dedup drains must have found the planted duplicates
     assert doc["pipelines"]["neardup_drain"]["pairs_found"] > 0
+    assert doc["pipelines"]["span_drain"]["docs_flagged"] > 0
 
 
 def test_stream_throughput_floors():

@@ -1,4 +1,4 @@
-"""Streaming throughput probe for the T-family: drive the engine's three
+"""Streaming throughput probe for the T-family: drive the engine's four
 streaming shapes and record steady-state throughput + state-store
 telemetry, so streaming performance is a measured baseline (STREAM.json)
 with regression floors (tests/test_stream_floor.py), exactly like the
@@ -17,6 +17,10 @@ Pipelines:
   corpus: signature kernel + index probe + parquet index growth, timed
   end-to-end (wall clock, not progress telemetry — foreachBatch work is
   outside processedRowsPerSecond).
+- ``span_drain``     — the span-level dedup stream
+  (streaming/neardup.run_span_dedup_stream) on the same corpus shape:
+  span fan-out + left-semi index probe + per-doc profile + index growth,
+  timed end-to-end.
 
 The rate source generates rows entirely inside the JVM, so the first two
 measure the PIPELINE's sustainable throughput rather than any ingest
@@ -49,6 +53,7 @@ FLOORS = {
     "windowed_agg": 100_000.0,
     "jobs_parse_dedup": 50_000.0,
     "neardup_drain": 1_000.0,
+    "span_drain": 1_000.0,
 }
 
 
@@ -204,6 +209,68 @@ def _neardup_drain(spark, n_docs: int = 20_000, n_files: int = 8):
         }
 
 
+def _span_drain(spark, n_docs: int = 20_000, n_files: int = 8):
+    """Drain a corpus with planted repeated passages through the span-level
+    dedup stream (streaming/neardup.run_span_dedup_stream): 16-token docs,
+    every 10th doc copies its predecessor so exactly those docs arrive
+    with every span already indexed."""
+    from caseguarddatapipeline_spark.streaming.neardup import (
+        run_span_dedup_stream,
+    )
+
+    with tempfile.TemporaryDirectory() as root:
+        input_dir = f"{root}/in"
+        base = F.when(
+            F.col("id") % 10 == 0, F.col("id") - 1
+        ).otherwise(F.col("id"))
+        # position hashed WITH the doc (not an arithmetic offset of one
+        # doc hash): an additive token progression makes any pair whose
+        # doc-hash difference is a multiple of the stride share aligned
+        # 8-token runs, flagging ~half the corpus instead of the planted
+        # every-10th copies
+        toks = F.concat_ws(
+            " ",
+            *[
+                F.format_string(
+                    "tok%d", F.pmod(F.xxhash64(base, F.lit(i)), F.lit(100_000))
+                )
+                for i in range(16)
+            ],
+        )
+        (
+            spark.range(n_docs)
+            .select(F.col("id").alias("doc_id"), toks.alias("text"))
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .json(input_dir)
+        )
+        t0 = time.perf_counter()
+        run_span_dedup_stream(
+            spark,
+            input_dir,
+            f"{root}/index",
+            f"{root}/out",
+            f"{root}/ckpt",
+            max_files_per_trigger=2,
+        )
+        elapsed = time.perf_counter() - t0
+        try:
+            flagged = (
+                spark.read.parquet(f"{root}/out")
+                .filter("n_dup_spans > 0")
+                .count()
+            )
+        except Exception:
+            flagged = 0
+        return {
+            "docs": n_docs,
+            "batches": (n_files + 1) // 2,
+            "elapsed_sec": round(elapsed, 3),
+            "rows_per_sec": round(n_docs / elapsed, 1),
+            "docs_flagged": flagged,
+        }
+
+
 def main() -> int:
     rate = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     run_s = int(sys.argv[2]) if len(sys.argv) > 2 else 20
@@ -215,6 +282,7 @@ def main() -> int:
             spark, _jobs_parse_dedup(spark, rate), run_s
         ),
         "neardup_drain": _neardup_drain(spark),
+        "span_drain": _span_drain(spark),
     }
     doc = {
         "metric": "stream_throughput",

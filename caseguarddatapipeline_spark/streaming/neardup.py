@@ -144,6 +144,42 @@ def maintain_index(
     return report
 
 
+def _run_doc_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int,
+    handle_batch,
+):
+    """Shared drain scaffold for the document-stream dedup jobs: heal the
+    index (a maintenance run may have crashed mid-swap since the last
+    drain — no partition may be silently missing when the probe reads),
+    then run the availableNow foreachBatch query to completion. Protocol
+    changes (trigger, checkpointing, recovery ordering) live HERE so the
+    near-dup and span variants cannot diverge."""
+    from ..operators.layout import recover_compaction
+
+    os.makedirs(index_dir, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
+    recover_compaction(spark, index_dir)
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def run_neardup_stream(
     spark: SparkSession,
     input_dir: str,
@@ -155,19 +191,6 @@ def run_neardup_stream(
     """Drain the document stream (availableNow), flagging near-dups of
     previously indexed documents and growing the index; returns the
     finished query."""
-    from ..operators.layout import recover_compaction
-
-    os.makedirs(index_dir, exist_ok=True)
-    os.makedirs(out_dir, exist_ok=True)
-    # a maintenance run may have crashed mid-swap since the last drain:
-    # heal the index before probing so no partition is silently missing
-    recover_compaction(spark, index_dir)
-
-    stream = (
-        spark.readStream.schema(DOC_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .json(input_dir)
-    )
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
@@ -206,14 +229,10 @@ def run_neardup_stream(
         finally:
             banded.unpersist()
 
-    query = (
-        stream.writeStream.foreachBatch(handle_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _run_doc_stream(
+        spark, input_dir, index_dir, out_dir, checkpoint_dir,
+        max_files_per_trigger, handle_batch,
     )
-    query.awaitTermination()
-    return query
 
 
 def run_span_dedup_stream(
@@ -247,28 +266,16 @@ def run_span_dedup_stream(
     + compaction pass, no band subdirectory. At 100 TB-ingest scale the
     index is additionally bucketed on the span hash so the probe is a
     bucket-pruned merge join."""
-    from ..operators.dedup import SPAN_N, _span_hashes
-    from ..operators.layout import recover_compaction
-
-    os.makedirs(index_dir, exist_ok=True)
-    os.makedirs(out_dir, exist_ok=True)
-    recover_compaction(spark, index_dir)
-
-    stream = (
-        spark.readStream.schema(DOC_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .json(input_dir)
-    )
+    from ..operators.dedup import _span_hashes
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
+        # admission: only the null checks — _span_hashes' own size filter
+        # already diverts sub-SPAN_N (and null-text) docs, so repeating
+        # the tokenize-and-count predicate here would split every text
+        # twice per batch for nothing
         admissible = batch.filter(
-            F.col("doc_id").isNotNull()
-            & F.col("text").isNotNull()
-            & (
-                F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
-                >= SPAN_N
-            )
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
         )
         spans = _span_hashes(admissible.select("doc_id", "text")).persist()
         try:
@@ -318,11 +325,7 @@ def run_span_dedup_stream(
         finally:
             spans.unpersist()
 
-    query = (
-        stream.writeStream.foreachBatch(handle_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _run_doc_stream(
+        spark, input_dir, index_dir, out_dir, checkpoint_dir,
+        max_files_per_trigger, handle_batch,
     )
-    query.awaitTermination()
-    return query

@@ -209,7 +209,9 @@ def test_span_index_maintenance_ttl(spark, tmp_path):
             inp, b, [(b, " ".join(f"b{b}tok{i}" for i in range(12)))]
         )
         run_span_dedup_stream(spark, inp, idx, out, ck)
-    before = set(
+    # TTL keeps the 2 NEWEST of batches {0, 1, 2} → expect exactly the
+    # rows from batches 1 and 2, byte-identical through compaction
+    expected = set(
         map(tuple, spark.read.parquet(idx).filter("ingest_batch >= 1").collect())
     )
     report = maintain_index(
@@ -218,6 +220,4 @@ def test_span_index_maintenance_ttl(spark, tmp_path):
     assert report["batches_dropped"] == 1
     kept = spark.read.parquet(idx)
     assert set(r["ingest_batch"] for r in kept.select("ingest_batch").distinct().collect()) == {1, 2}
-    assert set(map(tuple, kept.collect())) == {
-        t for t in before if t[-1] != 0
-    }
+    assert set(map(tuple, kept.collect())) == expected

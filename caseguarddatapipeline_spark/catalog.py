@@ -32,9 +32,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # base-inventory and extension tails (50/50 green). Round 5 closes the
 # sweep: the 35 round-4 catalog additions that have never had a
 # driver-green CORRECTNESS row (all parity-green at sf0.01 already),
-# plus all seven round-5 additions, plus 8 continuity slots for the
-# flagship and the bench headliners (p1/t2/e3_quality rotated out this
-# round — each already has 2-4 green rounds). After this window, every
+# plus all eight round-5 additions, plus 7 continuity slots for the
+# flagship and the bench headliners (p1/t2/e3_quality/e2_knn rotated out
+# this round — each already has 2-4 green rounds). After this window, every
 # oracle-backed catalog entry has at least one driver-green round. Every rotated-out query
 # stays oracle-checked by tools/parity.py and tools/driver_sim.py over
 # the FULL catalog. Rows-only entries are PERMANENTLY out of the window
@@ -52,7 +52,6 @@ _PRIORITY = [
     "q1_pricing_summary_sql",
     "e1_minhash_lsh_vectorized",
     "e2_cosine_topk_vectorized",
-    "e2_knn_per_query_vectorized",
     "e5_corpus_curation",
     "e4_multimodal_join",
     # Never-driver-verified: round-4 A-family / window extensions
@@ -105,6 +104,7 @@ _PRIORITY = [
     "e1_span_dedup",
     "e1_containment_join",
     "e3_bm25_search",
+    "e3_vocab_induction",
 ]
 
 

@@ -279,6 +279,53 @@ def e3_trigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP_PAIRS = 20
+
+
+def e3_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary INDUCTION, first merge round (Sennrich et al. 2016):
+    corpus-weighted counts of adjacent character pairs, whose argmax is
+    the first merge a BPE tokenizer learns — the TRAINING side of
+    tokenization, complementing ``e3_bpe_tokens`` which only applies a
+    pre-tokenizer. Emits the top-``BPE_TOP_PAIRS`` merge candidates with
+    exact counts (each occurrence counts, so "aaa" contributes "aa"
+    twice, weighted by the word's corpus frequency), total-ordered by
+    (count desc, pair) for a deterministic oracle.
+
+    The scale trick is the classic one: pair counting runs over the
+    DISTINCT-WORD table with frequencies, not the token stream — one
+    corpus-wide shuffle builds the (word, n) vocab, and everything after
+    is bounded by vocabulary size (≪ corpus size; Zipf makes the vocab
+    table tiny even at 100 TB of text). Later merge rounds re-segment the
+    same vocab table iteratively; round 1 is the driver-checkable shape
+    with an exact SQL oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(_tokens(), lambda t: t != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = words.filter(F.length("word") >= 2).select(
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 
@@ -350,10 +397,28 @@ QUERIES = {
     "e3_bpe_tokens": e3_bpe_tokens,
     "e3_ranked_search": e3_ranked_search,
     "e3_bm25_search": e3_bm25_search,
+    "e3_vocab_induction": e3_vocab_induction,
     "e3_trigram_familiarity": e3_trigram_familiarity,
 }
 
 ORACLES = {
+    "e3_vocab_induction": """
+        WITH words AS (
+            SELECT t.w AS word, count(*) AS n
+            FROM documents,
+                 LATERAL unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS t(w)
+            GROUP BY t.w
+        ), pairs AS (
+            SELECT substr(word, i, 2) AS pair, n
+            FROM words, LATERAL unnest(generate_series(1, len(word) - 1)) AS s(i)
+            WHERE len(word) >= 2
+        )
+        SELECT pair, CAST(sum(n) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY pair
+        ORDER BY pair_count DESC, pair ASC
+        LIMIT 20
+    """,
     "e3_bm25_search": """
         WITH d AS (
             SELECT doc_id,

@@ -90,3 +90,39 @@ def test_bm25_scores_match_formula(spark, tmp_path):
     assert got[2] > got[0] > got[1]          # saturation and length norm
     assert got[2] < 3 * got[0]               # tf=3 scores FAR less than 3x
     assert got[3] == max(got.values())       # matching both terms wins
+
+
+def test_vocab_induction_matches_bruteforce(spark, tmp_path):
+    """First-round BPE pair counts must equal a brute-force count over
+    (word frequency x within-word occurrences), including the repeated
+    pair inside 'aaa' and the single-char word exclusion."""
+    from collections import Counter
+
+    from caseguarddatapipeline_spark.operators import textops as T
+
+    docs = {
+        0: "aaa bb aaa cd",
+        1: "bb cd cd x",      # 'x' has no pairs
+        2: "abab",
+    }
+    spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    words = Counter(w for t in docs.values() for w in t.split(" ") if w)
+    expected = Counter()
+    for w, n in words.items():
+        for i in range(len(w) - 1):
+            expected[w[i : i + 2]] += n
+    assert "aa" in expected and expected["aa"] == 4  # 2 per 'aaa' x freq 2
+
+    got = {
+        r["pair"]: r["pair_count"]
+        for r in T.e3_vocab_induction(spark, str(tmp_path)).collect()
+    }
+    top = dict(
+        sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : T.BPE_TOP_PAIRS
+        ]
+    )
+    assert got == top

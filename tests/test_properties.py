@@ -133,3 +133,84 @@ def test_zvalue_matches_reference_and_is_bijective(spark, pairs):
     for (x, y), z in got.items():
         assert z == _morton_ref(x, y), (x, y)
     assert len(set(got.values())) == len(pairs)
+
+
+# random corpora for the set-similarity joins: small docs over a small
+# vocabulary so threshold-straddling pairs arise naturally
+_corpus = st.lists(
+    st.lists(
+        st.integers(min_value=0, max_value=25).map(lambda i: f"w{i}"),
+        min_size=3,
+        max_size=12,
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+def _corpus_df(spark, docs, tmpdir):
+    import uuid
+
+    path = f"{tmpdir}/{uuid.uuid4().hex}"
+    spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(f"{path}/documents.parquet")
+    return path
+
+
+@given(docs=_corpus)
+@settings(**_SETTINGS)
+def test_prefix_filter_join_property(spark, tmp_path_factory, docs):
+    """Pigeonhole completeness on ARBITRARY corpora: the prefix-filter
+    join's pair set equals brute-force token-set Jaccard >= 4/5."""
+    import itertools
+
+    from caseguarddatapipeline_spark.operators import dedup as D
+
+    sets = {i: frozenset(t) for i, t in enumerate(docs)}
+    expected = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        if 5 * inter >= 4 * uni:
+            expected.add((a, b))
+
+    path = _corpus_df(spark, docs, tmp_path_factory.mktemp("ppj"))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.e1_prefix_filter_join(spark, path).collect()
+    }
+    assert got == expected
+
+
+@given(docs=_corpus)
+@settings(**_SETTINGS)
+def test_containment_join_property(spark, tmp_path_factory, docs):
+    """Containment completeness on ARBITRARY corpora: pair set equals
+    brute-force 3-gram-shingle overlap coefficient >= 4/5 with the
+    (size, doc_id) orientation."""
+    import itertools
+
+    from caseguarddatapipeline_spark.operators import dedup as D
+
+    def shingles(toks):
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {i: shingles(t) for i, t in enumerate(docs)}
+    expected = set()
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        m = min(len(sh[a]), len(sh[b]))
+        if 5 * inter >= 4 * m:
+            s, l = (a, b) if (len(sh[a]), a) < (len(sh[b]), b) else (b, a)
+            expected.add((s, l))
+
+    path = _corpus_df(spark, docs, tmp_path_factory.mktemp("cont"))
+    got = {
+        (r["doc_small"], r["doc_large"])
+        for r in D.e1_containment_join(spark, path).collect()
+    }
+    assert got == expected

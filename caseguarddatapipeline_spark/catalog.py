@@ -32,9 +32,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # base-inventory and extension tails (50/50 green). Round 5 closes the
 # sweep: the 35 round-4 catalog additions that have never had a
 # driver-green CORRECTNESS row (all parity-green at sf0.01 already),
-# plus all eight round-5 additions, plus 7 continuity slots for the
-# flagship and the bench headliners (p1/t2/e3_quality/e2_knn rotated out
-# this round — each already has 2-4 green rounds). After this window, every
+# plus all nine round-5 additions, plus 6 continuity slots for the
+# flagship and the bench headliners (p1/t2/e3_quality/e2_knn/e4 rotated
+# out this round — each already has 2-4 green rounds, and the bench
+# headliners among them stay continuously re-proven by BENCH_rN anyway).
+# After this window, every
 # oracle-backed catalog entry has at least one driver-green round. Every rotated-out query
 # stays oracle-checked by tools/parity.py and tools/driver_sim.py over
 # the FULL catalog. Rows-only entries are PERMANENTLY out of the window
@@ -53,7 +55,6 @@ _PRIORITY = [
     "e1_minhash_lsh_vectorized",
     "e2_cosine_topk_vectorized",
     "e5_corpus_curation",
-    "e4_multimodal_join",
     # Never-driver-verified: round-4 A-family / window extensions
     "a28_grouping_sets",
     "a29_expectations",
@@ -105,6 +106,7 @@ _PRIORITY = [
     "e1_containment_join",
     "e3_bm25_search",
     "e3_vocab_induction",
+    "a32_psi_drift",
 ]
 
 

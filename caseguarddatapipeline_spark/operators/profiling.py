@@ -253,7 +253,95 @@ def a31_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSI_BINS = 6  # value bins of width 50, last bin open-ended
+
+
+def a32_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream's time range, per event type — the standard drift
+    monitor a feature store / model-serving stack runs (PSI < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 drifted; extends the static alert
+    thresholds of the reference's dashboard, monitoring/dashboard.py, to
+    a distribution-level signal). ``value`` is binned into ``PSI_BINS``
+    fixed-width buckets, each phase's bin shares are Laplace-smoothed
+    (p = (n+1)/(N+bins), so an empty bin contributes a finite term
+    instead of ln 0), and PSI = Σ (p−q)·ln(p/q).
+
+    Determinism across engines: the time cutoff is the INTEGER midpoint
+    of epoch-microsecond min/max ((min+max) DIV 2 — shift-invariant, so
+    session-timezone offsets cancel), bins are exact floor arithmetic,
+    and every float enters one explicitly-cast DOUBLE expression. One
+    scan + two narrow aggregates; the bin spine is a 6-row broadcast per
+    type, so the plan is two hash shuffles on (event_type[, bin, phase])
+    keys regardless of event volume."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 50).cast("int"), F.lit(0)),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    # floor((min+max)/2): the sum (~3.4e15 µs) is exact in a double, and
+    # FLOOR matches DuckDB's // — a bare cast would truncate here but
+    # ROUND there, flipping the cutoff when the sum is odd
+    cutoff = events.agg(
+        F.floor((F.min("us") + F.max("us")) / F.lit(2)).cast("long").alias("cut")
+    )
+    binned = events.crossJoin(F.broadcast(cutoff)).select(
+        "event_type",
+        "bin",
+        F.when(F.col("us") < F.col("cut"), "base").otherwise("curr").alias("phase"),
+    )
+    counts = binned.groupBy("event_type", "phase", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # full spine: every (type, phase, bin) — missing combinations count 0,
+    # so Laplace smoothing sees all bins in both phases
+    spine = (
+        binned.select("event_type").distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(spark.createDataFrame([("base",), ("curr",)], "phase string"))
+        )
+    )
+    full = spine.join(counts, ["event_type", "phase", "bin"], "left").na.fill({"n": 0})
+    tot = full.groupBy("event_type", "phase").agg(F.sum("n").alias("tot"))
+    share = full.join(tot, ["event_type", "phase"]).select(
+        "event_type",
+        "bin",
+        "phase",
+        "n",
+        (
+            (F.col("n").cast("double") + F.lit(1.0))
+            / (F.col("tot").cast("double") + F.lit(float(PSI_BINS)))
+        ).alias("p"),
+    )
+    wide = (
+        share.groupBy("event_type", "bin")
+        .pivot("phase", ["base", "curr"])
+        .agg(F.first("p").alias("p"), F.sum("n").alias("n"))
+    )
+    term = (F.col("base_p") - F.col("curr_p")) * F.log(
+        F.col("base_p") / F.col("curr_p")
+    )
+    return (
+        wide.groupBy("event_type")
+        .agg(
+            F.sum("base_n").cast("bigint").alias("n_base"),
+            F.sum("curr_n").cast("bigint").alias("n_curr"),
+            F.round(F.sum(term), 6).alias("psi"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "a32_psi_drift": a32_psi_drift,
     "a31_cooccurrence_lift": a31_cooccurrence_lift,
     "a23_value_histogram": a23_value_histogram,
     "a24_corr_stats": a24_corr_stats,
@@ -263,6 +351,54 @@ QUERIES = {
 }
 
 ORACLES = {
+    "a32_psi_drift": """
+        WITH e AS (
+            SELECT event_type, epoch_us(ts) AS us,
+                   least(greatest(CAST(floor(value / 50) AS INT), 0), 5) AS bin
+            FROM events
+        ), cut AS (
+            SELECT (min(us) + max(us)) // 2 AS cut FROM e
+        ), types AS (
+            SELECT DISTINCT event_type FROM e
+        ), spine AS (
+            SELECT event_type, s.i AS bin, ph.phase
+            FROM types,
+                 LATERAL unnest(generate_series(0, 5)) AS s(i),
+                 (VALUES ('base'), ('curr')) AS ph(phase)
+        ), binned AS (
+            SELECT event_type, bin,
+                   CASE WHEN us < (SELECT cut FROM cut)
+                        THEN 'base' ELSE 'curr' END AS phase
+            FROM e
+        ), counts AS (
+            SELECT event_type, phase, bin, count(*) AS n
+            FROM binned GROUP BY 1, 2, 3
+        ), filled AS (
+            SELECT sp.event_type, sp.phase, sp.bin, coalesce(c.n, 0) AS n
+            FROM spine sp
+            LEFT JOIN counts c USING (event_type, phase, bin)
+        ), tot AS (
+            SELECT event_type, phase, sum(n) AS tot
+            FROM filled GROUP BY 1, 2
+        ), share AS (
+            SELECT f.event_type, f.bin, f.phase, f.n,
+                   (CAST(f.n AS DOUBLE) + CAST(1 AS DOUBLE))
+                   / (CAST(t.tot AS DOUBLE) + CAST(6 AS DOUBLE)) AS p
+            FROM filled f JOIN tot t USING (event_type, phase)
+        ), wide AS (
+            SELECT event_type, bin,
+                   max(CASE WHEN phase = 'base' THEN p END) AS base_p,
+                   max(CASE WHEN phase = 'curr' THEN p END) AS curr_p,
+                   sum(CASE WHEN phase = 'base' THEN n END) AS base_n,
+                   sum(CASE WHEN phase = 'curr' THEN n END) AS curr_n
+            FROM share GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(sum(base_n) AS BIGINT) AS n_base,
+               CAST(sum(curr_n) AS BIGINT) AS n_curr,
+               round(sum((base_p - curr_p) * ln(base_p / curr_p)), 6) AS psi
+        FROM wide GROUP BY event_type ORDER BY event_type
+    """,
     "a31_cooccurrence_lift": """
         WITH ut AS (
             SELECT DISTINCT user_id, event_type FROM events

@@ -911,27 +911,31 @@ def e1_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-similarity self-join by PREFIX FILTERING (PPJoin family) — the
     third candidate-generation strategy in the dedup kit, alongside
     MinHash-LSH (probabilistic) and SimHash bands (bitwise). Exact, not
-    probabilistic: order every document's token set by ascending global
-    document frequency (rarest first, ties by token), keep only the
-    PREFIX of p = |s| − ceil(τ·|s|) + 1 tokens — two sets with
-    Jaccard ≥ τ MUST share a prefix token (pigeonhole), so candidates
-    ride an equi-join on prefix tokens, narrowed further by the length
+    probabilistic: order every document's 3-gram shingle set by ascending
+    global document frequency (rarest first, ties by shingle), keep only
+    the PREFIX of p = |s| − ceil(τ·|s|) + 1 shingles — two sets with
+    Jaccard ≥ τ MUST share a prefix shingle (pigeonhole), so candidates
+    ride an equi-join on prefix shingles, narrowed further by the length
     filter τ·|a| ≤ |b| ≤ |a|/τ. Every threshold is integer arithmetic
     (ceil(τ·n) = (τnum·n + τden − 1) DIV τden; verify as
     τden·|a∩b| ≥ τnum·|a∪b|), so the oracle is exact by construction.
-    At high τ the prefixes are tiny and df-ordering makes them RARE
-    tokens, so posting lists stay short where LSH would still hash every
-    document 128 times — the cheaper exact path for strict dedup. At
-    100 TB the df table is computed once per corpus snapshot and the
-    prefix join partitions by token like any posting-list join."""
+    Word 3-grams, not unigrams, are the set unit — the same measure the
+    MinHash/LSH path approximates, so this IS its exact counterpart (and
+    on the test corpus's ~30-token vocabulary, unigram sets are so
+    heavily shared that τ=0.8 admits ~24% of ALL pairs — 2.9M rows at
+    sf0.1 — while shingle sets isolate the planted near-dups). At high τ
+    the prefixes are tiny and df-ordering makes them RARE shingles, so
+    posting lists stay short where LSH would still hash every document
+    128 times — the cheaper exact path for strict dedup. At 100 TB the
+    df table is computed once per corpus snapshot and the prefix join
+    partitions by shingle like any posting-list join."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-            )
-        ).alias("tok"),
+    toks = (
+        docs.select(
+            "doc_id",
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("t"),
+        )
+        .select("doc_id", F.explode(_shingles(F.col("t"))).alias("tok"))
     )
 
     dfc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -1239,11 +1243,16 @@ ORACLES = {
         FROM verified WHERE 5 * inter >= 4 * sz_small
     """,
     "e1_prefix_filter_join": """
-        WITH tok AS (
-            SELECT DISTINCT doc_id, t.tok
-            FROM documents,
-                 LATERAL unnest(list_filter(string_split(text, ' '),
-                                            x -> x <> '')) AS t(tok)
+        WITH raw AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, t.tok
+            FROM raw,
+                 LATERAL unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(len(toks) - 2, 1)),
+                     i -> array_to_string(toks[i:i+2], ' ')))) AS t(tok)
         ), dfc AS (
             SELECT tok, count(*) AS df FROM tok GROUP BY tok
         ), sz AS (

@@ -143,9 +143,9 @@ def test_jaccard_ordering(spark):
 
 def test_prefix_filter_join_finds_every_pair_above_threshold(spark, tmp_path):
     """Pigeonhole completeness: prefix filtering must produce EVERY pair
-    with token-set Jaccard >= 4/5 (no false negatives), and nothing below.
-    Verified against brute-force all-pairs on a seeded corpus with planted
-    near-dups at several overlap levels."""
+    with 3-gram-shingle Jaccard >= 4/5 (no false negatives), and nothing
+    below. Verified against brute-force all-pairs on a seeded corpus with
+    planted near-dups at several overlap levels."""
     import itertools
     import random
 
@@ -159,15 +159,15 @@ def test_prefix_filter_join_finds_every_pair_above_threshold(spark, tmp_path):
     for i in range(40):
         toks = rng.sample(vocab, 15)
         docs.append((2 * i, toks))
-        variant = list(toks)
-        # drop k tokens: J = (15-k)/15 → k=1: 0.933 (in), k=2: 0.867 (in),
-        # k=4: 0.733 (out) — straddles the 0.8 threshold
+        # drop k SUFFIX tokens: shingle J = (13-k)/13 → k=1: 0.923 (in),
+        # k=2: 0.846 (in), k=4: 0.692 (out) — straddles the 0.8 threshold
         k = [1, 2, 4][i % 3]
-        for t in rng.sample(toks, k):
-            variant.remove(t)
-        docs.append((2 * i + 1, variant))
+        docs.append((2 * i + 1, toks[:-k]))
 
-    sets = {d: frozenset(t) for d, t in docs}
+    def shingles(t):
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    sets = {d: shingles(t) for d, t in docs}
     expected = set()
     for a, b in itertools.combinations(sorted(sets), 2):
         inter = len(sets[a] & sets[b])
@@ -175,6 +175,7 @@ def test_prefix_filter_join_finds_every_pair_above_threshold(spark, tmp_path):
         if 5 * inter >= 4 * uni:
             expected.add((a, b))
     assert expected, "corpus must plant pairs above the threshold"
+    assert len(expected) < len(docs), "threshold must also exclude variants"
 
     path = str(tmp_path / "documents.parquet")
     spark.createDataFrame(

@@ -159,16 +159,22 @@ def _corpus_df(spark, docs, tmpdir):
     return path
 
 
+def _shingle_set(toks):
+    if len(toks) < 3:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+
 @given(docs=_corpus)
 @settings(**_SETTINGS)
 def test_prefix_filter_join_property(spark, tmp_path_factory, docs):
     """Pigeonhole completeness on ARBITRARY corpora: the prefix-filter
-    join's pair set equals brute-force token-set Jaccard >= 4/5."""
+    join's pair set equals brute-force 3-gram-shingle Jaccard >= 4/5."""
     import itertools
 
     from caseguarddatapipeline_spark.operators import dedup as D
 
-    sets = {i: frozenset(t) for i, t in enumerate(docs)}
+    sets = {i: _shingle_set(t) for i, t in enumerate(docs)}
     expected = set()
     for a, b in itertools.combinations(sorted(sets), 2):
         inter = len(sets[a] & sets[b])
@@ -194,12 +200,7 @@ def test_containment_join_property(spark, tmp_path_factory, docs):
 
     from caseguarddatapipeline_spark.operators import dedup as D
 
-    def shingles(toks):
-        if len(toks) < 3:
-            return {" ".join(toks)}
-        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
-
-    sh = {i: shingles(t) for i, t in enumerate(docs)}
+    sh = {i: _shingle_set(t) for i, t in enumerate(docs)}
     expected = set()
     for a, b in itertools.combinations(sorted(sh), 2):
         inter = len(sh[a] & sh[b])

@@ -256,6 +256,16 @@ def a31_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 PSI_BINS = 6  # value bins of width 50, last bin open-ended
 
 
+def psi_bin(value_col):
+    """Fixed-width PSI bin of a value column — exact floor arithmetic,
+    clamped to [0, PSI_BINS), shared by the batch operator and the
+    streaming drift monitor so their histograms are comparable."""
+    return F.least(
+        F.greatest(F.floor(value_col / 50).cast("int"), F.lit(0)),
+        F.lit(PSI_BINS - 1),
+    )
+
+
 def a32_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between the first and second half of
     the event stream's time range, per event type — the standard drift
@@ -277,10 +287,7 @@ def a32_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        F.least(
-            F.greatest(F.floor(F.col("value") / 50).cast("int"), F.lit(0)),
-            F.lit(PSI_BINS - 1),
-        ).alias("bin"),
+        psi_bin(F.col("value")).alias("bin"),
     )
     # floor((min+max)/2): the sum (~3.4e15 µs) is exact in a double, and
     # FLOOR matches DuckDB's // — a bare cast would truncate here but
@@ -296,10 +303,19 @@ def a32_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = binned.groupBy("event_type", "phase", "bin").agg(
         F.count(F.lit(1)).alias("n")
     )
-    # full spine: every (type, phase, bin) — missing combinations count 0,
-    # so Laplace smoothing sees all bins in both phases
+    return psi_report(spark, counts)
+
+
+def psi_report(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """Smoothed PSI per event_type from (event_type, phase∈{base,curr},
+    bin, n) counts — shared by the batch operator (phases = time halves)
+    and the streaming drift monitor (base = a frozen baseline profile,
+    curr = the accumulating stream). Missing (type, phase, bin)
+    combinations count 0 via a broadcast spine, so Laplace smoothing sees
+    all bins in both phases and an entirely-absent phase degrades to the
+    uniform profile instead of dividing by zero."""
     spine = (
-        binned.select("event_type").distinct()
+        counts.select("event_type").distinct()
         .crossJoin(
             F.broadcast(
                 spark.range(PSI_BINS).select(F.col("id").cast("int").alias("bin"))

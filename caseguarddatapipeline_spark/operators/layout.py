@@ -209,9 +209,11 @@ def compact_partitions(
     partition where it is absent — acceptable for a maintenance pass run
     off the hot path. A crash inside that window is healed by
     ``recover_compaction`` (restore-or-drop), which this function runs
-    first and long-lived readers can run at startup. A table format's
-    manifest commit removes the window entirely — that is the upgrade
-    path on object stores, where rename is a copy and non-atomic.
+    first and long-lived readers can run at startup. A manifest commit
+    removes the window entirely at the cost of double storage until
+    retention — that path exists as ``sources/versioned.compact_snapshot``
+    (version pointer swap) and is the right trade on object stores,
+    where rename is a copy and non-atomic.
     Untouched partitions keep their original files byte-for-byte; no data
     row crosses the driver. Idempotent: re-running on a compacted dataset
     is a no-op.

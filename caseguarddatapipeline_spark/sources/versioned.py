@@ -81,6 +81,37 @@ def read_latest(spark: SparkSession, base_dir: str) -> DataFrame:
     return read_version(spark, base_dir, latest_version(base_dir))
 
 
+def compact_snapshot(
+    spark: SparkSession, base_dir: str, target_bytes: int = 128 << 20
+) -> int:
+    """Small-file compaction through the version pointer — the
+    ZERO-ABSENCE-WINDOW path the directory-swap compaction
+    (operators/layout.compact_partitions) documents as the table-format
+    upgrade: the latest snapshot is rewritten into ~``target_bytes``
+    files as a NEW version, and the atomic pointer swap publishes it —
+    readers hold wholly-old or wholly-new, no partition is ever briefly
+    missing, a crash leaves only an invisible staging dir, and the old
+    files live until ``vacuum`` retires them (which is also what makes
+    this costlier: 2× storage until retention, where the directory swap
+    reclaims space immediately). Returns the new version id; no-op
+    (returns the current id) when the snapshot is already a single
+    target-sized file set."""
+    import math
+
+    v = latest_version(base_dir)
+    vdir = os.path.join(base_dir, f"v={v}")
+    files = [
+        os.path.join(vdir, f)
+        for f in os.listdir(vdir)
+        if f.endswith(".parquet") or f.startswith("part-")
+    ]
+    total = sum(os.path.getsize(f) for f in files if os.path.isfile(f))
+    n_target = max(1, math.ceil(total / target_bytes))
+    if len(files) <= n_target:
+        return v
+    return write_version(read_version(spark, base_dir, v).repartition(n_target), base_dir)
+
+
 def vacuum(base_dir: str, keep: int = 2) -> list[int]:
     """Drop all but the newest ``keep`` snapshots (the pointed-to version
     is always retained). Returns the removed version ids.

@@ -57,3 +57,39 @@ def test_vacuum_retains_newest_and_pointer(spark, tmp_path):
     assert read_latest(spark, base).count() == 8
     with pytest.raises(FileNotFoundError):
         read_version(spark, base, 0)
+
+
+def test_compact_snapshot_zero_window(spark, tmp_path):
+    """Version-pointer compaction: fragmented snapshot collapses into a
+    new version with identical rows, the old version stays readable
+    (time travel / in-flight readers), an already-compact snapshot is a
+    no-op, and vacuum retires the fragmented one afterwards."""
+    import os
+
+    from caseguarddatapipeline_spark.sources.versioned import (
+        compact_snapshot,
+        latest_version,
+        read_latest,
+        read_version,
+        vacuum,
+        write_version,
+    )
+
+    base = str(tmp_path / "table")
+    df = spark.range(10_000).selectExpr("id", "id * 2 AS v")
+    v0 = write_version(df.repartition(32), base)  # fragmented: 32 files
+
+    v1 = compact_snapshot(spark, base, target_bytes=64 << 20)
+    assert v1 == v0 + 1 and latest_version(base) == v1
+    n_files = len(
+        [f for f in os.listdir(f"{base}/v={v1}") if f.startswith("part-")]
+    )
+    assert n_files == 1
+    assert sorted(map(tuple, read_latest(spark, base).collect())) == sorted(
+        map(tuple, read_version(spark, base, v0).collect())
+    )
+    # no-op on an already-compact snapshot: same version id back
+    assert compact_snapshot(spark, base, target_bytes=64 << 20) == v1
+    # retention reclaims the fragmented version
+    assert vacuum(base, keep=1) == [v0]
+    assert not os.path.isdir(f"{base}/v={v0}")

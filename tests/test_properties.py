@@ -215,3 +215,33 @@ def test_containment_join_property(spark, tmp_path_factory, docs):
         for r in D.e1_containment_join(spark, path).collect()
     }
     assert got == expected
+
+
+@given(docs=_corpus)
+@settings(**_SETTINGS)
+def test_span_profile_property(spark, tmp_path_factory, docs):
+    """Span-dedup profile on ARBITRARY corpora: per-doc distinct-span and
+    cross-doc duplicated-span counts equal the brute-force sliding-window
+    computation (docs shorter than SPAN_N yield no row)."""
+    from caseguarddatapipeline_spark.operators import dedup as D
+
+    n = D.SPAN_N
+    spans = {
+        i: {" ".join(t[j : j + n]) for j in range(len(t) - n + 1)}
+        for i, t in enumerate(docs)
+        if len(t) >= n
+    }
+    expected = {
+        d: (
+            len(s),
+            len({x for x in s if any(x in spans[o] for o in spans if o != d)}),
+        )
+        for d, s in spans.items()
+    }
+
+    path = _corpus_df(spark, docs, tmp_path_factory.mktemp("span"))
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in D.e1_span_dedup(spark, path).collect()
+    }
+    assert got == expected

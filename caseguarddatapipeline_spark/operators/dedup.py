@@ -42,6 +42,11 @@ LSH_BANDS = 4  # 4 bands x 4 rows per band
 
 def _shingles(toks_col, n: int = 3):
     """Word n-gram shingles as strings (n=3) from a pre-split token column.
+    A document shorter than ``n`` tokens yields its single partial shingle
+    (``try_element_at`` nulls past the end, which ``concat_ws`` skips) —
+    the same semantics as the oracles' ``toks[i:i+n-1]`` list slice; a
+    bare ``element_at`` would throw INVALID_ARRAY_INDEX under Spark 4's
+    default ANSI mode the moment a short document reaches the corpus.
 
     ``toks_col`` MUST be a materialized array column (project
     ``F.split(text, " ")`` in a prior select), never the split expression
@@ -52,7 +57,12 @@ def _shingles(toks_col, n: int = 3):
     toks = toks_col
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]))
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(toks, i + j) for j in range(n)]
+            ),
+        )
     )
 
 
@@ -159,9 +169,13 @@ def _shingle_hashes_from_token_hashes(th_col, n: int = 3):
     idx = F.sequence(F.lit(1), F.greatest(F.size(th) - (n - 1), F.lit(1)))
 
     def combine(i):
-        acc = F.element_at(th, i)
+        # try_element_at: a sub-n-token doc's single window reads past the
+        # end — null propagates through the arithmetic exactly like
+        # DuckDB's out-of-bounds list index, where element_at would throw
+        # under ANSI
+        acc = F.try_element_at(th, i)
         for j in range(1, n):
-            acc = acc * 131 + F.element_at(th, i + j)
+            acc = acc * 131 + F.try_element_at(th, i + j)
         return F.pmod(acc, F.lit(_MERSENNE))
 
     return F.array_distinct(F.transform(idx, combine))

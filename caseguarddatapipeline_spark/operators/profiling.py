@@ -259,11 +259,16 @@ PSI_BINS = 6  # value bins of width 50, last bin open-ended
 def psi_bin(value_col):
     """Fixed-width PSI bin of a value column — exact floor arithmetic,
     clamped to [0, PSI_BINS), shared by the batch operator and the
-    streaming drift monitor so their histograms are comparable."""
-    return F.least(
-        F.greatest(F.floor(value_col / 50).cast("int"), F.lit(0)),
-        F.lit(PSI_BINS - 1),
+    streaming drift monitor so their histograms are comparable. The VALUE
+    is clamped to the bin range BEFORE the divide/floor: flooring an
+    extreme value/50 first returns BIGINT in Spark (overflow → ANSI
+    error) but DOUBLE in DuckDB, and casting it saturates in one engine
+    and raises in the other — clamped, both floor a small double and
+    cast the same small integer."""
+    clamped = F.least(
+        F.greatest(value_col, F.lit(0.0)), F.lit(50.0 * (PSI_BINS - 1))
     )
+    return F.floor(clamped / 50).cast("int")
 
 
 def a32_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,7 +375,8 @@ ORACLES = {
     "a32_psi_drift": """
         WITH e AS (
             SELECT event_type, epoch_us(ts) AS us,
-                   least(greatest(CAST(floor(value / 50) AS INT), 0), 5) AS bin
+                   CAST(floor(least(greatest(value, CAST(0 AS DOUBLE)),
+                                    CAST(250 AS DOUBLE)) / 50) AS INT) AS bin
             FROM events
         ), cut AS (
             SELECT (min(us) + max(us)) // 2 AS cut FROM e

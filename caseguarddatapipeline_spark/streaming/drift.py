@@ -2,27 +2,32 @@
 ``a32_psi_drift`` (operators/profiling.py): micro-batches of events
 accumulate per-type value histograms, and after every batch the
 cumulative profile is scored (smoothed PSI) against a FROZEN baseline
-profile, emitting one alert row per event type per batch. This is the
+profile, emitting one report row per event type per batch. This is the
 model-monitoring loop a feature store runs continuously, instead of the
 batch operator's one-shot half-vs-half comparison (and the
 distribution-level upgrade of the reference dashboard's static alert
 thresholds, monitoring/dashboard.py).
 
-Replay-exactness follows the span/near-dup index protocol
-(streaming/neardup.py): each batch writes its OWN histogram partition
-``counts_dir/ingest_batch=N`` via dynamic partition overwrite (a
-replayed batch rewrites its partition byte-for-byte; no count is ever
-double-added), and the PSI for batch N scores the union of partitions
-``ingest_batch <= N`` — so the cumulative profile is a pure function of
-the input batches, not of how many times any of them was attempted. Per-
-batch histogram rows number |event_type| × PSI_BINS (tiny); the heavy
-per-event work (binning + counting) is one combinable hash aggregate
-inside the batch.
+State protocol — replay-exact AND O(1) per batch: partition
+``counts_dir/ingest_batch=N`` holds the CUMULATIVE histogram through
+batch N (batch N's own counts merged with the latest partition < N), so
+each batch reads exactly one prior partition regardless of stream age —
+per-batch delta partitions would make batch N re-read all N predecessors,
+O(B²) file opens over the stream's life. Dynamic partition overwrite
+makes a replayed batch rewrite its own partition from the SAME
+predecessor it read originally (partitions > N cannot exist while N is
+being retried under availableNow's sequential batches), so no count is
+ever double-added. ``maintain_drift_counts`` retires partitions past a
+horizon — at least 2 are always kept, because a replay of the next batch
+needs its predecessor.
 
-The baseline is any DataFrame of (event_type, bin, n) — typically the
-profile of the training window, written once by ``write_baseline`` —
-against which drift is scored; PSI ≥ 0.25 is flagged (the standard
-"significant shift" band).
+Each report row carries the ≥ 0.25 alert flag ("significant shift"
+band). A type present only in the BASELINE scores high PSI by
+construction (its current profile smooths to uniform) — that is absence
+of data, not drift, so ``drifted`` additionally requires n_curr > 0; the
+row still surfaces with n_curr = 0 for no-data visibility. A batch with
+no admissible rows and no prior state writes nothing (scoring nothing
+against the baseline has no meaning yet) and cannot wedge the stream.
 """
 
 from __future__ import annotations
@@ -57,7 +62,9 @@ def score_against_baseline(
     spark: SparkSession, baseline: DataFrame, current: DataFrame
 ) -> DataFrame:
     """Smoothed PSI of a current (event_type, bin, n) profile against a
-    baseline profile, with the alert flag applied."""
+    baseline profile. ``drifted`` fires only for types with current
+    data — a baseline-only type smooths to the uniform profile and would
+    otherwise false-alarm on every batch until it first arrives."""
     counts = baseline.select(
         "event_type", F.lit("base").alias("phase"), "bin", "n"
     ).unionByName(
@@ -69,8 +76,46 @@ def score_against_baseline(
         "n_base",
         "n_curr",
         "psi",
-        (F.col("psi") >= PSI_ALERT).alias("drifted"),
+        ((F.col("psi") >= PSI_ALERT) & (F.col("n_curr") > 0)).alias("drifted"),
     )
+
+
+def _latest_counts(
+    sess: SparkSession, counts_dir: str, before_batch: int
+) -> DataFrame | None:
+    """The cumulative histogram of the newest batch BEFORE the current
+    one, or None when nothing is accumulated yet. Reads the partition
+    directory directly (one partition, however old the stream is)."""
+    prior = [
+        b
+        for d in os.listdir(counts_dir)
+        if d.startswith("ingest_batch=") and (b := int(d.split("=", 1)[1])) < before_batch
+    ]
+    if not prior:
+        return None
+    return sess.read.parquet(
+        os.path.join(counts_dir, f"ingest_batch={max(prior)}")
+    ).select("event_type", "bin", "n")
+
+
+def maintain_drift_counts(counts_dir: str, keep_batches: int = 8) -> int:
+    """Retire cumulative-histogram partitions past the horizon (newest
+    ``keep_batches`` kept, floor 2 — a replayed batch reads its
+    predecessor). Returns the number dropped. Each partition is a full
+    cumulative profile, so dropping old ones loses no information."""
+    import shutil
+
+    keep = max(2, keep_batches)
+    batches = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(counts_dir)
+        if d.startswith("ingest_batch=")
+    )
+    dropped = 0
+    for b in batches[: max(0, len(batches) - keep)]:
+        shutil.rmtree(os.path.join(counts_dir, f"ingest_batch={b}"))
+        dropped += 1
+    return dropped
 
 
 def run_drift_stream(
@@ -99,26 +144,34 @@ def run_drift_stream(
         admissible = batch.filter(
             F.col("event_type").isNotNull() & F.col("value").isNotNull()
         )
-        # the batch owns its histogram partition: replay-exact accumulation
-        (
+        prev = _latest_counts(sess, counts_dir, batch_id)
+        if prev is None and admissible.isEmpty():
+            return  # nothing accumulated and nothing admissible: no state yet
+        batch_counts = (
             admissible.select("event_type", psi_bin(F.col("value")).alias("bin"))
             .groupBy("event_type", "bin")
             .agg(F.count(F.lit(1)).alias("n"))
-            .withColumn("ingest_batch", F.lit(batch_id))
+        )
+        cumulative = (
+            batch_counts
+            if prev is None
+            else batch_counts.unionByName(prev)
+            .groupBy("event_type", "bin")
+            .agg(F.sum("n").alias("n"))
+        )
+        # the batch owns its cumulative partition: replay-exact, and the
+        # next batch reads only this one
+        (
+            cumulative.withColumn("ingest_batch", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch")
             .parquet(counts_dir)
         )
-        cumulative = (
-            sess.read.parquet(counts_dir)
-            .filter(F.col("ingest_batch") <= batch_id)
-            .groupBy("event_type", "bin")
-            .agg(F.sum("n").alias("n"))
-        )
         baseline = sess.read.parquet(baseline_dir)
+        current = _latest_counts(sess, counts_dir, batch_id + 1)
         (
-            score_against_baseline(sess, baseline, cumulative)
+            score_against_baseline(sess, baseline, current)
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

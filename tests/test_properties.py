@@ -136,11 +136,13 @@ def test_zvalue_matches_reference_and_is_bijective(spark, pairs):
 
 
 # random corpora for the set-similarity joins: small docs over a small
-# vocabulary so threshold-straddling pairs arise naturally
+# vocabulary so threshold-straddling pairs arise naturally; min_size=0
+# deliberately includes sub-shingle-width (and empty) documents — the
+# short-doc partial-shingle branch crashed under ANSI until round 5
 _corpus = st.lists(
     st.lists(
         st.integers(min_value=0, max_value=25).map(lambda i: f"w{i}"),
-        min_size=3,
+        min_size=0,
         max_size=12,
     ),
     min_size=2,

@@ -109,3 +109,87 @@ def test_null_rows_divert(spark, tmp_path):
     # the two null rows diverted: only the 20 valid clicks were counted
     assert len(rows) == 1 and rows[0]["n_curr"] == 20
     assert not rows[0]["drifted"]
+
+
+def test_baseline_only_type_is_not_drifted(spark, tmp_path):
+    """A type in the baseline that the stream has not yet produced must
+    surface as a no-data row (n_curr=0, drifted=False), not a standing
+    false alarm — absence of data is not drift."""
+    inp = str(tmp_path / "in")
+    base_dir = str(tmp_path / "baseline")
+    os.makedirs(inp)
+    write_baseline(
+        spark.createDataFrame(
+            [("purchase", 60.0)] * 40 + [("click", 10.0)] * 40,
+            "event_type string, value double",
+        ),
+        base_dir,
+    )
+    _write_batch(inp, 1, [("click", 10.0)] * 20)  # no 'purchase' yet
+    run_drift_stream(
+        spark, inp, base_dir,
+        str(tmp_path / "counts"), str(tmp_path / "out"), str(tmp_path / "ck"),
+    )
+    rows = {r["event_type"]: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert rows["purchase"]["n_curr"] == 0
+    assert not rows["purchase"]["drifted"]
+    assert rows["purchase"]["psi"] > PSI_ALERT  # the raw score IS high
+    assert not rows["click"]["drifted"]
+
+
+def test_empty_first_batch_does_not_wedge(spark, tmp_path):
+    """An all-inadmissible first batch must not fail the stream (there is
+    no histogram to read yet); a later valid batch starts the state."""
+    inp = str(tmp_path / "in")
+    base_dir = str(tmp_path / "baseline")
+    counts, out, ck = (
+        str(tmp_path / "counts"), str(tmp_path / "out"), str(tmp_path / "ck"),
+    )
+    os.makedirs(inp)
+    write_baseline(
+        spark.createDataFrame([("click", 10.0)] * 10, "event_type string, value double"),
+        base_dir,
+    )
+    _write_batch(inp, 1, [(None, 1.0), ("click", None)])
+    run_drift_stream(spark, inp, base_dir, counts, out, ck)
+    assert not [d for d in os.listdir(counts) if d.startswith("ingest_batch=")]
+
+    _write_batch(inp, 2, [("click", 10.0)] * 10)
+    run_drift_stream(spark, inp, base_dir, counts, out, ck)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0]["n_curr"] == 10 and not rows[0]["drifted"]
+
+
+def test_drift_counts_maintenance_keeps_cumulative(spark, tmp_path):
+    """Each counts partition is the full cumulative profile, so TTL can
+    drop old ones without losing counts; the floor of 2 protects replay."""
+    from caseguarddatapipeline_spark.streaming.drift import (
+        maintain_drift_counts,
+    )
+
+    inp = str(tmp_path / "in")
+    base_dir = str(tmp_path / "baseline")
+    counts, out, ck = (
+        str(tmp_path / "counts"), str(tmp_path / "out"), str(tmp_path / "ck"),
+    )
+    os.makedirs(inp)
+    write_baseline(
+        spark.createDataFrame([("click", 10.0)] * 10, "event_type string, value double"),
+        base_dir,
+    )
+    for b in range(1, 5):
+        _write_batch(inp, b, [("click", 10.0)] * 5)
+        run_drift_stream(spark, inp, base_dir, counts, out, ck)
+
+    assert maintain_drift_counts(counts, keep_batches=2) == 2
+    kept = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(counts)
+        if d.startswith("ingest_batch=")
+    )
+    assert kept == [2, 3]
+    # the next drain continues from the latest cumulative partition
+    _write_batch(inp, 5, [("click", 10.0)] * 5)
+    run_drift_stream(spark, inp, base_dir, counts, out, ck)
+    latest = spark.read.parquet(out).orderBy(F.desc("batch_id")).first()
+    assert latest["n_curr"] == 25  # 5 batches x 5 events, nothing lost

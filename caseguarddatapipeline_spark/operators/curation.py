@@ -452,9 +452,11 @@ QUERIES = {
 # survivors; quality/window stages mirror the Spark expressions verbatim.
 _LSH_OVER_DEDUP = """
         toks AS (
-            SELECT doc_id,
-                   list_filter(string_split(text, ' '), t -> t <> '') AS tk
-            FROM deduped
+            SELECT doc_id, tk FROM (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS tk
+                FROM deduped
+            ) WHERE len(tk) >= 3
         ), th AS (
             SELECT doc_id, list_transform(tk, t ->
                 list_reduce(list_prepend(CAST(0 AS BIGINT),

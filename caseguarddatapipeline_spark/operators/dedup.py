@@ -278,6 +278,11 @@ def _banded_hof(docs: DataFrame) -> DataFrame:
     docs = (
         docs.select("doc_id", F.split(F.col("text"), " ").alias("toks0"))
         .select("doc_id", F.filter("toks0", lambda t: t != "").alias("toks"))
+        # sub-shingle-width docs have NO shingle set: without this filter
+        # their single out-of-bounds window hashes to NULL, every such doc
+        # band-matches every other, and the verify stage scores
+        # [NULL]∩[NULL] as jaccard 1.0 — "one two" ≡ "x"
+        .filter(F.size("toks") >= 3)
         .select(
             "doc_id", F.transform("toks", _portable_token_hash).alias("th")
         )
@@ -336,8 +341,8 @@ def _banded_vectorized(spark: SparkSession, docs: DataFrame) -> DataFrame:
     form's DuckDB oracles. The HOF interpreter pays per character per
     expression node; here the per-token loop is Python but the
     shingle/signature math is one (shingles × 16) numpy broadcast per
-    doc. Docs with < n tokens would diverge (the HOF form emits a NULL
-    shingle); every corpus scale factor has ≥ 10 tokens per doc."""
+    doc. Docs with < n tokens are excluded at admission, exactly like the
+    HOF form and the streaming gate — they have no shingle set."""
     import numpy as np  # local: keep module import-safe without numpy
     import pandas as pd
 
@@ -351,7 +356,16 @@ def _banded_vectorized(spark: SparkSession, docs: DataFrame) -> DataFrame:
         int(spark.conf.get("spark.sql.shuffle.partitions")),
         min(8, spark.sparkContext.defaultParallelism),
     )
-    docs = _spread(docs, par, "doc_id").select("doc_id", "text")
+    # same sub-shingle-width admission as _banded_hof (JVM-side, before
+    # the Python stage): a < 3-token doc has no shingle set — the numpy
+    # kernel would also crash batching its ragged empty rows to Arrow
+    docs = (
+        _spread(docs, par, "doc_id")
+        .select("doc_id", "text")
+        .filter(
+            F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")) >= 3
+        )
+    )
     M = _MERSENNE
     A = np.array([2 * i + 1 for i in range(N_MINHASH)], dtype=np.int64)
     B = np.array([7919 * (i + 1) for i in range(N_MINHASH)], dtype=np.int64)
@@ -1344,9 +1358,11 @@ ORACLES = {
     """,
     "e1_minhash_lsh": """
         WITH toks AS (
-            SELECT doc_id,
-                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
-            FROM documents
+            SELECT doc_id, toks FROM (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                FROM documents
+            ) WHERE len(toks) >= 3
         ), th AS (
             SELECT doc_id, list_transform(toks, t ->
                 list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -193,3 +193,31 @@ def test_drift_counts_maintenance_keeps_cumulative(spark, tmp_path):
     run_drift_stream(spark, inp, base_dir, counts, out, ck)
     latest = spark.read.parquet(out).orderBy(F.desc("batch_id")).first()
     assert latest["n_curr"] == 25  # 5 batches x 5 events, nothing lost
+
+
+def test_checkpoint_loss_full_replay_is_idempotent(spark, tmp_path):
+    """Losing the checkpoint and re-draining the same input must converge
+    to the same counts and reports: every batch owns its partitions, so a
+    full replay overwrites rather than double-adds."""
+    import shutil
+
+    inp = str(tmp_path / "in")
+    base_dir = str(tmp_path / "baseline")
+    counts, out, ck = (
+        str(tmp_path / "counts"), str(tmp_path / "out"), str(tmp_path / "ck"),
+    )
+    os.makedirs(inp)
+    write_baseline(
+        spark.createDataFrame([("click", 10.0)] * 10, "event_type string, value double"),
+        base_dir,
+    )
+    for b in range(1, 4):
+        _write_batch(inp, b, [("click", 10.0)] * 5)
+    run_drift_stream(spark, inp, base_dir, counts, out, ck)
+    before_counts = sorted(map(tuple, spark.read.parquet(counts).collect()))
+    before_out = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    shutil.rmtree(ck)  # checkpoint lost: the stream replays from scratch
+    run_drift_stream(spark, inp, base_dir, counts, out, ck)
+    assert sorted(map(tuple, spark.read.parquet(counts).collect())) == before_counts
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == before_out

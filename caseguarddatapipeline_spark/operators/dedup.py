@@ -958,11 +958,17 @@ def e1_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     df table is computed once per corpus snapshot and the prefix join
     partitions by shingle like any posting-list join."""
     docs = load_table(spark, sf_dir, "documents")
+    # a doc participates iff it has >= 1 non-empty token: NULL and
+    # empty/whitespace text drop, matching the oracle exactly — DuckDB's
+    # list_distinct removes the NULL its out-of-range slice yields for a
+    # zero-token doc, so such docs are absent there; a 1-2-token doc
+    # keeps its single partial shingle in BOTH engines
     toks = (
         docs.select(
             "doc_id",
             F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("t"),
         )
+        .filter(F.size("t") >= 1)
         .select("doc_id", F.explode(_shingles(F.col("t"))).alias("tok"))
     )
 
@@ -1117,11 +1123,17 @@ def e1_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     any inverted index; df-ascending prefixes keep probe fan-out on the
     rare tail rather than the boilerplate head."""
     docs = load_table(spark, sf_dir, "documents")
+    # a doc participates iff it has >= 1 non-empty token: NULL and
+    # empty/whitespace text drop, matching the oracle exactly — DuckDB's
+    # list_distinct removes the NULL its out-of-range slice yields for a
+    # zero-token doc, so such docs are absent there; a 1-2-token doc
+    # keeps its single partial shingle in BOTH engines
     toks = (
         docs.select(
             "doc_id",
             F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("t"),
         )
+        .filter(F.size("t") >= 1)
         .select("doc_id", F.explode(_shingles(F.col("t"))).alias("tok"))
     )
 

@@ -347,6 +347,22 @@ def _lease_age(fs, hpath, path: str) -> float | None:
     return time.time() - fs.getFileStatus(marker).getModificationTime() / 1000.0
 
 
+def compaction_lease_held(spark: SparkSession, path: str) -> bool:
+    """True while another ``compact_partitions`` run's swap lease on
+    ``path`` is fresh. Maintenance jobs that combine recovery with
+    DESTRUCTIVE steps (TTL deletes) must check this BEFORE acting:
+    ``recover_compaction``'s lease no-op is indistinguishable from
+    'nothing to heal', and deleting expired partitions while a swap is
+    mid-flight lets the eventual recovery resurrect data the TTL pass
+    meant to retire."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(conf)
+    age = _lease_age(fs, hpath, path)
+    return age is not None and age < LEASE_SECONDS
+
+
 def recover_compaction(
     spark: SparkSession, path: str, lease_seconds: float = LEASE_SECONDS
 ) -> int:

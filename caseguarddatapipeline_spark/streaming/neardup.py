@@ -114,8 +114,22 @@ def maintain_index(
     OPTIMIZE + retention schedule a lakehouse table runs."""
     import shutil
 
-    from ..operators.layout import compact_partitions, recover_compaction
+    from ..operators.layout import (
+        compact_partitions,
+        compaction_lease_held,
+        recover_compaction,
+    )
 
+    # refuse to run against an index another maintenance run is mid-swap
+    # on: recover_compaction would silently no-op under the fresh lease,
+    # the TTL pass would then see an INCONSISTENT index (swapped-out
+    # partitions invisible, their expiry skipped), and the eventual
+    # recovery would resurrect signatures this run meant to retire
+    if compaction_lease_held(spark, index_dir):
+        raise OSError(
+            f"index maintenance skipped: another compaction of {index_dir} "
+            "holds the swap lease; retry after it finishes or ages out"
+        )
     # heal any interrupted swap BEFORE the TTL pass: an expired batch whose
     # data sits in the compaction trash must be restored first, so the TTL
     # rmtree (not the trash) is what removes it — otherwise recovery would

@@ -162,6 +162,12 @@ def _corpus_df(spark, docs, tmpdir):
 
 
 def _shingle_set(toks):
+    """3-gram shingle set; 1-2-token docs keep their partial shingle and
+    ZERO-token docs return None — they do not participate (both engines
+    drop them: DuckDB's list_distinct removes the NULL slice, Spark
+    filters on >= 1 token)."""
+    if not toks:
+        return None
     if len(toks) < 3:
         return {" ".join(toks)}
     return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
@@ -176,7 +182,9 @@ def test_prefix_filter_join_property(spark, tmp_path_factory, docs):
 
     from caseguarddatapipeline_spark.operators import dedup as D
 
-    sets = {i: _shingle_set(t) for i, t in enumerate(docs)}
+    sets = {
+        i: s for i, t in enumerate(docs) if (s := _shingle_set(t)) is not None
+    }
     expected = set()
     for a, b in itertools.combinations(sorted(sets), 2):
         inter = len(sets[a] & sets[b])
@@ -202,7 +210,9 @@ def test_containment_join_property(spark, tmp_path_factory, docs):
 
     from caseguarddatapipeline_spark.operators import dedup as D
 
-    sh = {i: _shingle_set(t) for i, t in enumerate(docs)}
+    sh = {
+        i: s for i, t in enumerate(docs) if (s := _shingle_set(t)) is not None
+    }
     expected = set()
     for a, b in itertools.combinations(sorted(sh), 2):
         inter = len(sh[a] & sh[b])

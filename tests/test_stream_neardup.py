@@ -221,3 +221,32 @@ def test_span_index_maintenance_ttl(spark, tmp_path):
     kept = spark.read.parquet(idx)
     assert set(r["ingest_batch"] for r in kept.select("ingest_batch").distinct().collect()) == {1, 2}
     assert set(map(tuple, kept.collect())) == expected
+
+
+def test_maintenance_refuses_while_lease_held(spark, tmp_path):
+    """maintain_index must abort BEFORE the TTL pass while another run's
+    swap lease is fresh — recovery silently no-ops under the lease, so
+    proceeding would TTL against an inconsistent index."""
+    import pytest
+
+    from caseguarddatapipeline_spark.operators.layout import (
+        _LEASE_MARKER,
+        _TRASH,
+    )
+    from caseguarddatapipeline_spark.streaming.neardup import (
+        maintain_index,
+        run_span_dedup_stream,
+    )
+
+    inp, idx = str(tmp_path / "in"), str(tmp_path / "index")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(inp)
+    _write_batch(inp, 1, [(1, " ".join(f"t{i}" for i in range(12)))])
+    run_span_dedup_stream(spark, inp, idx, out, ck)
+
+    os.makedirs(os.path.join(idx, _TRASH), exist_ok=True)
+    open(os.path.join(idx, _TRASH, _LEASE_MARKER), "w").close()
+    with pytest.raises(OSError, match="lease"):
+        maintain_index(spark, idx, keep_batches=1, partition_cols=("ingest_batch",))
+    # the index partition survived untouched
+    assert os.path.isdir(os.path.join(idx, "ingest_batch=0"))

@@ -70,6 +70,12 @@ def _run_rate_query(spark, build, run_s: int):
         )
         time.sleep(run_s)
         progress = [p for p in (q.recentProgress or []) if p]
+        # a query that ALREADY failed during the measured window is a real
+        # pipeline regression — surface it instead of recording the
+        # pre-crash batches as a green throughput number
+        pre_existing = q.exception()
+        if pre_existing is not None:
+            raise pre_existing
         try:
             q.stop()
         except Exception:

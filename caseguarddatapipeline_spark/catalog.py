@@ -32,11 +32,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # base-inventory and extension tails (50/50 green). Round 5 closes the
 # sweep: the 35 round-4 catalog additions that have never had a
 # driver-green CORRECTNESS row (all parity-green at sf0.01 already),
-# plus all nine round-5 additions, plus 6 continuity slots for the
-# flagship and the bench headliners (p1/t2/e3_quality/e2_knn/e4 rotated
-# out this round — each already has 2-4 green rounds, and the bench
-# headliners among them stay continuously re-proven by BENCH_rN anyway).
-# After this window, every
+# plus all ten round-5 additions, plus 5 continuity slots for the
+# flagship and the bench headliners (p1/t2/e3_quality/e2_knn/e4/q1
+# rotated out this round — each already has 2-4 green rounds, and the
+# bench headliners among them stay continuously re-proven by BENCH_rN
+# anyway). After this window, every
 # oracle-backed catalog entry has at least one driver-green round. Every rotated-out query
 # stays oracle-checked by tools/parity.py and tools/driver_sim.py over
 # the FULL catalog. Rows-only entries are PERMANENTLY out of the window
@@ -51,7 +51,6 @@ _PRIORITY = [
     # Continuity: flagship + bench headliners (driver-green r1-r4)
     "a1_reconciliation_summary",
     "a1_reconciliation_summary_sql",
-    "q1_pricing_summary_sql",
     "e1_minhash_lsh_vectorized",
     "e2_cosine_topk_vectorized",
     "e5_corpus_curation",
@@ -107,6 +106,7 @@ _PRIORITY = [
     "e3_bm25_search",
     "e3_vocab_induction",
     "a32_psi_drift",
+    "e5_token_budget_sample",
 ]
 
 

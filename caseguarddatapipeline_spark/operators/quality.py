@@ -242,6 +242,58 @@ def e5_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOKEN_BUDGET_PER_SOURCE = 1000
+
+
+def e5_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit each source to a TOKEN budget — the final packing constraint of
+    corpus assembly ("2 T tokens total, at most B from source s"), a
+    different primitive from the doc-count cap (e5_stratified_sample) and
+    the per-doc acceptance weight (e5_weighted_sample): documents are
+    taken in stable content-hash order (deterministic, id- and
+    partitioning-independent) and a source's prefix is kept while the
+    RUNNING token total stays within budget — a doc is admitted iff the
+    cumulative count INCLUDING it is ≤ B, so the boundary doc that would
+    overflow is dropped and admission is a pure function of the corpus.
+    One window shuffle on the source key; emits the per-source fit
+    report. At 100 TB the running sum is the same plan — cumulative
+    window over (source) ordered by (hash, doc_id) — with sources as
+    independent partitions; skewed giant sources range-partition by the
+    hash prefix within the source before the window."""
+    from .dedup import _portable_token_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.pmod(_portable_token_hash(F.col("text")), F.lit(1_000_000))
+    w = Window.partitionBy("source").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        h.alias("h"),
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")).alias(
+            "n_tokens"
+        ),
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    kept = ranked.filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.max("cum_tokens").cast("bigint").alias("tokens_used"),
+            F.min("h").cast("bigint").alias("first_hash"),
+            F.max("h").cast("bigint").alias("last_hash"),
+        )
+        .withColumn(
+            "budget_fill",
+            F.round(
+                F.col("tokens_used").cast("double")
+                / F.lit(float(TOKEN_BUDGET_PER_SOURCE)),
+                6,
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def e3_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group feature normalization: z-score, percent rank, and decile
     of document length WITHIN each source — the per-domain normalization
@@ -357,12 +409,40 @@ QUERIES = {
     "e5_global_shuffle": e5_global_shuffle,
     "e5_curriculum_order": e5_curriculum_order,
     "e5_weighted_sample": e5_weighted_sample,
+    "e5_token_budget_sample": e5_token_budget_sample,
     "w11_gaps_islands": w11_gaps_islands,
 }
 
 _STOPLIST_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLES = {
+    "e5_token_budget_sample": """
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                       (a, c) -> (a * 131 + c) % 2147483647) % 1000000 AS h,
+                   len(list_filter(string_split(text, ' '),
+                                   t -> t <> '')) AS n_tokens
+            FROM documents
+        ), cum AS (
+            SELECT *, sum(n_tokens) OVER (
+                PARTITION BY source ORDER BY h ASC, doc_id ASC
+                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM ranked
+        ), kept AS (
+            SELECT * FROM cum WHERE cum_tokens <= 1000
+        )
+        SELECT source,
+               count(*) AS n_docs_kept,
+               CAST(max(cum_tokens) AS BIGINT) AS tokens_used,
+               CAST(min(h) AS BIGINT) AS first_hash,
+               CAST(max(h) AS BIGINT) AS last_hash,
+               round(CAST(max(cum_tokens) AS DOUBLE) / CAST(1000 AS DOUBLE), 6)
+                   AS budget_fill
+        FROM kept GROUP BY source ORDER BY source
+    """,
     "e3_gopher_rules": f"""
         WITH w AS (
             SELECT doc_id, text, string_split(text, ' ') AS ws,

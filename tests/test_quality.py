@@ -278,3 +278,56 @@ def test_approx_percentiles_track_exact(spark, sf_dir):
             lo = vals[max(0, target - 3)]
             hi = vals[min(n - 1, target + 1)]
             assert lo <= got <= hi, (et, q, got, lo, hi)
+
+
+def test_token_budget_sample_prefix_and_boundary(spark, tmp_path):
+    """Token-budget sampling keeps exactly the hash-order prefix whose
+    RUNNING total fits the budget: the boundary doc that would overflow
+    is dropped (verified against an independent python-side hash
+    ordering), and an under-budget source keeps everything."""
+    import pyspark.sql.functions as F
+
+    from caseguarddatapipeline_spark.operators import quality as Q
+    from caseguarddatapipeline_spark.operators.dedup import _py_token_hash
+
+    budget = Q.TOKEN_BUDGET_PER_SOURCE
+    # source A: docs sized ~40% of budget each -> exactly 2 fit; source B
+    # fits entirely
+    docs = []
+    for i in range(5):
+        docs.append((i, "A", " ".join(f"a{i}w{j}" for j in range(int(budget * 0.4)))))
+    docs.append((10, "B", "tiny doc here"))
+    docs.append((11, "B", "another tiny doc"))
+    spark.createDataFrame(docs, "doc_id long, source string, text string") \
+        .coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["source"]: r
+        for r in Q.e5_token_budget_sample(spark, str(tmp_path)).collect()
+    }
+    assert got["A"]["n_docs_kept"] == 2
+    assert got["A"]["tokens_used"] == 2 * int(budget * 0.4)
+    assert got["B"]["n_docs_kept"] == 2 and got["B"]["budget_fill"] < 0.01
+
+    # the kept prefix is the 2 smallest (hash, doc_id) docs of source A
+    order = sorted(
+        (( _py_token_hash(t) % 1_000_000), d) for d, s, t in docs if s == "A"
+    )
+    kept_ids = {d for _, d in order[:2]}
+    detail = (
+        spark.read.parquet(str(tmp_path / "documents.parquet"))
+        .filter("source = 'A'")
+    )
+    # recompute membership through the operator's own internals
+    from caseguarddatapipeline_spark.operators.dedup import _portable_token_hash
+    from pyspark.sql import Window
+
+    h = F.pmod(_portable_token_hash(F.col("text")), F.lit(1_000_000))
+    w = Window.partitionBy("source").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    kept = (
+        detail.select("doc_id", "source", h.alias("h"),
+                      F.size(F.split("text", " ")).alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") <= budget)
+    )
+    assert {r["doc_id"] for r in kept.collect()} == kept_ids

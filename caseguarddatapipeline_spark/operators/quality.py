@@ -274,14 +274,20 @@ def e5_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
     kept = ranked.filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
+    fit = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.max("cum_tokens").cast("bigint").alias("tokens_used"),
+        F.min("h").cast("bigint").alias("first_hash"),
+        F.max("h").cast("bigint").alias("last_hash"),
+    )
+    # every source appears in the fit report — one whose very first doc
+    # in hash order overflows the budget keeps NOTHING and must show as
+    # an n_docs_kept=0 row, not vanish (a consumer could not otherwise
+    # tell 'fully over budget' from 'absent from corpus')
     return (
-        kept.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs_kept"),
-            F.max("cum_tokens").cast("bigint").alias("tokens_used"),
-            F.min("h").cast("bigint").alias("first_hash"),
-            F.max("h").cast("bigint").alias("last_hash"),
-        )
+        ranked.select("source").distinct()
+        .join(fit, "source", "left")
+        .na.fill({"n_docs_kept": 0, "tokens_used": 0})
         .withColumn(
             "budget_fill",
             F.round(
@@ -416,7 +422,7 @@ QUERIES = {
 _STOPLIST_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLES = {
-    "e5_token_budget_sample": """
+    "e5_token_budget_sample": f"""
         WITH ranked AS (
             SELECT doc_id, source,
                    list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -432,16 +438,26 @@ ORACLES = {
                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
             FROM ranked
         ), kept AS (
-            SELECT * FROM cum WHERE cum_tokens <= 1000
+            SELECT * FROM cum WHERE cum_tokens <= {TOKEN_BUDGET_PER_SOURCE}
+        ), fit AS (
+            SELECT source,
+                   count(*) AS n_docs_kept,
+                   CAST(max(cum_tokens) AS BIGINT) AS tokens_used,
+                   CAST(min(h) AS BIGINT) AS first_hash,
+                   CAST(max(h) AS BIGINT) AS last_hash
+            FROM kept GROUP BY source
         )
-        SELECT source,
-               count(*) AS n_docs_kept,
-               CAST(max(cum_tokens) AS BIGINT) AS tokens_used,
-               CAST(min(h) AS BIGINT) AS first_hash,
-               CAST(max(h) AS BIGINT) AS last_hash,
-               round(CAST(max(cum_tokens) AS DOUBLE) / CAST(1000 AS DOUBLE), 6)
+        SELECT s.source,
+               coalesce(f.n_docs_kept, 0) AS n_docs_kept,
+               CAST(coalesce(f.tokens_used, 0) AS BIGINT) AS tokens_used,
+               f.first_hash,
+               f.last_hash,
+               round(CAST(coalesce(f.tokens_used, 0) AS DOUBLE)
+                     / CAST({TOKEN_BUDGET_PER_SOURCE} AS DOUBLE), 6)
                    AS budget_fill
-        FROM kept GROUP BY source ORDER BY source
+        FROM (SELECT DISTINCT source FROM ranked) s
+        LEFT JOIN fit f USING (source)
+        ORDER BY s.source
     """,
     "e3_gopher_rules": f"""
         WITH w AS (

@@ -292,12 +292,13 @@ def test_token_budget_sample_prefix_and_boundary(spark, tmp_path):
 
     budget = Q.TOKEN_BUDGET_PER_SOURCE
     # source A: docs sized ~40% of budget each -> exactly 2 fit; source B
-    # fits entirely
+    # fits entirely; source C's ONLY doc alone exceeds the budget
     docs = []
     for i in range(5):
         docs.append((i, "A", " ".join(f"a{i}w{j}" for j in range(int(budget * 0.4)))))
     docs.append((10, "B", "tiny doc here"))
     docs.append((11, "B", "another tiny doc"))
+    docs.append((20, "C", " ".join(f"c{j}" for j in range(budget + 5))))
     spark.createDataFrame(docs, "doc_id long, source string, text string") \
         .coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
 
@@ -308,6 +309,9 @@ def test_token_budget_sample_prefix_and_boundary(spark, tmp_path):
     assert got["A"]["n_docs_kept"] == 2
     assert got["A"]["tokens_used"] == 2 * int(budget * 0.4)
     assert got["B"]["n_docs_kept"] == 2 and got["B"]["budget_fill"] < 0.01
+    # fully-over-budget source still appears in the fit report as zero
+    assert got["C"]["n_docs_kept"] == 0 and got["C"]["tokens_used"] == 0
+    assert got["C"]["first_hash"] is None and got["C"]["budget_fill"] == 0.0
 
     # the kept prefix is the 2 smallest (hash, doc_id) docs of source A
     order = sorted(
@@ -325,8 +329,12 @@ def test_token_budget_sample_prefix_and_boundary(spark, tmp_path):
     h = F.pmod(_portable_token_hash(F.col("text")), F.lit(1_000_000))
     w = Window.partitionBy("source").orderBy(F.col("h").asc(), F.col("doc_id").asc())
     kept = (
-        detail.select("doc_id", "source", h.alias("h"),
-                      F.size(F.split("text", " ")).alias("n_tokens"))
+        detail.select(
+            "doc_id", "source", h.alias("h"),
+            F.size(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("n_tokens"),
+        )
         .withColumn("cum", F.sum("n_tokens").over(w))
         .filter(F.col("cum") <= budget)
     )

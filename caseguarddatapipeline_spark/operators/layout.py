@@ -253,6 +253,30 @@ def compact_partitions(
     if not todo:
         return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
 
+    # take the swap lease EXCLUSIVELY (create with overwrite=False is the
+    # mutex) BEFORE the staging write: the staging path is a fixed sibling
+    # dir, so two concurrent runs would interleave/delete each other's
+    # staged files and then double-swap; a run that slipped past the entry
+    # check errors HERE instead, with no live data touched
+    marker = hpath(f"{path}/{_TRASH}/{_LEASE_MARKER}")
+    fs.mkdirs(hpath(f"{path}/{_TRASH}"))
+    try:
+        fs.create(marker, False).close()
+    except Exception as exc:
+        raise OSError(
+            f"another compaction of {path} took the swap lease concurrently; "
+            "aborting with nothing touched"
+        ) from exc
+
+    def _refresh_lease():
+        # the staging write and a 10⁴-partition swap loop can outlast a
+        # single lease period; refreshing keeps reader recovery from
+        # declaring a LIVE writer dead and "healing" mid-flight
+        fs.create(marker, True).close()
+
+    def _release_lease():
+        fs.delete(marker, False)
+
     df = spark.read.parquet(path)
     data_cols = [c for c in df.columns if c not in partition_cols]
     # partition dir string ("k1=v1/k2=v2") rebuilt from the row, matched
@@ -269,57 +293,84 @@ def compact_partitions(
     )
     fidx = F.pmod(F.xxhash64(*data_cols), F.col("_target_files"))
     staging = path.rstrip("/") + ".compacting"
-    (
-        df.withColumn("_part", part_expr)
-        .join(plan_df, "_part")
-        .withColumn("_fidx", fidx)
-        .repartition(*partition_cols, "_fidx")
-        .drop("_part", "_target_files", "_fidx")
-        .write.mode("overwrite")
-        .partitionBy(*partition_cols)
-        .parquet(staging)
-    )
-
-    staged = list_partition_files(spark, staging)
-    # pre-swap integrity gate: every todo partition must have staged data.
-    # A missing one means its directory name did not round-trip the row-
-    # value reconstruction (null / escaped / re-typed value) — abort with
-    # NOTHING modified rather than risk deleting a partition whose rewrite
-    # silently missed it.
-    missing = [p["partition"] for p in todo if not staged.get(p["partition"])]
-    if missing:
-        fs.delete(hpath(staging), True)
-        raise ValueError(
-            "compaction aborted, no files touched: staging has no data for "
-            f"partitions {missing} — partition values do not round-trip "
-            "their directory names (null/escaped/re-typed)"
+    try:
+        (
+            df.withColumn("_part", part_expr)
+            .join(plan_df, "_part")
+            .withColumn("_fidx", fidx)
+            .repartition(*partition_cols, "_fidx")
+            .drop("_part", "_target_files", "_fidx")
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(staging)
         )
-    # take the swap lease: recovery (reader-side or a second maintenance
-    # run) is a no-op while this marker is fresh, so the per-partition
-    # swaps below cannot be "healed" out from under us mid-flight
-    fs.mkdirs(hpath(f"{path}/{_TRASH}"))
-    fs.create(hpath(f"{path}/{_TRASH}/{_LEASE_MARKER}"), True).close()
-    for p in todo:
+
+        staged = list_partition_files(spark, staging)
+        # pre-swap integrity gate: every todo partition must have staged
+        # data. A missing one means its directory name did not round-trip
+        # the row-value reconstruction (null / escaped / re-typed value) —
+        # abort with NOTHING modified rather than risk deleting a partition
+        # whose rewrite silently missed it.
+        missing = [p["partition"] for p in todo if not staged.get(p["partition"])]
+        if missing:
+            raise ValueError(
+                "compaction aborted, no files touched: staging has no data "
+                f"for partitions {missing} — partition values do not "
+                "round-trip their directory names (null/escaped/re-typed)"
+            )
+    except Exception:
+        fs.delete(hpath(staging), True)
+        _release_lease()
+        raise
+    _refresh_lease()  # the staging write may have consumed most of a lease
+
+    for i, p in enumerate(todo):
         part = p["partition"]
         live = hpath(f"{path}/{part}")
         trash = hpath(f"{path}/{_TRASH}/{part}")
-        fs.mkdirs(trash.getParent())
+        # drift gate: a writer (e.g. the near-dup stream) may have landed
+        # files in this partition AFTER the plan's listing; swapping would
+        # silently destroy them with the trash. Abort loudly instead —
+        # this partition is untouched, completed swaps stand, recovery
+        # cleans the rest once the lease is released.
+        now_names = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(live)
+            if not st.getPath().getName().startswith(("_", "."))
+        )
+        plan_names = sorted(
+            fpath.rsplit("/", 1)[-1] for fpath, _sz in before.get(part, [])
+        )
+        if now_names != plan_names:
+            fs.delete(hpath(staging), True)
+            _release_lease()
+            raise OSError(
+                f"compaction aborted at {part}: partition contents changed "
+                "since planning (concurrent writer?) — nothing of this "
+                "partition was touched; re-run maintenance off the write path"
+            )
+        if i % 128 == 127:
+            _refresh_lease()
         if not fs.rename(live, trash):
-            fs.delete(hpath(f"{path}/{_TRASH}/{_LEASE_MARKER}"), False)
+            fs.delete(hpath(staging), True)
+            _release_lease()
             raise OSError(f"compaction swap-out failed for {part}")
         if not fs.rename(hpath(f"{staging}/{part}"), live):
-            # roll back so the dataset stays intact; a failed rollback must
-            # NOT pass silently — the original data is only in the trash.
-            # Either way release the lease first: the loop is abandoned, and
-            # recovery (which the lease no longer blocks) is what heals or
-            # cleans whatever state this run leaves behind.
-            fs.delete(hpath(f"{path}/{_TRASH}/{_LEASE_MARKER}"), False)
+            # roll back BEFORE releasing the lease, so reader recovery
+            # cannot race the rollback, restore the partition itself, and
+            # delete the trash this error message points at
             if not fs.rename(trash, live):
+                # keep the lease: it blocks automated recovery from racing
+                # whatever manual intervention the operator performs, and
+                # ages out in LEASE_SECONDS so auto-heal still happens if
+                # nobody intervenes
                 raise OSError(
                     f"compaction swap-in AND rollback failed for {part}: "
                     f"original data preserved at {path}/{_TRASH}/{part}; "
-                    "restore it manually before the next maintenance run"
+                    "restore it manually (or wait for the lease to age out "
+                    "and recovery to restore it) before the next run"
                 )
+            _release_lease()
             raise OSError(f"compaction swap-in failed for {part} (rolled back)")
     fs.delete(hpath(f"{path}/{_TRASH}"), True)
     fs.delete(hpath(staging), True)
@@ -387,28 +438,43 @@ def recover_compaction(
     the affected partition stays absent (the documented maintenance
     window, now bounded by the lease instead of racy).
 
-    Caveat (documented, not solved here): on a filesystem whose directory
+    Caveats (documented, not solved here): on a filesystem whose directory
     rename is non-atomic (object stores), a partially-materialized live dir
-    is indistinguishable from a completed swap; deploy on such stores only
-    behind a manifest-committing table format."""
+    is indistinguishable from a completed swap — deploy on such stores only
+    behind a manifest-committing table format
+    (``sources/versioned.compact_snapshot``). Lease freshness compares the
+    checker's clock against the storage system's mtime clock, so
+    cross-host skew effectively widens or narrows the lease by the skew —
+    size ``LEASE_SECONDS`` with your fleet's clock-sync bound in mind (the
+    600 s default tolerates NTP-class skew comfortably)."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(conf)
     trash_root = hpath(f"{path}/{_TRASH}")
-    if not fs.exists(trash_root):
-        return 0
     age = _lease_age(fs, hpath, path)
     if age is not None and age < lease_seconds:
         return 0  # an active writer holds the swap lease — do not interfere
+    # stale STAGING cleanup: a crash between trash deletion and staging
+    # deletion leaves the full compacted copy next to the dataset forever
+    # (every later run's plan finds nothing to compact and returns early);
+    # no fresh lease means no writer owns it
+    fs.delete(hpath(path.rstrip("/") + ".compacting"), True)
+    if not fs.exists(trash_root):
+        return 0
     root_str = fs.makeQualified(trash_root).toString()
     parts = set()
-    it = fs.listFiles(trash_root, True)
-    while it.hasNext():
-        p = it.next().getPath().toString()
-        rel = p[len(root_str) :].lstrip("/")
-        if "/" in rel:
-            parts.add(rel.rsplit("/", 1)[0])
+    try:
+        it = fs.listFiles(trash_root, True)
+        while it.hasNext():
+            p = it.next().getPath().toString()
+            rel = p[len(root_str) :].lstrip("/")
+            if "/" in rel:
+                parts.add(rel.rsplit("/", 1)[0])
+    except Exception as exc:
+        if "FileNotFound" in type(exc).__name__ + str(exc):
+            return 0  # a concurrent recovery finished and removed the trash
+        raise
     restored = 0
     for part in sorted(parts):
         live = hpath(f"{path}/{part}")
@@ -416,8 +482,24 @@ def recover_compaction(
         if not fs.exists(live) or not fs.listStatus(live):
             fs.delete(live, True)
             if not fs.rename(hpath(f"{path}/{_TRASH}/{part}"), live):
-                raise OSError(f"compaction recovery failed to restore {part}")
-            restored += 1
+                # lost the race to a concurrent recovery: fine iff the
+                # partition is live NOW — recovery must be idempotent under
+                # the documented many-readers-at-startup pattern, not crash
+                # a healthy reader over a rename someone else already won
+                if not (fs.exists(live) and fs.listStatus(live)):
+                    raise OSError(
+                        f"compaction recovery failed to restore {part}"
+                    )
+            else:
+                restored += 1
+    # a writer may have taken a FRESH lease while this recovery ran (its
+    # entry check saw no fresh marker yet) — deleting the trash root now
+    # would destroy that lease and unleash other readers on its swaps;
+    # leave the root for the writer's own cleanup. A stale marker is the
+    # dead lease this recovery already bypassed and goes with the root.
+    final_age = _lease_age(fs, hpath, path)
+    if final_age is not None and final_age < lease_seconds:
+        return restored
     fs.delete(trash_root, True)
     return restored
 

@@ -450,3 +450,89 @@ def test_compaction_lease_blocks_concurrent_recovery(spark, tmp_path):
     assert os.path.isdir(os.path.join(path, "batch=1"))
     assert not os.path.isdir(os.path.join(path, _TRASH))
     assert spark.read.parquet(path).count() == 200
+
+
+def test_compaction_aborts_on_concurrent_partition_change(spark, tmp_path, monkeypatch):
+    """If a partition's live file set differs at swap time from the
+    planning-time listing (a concurrent writer landed files), the swap
+    must abort loudly with the partition untouched — swapping would send
+    the unplanned files to the trash and delete them on success."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from caseguarddatapipeline_spark.operators import layout as L
+
+    path = str(tmp_path / "events")
+    spark.range(400).select(
+        "id", (F.col("id") % 2).alias("batch")
+    ).repartition(8).write.partitionBy("batch").parquet(path)
+    before_rows = spark.read.parquet(path).count()
+
+    real = L.list_partition_files
+    calls = {"n": 0}
+
+    def doctored(spark_, p):
+        out = real(spark_, p)
+        calls["n"] += 1
+        if calls["n"] == 1 and p == path:
+            # planning sees one FEWER file than reality -> swap-time drift
+            for part in out:
+                if out[part]:
+                    out[part] = out[part][:-1]
+                    break
+        return out
+
+    monkeypatch.setattr(L, "list_partition_files", doctored)
+    with pytest.raises(OSError, match="changed since planning"):
+        L.compact_partitions(spark, path, ["batch"])
+    monkeypatch.setattr(L, "list_partition_files", real)
+
+    # nothing lost, lease released, dataset still healthy and compactable
+    assert spark.read.parquet(path).count() == before_rows
+    assert not os.path.exists(
+        os.path.join(path, L._TRASH, L._LEASE_MARKER)
+    )
+    # swaps completed before the abort stand; the re-run finishes the rest
+    report = L.compact_partitions(spark, path, ["batch"])
+    assert report["partitions_compacted"] >= 1
+    assert spark.read.parquet(path).count() == before_rows
+    # fully compacted now: a further run is a no-op
+    assert L.compact_partitions(spark, path, ["batch"])["partitions_compacted"] == 0
+
+
+def test_recovery_cleans_stale_staging(spark, tmp_path):
+    """A crash after trash cleanup but before staging cleanup leaves the
+    full compacted copy next to the dataset; recovery must remove it
+    (and must NOT remove an active writer's staging, which is protected
+    by the fresh lease short-circuit)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from caseguarddatapipeline_spark.operators.layout import (
+        _LEASE_MARKER,
+        _TRASH,
+        recover_compaction,
+    )
+
+    path = str(tmp_path / "events")
+    spark.range(100).select(
+        "id", (F.col("id") % 2).alias("batch")
+    ).write.partitionBy("batch").parquet(path)
+    staging = path + ".compacting"
+    os.makedirs(os.path.join(staging, "batch=0"))
+    open(os.path.join(staging, "batch=0", "part-stale.parquet"), "w").close()
+
+    # fresh lease -> staging is an active writer's, untouched
+    os.makedirs(os.path.join(path, _TRASH), exist_ok=True)
+    open(os.path.join(path, _TRASH, _LEASE_MARKER), "w").close()
+    assert recover_compaction(spark, path) == 0
+    assert os.path.isdir(staging)
+
+    # stale lease -> crashed run's leftovers: staging goes
+    os.utime(os.path.join(path, _TRASH, _LEASE_MARKER), (1, 1))
+    recover_compaction(spark, path)
+    assert not os.path.exists(staging)
+    assert not os.path.isdir(os.path.join(path, _TRASH))

@@ -48,7 +48,7 @@ def _job_json():
 
 def _numbered_jobs(
     jobs: DataFrame, batch_size: int, order_col: str
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, DataFrame | None]:
     """Contiguous global sequence numbers WITHOUT a driver collect or a
     single-partition sort: range-partition on the order key (a cluster-wide
     sort where every task holds one contiguous key range), count rows per
@@ -58,16 +58,24 @@ def _numbered_jobs(
     batch = seq DIV batch_size. This is the distributed form of the W5
     batch numbering (operators/relational.py:376; reference slicing:
     etl/flows/onboard_tenant.py:206-235) — the global window variant
-    collapses onto one task at 100×, this one never does. Returns
-    (numbered frame, total row count) — the count is free from the
-    per-partition tallies."""
+    collapses onto one task at 100×, this one never does.
+
+    The range-partitioned frame is PERSISTED before the tally collect:
+    repartitionByRange picks its boundaries by sampling, so two separate
+    executions (the tally job and the later write job) could range-split a
+    large/skewed input DIFFERENTLY, making the broadcast offsets disagree
+    with the write-time partitioning — duplicate/gapped sequence numbers.
+    Persisting pins ONE materialized partitioning that both jobs reuse.
+    Returns (numbered frame, total row count, persisted handle) — the
+    caller unpersists the handle after its write action (None when the
+    input was empty and nothing was cached)."""
     spark = jobs.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, 1)
     parts = (
         jobs.repartitionByRange(n_parts, order_col)
         .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
-    )
+    ).persist()
     tallies = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("n"))
     counts = {r["_pid"]: r["n"] for r in tallies.collect()}  # ≤ n_parts rows
     offsets, acc = {}, 0
@@ -75,7 +83,8 @@ def _numbered_jobs(
         offsets[pid] = acc
         acc += counts[pid]
     if not offsets:
-        return jobs.withColumn("batch", F.lit(0).cast("long")), 0
+        parts.unpersist()
+        return jobs.withColumn("batch", F.lit(0).cast("long")), 0, None
     off_map = F.create_map(
         *[F.lit(v) for kv in offsets.items() for v in kv]
     )
@@ -84,7 +93,7 @@ def _numbered_jobs(
     numbered = parts.withColumn(
         "batch", F.floor(seq / batch_size).cast("long")
     ).drop("_pid")
-    return numbered, acc
+    return numbered, acc, parts
 
 
 def _write_job_batches(
@@ -106,16 +115,20 @@ def _write_job_batches(
     # clear it up front — the overwrite write would do it anyway, but the
     # zero-jobs path skips the write entirely
     shutil.rmtree(staging, ignore_errors=True)
-    numbered, n_jobs = _numbered_jobs(jobs, batch_size, order_col)
-    if n_jobs:
-        (
-            numbered.repartition("batch")
-            .sortWithinPartitions("batch", order_col)
-            .select(_job_json().alias("value"), "batch")
-            .write.mode("overwrite")
-            .partitionBy("batch")
-            .text(staging)
-        )
+    numbered, n_jobs, cached = _numbered_jobs(jobs, batch_size, order_col)
+    try:
+        if n_jobs:
+            (
+                numbered.repartition("batch")
+                .sortWithinPartitions("batch", order_col)
+                .select(_job_json().alias("value"), "batch")
+                .write.mode("overwrite")
+                .partitionBy("batch")
+                .text(staging)
+            )
+    finally:
+        if cached is not None:
+            cached.unpersist()
     n_batches = 0
     if os.path.isdir(staging):
         for d in sorted(os.listdir(staging)):

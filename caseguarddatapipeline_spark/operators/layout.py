@@ -274,7 +274,34 @@ def compact_partitions(
         # declaring a LIVE writer dead and "healing" mid-flight
         fs.create(marker, True).close()
 
+    # heartbeat ticker: a staging rewrite longer than LEASE_SECONDS would
+    # otherwise let a concurrent reader's recover_compaction declare this
+    # LIVE writer dead and delete the in-flight staging dir; refreshing at
+    # a third of the period keeps the lease fresh for the whole run,
+    # however long the rewrite takes. Stopped (and joined) before any
+    # release so a late tick can never recreate a released marker.
+    import threading
+
+    _hb_stop = threading.Event()
+
+    def _hb_loop():
+        while not _hb_stop.wait(LEASE_SECONDS / 3):
+            try:
+                _refresh_lease()
+            except Exception:
+                return  # fs torn down mid-run: the main thread raises anyway
+
+    _hb_thread = threading.Thread(
+        target=_hb_loop, name="compaction-lease-heartbeat", daemon=True
+    )
+    _hb_thread.start()
+
+    def _stop_heartbeat():
+        _hb_stop.set()
+        _hb_thread.join(timeout=10)
+
     def _release_lease():
+        _stop_heartbeat()
         fs.delete(marker, False)
 
     df = spark.read.parquet(path)
@@ -351,6 +378,11 @@ def compact_partitions(
             )
         if i % 128 == 127:
             _refresh_lease()
+        # the Hadoop rename contract returns false when the destination
+        # PARENT is missing — a multi-level partition (k1=a/k2=b) renames
+        # into a nested trash path, so create that parent first (the local
+        # fs silently copy-falls-back; HDFS does not)
+        fs.mkdirs(trash.getParent())
         if not fs.rename(live, trash):
             fs.delete(hpath(staging), True)
             _release_lease()
@@ -363,7 +395,8 @@ def compact_partitions(
                 # keep the lease: it blocks automated recovery from racing
                 # whatever manual intervention the operator performs, and
                 # ages out in LEASE_SECONDS so auto-heal still happens if
-                # nobody intervenes
+                # nobody intervenes (heartbeat stops so it CAN age out)
+                _stop_heartbeat()
                 raise OSError(
                     f"compaction swap-in AND rollback failed for {part}: "
                     f"original data preserved at {path}/{_TRASH}/{part}; "
@@ -372,6 +405,9 @@ def compact_partitions(
                 )
             _release_lease()
             raise OSError(f"compaction swap-in failed for {part} (rolled back)")
+    # stop the ticker BEFORE deleting the trash dir: a late tick would
+    # recreate the marker (fs.create makes parents) and wedge the next run
+    _stop_heartbeat()
     fs.delete(hpath(f"{path}/{_TRASH}"), True)
     fs.delete(hpath(staging), True)
 

@@ -300,6 +300,97 @@ def e5_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUDGET_BUCKETS = 32  # hash-prefix buckets per source; scale with source size
+
+
+def token_budget_sample_scaled(
+    docs: DataFrame, budget: int = TOKEN_BUDGET_PER_SOURCE
+) -> DataFrame:
+    """The 100 TB deployment form of e5_token_budget_sample — identical
+    fit report, NO whole-source window task. The oracle form's cumulative
+    window sorts each source in ONE task (a straggler when one source is
+    half the corpus); here the running sum decomposes via DETERMINISTIC
+    hash-prefix bucketing (the two-pass ``flows._numbered_jobs`` shape,
+    minus its sampled range boundaries — h is already uniform in [0, 1e6),
+    so fixed-width buckets are balanced by construction and need no
+    persist to pin them):
+
+    1. bucket = h DIV (1e6 / _BUDGET_BUCKETS) — monotone in h, so bucket
+       order IS admission order; a giant source spans _BUDGET_BUCKETS
+       independent tasks instead of one.
+    2. per-(source, bucket) token tallies — a metadata-sized aggregate
+       (#sources × #buckets rows); each bucket's OFFSET (tokens owed to
+       earlier buckets of its source) is a running sum over that tiny
+       table, broadcast-joined back. No driver collect anywhere.
+    3. cum_tokens = offset + bucket-local cumulative sum over (h, doc_id);
+       every window task is bounded by source/#buckets, not by the
+       largest source.
+
+    Admission (cum ≤ budget) and the per-source fit report then match the
+    oracle form row-for-row — pinned by tests/test_quality.py the same way
+    ``zscore_by_source_scaled`` and ``global_shuffle_scaled`` are."""
+    from .dedup import _portable_token_hash
+
+    width = max(1, 1_000_000 // _BUDGET_BUCKETS)
+    h = F.pmod(_portable_token_hash(F.col("text")), F.lit(1_000_000))
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        h.alias("h"),
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")).alias(
+            "n_tokens"
+        ),
+    ).withColumn("_bkt", F.floor(F.col("h") / width).cast("int"))
+    tallies = ranked.groupBy("source", "_bkt").agg(
+        F.sum("n_tokens").alias("_bkt_tokens")
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = tallies.select(
+        "source",
+        "_bkt",
+        F.coalesce(F.sum("_bkt_tokens").over(w_off), F.lit(0)).alias("_offset"),
+    )
+    w_local = (
+        Window.partitionBy("source", "_bkt")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = ranked.join(F.broadcast(offsets), ["source", "_bkt"]).withColumn(
+        "cum_tokens", F.col("_offset") + F.sum("n_tokens").over(w_local)
+    )
+    kept = cum.filter(F.col("cum_tokens") <= budget)
+    fit = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.max("cum_tokens").cast("bigint").alias("tokens_used"),
+        F.min("h").cast("bigint").alias("first_hash"),
+        F.max("h").cast("bigint").alias("last_hash"),
+    )
+    return (
+        ranked.select("source").distinct()
+        .join(fit, "source", "left")
+        .na.fill({"n_docs_kept": 0, "tokens_used": 0})
+        .withColumn(
+            "budget_fill",
+            F.round(
+                F.col("tokens_used").cast("double") / F.lit(float(budget)), 6
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def e5_token_budget_sample_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry for the two-pass decomposition — identical output to
+    e5_token_budget_sample (same oracle, the zscore_by_source_scaled
+    pattern), different physical plan: range partition + tally offsets +
+    partition-local cumsum instead of one whole-source window task."""
+    return token_budget_sample_scaled(load_table(spark, sf_dir, "documents"))
+
+
 def e3_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group feature normalization: z-score, percent rank, and decile
     of document length WITHIN each source — the per-domain normalization
@@ -416,6 +507,7 @@ QUERIES = {
     "e5_curriculum_order": e5_curriculum_order,
     "e5_weighted_sample": e5_weighted_sample,
     "e5_token_budget_sample": e5_token_budget_sample,
+    "e5_token_budget_sample_scaled": e5_token_budget_sample_scaled,
     "w11_gaps_islands": w11_gaps_islands,
 }
 
@@ -586,3 +678,4 @@ ORACLES = {
 # identical output contract, different execution strategy → same oracle
 # (the e1_minhash_lsh_vectorized pattern)
 ORACLES["e3_zscore_by_source_scaled"] = ORACLES["e3_zscore_by_source"]
+ORACLES["e5_token_budget_sample_scaled"] = ORACLES["e5_token_budget_sample"]

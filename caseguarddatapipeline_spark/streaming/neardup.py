@@ -79,6 +79,34 @@ def probe_index(banded: DataFrame, index: DataFrame) -> DataFrame:
     )
 
 
+def _check_index_ownership(index_dir: str, batch_id: int) -> None:
+    """Fail fast when ``index_dir`` holds partitions AHEAD of the current
+    batch id: batch ids restart at 0 under a FRESH checkpoint, so a stream
+    pointed at an existing index with a new checkpoint would silently
+    ignore every accumulated partition (all ``>= batch_id``) and re-index
+    from empty, while ``maintain_index`` keeps preferring the stale
+    high-numbered ones for retention. A partition EQUAL to batch_id is the
+    legitimate crash-replay case (index written, checkpoint commit lost →
+    the replay overwrites it, replay-exact); anything beyond it means this
+    checkpoint does not own this state dir."""
+    if not os.path.isdir(index_dir):
+        return
+    ahead = sorted(
+        b
+        for d in os.listdir(index_dir)
+        if d.startswith("ingest_batch=")
+        and (b := int(d.split("=", 1)[1])) > batch_id
+    )
+    if ahead:
+        raise RuntimeError(
+            f"near-dup index {index_dir} already holds partitions {ahead} "
+            f"ahead of batch {batch_id}: the stream's checkpoint does not "
+            "own this state (fresh checkpoint against an existing index?) "
+            "— point at an empty index_dir or restore the matching "
+            "checkpoint"
+        )
+
+
 def _read_index(sess: SparkSession, index_dir: str, before_batch: int) -> DataFrame | None:
     """Index partitions from batches BEFORE the current one, or None when
     nothing is indexed yet. The existence check replaces a bare
@@ -208,6 +236,7 @@ def run_neardup_stream(
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
+        _check_index_ownership(index_dir, batch_id)
         # admission gate: the signature kernel needs >= MIN_TOKENS tokens;
         # malformed/short rows divert rather than failing the micro-batch
         admissible = batch.filter(
@@ -284,6 +313,7 @@ def run_span_dedup_stream(
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
+        _check_index_ownership(index_dir, batch_id)
         # admission: only the null checks — _span_hashes' own size filter
         # already diverts sub-SPAN_N (and null-text) docs, so repeating
         # the tokenize-and-count predicate here would split every text

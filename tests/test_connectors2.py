@@ -536,3 +536,52 @@ def test_recovery_cleans_stale_staging(spark, tmp_path):
     recover_compaction(spark, path)
     assert not os.path.exists(staging)
     assert not os.path.isdir(os.path.join(path, _TRASH))
+
+
+def test_lease_heartbeat_outlives_long_staging_write(spark, tmp_path, monkeypatch):
+    """A staging rewrite longer than LEASE_SECONDS must NOT let a
+    concurrent reader's recover_compaction declare the writer dead and
+    delete the in-flight staging dir: the writer heartbeats the lease, so
+    every recovery attempt during the run is a no-op and the compaction
+    completes. (Pre-heartbeat, the marker aged out mid-write and recovery
+    'healed' the live run into a spurious failure.)"""
+    import threading
+    import time
+
+    import pyspark.sql.functions as F
+
+    from caseguarddatapipeline_spark.operators import layout
+    from caseguarddatapipeline_spark.operators.layout import (
+        compact_partitions,
+        recover_compaction,
+    )
+
+    # a lease far shorter than the rewrite; heartbeat ticks every ~0.13s
+    monkeypatch.setattr(layout, "LEASE_SECONDS", 0.4)
+
+    path = str(tmp_path / "events")
+    df = spark.range(400_000).select(
+        "id", (F.col("id") % 2).alias("batch"), (F.col("id") * 3).alias("v")
+    ).repartition(12)
+    df.write.partitionBy("batch").parquet(path)
+    before = spark.read.parquet(path).agg(F.sum("v")).collect()[0][0]
+
+    recoveries: list[int] = []
+    stop = threading.Event()
+
+    def _reader():
+        while not stop.wait(0.15):
+            recoveries.append(recover_compaction(spark, path))
+
+    t = threading.Thread(target=_reader, daemon=True)
+    t.start()
+    try:
+        report = compact_partitions(spark, path, ["batch"])
+    finally:
+        stop.set()
+        t.join(timeout=10)
+
+    assert report["partitions_compacted"] == 2
+    # every concurrent recovery during the run found a fresh lease (no-op)
+    assert all(r == 0 for r in recoveries)
+    assert spark.read.parquet(path).agg(F.sum("v")).collect()[0][0] == before

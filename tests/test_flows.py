@@ -233,11 +233,16 @@ def test_numbered_jobs_matches_global_ordering_across_sizes(spark):
             F.lit(3).cast("int").alias("priority"),
             F.lit(0).cast("int").alias("retry_count"),
         )
-        numbered, total = _numbered_jobs(jobs, batch_size, "job_id")
+        numbered, total, cached = _numbered_jobs(jobs, batch_size, "job_id")
         assert total == n_rows
+        # empty input caches nothing; otherwise the range partitioning is
+        # pinned so the tally and any later action share one materialization
+        assert (cached is None) == (n_rows == 0)
         got = sorted(
             (r["job_id"], r["batch"]) for r in numbered.select("job_id", "batch").collect()
         )
+        if cached is not None:
+            cached.unpersist()
         expected_keys = sorted(
             r["job_id"] for r in jobs.select("job_id").collect()
         )

@@ -339,3 +339,67 @@ def test_token_budget_sample_prefix_and_boundary(spark, tmp_path):
         .filter(F.col("cum") <= budget)
     )
     assert {r["doc_id"] for r in kept.collect()} == kept_ids
+
+
+def test_token_budget_scaled_matches_window_form(spark, sf_dir):
+    """The hash-prefix-bucket decomposition is row-identical to the
+    whole-source-window form — same kept counts, token totals, hash
+    bounds, and fill ratios per source."""
+    from caseguarddatapipeline_spark.operators.quality import (
+        e5_token_budget_sample,
+        token_budget_sample_scaled,
+    )
+    from caseguarddatapipeline_spark.sources import load_table
+
+    base = sorted(map(tuple, e5_token_budget_sample(spark, sf_dir).collect()))
+    docs = load_table(spark, sf_dir, "documents")
+    scaled = sorted(map(tuple, token_budget_sample_scaled(docs).collect()))
+    assert base == scaled
+
+
+def test_token_budget_scaled_skewed_giant_source(spark):
+    """One source holding ~all rows (the straggler case the decomposition
+    exists for): the bucket-offset running sum must admit exactly the
+    serial prefix, across bucket boundaries, including a fully-over-budget
+    source reported as zero-kept."""
+    import pyspark.sql.functions as F
+
+    from caseguarddatapipeline_spark.operators.dedup import _portable_token_hash
+    from caseguarddatapipeline_spark.operators.quality import (
+        token_budget_sample_scaled,
+    )
+
+    # giant source: 5000 docs of 3 tokens each; tiny source: one 50-token
+    # doc that blows its whole budget on doc 1 in hash order -> 0 kept
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("giant").alias("source"),
+        F.concat(F.lit("tok"), F.col("id").cast("string"), F.lit(" alpha beta")).alias("text"),
+    ).unionByName(
+        spark.range(1).select(
+            (F.col("id") + 100_000).alias("doc_id"),
+            F.lit("tiny").alias("source"),
+            F.lit(" ".join(f"w{i}" for i in range(50))).alias("text"),
+        )
+    )
+    got = {r["source"]: r for r in token_budget_sample_scaled(docs, budget=40).collect()}
+
+    # serial reference: sort giant's docs by (h, doc_id), take while cum <= 40
+    rows = docs.filter(F.col("source") == "giant").select(
+        "doc_id",
+        F.pmod(_portable_token_hash(F.col("text")), F.lit(1_000_000)).alias("h"),
+    ).collect()
+    order = sorted((r["h"], r["doc_id"]) for r in rows)
+    kept, cum = [], 0
+    for h_val, did in order:
+        if cum + 3 > 40:
+            break
+        cum += 3
+        kept.append((h_val, did))
+    assert got["giant"]["n_docs_kept"] == len(kept) == 13  # 13*3=39 <= 40
+    assert got["giant"]["tokens_used"] == cum == 39
+    assert got["giant"]["first_hash"] == kept[0][0]
+    assert got["giant"]["last_hash"] == kept[-1][0]
+    # the 50-token doc overflows a 40-token budget: present, zero kept
+    assert got["tiny"]["n_docs_kept"] == 0
+    assert got["tiny"]["tokens_used"] == 0

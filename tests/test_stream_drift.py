@@ -221,3 +221,39 @@ def test_checkpoint_loss_full_replay_is_idempotent(spark, tmp_path):
     run_drift_stream(spark, inp, base_dir, counts, out, ck)
     assert sorted(map(tuple, spark.read.parquet(counts).collect())) == before_counts
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == before_out
+
+
+def test_fresh_checkpoint_against_old_counts_fails_fast(spark, tmp_path):
+    """A FRESH checkpoint restarts batch ids at 0; pointing it at a
+    counts_dir that already holds higher-numbered partitions must raise
+    (not silently restart accumulation from empty while maintenance keeps
+    preferring the stale high-numbered partitions)."""
+    import pytest
+
+    inp = str(tmp_path / "in")
+    base_dir = str(tmp_path / "baseline")
+    counts, out, ck = (
+        str(tmp_path / "counts"), str(tmp_path / "out"), str(tmp_path / "ck"),
+    )
+    os.makedirs(inp)
+    write_baseline(
+        spark.createDataFrame(
+            [("click", 10.0)] * 10, "event_type string, value double"
+        ),
+        base_dir,
+    )
+    _write_batch(inp, 1, [("click", 10.0)] * 5)
+    _write_batch(inp, 2, [("click", 10.0)] * 5)
+    # one file per trigger -> batches 0 and 1 -> counts holds both
+    run_drift_stream(spark, inp, base_dir, counts, out, ck, max_files_per_trigger=1)
+    assert os.path.isdir(os.path.join(counts, "ingest_batch=1"))
+
+    import shutil
+
+    shutil.rmtree(ck)  # FRESH checkpoint, same counts_dir: ids restart at 0
+    with pytest.raises(Exception, match="does not own this state"):
+        run_drift_stream(
+            spark, inp, base_dir, counts, out, ck, max_files_per_trigger=1
+        )
+    # the stale partitions were not touched by the refused run
+    assert os.path.isdir(os.path.join(counts, "ingest_batch=1"))

@@ -250,3 +250,23 @@ def test_maintenance_refuses_while_lease_held(spark, tmp_path):
         maintain_index(spark, idx, keep_batches=1, partition_cols=("ingest_batch",))
     # the index partition survived untouched
     assert os.path.isdir(os.path.join(idx, "ingest_batch=0"))
+
+
+def test_index_ownership_gate(tmp_path):
+    """Batch ids ahead of the current one mean the checkpoint does not own
+    the index dir (fresh checkpoint against accumulated state): fail fast.
+    Equal ids are the crash-replay case (index written, commit lost) and
+    must pass — the replay overwrites its own partition."""
+    import pytest
+
+    from caseguarddatapipeline_spark.streaming.neardup import (
+        _check_index_ownership,
+    )
+
+    idx = str(tmp_path / "index")
+    _check_index_ownership(idx, 0)  # missing dir: first ever batch, fine
+    os.makedirs(os.path.join(idx, "ingest_batch=2"))
+    with pytest.raises(RuntimeError, match="does not own this state"):
+        _check_index_ownership(idx, 0)
+    _check_index_ownership(idx, 2)  # replay of the batch that wrote it
+    _check_index_ownership(idx, 3)  # normal successor batch

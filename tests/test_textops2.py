@@ -126,3 +126,95 @@ def test_vocab_induction_matches_bruteforce(spark, tmp_path):
         ]
     )
     assert got == top
+
+
+def _serial_bpe(vocab, n_rounds):
+    """Textbook BPE (Sennrich et al. 2016 Alg. 1) over symbol lists:
+    count adjacent pairs weighted by word frequency, merge the argmax
+    (count desc, sym1, sym2) greedily left-to-right, repeat."""
+    segs = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(n_rounds):
+        counts = {}
+        for w, n in vocab.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append({"left": a, "right": b, "merged": a + b, "count": c})
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+def test_bpe_learn_merges_matches_serial_reference(spark, sf_dir):
+    """Four rounds of distributed merge learning equal the serial
+    reference over the same vocab — counts, tie-breaks, and the greedy
+    non-overlapping re-segmentation (incl. merges that extend an earlier
+    merged symbol)."""
+    from collections import Counter
+
+    from caseguarddatapipeline_spark.operators.textops import bpe_learn_merges
+    from caseguarddatapipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = Counter(
+        w
+        for r in docs.select("text").collect()
+        for w in r["text"].split(" ")
+        if w
+    )
+    assert bpe_learn_merges(docs, n_rounds=4) == _serial_bpe(vocab, 4)
+
+
+def test_bpe_learn_merges_overlap_and_extension(spark, tmp_path):
+    """Crafted corpus: round 1 merges (a,a) — 'aaa' must count the pair
+    twice but merge only once (greedy non-overlap) — and round 2 must be
+    able to EXTEND the merged symbol (('aa','a') or ('aa','b') style),
+    which exercises the marker-char segmentation."""
+    docs_rows = [(0, "aaa aab aab"), (1, "aaa aab baa")]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    vocab = {"aaa": 2, "aab": 3, "baa": 1}
+
+    from caseguarddatapipeline_spark.operators.textops import bpe_learn_merges
+
+    got = bpe_learn_merges(docs, n_rounds=3)
+    assert got == _serial_bpe(vocab, 3)
+    assert got[0]["left"] == "a" and got[0]["right"] == "a"
+    # some later merge involves the learned 'aa' symbol
+    assert any("aa" in (m["left"], m["right"]) for m in got[1:])
+
+
+def test_vocab_2round_agrees_with_merge_learner(spark, sf_dir):
+    """The oracle-checked 2-round catalog query and the iterative learner
+    see the same world: the learner's merge #1 is the round-1 argmax the
+    query re-segments with, and its merge #2 is the query's top row."""
+    from caseguarddatapipeline_spark.operators.textops import (
+        bpe_learn_merges,
+        e3_vocab_induction,
+        e3_vocab_induction_2round,
+    )
+    from caseguarddatapipeline_spark.sources import load_table
+
+    merges = bpe_learn_merges(load_table(spark, sf_dir, "documents"), 2)
+    r1_top = e3_vocab_induction(spark, sf_dir).limit(1).collect()[0]
+    assert merges[0]["merged"] == r1_top["pair"]
+    assert merges[0]["count"] == r1_top["pair_count"]
+    r2_top = e3_vocab_induction_2round(spark, sf_dir).limit(1).collect()[0]
+    assert r2_top["merge1"] == r1_top["pair"]
+    assert (merges[1]["left"], merges[1]["right"]) == (
+        r2_top["sym1"], r2_top["sym2"],
+    )
+    assert merges[1]["count"] == r2_top["pair_count"]

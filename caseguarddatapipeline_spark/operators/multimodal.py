@@ -65,14 +65,43 @@ DECODED_SCHEMA = StructType(
 )
 
 
-def decode_binary_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas decode stub: Arrow-batched, deterministic.
+def _decode_one(b: bytes) -> str:
+    """Magic-byte dispatch for the decode stub — REAL format signatures,
+    deterministic outputs (no codec libraries needed for the header
+    parse; a full decoder drops in per branch):
 
-    Real implementation would dispatch on mime_type to PIL / torchaudio /
-    pyav and emit image tensors / audio frames; the stub emits byte counts
-    and a utf-8 preview so the plumbing (batch shape, schema, partitioning)
-    is fully exercised and testable without codec libraries.
+    - ``%PDF-``: strip the header line and the ``%%EOF`` trailer, preview
+      the embedded body text (what a pdf text extractor returns).
+    - PNG signature: parse the IHDR chunk's big-endian width/height —
+      the dimensions a real decoder hands to patchification.
+    - ``RIFF..WAVE``: parse the little-endian fmt sample rate and data
+      chunk length — the frame arithmetic a real resampler starts from.
+    - anything else: utf-8 text preview (the plain-text path).
     """
+    import struct
+
+    if b[:5] == b"%PDF-":
+        body = b.split(b"\n", 1)[1] if b"\n" in b else b""
+        body = body.removesuffix(b"\n%%EOF")
+        return body[:32].decode("utf-8", errors="replace")
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", b[16:24])
+        return f"PNG {w}x{h}"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        rate = struct.unpack("<I", b[24:28])[0]
+        n_samples = struct.unpack("<I", b[40:44])[0]
+        return f"WAV {rate}Hz {n_samples}smp"
+    return b[:32].decode("utf-8", errors="replace")
+
+
+def decode_binary_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas decode stub: Arrow-batched, deterministic, dispatching
+    on REAL magic bytes (PDF header, PNG signature + IHDR, RIFF/WAVE) via
+    ``_decode_one``. A real implementation swaps each branch's body for
+    PIL / torchaudio / pyav and emits tensors; the header parsing, batch
+    shape, schema, and Arrow transfer here are production-shaped and the
+    fixture files carry genuine format signatures
+    (tests/test_multimodal.py pins the dispatch)."""
     for pdf in batches:
         payloads = pdf["payload"]
         yield pd.DataFrame(
@@ -81,7 +110,7 @@ def decode_binary_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 "mime_type": pdf["mime_type"],
                 "n_bytes": payloads.map(len).astype("int64"),
                 "decoded_preview": payloads.map(
-                    lambda b: bytes(b)[:32].decode("utf-8", errors="replace")
+                    lambda b: _decode_one(bytes(b))
                 ),
                 "feature_dim": (pdf["doc_id"] % 8 + 8).astype("int32"),
             }
@@ -274,7 +303,63 @@ def e4_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BINFIX_N = 64  # docs materialized as real files (bounded fixture, not data-sized)
-_BINFIX_EXT = {0: "pdf", 1: "png", 2: "txt"}  # doc_id % 3 → extension
+_BINFIX_VERSION = 2  # bump when payload formats change: invalidates old fixtures
+
+
+def _format_ext(doc_id: int) -> str:
+    """doc_id → on-disk extension: pdf / png / wav / txt (wav and txt
+    split the doc_id%3==2 class by %6 so all four formats appear)."""
+    m = doc_id % 3
+    if m == 0:
+        return "pdf"
+    if m == 1:
+        return "png"
+    return "wav" if doc_id % 6 == 2 else "txt"
+
+
+def _format_payload(doc_id: int, text: str) -> bytes:
+    """GENUINE format payloads for the fixture — real magic numbers and
+    parseable headers (the reference handles real file formats:
+    soap_downloader.py:101-161), deterministic from (doc_id, text):
+
+    - pdf: ``%PDF-1.4`` header line + the doc text as body + ``%%EOF``
+      (n_bytes = len(text) + 15).
+    - png: 8-byte PNG signature + a valid IHDR chunk (big-endian dims
+      64+(id%5)*32 × 64+(id%4)*32, 8-bit truecolor, correct CRC32) —
+      n_bytes = 33.
+    - wav: canonical 44-byte RIFF/WAVE PCM header (8 kHz mono 8-bit,
+      matching e4_audio_chunks' framing constants) + the text bytes as
+      the sample data (n_bytes = len(text) + 44).
+    - txt: the raw utf-8 text.
+    """
+    import struct
+    import zlib
+
+    body = text.encode()
+    ext = _format_ext(doc_id)
+    if ext == "pdf":
+        return b"%PDF-1.4\n" + body + b"\n%%EOF"
+    if ext == "png":
+        w, h = 64 + (doc_id % 5) * 32, 64 + (doc_id % 4) * 32
+        chunk = b"IHDR" + struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + chunk
+            + struct.pack(">I", zlib.crc32(chunk))
+        )
+    if ext == "wav":
+        return (
+            b"RIFF"
+            + struct.pack("<I", 36 + len(body))
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+            + b"data"
+            + struct.pack("<I", len(body))
+            + body
+        )
+    return body
 
 
 def _binaryfile_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -299,6 +384,7 @@ def _binaryfile_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         fingerprint = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
     except OSError:  # non-local sf_dir: fall back to the path alone
         fingerprint = os.path.abspath(sf_dir)
+    fingerprint += f"|v{_BINFIX_VERSION}"  # payload format revisions invalidate
     tag = hashlib.sha1(fingerprint.encode()).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), "caseguard_binfix")
     out = os.path.join(base, tag)
@@ -306,17 +392,18 @@ def _binaryfile_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     if os.path.exists(marker):
         return out
     rows = (
-        with_binary_payload(load_table(spark, sf_dir, "documents"))
+        load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _BINFIX_N)
-        .select("doc_id", "payload")
+        .select("doc_id", "text")
         .collect()
     )
     os.makedirs(base, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=base)
     for r in rows:
-        ext = _BINFIX_EXT[r["doc_id"] % 3]
-        with open(os.path.join(tmp, f"doc_{r['doc_id']:06d}.{ext}"), "wb") as f:
-            f.write(bytes(r["payload"]))
+        did = r["doc_id"]
+        name = f"doc_{did:06d}.{_format_ext(did)}"
+        with open(os.path.join(tmp, name), "wb") as f:
+            f.write(_format_payload(did, r["text"]))
     with open(os.path.join(tmp, "_FIXTURE_COMPLETE"), "w") as f:
         f.write(str(len(rows)))
     try:
@@ -338,10 +425,12 @@ def e4_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns), derive doc_id from the filename and MIME from the
     extension — exactly how a production blob-store landing zone is read
     — then route the bytes through the same Arrow-batched decode stub as
-    ``e4_decode_pipeline``. The synthesized-payload pipeline is the
-    oracle twin: file bytes were written from the same payloads, so the
-    decoded outputs must match the in-engine path exactly. At 100 TB the
-    fixture dir is an object-store prefix and binaryFile's
+    ``e4_decode_pipeline``. The files carry GENUINE format signatures
+    (PDF header, PNG signature + IHDR, RIFF/WAVE — ``_format_payload``),
+    so the stub's magic-byte dispatch is exercised on real headers and
+    the oracle pins the PARSED values (PNG dims, WAV rate/sample count,
+    extracted PDF body), all deterministic functions of (doc_id, text).
+    At 100 TB the fixture dir is an object-store prefix and binaryFile's
     pathGlobFilter/recursiveFileLookup handle layout; each file is one
     row, so partitioning follows files — no shuffle before decode."""
     fixture = _binaryfile_fixture_dir(spark, sf_dir)
@@ -354,6 +443,7 @@ def e4_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         F.when(F.col("path").endswith(".pdf"), "application/pdf")
         .when(F.col("path").endswith(".png"), "image/png")
+        .when(F.col("path").endswith(".wav"), "audio/wav")
         .otherwise("text/plain")
         .alias("mime_type"),
         F.col("content").alias("payload"),
@@ -372,15 +462,27 @@ QUERIES = {
 }
 
 ORACLES = {
-    # binaryFile twin: file bytes == utf-8 doc text (ASCII corpus), so the
-    # decode outputs equal the in-engine pipeline restricted to the fixture.
+    # binaryFile twin: every payload is a deterministic function of
+    # (doc_id, text) — _format_payload — so the stub's header PARSE
+    # results (PDF body, PNG IHDR dims, WAV rate/sample count, raw text)
+    # and byte lengths are exactly computable in SQL.
     "e4_binaryfile_scan": """
         SELECT doc_id,
                CASE WHEN doc_id % 3 = 0 THEN 'application/pdf'
                     WHEN doc_id % 3 = 1 THEN 'image/png'
+                    WHEN doc_id % 6 = 2 THEN 'audio/wav'
                     ELSE 'text/plain' END AS mime_type,
-               CAST(length(text) AS BIGINT) AS n_bytes,
-               substring(text, 1, 32) AS decoded_preview,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN length(text) + 15
+                         WHEN doc_id % 3 = 1 THEN 33
+                         WHEN doc_id % 6 = 2 THEN length(text) + 44
+                         ELSE length(text) END AS BIGINT) AS n_bytes,
+               CASE WHEN doc_id % 3 = 1
+                        THEN 'PNG ' || CAST(64 + (doc_id % 5) * 32 AS VARCHAR)
+                             || 'x' || CAST(64 + (doc_id % 4) * 32 AS VARCHAR)
+                    WHEN doc_id % 6 = 2
+                        THEN 'WAV 8000Hz '
+                             || CAST(length(text) AS VARCHAR) || 'smp'
+                    ELSE substring(text, 1, 32) END AS decoded_preview,
                CAST(doc_id % 8 + 8 AS INT) AS feature_dim
         FROM documents WHERE doc_id < 64
     """,

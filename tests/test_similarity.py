@@ -108,3 +108,38 @@ def test_ivfpq_dominated_by_flat_pq(spark, sf_dir):
     for q in routed:
         for k in (1, 2, 3):
             assert routed[q][k] >= flat[q][k] - 1e-9, (q, k)
+
+
+def test_ivf_index_is_persisted_and_stable_across_sessions(spark, sf_dir):
+    """The IVF quantizer is a versioned lake table, not session state: two
+    FRESH sessions serve identical search results from the SAME published
+    snapshot (no rebuild on the second session — the version pointer does
+    not advance), and the stored centroids round-trip bit-exactly."""
+    import os
+
+    from caseguarddatapipeline_spark.operators.similarity import (
+        _index_store_dir,
+        _load_ivf_index,
+        e2_ivf_search_2round,
+        publish_ivf_index,
+    )
+    from caseguarddatapipeline_spark.sources.versioned import latest_version
+
+    s1 = spark.newSession()
+    res1 = sorted(map(tuple, e2_ivf_search_2round(s1, sf_dir).collect()))
+    base = _index_store_dir(sf_dir)
+    assert os.path.isdir(base)
+    v1 = latest_version(base)
+
+    s2 = spark.newSession()
+    res2 = sorted(map(tuple, e2_ivf_search_2round(s2, sf_dir).collect()))
+    assert res1 == res2
+    assert latest_version(base) == v1  # served from the snapshot, no rebuild
+
+    # explicit republish = a NEW immutable version; the quantizer content
+    # is deterministic so the snapshots are equal, and old readers keep v1
+    _, v2 = publish_ivf_index(s2, sf_dir, base)
+    assert v2 == v1 + 1
+    idx = _load_ivf_index(s2, sf_dir)
+    assert set(idx) == {"seed", "round1", "round2"}
+    assert all(len(idx[k]) == 16 for k in idx)

@@ -29,15 +29,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # instead of re-proving the same 50 queries: rounds 1-2 covered the
 # flagship, the bench headliners, and the full E1/E2/E5 families; round 3
 # added the TPC-H shape set and the A/P/J/W/F tails; round 4 swept the
-# base-inventory and extension tails (50/50 green). Round 5 closes the
-# sweep: the 35 round-4 catalog additions that have never had a
-# driver-green CORRECTNESS row (all parity-green at sf0.01 already),
-# plus all ten round-5 additions, plus 5 continuity slots for the
-# flagship and the bench headliners (p1/t2/e3_quality/e2_knn/e4/q1
-# rotated out this round — each already has 2-4 green rounds, and the
-# bench headliners among them stay continuously re-proven by BENCH_rN
-# anyway). After this window, every
-# oracle-backed catalog entry has at least one driver-green round. Every rotated-out query
+# base-inventory and extension tails; round 5 closed the sweep (the 35
+# round-4 additions + all ten round-5 additions), reaching ZERO rotation
+# debt: every oracle-backed entry has at least one driver-green round.
+# Standing policy from here: every NEW catalog entry is swapped INTO the
+# window in the round it is written, displacing multi-round-green
+# continuity slots (round 6: e5_token_budget_sample_scaled and
+# e3_vocab_induction_2round in; e1_minhash_lsh_vectorized and
+# e2_cosine_topk_vectorized out — each has 5 green rounds and stays
+# continuously re-proven by BENCH_rN), so debt never re-accumulates.
+# Every rotated-out query
 # stays oracle-checked by tools/parity.py and tools/driver_sim.py over
 # the FULL catalog. Rows-only entries are PERMANENTLY out of the window
 # (they can never turn a slot green) and each carries its own exact
@@ -48,12 +49,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # algebra with the iteration count pinned), plus the recall assertion in
 # tests/test_similarity.py.
 _PRIORITY = [
-    # Continuity: flagship + bench headliners (driver-green r1-r4)
+    # Continuity: flagship + one E5 headliner (driver-green r1-r5)
     "a1_reconciliation_summary",
     "a1_reconciliation_summary_sql",
-    "e1_minhash_lsh_vectorized",
-    "e2_cosine_topk_vectorized",
     "e5_corpus_curation",
+    # New in round 6 (zero-debt policy: verified the round they ship):
+    # the skew-proof token-budget twin and the 2-round BPE induction
+    "e5_token_budget_sample_scaled",
+    "e3_vocab_induction_2round",
     # Never-driver-verified: round-4 A-family / window extensions
     "a28_grouping_sets",
     "a29_expectations",

@@ -957,7 +957,14 @@ def e1_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     128 times — the cheaper exact path for strict dedup. At 100 TB the
     df table is computed once per corpus snapshot and the prefix join
     partitions by shingle like any posting-list join."""
-    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def prefix_filter_pairs(docs: DataFrame) -> DataFrame:
+    """DataFrame-level body of ``e1_prefix_filter_join`` (docs needs
+    doc_id, text) — shared with the scale-stress probe, which runs it on
+    a boilerplate-skewed replicated corpus to prove the df-ascending
+    prefix ordering keeps the posting-list HEAD out of the probe side."""
     # a doc participates iff it has >= 1 non-empty token: NULL and
     # empty/whitespace text drop, matching the oracle exactly — DuckDB's
     # list_distinct removes the NULL its out-of-range slice yields for a
@@ -1122,7 +1129,13 @@ def e1_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction. At 100 TB the posting list partitions by shingle like
     any inverted index; df-ascending prefixes keep probe fan-out on the
     rare tail rather than the boilerplate head."""
-    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def containment_pairs(docs: DataFrame) -> DataFrame:
+    """DataFrame-level body of ``e1_containment_join`` (docs needs doc_id,
+    text) — shared with the scale-stress probe (boilerplate-skewed
+    replicated corpus)."""
     # a doc participates iff it has >= 1 non-empty token: NULL and
     # empty/whitespace text drop, matching the oracle exactly — DuckDB's
     # list_distinct removes the NULL its out-of-range slice yields for a

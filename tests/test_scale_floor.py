@@ -28,7 +28,8 @@ def test_stress_record_shape():
     assert doc["replicas"] >= 10, "committed record must be the 10x run"
     assert doc["fact_rows"] >= 5_000_000
     assert set(doc["shapes"]) == {
-        "agg_scan", "join_agg", "window_topk", "lsh_neardup", "span_dedup"
+        "agg_scan", "join_agg", "window_topk", "lsh_neardup", "span_dedup",
+        "prefix_filter", "containment",
     }
 
 

@@ -157,7 +157,34 @@ def main() -> int:
     from caseguarddatapipeline_spark.operators.dedup import (
         _band_pairs,
         _banded_vectorized,
+        containment_pairs,
+        prefix_filter_pairs,
         span_duplication_profile,
+    )
+
+    # boilerplate-skewed corpus for the set-similarity joins: every
+    # replica gets a SHARED 10-token boilerplate head (so its shingles
+    # appear in every document — the posting-list head df-ordering must
+    # keep out of the probe prefixes) and a replica-unique tail token (so
+    # replicas are near- but not exact duplicates and the verify stage
+    # does real intersection work on ~n²/2 pairs per clique). If the
+    # df-ascending prefix ordering (dedup.py prefix_filter_pairs) ever
+    # regressed, the boilerplate shingles would enter prefixes and the
+    # candidate join would blow up to ~|corpus|² — the floor pin would
+    # trip long before that finished.
+    boiler = "boiler alpha beta gamma delta epsilon zeta eta theta iota"
+    docs_bp = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep"),
+    ).select(
+        (F.col("doc_id") + F.col("rep") * F.lit(max_doc)).alias("doc_id"),
+        F.concat(
+            F.lit(boiler + " "),
+            F.col("text"),
+            F.lit(" rep"),
+            F.col("rep").cast("string"),
+        ).alias("text"),
     )
 
     fact_rows = li_n.count()
@@ -204,6 +231,15 @@ def main() -> int:
         "span_dedup": (lambda: span_duplication_profile(docs_n).agg(
             F.count(F.lit(1)), F.sum("n_dup_spans")
         ), doc_rows),
+        # exact set-similarity joins on the boilerplate-skewed corpus:
+        # candidate volume is where these explode under boilerplate-heavy
+        # corpora — the df-ordered prefix claim measured, not asserted
+        "prefix_filter": (lambda: prefix_filter_pairs(docs_bp).agg(
+            F.count(F.lit(1)), F.sum("jaccard")
+        ), doc_rows),
+        "containment": (lambda: containment_pairs(docs_bp).agg(
+            F.count(F.lit(1)), F.sum("containment")
+        ), doc_rows),
     }
 
     out: dict[str, dict[str, float]] = {}
@@ -217,7 +253,9 @@ def main() -> int:
         out[name] = {
             "rows": rows,
             "sec": round(best, 3),
-            "mrows_per_sec": round(rows / best / 1e6, 3),
+            # 4dp: the doc-count-denominated dedup shapes sit at 1e-4..1e-2
+            # Mrows/s and a 3dp round would flatten a 2x regression to 0.000
+            "mrows_per_sec": round(rows / best / 1e6, 4),
         }
     doc = {
         "metric": "stress_scale",
@@ -235,17 +273,27 @@ def main() -> int:
     return 0
 
 
-# Regression floors for the committed record — now the 50× run
-# (local[32], 30 M fact rows / 250 k docs; agg 24.2, join 2.4, window
-# 0.81 Mrows/s, LSH near-dup 0.016 and span dedup 0.008 Mdocs/s —
-# agg IMPROVES 10×→50× as fixed cost amortizes, the rest hold within
-# ~20%, the linear-scaling evidence the 100 TB claim rests on). Floors
-# stay at ~1/3 of the 10× numbers, valid for any n ≥ 10, so box noise
-# can't trip them but a real regression (lost map-side combine, a new
-# shuffle, a collapsed sort, a de-vectorized kernel, a re-derived span
-# stream) will. tests/test_scale_floor.py pins the committed artifact.
+# Regression floors for the committed record — the 50× run (local[32],
+# 30 M fact rows / 250 k docs; agg 38.2, join 2.8, window 0.83 Mrows/s,
+# LSH near-dup 0.016 and span dedup 0.008 Mdocs/s — agg IMPROVES 10×→50×
+# as fixed cost amortizes, the rest hold within ~20%, the linear-scaling
+# evidence the 100 TB claim rests on). The round-6 exact set-similarity
+# joins run on the boilerplate-skewed corpus (50-replica cliques with a
+# shared 10-token boilerplate head): prefix_filter 0.0007 / containment
+# 0.0006 Mdocs/s — slow in docs/s because the clique structure makes the
+# VERIFIED OUTPUT quadratic (6.1 M genuine pairs; ≈17 k verified pairs/s)
+# while the boilerplate head (df = |corpus| shingles) stays OUT of every
+# probe prefix: the df-ordering claim measured, not asserted — if it
+# regressed, candidates would hit |corpus|-length posting lists and the
+# floor would trip by orders of magnitude. Floors stay at ~1/3 of the
+# measured numbers, valid for any n ≥ 10, so box noise can't trip them
+# but a real regression (lost map-side combine, a new shuffle, a
+# collapsed sort, a de-vectorized kernel, a re-derived span stream, a
+# broken prefix ordering) will. tests/test_scale_floor.py pins the
+# committed artifact.
 FLOORS = {"agg_scan": 5.0, "join_agg": 1.0, "window_topk": 0.4,
-          "lsh_neardup": 0.008, "span_dedup": 0.002}
+          "lsh_neardup": 0.008, "span_dedup": 0.002,
+          "prefix_filter": 0.0002, "containment": 0.0002}
 
 
 if __name__ == "__main__":

@@ -158,16 +158,96 @@ def _adc_table(subs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def e2_pq_search_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flat PQ-ADC ANN, driver-checkable end-to-end.
+def _pq_store_dir(sf_dir: str) -> str:
+    """On-disk home for a corpus' PQ index store — same fingerprint
+    scheme as ``similarity._index_store_dir`` (regenerated data at the
+    same path gets a fresh store); a fixed lake path in production."""
+    import hashlib
+    import os
+    import tempfile
 
-    Train (1 Lloyd round/subspace) → encode (argmin code per subspace) →
-    ADC search (per-query distance table + code equi-join + partial-sum
-    groupBy). Queries are the first 5 vectors, ranked by approximate
-    distance ascending with vec_id tie-break, top-3 each."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        fingerprint = os.path.abspath(sf_dir)
+    tag = hashlib.sha1(f"{fingerprint}|v1".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "caseguard_pqindex", tag)
+
+
+def publish_pq_index(
+    spark: SparkSession, sf_dir: str, base_dir: str | None = None
+) -> tuple[str, int]:
+    """Train the per-subspace codebooks, ENCODE the corpus, and publish
+    both as ONE immutable versioned snapshot: rows of (kind, vec_id, m,
+    cell, c_sub) with kind ∈ {codebook, code}. Unlike the IVF store
+    (k×dim metadata), the CODES relation is the compressed corpus itself
+    — the thing PQ exists to persist (a 100 TB embedding corpus is
+    scannable only through its stored codes), so publishing it as a lake
+    table with version atomicity is the production shape: searches read
+    a consistent (codebooks, codes) pair, a corpus refresh publishes the
+    next version, and readers mid-scan keep their pinned files. Returns
+    (base_dir, version id)."""
+    from ..sources.versioned import write_version
+
     subs = _subvectors(_corpus(spark, sf_dir))
     cents = _pq_codebooks(subs)
     codes = _pq_codes(subs, cents)
+    snap = cents.select(
+        F.lit("codebook").alias("kind"),
+        F.lit(None).cast("long").alias("vec_id"),
+        F.col("m").cast("int").alias("m"),
+        F.col("cell").cast("long").alias("cell"),
+        "c_sub",
+    ).unionByName(
+        codes.select(
+            F.lit("code").alias("kind"),
+            "vec_id",
+            F.col("m").cast("int").alias("m"),
+            F.col("code").cast("long").alias("cell"),
+            F.lit(None).cast("array<double>").alias("c_sub"),
+        )
+    )
+    base = base_dir or _pq_store_dir(sf_dir)
+    return base, write_version(snap.coalesce(1), base)
+
+
+def _load_pq_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Read-through load of the persisted PQ index: publish the first
+    snapshot if the store is empty, then return (codebooks, codes)
+    DataFrames off the LATEST version — lazy scans of the snapshot, no
+    collect, no in-process state. Parquet round-trips doubles bit-exactly,
+    so the 6dp-rounded codebooks the oracle recomputes in SQL match the
+    persisted ones."""
+    import os
+
+    from ..sources.versioned import read_latest
+
+    base = _pq_store_dir(sf_dir)
+    if not os.path.exists(os.path.join(base, "_LATEST")):
+        publish_pq_index(spark, sf_dir, base)
+    snap = read_latest(spark, base)
+    cents = snap.filter(F.col("kind") == "codebook").select("m", "cell", "c_sub")
+    codes = snap.filter(F.col("kind") == "code").select(
+        "vec_id", "m", F.col("cell").alias("code")
+    )
+    return cents, codes
+
+
+def e2_pq_search_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat PQ-ADC ANN, driver-checkable end-to-end, served from the
+    PERSISTED index (``publish_pq_index`` snapshot: codebooks + codes —
+    train/encode happen at publish time, not per search).
+
+    ADC search = per-query distance table (query subvectors, the
+    per-request input, against the snapshot codebooks) + code equi-join
+    + partial-sum groupBy. Queries are the first 5 vectors, ranked by
+    approximate distance ascending with vec_id tie-break, top-3 each."""
+    subs = _subvectors(_corpus(spark, sf_dir))
+    cents, codes = _load_pq_index(spark, sf_dir)
     dtab = _adc_table(subs, cents)
 
     w_rank = Window.partitionBy("query_id").orderBy(
@@ -192,12 +272,13 @@ def e2_ivfpq_search_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADC. Candidates come from the cell equi-join (~nprobe/k of the
     corpus), and scoring touches only their M=4 codes — so the scan cost
     is pruned by the coarse index AND the bytes-per-candidate by PQ.
-    Output: per query, top-3 candidates by approximate distance
-    ascending, with the cell each candidate came from."""
+    Both indexes are served from persisted versioned snapshots (the IVF
+    quantizer store and the PQ codebook+code store). Output: per query,
+    top-3 candidates by approximate distance ascending, with the cell
+    each candidate came from."""
     corpus = _corpus(spark, sf_dir)
     subs = _subvectors(corpus)
-    cents = _pq_codebooks(subs)
-    codes = _pq_codes(subs, cents)
+    cents, codes = _load_pq_index(spark, sf_dir)
     dtab = _adc_table(subs, cents)
 
     # Coarse stage, shared with e2_ivf_search_1round via _ivf1_index.

@@ -143,3 +143,46 @@ def test_ivf_index_is_persisted_and_stable_across_sessions(spark, sf_dir):
     idx = _load_ivf_index(s2, sf_dir)
     assert set(idx) == {"seed", "round1", "round2"}
     assert all(len(idx[k]) == 16 for k in idx)
+
+
+def test_pq_index_is_persisted_and_stable_across_sessions(spark, sf_dir):
+    """The PQ index (codebooks AND the encoded corpus) is a versioned
+    lake table: two fresh sessions serve identical ADC results from the
+    same snapshot with no rebuild, and the snapshot holds both relations
+    in one atomic version."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from caseguarddatapipeline_spark.operators.pq import (
+        M,
+        _pq_store_dir,
+        e2_pq_search_1round,
+        publish_pq_index,
+    )
+    from caseguarddatapipeline_spark.sources.versioned import (
+        latest_version,
+        read_latest,
+    )
+
+    s1 = spark.newSession()
+    res1 = sorted(map(tuple, e2_pq_search_1round(s1, sf_dir).collect()))
+    base = _pq_store_dir(sf_dir)
+    v1 = latest_version(base)
+
+    s2 = spark.newSession()
+    res2 = sorted(map(tuple, e2_pq_search_1round(s2, sf_dir).collect()))
+    assert res1 == res2
+    assert latest_version(base) == v1  # no rebuild on the second session
+
+    snap = read_latest(spark, base)
+    kinds = {r["kind"]: r["n"] for r in snap.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert kinds["codebook"] == M * 16  # M subspaces x K entries
+    n_vecs = snap.filter(F.col("kind") == "code").select(
+        "vec_id").distinct().count()
+    assert kinds["code"] == M * n_vecs  # every vector fully encoded
+
+    # republish = next immutable version, deterministic content
+    _, v2 = publish_pq_index(s2, sf_dir, base)
+    assert v2 == v1 + 1

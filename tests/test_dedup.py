@@ -317,3 +317,55 @@ def test_containment_join_completeness(spark, tmp_path):
         for r in D.e1_containment_join(spark, str(tmp_path)).collect()
     }
     assert got == expected
+
+
+def test_prefix_filter_excludes_boilerplate_head(spark):
+    """The df-ascending prefix ordering property the 50x stress record
+    measures, guarded fast in-suite: with a boilerplate head shared by
+    EVERY document, no pure-boilerplate shingle may appear in any
+    document's probe prefix (it would join the whole corpus to itself),
+    and the join still finds exactly the planted near-dup pair."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from caseguarddatapipeline_spark.operators import dedup as D
+
+    boiler = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    bodies = {
+        i: " ".join(f"w{i}_{j}" for j in range(20)) for i in range(30)
+    }
+    bodies[99] = bodies[0] + " extra"  # near-dup of doc 0
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} {b}") for i, b in bodies.items()],
+        "doc_id long, text string",
+    )
+
+    pairs = {(r["doc_a"], r["doc_b"]) for r in D.prefix_filter_pairs(docs).collect()}
+    assert pairs == {(0, 99)}
+
+    # reconstruct each doc's prefix exactly as prefix_filter_pairs does
+    # and assert pure-boilerplate shingles (present in all docs) are out
+    toks = (
+        docs.select(
+            "doc_id",
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("t"),
+        )
+        .select("doc_id", F.explode(D._shingles(F.col("t"))).alias("tok"))
+    )
+    n_docs = docs.count()
+    dfc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix = (
+        toks.join(dfc, "tok")
+        .join(sizes, "doc_id")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= F.col("sz") - D._ceil_tau_int(F.col("sz")) + 1)
+    )
+    corpus_wide = prefix.join(
+        dfc.filter(F.col("df") >= n_docs).select("tok"), "tok", "left_semi"
+    )
+    assert corpus_wide.count() == 0, (
+        "boilerplate-head shingles entered a probe prefix: df-ascending "
+        "ordering regressed (see STRESS.json prefix_filter floor)"
+    )

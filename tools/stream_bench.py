@@ -60,7 +60,11 @@ FLOORS = {
 def _run_rate_query(spark, build, run_s: int):
     """Run a rate-source streaming query for run_s seconds; return
     (steady rows/s list, last state-operator telemetry)."""
-    with tempfile.TemporaryDirectory() as ckpt:
+    # ignore_cleanup_errors: the stopped query's executor threads can
+    # still be flushing state-store files while rmtree walks the dir —
+    # a file landing between the listing and the rmdir must not fail the
+    # probe (awaitTermination below narrows the window; this closes it)
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as ckpt:
         q = (
             build()
             .writeStream.format("noop")
@@ -78,6 +82,10 @@ def _run_rate_query(spark, build, run_s: int):
             raise pre_existing
         try:
             q.stop()
+            # drain the query's threads before the tmpdir cleanup: stop()
+            # returns while the interrupted micro-batch may still be
+            # mid-write into the checkpoint
+            q.awaitTermination(30)
         except Exception:
             # stop() interrupts whatever micro-batch is in flight and
             # rethrows its error; an interrupted state-store commit DURING
@@ -178,7 +186,7 @@ def _neardup_drain(spark, n_docs: int = 20_000, n_files: int = 8):
 
     files_per_trigger = 2
 
-    with tempfile.TemporaryDirectory() as root:
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as root:
         input_dir = f"{root}/in"
         # 10-token docs whose vocabulary is hash-spread over 100k ids so
         # unrelated docs share (almost) nothing; every 10th doc copies its
@@ -240,7 +248,7 @@ def _span_drain(spark, n_docs: int = 20_000, n_files: int = 8):
 
     files_per_trigger = 2
 
-    with tempfile.TemporaryDirectory() as root:
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as root:
         input_dir = f"{root}/in"
         base = F.when(
             F.col("id") % 10 == 0, F.col("id") - 1

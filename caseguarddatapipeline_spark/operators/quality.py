@@ -391,6 +391,127 @@ def e5_token_budget_sample_scaled(spark: SparkSession, sf_dir: str) -> DataFrame
     return token_budget_sample_scaled(load_table(spark, sf_dir, "documents"))
 
 
+GLOBAL_TOKEN_BUDGET = 6000
+
+
+def e5_global_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE global token budget allocated across sources by WATER-FILLING
+    — the corpus-assembly constraint e5_token_budget_sample's fixed
+    per-source budget can't express ("2 T tokens total", not "B per
+    source"): sources smaller than the water level keep everything; the
+    level is set so the capped sources' share exhausts the remainder.
+    This is how a mixture target is met without starving small domains
+    or letting one crawl swallow the budget.
+
+    Exact and engine-portable by construction — ALL integer arithmetic:
+    sort the per-source token totals ascending (t_1 ≤ … ≤ t_n, prefix
+    sums cum_i); prefix i is feasible iff every remaining source exceeds
+    the implied level, i.e. t_{i+1}·(n−i) > B − cum_i, and the chosen
+    prefix is the FIRST feasible one (all comparisons cross-multiplied,
+    no division); the level is then (B − cum_i) DIV (n − i), so
+    Σ min(t_s, level) ≤ B with integer caps. Per-source admission reuses
+    the token-budget prefix rule (stable content-hash order, running sum
+    ≤ cap). The allocation itself runs on the per-source TOTALS table —
+    #sources rows, metadata-sized: the windows there cost nothing at any
+    corpus scale, and the document-level pass is the same one-window (or
+    hash-prefix-bucketed, see token_budget_sample_scaled) shape as the
+    fixed-budget operator. Emits the per-source allocation report."""
+    from .dedup import _portable_token_hash
+
+    B = GLOBAL_TOKEN_BUDGET
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.pmod(_portable_token_hash(F.col("text")), F.lit(1_000_000))
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        h.alias("h"),
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")).alias(
+            "n_tokens"
+        ),
+    )
+    totals = ranked.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("t")
+    )
+    w_ord = Window.orderBy(F.col("t").asc(), F.col("source").asc())
+    sorted_t = totals.select(
+        "source",
+        "t",
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("t").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+        F.lead("t").over(w_ord).alias("t_next"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    # feasibility of "keep sources 1..i fully, cap the rest": the next
+    # source must overflow the implied level — t_next·(n−i) > B − cum_i.
+    # i = 0 (cap everyone) is feasible iff t_1·n > B. The chosen split is
+    # the FIRST feasible prefix; if none is (B ≥ Σt) every source keeps
+    # everything and the level is the max total.
+    zero = sorted_t.agg(
+        F.min(F.when(F.col("i") == 1, F.col("t"))).alias("t1"),
+        F.max("n").alias("n"),
+        F.max("cum").alias("grand"),
+        F.max("t").alias("t_max"),
+    ).select(
+        F.when(
+            F.col("t1") * F.col("n") > F.lit(B),
+            F.expr(f"CAST({B} AS BIGINT) div n"),
+        ).alias("level0"),
+        "grand",
+        "t_max",
+    )
+    feasible = sorted_t.filter(
+        (F.col("t_next").isNotNull())
+        & (F.col("t_next") * (F.col("n") - F.col("i")) > F.lit(B) - F.col("cum"))
+        & (F.col("cum") <= F.lit(B))
+    ).agg(
+        F.min_by(
+            F.expr(f"(CAST({B} AS BIGINT) - cum) div (n - i)"),
+            F.col("i"),
+        ).alias("level_i")
+    )
+    level = (
+        zero.crossJoin(F.broadcast(feasible))
+        .select(
+            F.coalesce(
+                F.col("level0"),
+                F.col("level_i"),
+                F.col("t_max"),  # B >= grand total: everyone fully kept
+            ).alias("level")
+        )
+    )
+    caps = totals.crossJoin(F.broadcast(level)).select(
+        "source", "t", F.least(F.col("t"), F.col("level")).alias("cap")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    cum_docs = ranked.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    kept = cum_docs.join(F.broadcast(caps), "source").filter(
+        F.col("cum_tokens") <= F.col("cap")
+    )
+    fit = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.max("cum_tokens").cast("bigint").alias("tokens_used"),
+    )
+    return (
+        caps.join(fit, "source", "left")
+        .na.fill({"n_docs_kept": 0, "tokens_used": 0})
+        .select(
+            "source",
+            F.col("t").alias("total_tokens"),
+            F.col("cap").cast("bigint").alias("cap"),
+            (F.col("t") <= F.col("cap")).alias("fully_kept"),
+            "n_docs_kept",
+            "tokens_used",
+        )
+        .orderBy("source")
+    )
+
+
 def e3_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group feature normalization: z-score, percent rank, and decile
     of document length WITHIN each source — the per-domain normalization
@@ -508,6 +629,7 @@ QUERIES = {
     "e5_weighted_sample": e5_weighted_sample,
     "e5_token_budget_sample": e5_token_budget_sample,
     "e5_token_budget_sample_scaled": e5_token_budget_sample_scaled,
+    "e5_global_token_budget": e5_global_token_budget,
     "w11_gaps_islands": w11_gaps_islands,
 }
 
@@ -679,3 +801,67 @@ ORACLES = {
 # (the e1_minhash_lsh_vectorized pattern)
 ORACLES["e3_zscore_by_source_scaled"] = ORACLES["e3_zscore_by_source"]
 ORACLES["e5_token_budget_sample_scaled"] = ORACLES["e5_token_budget_sample"]
+
+ORACLES["e5_global_token_budget"] = f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+                   (a, c) -> (a * 131 + c) % 2147483647) % 1000000 AS h,
+               len(list_filter(string_split(text, ' '),
+                               t -> t <> '')) AS n_tokens
+        FROM documents
+    ), totals AS (
+        SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t
+        FROM ranked GROUP BY source
+    ), sorted_t AS (
+        SELECT source, t,
+               CAST(row_number() OVER w AS BIGINT) AS i,
+               CAST(sum(t) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               lead(t) OVER w AS t_next,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM totals WINDOW w AS (ORDER BY t ASC, source ASC)
+    ), zero AS (
+        SELECT CASE WHEN min(CASE WHEN i = 1 THEN t END) * max(n)
+                        > {GLOBAL_TOKEN_BUDGET}
+                    THEN CAST({GLOBAL_TOKEN_BUDGET} // max(n) AS BIGINT)
+               END AS level0,
+               max(t) AS t_max
+        FROM sorted_t
+    ), feas AS (
+        SELECT min_by(CAST(({GLOBAL_TOKEN_BUDGET} - cum) // (n - i) AS BIGINT),
+                      i) AS level_i
+        FROM sorted_t
+        WHERE t_next IS NOT NULL
+          AND t_next * (n - i) > {GLOBAL_TOKEN_BUDGET} - cum
+          AND cum <= {GLOBAL_TOKEN_BUDGET}
+    ), lvl AS (
+        SELECT coalesce(level0, level_i, t_max) AS level
+        FROM zero CROSS JOIN feas
+    ), caps AS (
+        SELECT source, t, least(t, level) AS cap FROM totals CROSS JOIN lvl
+    ), cum_docs AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY h ASC, doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM ranked
+    ), kept AS (
+        SELECT c.source, c.cum_tokens
+        FROM cum_docs c JOIN caps USING (source)
+        WHERE c.cum_tokens <= caps.cap
+    ), fit AS (
+        SELECT source, count(*) AS n_docs_kept,
+               CAST(max(cum_tokens) AS BIGINT) AS tokens_used
+        FROM kept GROUP BY source
+    )
+    SELECT c.source,
+           c.t AS total_tokens,
+           CAST(c.cap AS BIGINT) AS cap,
+           c.t <= c.cap AS fully_kept,
+           coalesce(f.n_docs_kept, 0) AS n_docs_kept,
+           CAST(coalesce(f.tokens_used, 0) AS BIGINT) AS tokens_used
+    FROM caps c LEFT JOIN fit f USING (source)
+    ORDER BY c.source
+"""

@@ -103,6 +103,8 @@ def test_curation_removals_broadcast_anti_join(spark, sf_dir):
 BNLJ_BOUNDED = {
     "q11_important_stock": "scalar threshold subquery (1-row broadcast)",
     "e5_domain_mixture": "corpus totals scalar (1-row broadcast)",
+    "e5_global_token_budget": "water-level scalar from the #sources-row "
+    "totals table (1-row broadcasts)",
     "t13_incremental_rollup": "cutoff-date scalar (1-row broadcast)",
     "q22_dormant_customers": "scalar avg-acctbal subquery (1-row broadcast)",
     "t12_range_join_state": "event-horizon scalar (1-row broadcast)",

@@ -403,3 +403,81 @@ def test_token_budget_scaled_skewed_giant_source(spark):
     # the 50-token doc overflows a 40-token budget: present, zero kept
     assert got["tiny"]["n_docs_kept"] == 0
     assert got["tiny"]["tokens_used"] == 0
+
+
+def test_global_token_budget_waterfill_properties(spark, sf_dir):
+    """Water-filling invariants on the real corpus: total usage within
+    the global budget; a source is either fully kept (total <= level) or
+    capped at the level; and the level is MAXIMAL (level+1 would overflow
+    the budget) unless everything is already kept."""
+    from caseguarddatapipeline_spark.operators.quality import (
+        GLOBAL_TOKEN_BUDGET,
+        e5_global_token_budget,
+    )
+
+    rows = e5_global_token_budget(spark, sf_dir).collect()
+    assert rows
+    caps = {r["source"]: r["cap"] for r in rows}
+    totals = {r["source"]: r["total_tokens"] for r in rows}
+    assert sum(caps.values()) <= GLOBAL_TOKEN_BUDGET or all(
+        caps[s] == totals[s] for s in caps
+    )
+    level_vals = {caps[s] for s in caps if caps[s] < totals[s]}
+    assert len(level_vals) <= 1  # every capped source sits at ONE level
+    if level_vals and any(caps[s] == totals[s] for s in caps):
+        (level,) = level_vals
+        # every fully-kept source is at or below the level; maximality:
+        # raising the level by 1 for all capped sources would overflow
+        assert all(totals[s] <= level for s in caps if caps[s] == totals[s])
+        n_capped = sum(1 for s in caps if caps[s] < totals[s])
+        assert sum(caps.values()) + n_capped > GLOBAL_TOKEN_BUDGET
+    # per-source usage never exceeds its cap
+    for r in rows:
+        assert r["tokens_used"] <= r["cap"]
+        assert r["fully_kept"] == (r["total_tokens"] <= r["cap"])
+
+
+def test_global_token_budget_crafted_allocation(spark):
+    """Known-answer crafted corpus: totals [10, 20, 100] tokens under a
+    60-token global budget water-fill to caps [10, 20, 30] (small sources
+    fully kept, the crawl capped at the level); under a 25-token budget
+    nobody fits fully and everyone caps at 25 div 3 = 8."""
+    import pyspark.sql.functions as F
+
+    from caseguarddatapipeline_spark.operators import quality as Q
+
+    def corpus(tmp_rows):
+        return spark.createDataFrame(tmp_rows, "doc_id long, source string, text string")
+
+    # one doc per source with exactly t single-char tokens
+    rows = [
+        (0, "s10", " ".join(["a"] * 10)),
+        (1, "s20", " ".join(["b"] * 20)),
+        (2, "s100", " ".join(["c"] * 100)),
+    ]
+
+    def run(budget):
+        import unittest.mock as mock
+
+        with mock.patch.object(Q, "GLOBAL_TOKEN_BUDGET", budget), mock.patch.object(
+            Q, "load_table", lambda spark_, sf_, name: corpus(rows)
+        ):
+            return {
+                r["source"]: r for r in Q.e5_global_token_budget(spark, "ignored").collect()
+            }
+
+    got = run(60)
+    assert {s: r["cap"] for s, r in got.items()} == {"s10": 10, "s20": 20, "s100": 30}
+    assert got["s10"]["fully_kept"] and got["s20"]["fully_kept"]
+    assert not got["s100"]["fully_kept"]
+    # the 100-token doc overflows its 30-token cap in one piece -> 0 kept
+    assert got["s100"]["n_docs_kept"] == 0
+
+    got = run(25)
+    assert {s: r["cap"] for s, r in got.items()} == {"s10": 8, "s20": 8, "s100": 8}
+    assert not any(r["fully_kept"] for r in got.values())
+
+    # budget above the grand total: everyone fully kept
+    got = run(1000)
+    assert all(r["fully_kept"] for r in got.values())
+    assert {s: r["cap"] for s, r in got.items()} == {"s10": 10, "s20": 20, "s100": 100}

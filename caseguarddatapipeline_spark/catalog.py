@@ -49,17 +49,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # algebra with the iteration count pinned), plus the recall assertion in
 # tests/test_similarity.py.
 _PRIORITY = [
-    # Continuity: flagship (driver-green r1-r5; e5_corpus_curation and the
-    # two vectorized bench headliners rotated out — 5 green rounds each,
-    # the headliners stay re-proven by BENCH_rN)
+    # Continuity: flagship (driver-green r1-r5; e5_corpus_curation, the
+    # two vectorized bench headliners, and the flagship's SQL twin rotated
+    # out — 5 green rounds each, and the twin + headliners stay
+    # continuously re-proven by BENCH_rN)
     "a1_reconciliation_summary",
-    "a1_reconciliation_summary_sql",
     # New in round 6 (zero-debt policy: verified the round they ship):
-    # the skew-proof token-budget twin, the 2-round BPE induction, and
-    # the global water-filling budget allocator
+    # the skew-proof token-budget twin, the 2-round BPE induction, the
+    # global water-filling budget allocator, and soft (weighted) dedup
     "e5_token_budget_sample_scaled",
     "e3_vocab_induction_2round",
     "e5_global_token_budget",
+    "e5_soft_dedup_sample",
     # Never-driver-verified: round-4 A-family / window extensions
     "a28_grouping_sets",
     "a29_expectations",

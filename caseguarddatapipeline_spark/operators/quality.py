@@ -391,6 +391,45 @@ def e5_token_budget_sample_scaled(spark: SparkSession, sf_dir: str) -> DataFrame
     return token_budget_sample_scaled(load_table(spark, sf_dir, "documents"))
 
 
+def e5_soft_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup: instead of dropping near-duplicates, DOWN-WEIGHT them
+    — every document is kept with probability 1/|its near-dup cluster|,
+    so each cluster contributes ~one document's worth of mass to the
+    training mix while which member survives stays deterministic (the
+    Knuth-hash acceptance draw of e5_weighted_sample). This is the
+    repetition-control middle ground between hard removal
+    (e5_corpus_curation's LSH stage) and no dedup: boilerplate families
+    are not erased, they are normalized to unit weight — the treatment
+    mixture builders apply when duplicates carry signal (popularity) but
+    must not dominate.
+
+    Clusters come from the oracle-checked connected-components pass
+    (e1_dedup_clusters — LSH pairs → min-label propagation); documents
+    outside the pair graph are singletons with weight 1. Scale posture is
+    the cluster pass's (banded LSH + shallow label propagation); the
+    weighting itself is one broadcast-joined projection."""
+    from .dedup import e1_dedup_clusters
+    from .relational5 import KNUTH, MOD
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = e1_dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    joined = docs.select("doc_id", "source").join(clusters, "doc_id", "left")
+    size = F.coalesce(F.col("cluster_size"), F.lit(1)).cast("bigint")
+    weight = F.lit(1.0) / size
+    draw = F.pmod(F.col("doc_id") * F.lit(KNUTH), F.lit(MOD)) / F.lit(float(MOD))
+    return joined.select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        size.alias("cluster_size"),
+        F.round(weight, 6).alias("weight"),
+        F.round(draw, 6).alias("draw"),
+        (draw < weight).alias("kept"),
+    )
+
+
 GLOBAL_TOKEN_BUDGET = 6000
 
 
@@ -630,6 +669,7 @@ QUERIES = {
     "e5_token_budget_sample": e5_token_budget_sample,
     "e5_token_budget_sample_scaled": e5_token_budget_sample_scaled,
     "e5_global_token_budget": e5_global_token_budget,
+    "e5_soft_dedup_sample": e5_soft_dedup_sample,
     "w11_gaps_islands": w11_gaps_islands,
 }
 
@@ -801,6 +841,34 @@ ORACLES = {
 # (the e1_minhash_lsh_vectorized pattern)
 ORACLES["e3_zscore_by_source_scaled"] = ORACLES["e3_zscore_by_source"]
 ORACLES["e5_token_budget_sample_scaled"] = ORACLES["e5_token_budget_sample"]
+
+
+def _soft_dedup_oracle() -> str:
+    """Composes the connected-components oracle (recursive CTE) with the
+    1/cluster-size weighting — import deferred so module import order
+    between quality and dedup stays cycle-free."""
+    from .dedup import ORACLES as DEDUP_ORACLES
+
+    return f"""
+        WITH clusters AS (
+            SELECT doc_id, cluster_id, cluster_size
+            FROM ({DEDUP_ORACLES["e1_dedup_clusters"]})
+        )
+        SELECT d.doc_id,
+               d.source,
+               coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+               CAST(coalesce(c.cluster_size, 1) AS BIGINT) AS cluster_size,
+               round(CAST(1 AS DOUBLE) / coalesce(c.cluster_size, 1), 6)
+                   AS weight,
+               round((d.doc_id * 2654435761) % 4294967296 / 4294967296.0, 6)
+                   AS draw,
+               (d.doc_id * 2654435761) % 4294967296 / 4294967296.0
+                   < CAST(1 AS DOUBLE) / coalesce(c.cluster_size, 1) AS kept
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    """
+
+
+ORACLES["e5_soft_dedup_sample"] = _soft_dedup_oracle()
 
 ORACLES["e5_global_token_budget"] = f"""
     WITH ranked AS (

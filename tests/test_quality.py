@@ -481,3 +481,33 @@ def test_global_token_budget_crafted_allocation(spark):
     got = run(1000)
     assert all(r["fully_kept"] for r in got.values())
     assert {s: r["cap"] for s, r in got.items()} == {"s10": 10, "s20": 20, "s100": 100}
+
+
+def test_soft_dedup_sample_semantics(spark, sf_dir):
+    """Soft dedup: cluster members share one weight = 1/cluster_size and
+    the cluster's EXPECTED kept mass is ~1 (weights sum to 1 per
+    cluster); singletons keep weight 1 and are always kept; the kept
+    decision equals the deterministic draw-vs-weight comparison."""
+    from caseguarddatapipeline_spark.operators.quality import (
+        e5_soft_dedup_sample,
+    )
+
+    rows = e5_soft_dedup_sample(spark, sf_dir).collect()
+    assert rows
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    multi = {c: m for c, m in by_cluster.items() if len(m) > 1}
+    assert multi, "corpus must contain near-dup clusters"
+    for cid, members in by_cluster.items():
+        n = len(members)
+        assert all(r["cluster_size"] == n for r in members)
+        assert all(abs(r["weight"] - round(1 / n, 6)) < 1e-9 for r in members)
+        # per-cluster expected mass is one document
+        assert abs(sum(r["weight"] for r in members) - 1.0) < 1e-4
+        assert cid == min(r["doc_id"] for r in members)
+    singles = [m[0] for c, m in by_cluster.items() if len(m) == 1]
+    assert singles and all(r["kept"] for r in singles)  # weight 1 ⇒ kept
+    for r in rows:
+        assert r["kept"] == (r["draw"] < r["weight"] or
+                             abs(r["draw"] - r["weight"]) < 5e-7)

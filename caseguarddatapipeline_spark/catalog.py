@@ -61,6 +61,9 @@ _PRIORITY = [
     "e3_vocab_induction_2round",
     "e5_global_token_budget",
     "e5_soft_dedup_sample",
+    # (e2_index_stats displaced for this round-6 addition — its r4 green
+    # round stands and it stays in the full parity sweep)
+    "e2_ivfpq_residual_1round",
     # Never-driver-verified: round-4 A-family / window extensions
     "a28_grouping_sets",
     "a29_expectations",
@@ -74,7 +77,6 @@ _PRIORITY = [
     "e1_neardup_recall",
     "e1_semantic_dedup",
     "e2_filtered_search",
-    "e2_index_stats",
     "e2_pq_search_1round",
     "e2_ivfpq_search_1round",
     "e2_pq_recall",

@@ -15,7 +15,7 @@ asymmetric-distance computation (ADC): per query, a tiny M×k table of
 exact query-subvector→centroid distances; a vector's approximate distance
 is the sum of M table lookups selected by its codes.
 
-Two search entries:
+Three search entries:
 
 - ``e2_pq_search_1round`` — flat ADC scan over the full codes relation
   (FAISS ``IndexPQ``): the corpus-wide pass touches only the compressed
@@ -25,6 +25,9 @@ Two search entries:
   (FAISS ``IndexIVFPQ`` with by_residual=false): compute AND memory
   pruning composed. At 100 TB `cell` persists as a partition column, so
   the probe join is partition pruning over a 64×-compressed corpus.
+- ``e2_ivfpq_residual_1round`` — the by_residual=true form (the FAISS
+  default): PQ trains/encodes on (vector − its cell's CENTROID), and the
+  query builds one ADC table per probed cell from the same subtraction.
 
 Everything is relational algebra on equi-joins — no UDF, no collect:
 codebook training is pinned to exactly ONE Lloyd round per subspace,
@@ -326,6 +329,126 @@ def e2_ivfpq_search_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _seed_matrix_lit(seeds: list[list[float]]):
+    """16×64 literal array-of-arrays of the coarse seed vectors — index
+    metadata embedded in the plan, same posture as _cell_cosines."""
+    return F.array(*[F.array(*[F.lit(v) for v in s]) for s in seeds])
+
+
+def e2_ivfpq_residual_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ on RESIDUALS (FAISS IndexIVFPQ with by_residual=true — the
+    library DEFAULT, and the accuracy-critical half of the scheme):
+    instead of quantizing raw vectors, PQ trains and encodes on
+    (vector − its coarse cell's vector), which strips the coarse
+    component every cell-mate shares and spends the codebook's 4 bits per
+    subspace on the intra-cell detail. The query side subtracts the SAME
+    probed cell's vector before building its ADC table, so the per-cell
+    distance tables stay asymmetric-exact: |queries|×nprobe×M×K rows
+    (1 280 here) — still a tiny broadcast.
+
+    Same determinism contract as the non-residual twin: coarse
+    assignment by the persisted seeds, probes by the persisted 1-round
+    centroids (``_ivf1_index`` snapshot), residual codebooks pinned to
+    one Lloyd round with 6dp rounding before every argmin — the whole
+    pipeline keeps an exact DuckDB oracle. At 100 TB `cell` persists as
+    a partition column; residual codes live beside the raw codes in the
+    PQ store and the probe join is partition pruning either way."""
+    corpus = _corpus(spark, sf_dir)
+    seeds, centroids = _ivf1_index(spark, sf_dir)
+    cent_mat = _seed_matrix_lit(centroids)
+
+    cos6_seed = F.transform(
+        _cell_cosines(seeds, F.col("emb")), lambda c: F.round(c, 6)
+    )
+    cells = corpus.select(
+        "vec_id",
+        "emb",
+        (F.array_position(cos6_seed, F.array_max(cos6_seed)) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+    # residual vs the cell's CENTROID (its member mean — variance-
+    # reducing), not the seed assignment vector: subtracting a raw seed
+    # roughly DOUBLES residual energy on weakly-clustered data
+    resid = F.zip_with(
+        F.col("emb"),
+        F.element_at(cent_mat, F.col("cell") + 1),
+        lambda a, b: a - b,
+    )
+    rsubs = _subvectors(cells.select("vec_id", resid.alias("emb")))
+    rcents = _pq_codebooks(rsubs)
+    rcodes = _pq_codes(rsubs, rcents)
+
+    cos6_cent = F.transform(
+        _cell_cosines(centroids, F.col("q_emb")), lambda c: F.round(c, 6)
+    )
+    cos_idx = F.transform(
+        cos6_cent, lambda c, i: F.struct(c.alias("cos"), (-i).alias("neg_idx"))
+    )
+    probes_arr = F.transform(
+        F.slice(F.reverse(F.array_sort(cos_idx)), 1, NPROBE),
+        lambda s: -s["neg_idx"],
+    )
+    probes = (
+        corpus.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
+        .select("query_id", "q_emb", F.explode(probes_arr).alias("probe_cell"))
+        .withColumn("probe_cell", F.col("probe_cell").cast("int"))
+    )
+    # per-probed-cell query residual → subvectors → ADC table
+    q_resid = F.zip_with(
+        F.col("q_emb"),
+        F.element_at(cent_mat, F.col("probe_cell") + 1),
+        lambda a, b: a - b,
+    )
+    rq_parts = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice("qr", m * SUBDIM + 1, SUBDIM).alias("q_sub"),
+            )
+            for m in range(M)
+        ]
+    )
+    rq_subs = probes.select(
+        "query_id", F.col("probe_cell").alias("cell"), q_resid.alias("qr")
+    ).select("query_id", "cell", F.inline(rq_parts))
+    dtab = rq_subs.join(
+        F.broadcast(
+            rcents.select(
+                F.col("m").alias("cm"),
+                F.col("cell").alias("code"),
+                "c_sub",
+            )
+        ),
+        F.col("m") == F.col("cm"),
+    ).select(
+        "query_id",
+        "cell",
+        "m",
+        "code",
+        F.round(_l2sq(F.col("q_sub"), F.col("c_sub")), 6).alias("d"),
+    )
+
+    cand = cells.select("vec_id", "cell").join(
+        F.broadcast(probes.select("query_id", "probe_cell")),
+        (F.col("cell") == F.col("probe_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id", "cell")
+
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("vec_id")
+    )
+    return (
+        cand.join(rcodes, "vec_id")
+        .join(F.broadcast(dtab), ["query_id", "cell", "m", "code"])
+        .groupBy("query_id", "vec_id", "cell")
+        .agg(F.round(F.sum("d"), 4).alias("adist"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOPK)
+    )
+
+
 def e2_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured PQ quality: per-query recall@3 of the ADC search against
     the EXACT L2 top-3 — the e1_neardup_recall companion for the
@@ -373,6 +496,7 @@ def e2_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "e2_pq_search_1round": e2_pq_search_1round,
     "e2_ivfpq_search_1round": e2_ivfpq_search_1round,
+    "e2_ivfpq_residual_1round": e2_ivfpq_residual_1round,
     "e2_pq_recall": e2_pq_recall,
 }
 
@@ -384,11 +508,16 @@ _L2SQ = (
 # PQ CTE chain (p_-prefixed to compose with IVF1_CENTS_SQL, which owns the
 # corpus/seeds/assigned/cents names for the COARSE quantizer): subvector
 # split → per-subspace 1-round codebooks → codes → per-query ADC table.
-_PQ_CTES = f"""
+# Parameterized on the source relation so the residual variant trains the
+# same codebook algebra over (emb − coarse centroid) residuals.
+
+
+def _pq_ctes(src: str) -> str:
+    return f"""
      p_subs AS (
         SELECT vec_id, mm.m AS m,
                list_slice(emb, mm.m * 16 + 1, mm.m * 16 + 16) AS sub
-        FROM corpus CROSS JOIN (SELECT unnest(range(4)) AS m) mm
+        FROM {src} CROSS JOIN (SELECT unnest(range(4)) AS m) mm
     ), p_seeds AS (
         SELECT m, vec_id AS cell, sub AS s_sub FROM p_subs WHERE vec_id < 16
     ), p_seed_d AS (
@@ -433,6 +562,9 @@ _PQ_CTES = f"""
                {_L2SQ.format(a='q.q_sub', b='c.c_sub')} AS d
         FROM p_queries q JOIN p_cents c ON q.m = c.m
     )"""
+
+
+_PQ_CTES = _pq_ctes("corpus")
 
 ORACLES = {
     "e2_pq_search_1round": f"""
@@ -530,6 +662,62 @@ ORACLES = {
     SELECT query_id, vec_id, cell, adist,
            CAST(row_number() OVER (PARTITION BY query_id
                                    ORDER BY adist ASC, vec_id ASC) AS INT) AS rank
+    FROM scored QUALIFY rank <= {TOPK}
+    """,
+    # Residual IVFPQ: the p_* chain trains on (emb − assigned seed
+    # vector) residuals; the query side subtracts the PROBED cell's seed
+    # before its per-cell ADC table (r_dtab keyed by probe cell).
+    "e2_ivfpq_residual_1round": IVF1_CENTS_SQL + f""", resid AS (
+        SELECT a.vec_id,
+               list_transform(range(1, 65), j -> a.emb[j] - ct.c_emb[j]) AS emb
+        FROM assigned a JOIN cents ct ON ct.cell = a.cell
+    ),{_pq_ctes("resid")}
+    , queries AS (
+        SELECT vec_id AS query_id, emb AS q_emb FROM corpus WHERE vec_id < 5
+    ), probe_scored AS (
+        SELECT q.query_id, ct.cell,
+               round(list_dot_product(q.q_emb, ct.c_emb)
+                     / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                        * sqrt(list_dot_product(ct.c_emb, ct.c_emb))), 6)
+                   AS cos6
+        FROM queries q CROSS JOIN cents ct
+    ), probes AS (
+        SELECT query_id, cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos6 DESC, cell ASC) AS rn
+              FROM probe_scored)
+        WHERE rn <= {NPROBE}
+    ), rq AS (
+        SELECT p.query_id, p.cell,
+               list_transform(range(1, 65), j -> q.q_emb[j] - ct.c_emb[j]) AS qr
+        FROM probes p
+        JOIN queries q ON q.query_id = p.query_id
+        JOIN cents ct ON ct.cell = p.cell
+    ), rq_subs AS (
+        SELECT query_id, cell, mm.m AS m,
+               list_slice(qr, mm.m * 16 + 1, mm.m * 16 + 16) AS q_sub
+        FROM rq CROSS JOIN (SELECT unnest(range(4)) AS m) mm
+    ), r_dtab AS (
+        SELECT q.query_id, q.cell, c.m, c.cell AS code,
+               {_L2SQ.format(a='q.q_sub', b='c.c_sub')} AS d
+        FROM rq_subs q JOIN p_cents c ON q.m = c.m
+    ), ivf_cand AS (
+        SELECT p.query_id, a.vec_id, a.cell
+        FROM assigned a JOIN probes p
+          ON a.cell = p.cell AND a.vec_id <> p.query_id
+    ), scored AS (
+        SELECT ic.query_id, ic.vec_id, CAST(ic.cell AS INT) AS cell,
+               round(sum(dt.d), 4) AS adist
+        FROM ivf_cand ic
+        JOIN p_codes co ON co.vec_id = ic.vec_id
+        JOIN r_dtab dt ON dt.query_id = ic.query_id AND dt.cell = ic.cell
+                      AND dt.m = co.m AND dt.code = co.code
+        GROUP BY ic.query_id, ic.vec_id, ic.cell
+    )
+    SELECT query_id, vec_id, cell, adist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist ASC, vec_id ASC) AS INT)
+               AS rank
     FROM scored QUALIFY rank <= {TOPK}
     """,
 }

@@ -186,3 +186,46 @@ def test_pq_index_is_persisted_and_stable_across_sessions(spark, sf_dir):
     # republish = next immutable version, deterministic content
     _, v2 = publish_pq_index(s2, sf_dir, base)
     assert v2 == v1 + 1
+
+
+def test_ivfpq_residual_quality_and_contract(spark, sf_dir):
+    """Residual IVFPQ (by_residual=true): same output contract as the
+    plain variant, and its ADC approximation error stays within 1.3x of
+    plain's (deterministic corpora — no timing noise). The bound guards
+    the residual-reference bug class: subtracting the seed ASSIGNMENT
+    vector instead of the cell CENTROID measured 2.03x worse here."""
+    import pyspark.sql.functions as F
+
+    from caseguarddatapipeline_spark.operators import pq
+    from caseguarddatapipeline_spark.operators.pq import _corpus, _l2sq
+
+    corpus = _corpus(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+
+    def mae(df):
+        j = (
+            df.join(corpus, "vec_id")
+            .join(queries, "query_id")
+            .select(
+                "adist",
+                F.round(_l2sq(F.col("emb"), F.col("q_emb")), 6).alias("exact"),
+            )
+        )
+        return j.agg(
+            F.avg(F.abs(F.col("adist") - F.col("exact")))
+        ).collect()[0][0]
+
+    resid_rows = pq.e2_ivfpq_residual_1round(spark, sf_dir).collect()
+    by_q = {}
+    for r in resid_rows:
+        assert r["adist"] >= 0
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
+
+    ratio = mae(pq.e2_ivfpq_residual_1round(spark, sf_dir)) / mae(
+        pq.e2_ivfpq_search_1round(spark, sf_dir)
+    )
+    assert ratio < 1.3, f"residual ADC error blew up: {ratio:.2f}x plain"

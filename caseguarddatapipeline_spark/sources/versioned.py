@@ -45,19 +45,40 @@ def write_version(df: DataFrame, base_dir: str) -> int:
     """Write ``df`` as the next immutable snapshot and swap the pointer.
     Returns the new version id.
 
-    The snapshot is staged in a dot-prefixed temp directory and renamed
-    into place only after the write committed (_SUCCESS marker present),
-    so a crash mid-write leaves an invisible ``.staging-*`` dir — never a
-    half-populated ``v=N`` that readers or ``vacuum`` would mistake for a
-    real version."""
+    The snapshot is staged in a dot-prefixed temp directory (named by
+    pid+monotonic time, so concurrent writers never share staging) and
+    renamed into place only after the write committed (_SUCCESS marker
+    present), so a crash mid-write leaves an invisible ``.staging-*``
+    dir — never a half-populated ``v=N`` that readers or ``vacuum``
+    would mistake for a real version.
+
+    Concurrent publishers are SAFE, not just crash-safe: two writers can
+    race to the same next version id, and directory rename onto an
+    existing non-empty ``v=N`` fails — the loser re-lists versions and
+    retries the rename under the next free id instead of erroring, so
+    both snapshots land (the pointer ends on whichever swapped last)."""
+    import time
+
     os.makedirs(base_dir, exist_ok=True)
-    vs = _versions(base_dir)
-    n = (vs[-1] + 1) if vs else 0
-    staging = os.path.join(base_dir, f".staging-v{n}")
+    staging = os.path.join(
+        base_dir, f".staging-{os.getpid()}-{time.monotonic_ns()}"
+    )
     df.write.mode("overwrite").parquet(staging)
     if not os.path.exists(os.path.join(staging, "_SUCCESS")):
         raise IOError(f"snapshot write did not commit: {staging}")
-    os.rename(staging, os.path.join(base_dir, f"v={n}"))
+    for _ in range(64):  # bound: pathological publisher storms error out
+        vs = _versions(base_dir)
+        n = (vs[-1] + 1) if vs else 0
+        target = os.path.join(base_dir, f"v={n}")
+        try:
+            os.rename(staging, target)
+            break
+        except OSError:
+            if not os.path.exists(target):  # a real failure, not the race
+                raise
+            continue  # another writer claimed v=N: retry under the next id
+    else:
+        raise IOError(f"could not claim a version slot in {base_dir}")
     tmp = os.path.join(base_dir, f"{_PTR}.tmp")
     with open(tmp, "w") as fh:
         fh.write(str(n))

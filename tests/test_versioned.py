@@ -93,3 +93,40 @@ def test_compact_snapshot_zero_window(spark, tmp_path):
     # retention reclaims the fragmented version
     assert vacuum(base, keep=1) == [v0]
     assert not os.path.isdir(f"{base}/v={v0}")
+
+
+def test_concurrent_writers_both_land(spark, tmp_path, monkeypatch):
+    """Two publishers racing to the same version id: the loser's rename
+    onto the claimed v=N must retry under the next free id — both
+    snapshots land, distinct ids, pointer valid. The race is simulated
+    deterministically by injecting a conflicting v=N directory between
+    the loser's version listing and its rename."""
+    import os as _os
+
+    from caseguarddatapipeline_spark.sources import versioned as V
+
+    base = str(tmp_path / "store")
+    df = spark.range(10).toDF("id")
+    v0 = V.write_version(df, base)
+    assert v0 == 0
+
+    real_rename = _os.rename
+    injected = {"done": False}
+
+    def racing_rename(src, dst):
+        # first rename attempt of the next write: conjure the rival
+        # writer's v=1 just before the rename lands
+        if not injected["done"] and dst.endswith("v=1"):
+            injected["done"] = True
+            _os.makedirs(dst)
+            open(_os.path.join(dst, "part-rival.parquet"), "wb").close()
+            open(_os.path.join(dst, "_SUCCESS"), "wb").close()
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(V.os, "rename", racing_rename)
+    v2 = V.write_version(spark.range(5).toDF("id"), base)
+    assert injected["done"]
+    assert v2 == 2  # retried past the rival's v=1
+    assert V.latest_version(base) == 2
+    assert V.read_version(spark, base, 2).count() == 5
+    assert sorted(V._versions(base)) == [0, 1, 2]

@@ -175,8 +175,37 @@ def _pq_store_dir(sf_dir: str) -> str:
         fingerprint = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
     except OSError:
         fingerprint = os.path.abspath(sf_dir)
-    tag = hashlib.sha1(f"{fingerprint}|v1".encode()).hexdigest()[:12]
+    # layout v2: the snapshot also carries the residual (by_residual=true)
+    # codebooks and codes — old v1 stores are simply orphaned
+    tag = hashlib.sha1(f"{fingerprint}|v2".encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), "caseguard_pqindex", tag)
+
+
+def _residual_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, sub) over RESIDUALS: each corpus vector minus its
+    coarse cell's CENTROID (assignment by seeds, exactly like
+    e2_ivfpq_search_1round's coarse stage). Centroid — not seed —
+    subtraction is the variance-reducing choice; see
+    e2_ivfpq_residual_1round."""
+    corpus = _corpus(spark, sf_dir)
+    seeds, centroids = _ivf1_index(spark, sf_dir)
+    cent_mat = _seed_matrix_lit(centroids)
+    cos6_seed = F.transform(
+        _cell_cosines(seeds, F.col("emb")), lambda c: F.round(c, 6)
+    )
+    cells = corpus.select(
+        "vec_id",
+        "emb",
+        (F.array_position(cos6_seed, F.array_max(cos6_seed)) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+    resid = F.zip_with(
+        F.col("emb"),
+        F.element_at(cent_mat, F.col("cell") + 1),
+        lambda a, b: a - b,
+    )
+    return _subvectors(cells.select("vec_id", resid.alias("emb")))
 
 
 def publish_pq_index(
@@ -184,47 +213,63 @@ def publish_pq_index(
 ) -> tuple[str, int]:
     """Train the per-subspace codebooks, ENCODE the corpus, and publish
     both as ONE immutable versioned snapshot: rows of (kind, vec_id, m,
-    cell, c_sub) with kind ∈ {codebook, code}. Unlike the IVF store
-    (k×dim metadata), the CODES relation is the compressed corpus itself
-    — the thing PQ exists to persist (a 100 TB embedding corpus is
-    scannable only through its stored codes), so publishing it as a lake
-    table with version atomicity is the production shape: searches read
-    a consistent (codebooks, codes) pair, a corpus refresh publishes the
-    next version, and readers mid-scan keep their pinned files. Returns
-    (base_dir, version id)."""
+    cell, c_sub) with kind ∈ {codebook, code, rcodebook, rcode} — the
+    raw-vector codebooks/codes AND their residual (by_residual=true)
+    twins, trained on (vector − coarse centroid). Unlike the IVF store
+    (k×dim metadata), the CODES relations are the compressed corpus
+    itself — the thing PQ exists to persist (a 100 TB embedding corpus is
+    scannable only through its stored codes), so publishing them as a
+    lake table with version atomicity is the production shape: searches
+    read a consistent (codebooks, codes) pair, a corpus refresh publishes
+    the next version, and readers mid-scan keep their pinned files.
+    Returns (base_dir, version id)."""
     from ..sources.versioned import write_version
 
     subs = _subvectors(_corpus(spark, sf_dir))
     cents = _pq_codebooks(subs)
     codes = _pq_codes(subs, cents)
-    snap = cents.select(
-        F.lit("codebook").alias("kind"),
-        F.lit(None).cast("long").alias("vec_id"),
-        F.col("m").cast("int").alias("m"),
-        F.col("cell").cast("long").alias("cell"),
-        "c_sub",
-    ).unionByName(
-        codes.select(
-            F.lit("code").alias("kind"),
+    rsubs = _residual_subvectors(spark, sf_dir)
+    rcents = _pq_codebooks(rsubs)
+    rcodes = _pq_codes(rsubs, rcents)
+
+    def _book(df, kind):
+        return df.select(
+            F.lit(kind).alias("kind"),
+            F.lit(None).cast("long").alias("vec_id"),
+            F.col("m").cast("int").alias("m"),
+            F.col("cell").cast("long").alias("cell"),
+            "c_sub",
+        )
+
+    def _enc(df, kind):
+        return df.select(
+            F.lit(kind).alias("kind"),
             "vec_id",
             F.col("m").cast("int").alias("m"),
             F.col("code").cast("long").alias("cell"),
             F.lit(None).cast("array<double>").alias("c_sub"),
         )
+
+    snap = (
+        _book(cents, "codebook")
+        .unionByName(_enc(codes, "code"))
+        .unionByName(_book(rcents, "rcodebook"))
+        .unionByName(_enc(rcodes, "rcode"))
     )
     base = base_dir or _pq_store_dir(sf_dir)
     return base, write_version(snap.coalesce(1), base)
 
 
 def _load_pq_index(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, *, residual: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """Read-through load of the persisted PQ index: publish the first
     snapshot if the store is empty, then return (codebooks, codes)
     DataFrames off the LATEST version — lazy scans of the snapshot, no
-    collect, no in-process state. Parquet round-trips doubles bit-exactly,
-    so the 6dp-rounded codebooks the oracle recomputes in SQL match the
-    persisted ones."""
+    collect, no in-process state. ``residual=True`` returns the
+    by_residual twins (rcodebook/rcode kinds). Parquet round-trips
+    doubles bit-exactly, so the 6dp-rounded codebooks the oracle
+    recomputes in SQL match the persisted ones."""
     import os
 
     from ..sources.versioned import read_latest
@@ -233,8 +278,9 @@ def _load_pq_index(
     if not os.path.exists(os.path.join(base, "_LATEST")):
         publish_pq_index(spark, sf_dir, base)
     snap = read_latest(spark, base)
-    cents = snap.filter(F.col("kind") == "codebook").select("m", "cell", "c_sub")
-    codes = snap.filter(F.col("kind") == "code").select(
+    bk, ck = ("rcodebook", "rcode") if residual else ("codebook", "code")
+    cents = snap.filter(F.col("kind") == bk).select("m", "cell", "c_sub")
+    codes = snap.filter(F.col("kind") == ck).select(
         "vec_id", "m", F.col("cell").alias("code")
     )
     return cents, codes
@@ -350,9 +396,16 @@ def e2_ivfpq_residual_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment by the persisted seeds, probes by the persisted 1-round
     centroids (``_ivf1_index`` snapshot), residual codebooks pinned to
     one Lloyd round with 6dp rounding before every argmin — the whole
-    pipeline keeps an exact DuckDB oracle. At 100 TB `cell` persists as
-    a partition column; residual codes live beside the raw codes in the
-    PQ store and the probe join is partition pruning either way."""
+    pipeline keeps an exact DuckDB oracle. The residual codebooks AND
+    codes are served from the persisted PQ snapshot (rcodebook/rcode
+    kinds — training/encoding happen at publish time). Residuals
+    subtract the cell's CENTROID (its member mean — variance-reducing),
+    not the seed assignment vector: subtracting a raw seed roughly
+    DOUBLES residual energy on weakly-clustered data
+    (tests/test_similarity.py pins the distinction). At 100 TB `cell`
+    persists as a partition column; residual codes live beside the raw
+    codes in the PQ store and the probe join is partition pruning either
+    way."""
     corpus = _corpus(spark, sf_dir)
     seeds, centroids = _ivf1_index(spark, sf_dir)
     cent_mat = _seed_matrix_lit(centroids)
@@ -362,22 +415,11 @@ def e2_ivfpq_residual_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = corpus.select(
         "vec_id",
-        "emb",
         (F.array_position(cos6_seed, F.array_max(cos6_seed)) - 1)
         .cast("int")
         .alias("cell"),
     )
-    # residual vs the cell's CENTROID (its member mean — variance-
-    # reducing), not the seed assignment vector: subtracting a raw seed
-    # roughly DOUBLES residual energy on weakly-clustered data
-    resid = F.zip_with(
-        F.col("emb"),
-        F.element_at(cent_mat, F.col("cell") + 1),
-        lambda a, b: a - b,
-    )
-    rsubs = _subvectors(cells.select("vec_id", resid.alias("emb")))
-    rcents = _pq_codebooks(rsubs)
-    rcodes = _pq_codes(rsubs, rcents)
+    rcents, rcodes = _load_pq_index(spark, sf_dir, residual=True)
 
     cos6_cent = F.transform(
         _cell_cosines(centroids, F.col("q_emb")), lambda c: F.round(c, 6)

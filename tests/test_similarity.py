@@ -178,10 +178,11 @@ def test_pq_index_is_persisted_and_stable_across_sessions(spark, sf_dir):
     snap = read_latest(spark, base)
     kinds = {r["kind"]: r["n"] for r in snap.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n")).collect()}
-    assert kinds["codebook"] == M * 16  # M subspaces x K entries
+    assert kinds["codebook"] == kinds["rcodebook"] == M * 16  # M x K entries
     n_vecs = snap.filter(F.col("kind") == "code").select(
         "vec_id").distinct().count()
-    assert kinds["code"] == M * n_vecs  # every vector fully encoded
+    # every vector fully encoded in BOTH the raw and residual code spaces
+    assert kinds["code"] == kinds["rcode"] == M * n_vecs
 
     # republish = next immutable version, deterministic content
     _, v2 = publish_pq_index(s2, sf_dir, base)

@@ -61,9 +61,11 @@ _PRIORITY = [
     "e3_vocab_induction_2round",
     "e5_global_token_budget",
     "e5_soft_dedup_sample",
-    # (e2_index_stats displaced for this round-6 addition — its r4 green
-    # round stands and it stays in the full parity sweep)
+    # (e2_index_stats and e2_filtered_search displaced for these round-6
+    # additions — their green rounds stand and they stay in the full
+    # parity sweep)
     "e2_ivfpq_residual_1round",
+    "e2_ivf_range_search",
     # Never-driver-verified: round-4 A-family / window extensions
     "a28_grouping_sets",
     "a29_expectations",
@@ -76,7 +78,6 @@ _PRIORITY = [
     # Never-driver-verified: round-4 E1/E2 additions
     "e1_neardup_recall",
     "e1_semantic_dedup",
-    "e2_filtered_search",
     "e2_pq_search_1round",
     "e2_ivfpq_search_1round",
     "e2_pq_recall",

@@ -764,17 +764,18 @@ def e2_ivf_search_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_probe_search(emb, seeds, centroids)
 
 
-def _ivf_probe_search(
+def _ivf_candidates(
     emb: DataFrame,
     assign_cents: list[list[float]],
     probe_cents: list[list[float]],
 ) -> DataFrame:
-    """Multi-probe IVF search: corpus vectors assigned to cells by
-    ``assign_cents`` (the assignment that produced the final centroids),
+    """Scored multi-probe IVF candidates (query_id, vec_id, cell,
+    cosine): corpus vectors assigned to cells by ``assign_cents``,
     queries probe their nprobe=4 nearest of ``probe_cents``; candidates
     ride an equi-join on cell id (~nprobe/k of the corpus, not a full
-    scan). At 100 TB `cell` persists as a partition column and the probe
-    join becomes partition pruning."""
+    scan). Shared by the top-k search (rank filter) and the range search
+    (threshold filter). At 100 TB `cell` persists as a partition column
+    and the probe join becomes partition pruning."""
     corpus = emb.select("vec_id", _dbl(F.col("embedding")).alias("emb"))
     cos6_assign = F.transform(
         _cell_cosines(assign_cents, F.col("emb")), lambda c: F.round(c, 6)
@@ -808,20 +809,52 @@ def _ivf_probe_search(
     cos = _dot(F.col("emb"), F.col("q_emb")) / (
         _norm(F.col("emb")) * _norm(F.col("q_emb"))
     )
-    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return cells.join(
+        F.broadcast(queries),
+        (cells.cell == queries.probe_cell) & (cells.vec_id != queries.query_id),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.round(cos, 4).alias("cosine"),
+    )
+
+
+def _ivf_probe_search(
+    emb: DataFrame,
+    assign_cents: list[list[float]],
+    probe_cents: list[list[float]],
+) -> DataFrame:
+    """Top-3-per-query form of the multi-probe IVF search."""
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
     return (
-        cells.join(
-            F.broadcast(queries),
-            (cells.cell == queries.probe_cell) & (cells.vec_id != queries.query_id),
-        )
-        .select(
-            "query_id",
-            "vec_id",
-            F.col("cell").cast("int").alias("cell"),
-            F.round(cos, 4).alias("cosine"),
-        )
+        _ivf_candidates(emb, assign_cents, probe_cents)
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= 3)
+    )
+
+
+RANGE_TAU = 0.25
+
+
+def e2_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE search (FAISS ``range_search``): per query, ALL neighbors
+    with cosine ≥ RANGE_TAU rather than a fixed top-k — the radius form a
+    dedup/link job wants ("everything closer than τ"), where k-NN either
+    truncates dense neighborhoods or pads sparse ones. Same persisted
+    1-round quantizer and multi-probe candidate join as
+    ``e2_ivf_search_1round`` (probed-cells semantics, mirrored exactly by
+    the oracle), with the threshold replacing the rank window: no sort at
+    all — candidates stream through a filter, so the plan is one
+    equi-join + filter and the result size is data-driven. At 100 TB
+    `cell` is a partition column and the probe join is partition
+    pruning."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds, centroids = _ivf1_index(spark, sf_dir)
+    return _ivf_candidates(emb, seeds, centroids).filter(
+        F.col("cosine") >= RANGE_TAU
     )
 
 
@@ -854,6 +887,7 @@ QUERIES = {
     "e2_ivf_search": e2_ivf_search,
     "e2_ivf_search_1round": e2_ivf_search_1round,
     "e2_ivf_search_2round": e2_ivf_search_2round,
+    "e2_ivf_range_search": e2_ivf_range_search,
 }
 
 _DOT = "list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), list_transform({b}, y -> CAST(y AS DOUBLE)))"
@@ -1117,4 +1151,32 @@ ORACLES["e2_ivf_search_1round"] = IVF1_CENTS_SQL + """
                                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
     FROM cand
     QUALIFY rank <= 3
+"""
+
+# radius form of the 1-round probed-candidate set: threshold, no rank window
+ORACLES["e2_ivf_range_search"] = IVF1_CENTS_SQL + """
+    , queries AS (
+        SELECT vec_id AS query_id, emb AS q_emb FROM corpus WHERE vec_id < 5
+    ), probe_scored AS (
+        SELECT q.query_id, q.q_emb, ct.cell,
+               round(list_dot_product(q.q_emb, ct.c_emb)
+                     / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                        * sqrt(list_dot_product(ct.c_emb, ct.c_emb))), 6) AS cos6
+        FROM queries q CROSS JOIN cents ct
+    ), probes AS (
+        SELECT query_id, q_emb, cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos6 DESC, cell ASC) AS rn
+              FROM probe_scored)
+        WHERE rn <= 4
+    ), cand AS (
+        SELECT p.query_id, a.vec_id, a.cell,
+               round(list_dot_product(a.emb, p.q_emb)
+                     / (sqrt(list_dot_product(a.emb, a.emb))
+                        * sqrt(list_dot_product(p.q_emb, p.q_emb))), 4) AS cosine
+        FROM assigned a JOIN probes p
+          ON a.cell = p.cell AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, CAST(cell AS INT) AS cell, cosine
+    FROM cand WHERE cosine >= 0.25
 """

@@ -230,3 +230,42 @@ def test_ivfpq_residual_quality_and_contract(spark, sf_dir):
         pq.e2_ivfpq_search_1round(spark, sf_dir)
     )
     assert ratio < 1.3, f"residual ADC error blew up: {ratio:.2f}x plain"
+
+
+def test_ivf_range_search_semantics(spark, sf_dir):
+    """Range search: every result clears the radius, and the probed-cell
+    result set is a SUBSET of the brute-force radius set (IVF may miss
+    neighbors outside probed cells, never invent them)."""
+    import pyspark.sql.functions as F
+
+    from caseguarddatapipeline_spark.operators.similarity import (
+        RANGE_TAU,
+        _dbl,
+        _dot,
+        _norm,
+        e2_ivf_range_search,
+    )
+    from caseguarddatapipeline_spark.sources import load_table
+
+    got = e2_ivf_range_search(spark, sf_dir).collect()
+    assert got and all(r["cosine"] >= RANGE_TAU for r in got)
+    got_pairs = {(r["query_id"], r["vec_id"]) for r in got}
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), _dbl(F.col("embedding")).alias("q_emb")
+    )
+    c = emb.select("vec_id", _dbl(F.col("embedding")).alias("emb"))
+    cos = _dot(F.col("emb"), F.col("q_emb")) / (
+        _norm(F.col("emb")) * _norm(F.col("q_emb"))
+    )
+    brute = {
+        (r["query_id"], r["vec_id"])
+        for r in c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= RANGE_TAU)
+        .collect()
+    }
+    assert got_pairs <= brute
+    # the probes catch most of the radius set on this corpus
+    assert len(got_pairs) >= int(0.8 * len(brute))

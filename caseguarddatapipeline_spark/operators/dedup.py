@@ -827,20 +827,12 @@ def _ivf_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-round quantizer, same-cell self-join, exact-cosine verify at τ=0.35.
     Serves e1_embedding_neardup_ivf (the pair view) and e1_semantic_dedup
     (the keep-set view)."""
-    from .similarity import _cell_cosines, _dbl, _dot, _ivf1_index, _norm
+    from .similarity import _dbl, _dot, _ivf1_index, _nearest_cells_arr, _norm
 
     emb = load_table(spark, sf_dir, "embeddings")
     _, cents = _ivf1_index(spark, sf_dir)
     corpus = emb.select("vec_id", _dbl(F.col("embedding")).alias("emb"))
-    cos6 = F.transform(
-        _cell_cosines(cents, F.col("emb")), lambda c: F.round(c, 6)
-    )
-    cos_idx = F.transform(
-        cos6, lambda c, i: F.struct(c.alias("cos"), (-i).alias("neg_idx"))
-    )
-    top2 = F.transform(
-        F.slice(F.reverse(F.array_sort(cos_idx)), 1, 2), lambda s: -s["neg_idx"]
-    )
+    top2 = _nearest_cells_arr(F.col("emb"), cents, 2)
     assigned = corpus.select("vec_id", "emb", F.explode(top2).alias("cell"))
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = _dot(F.col("a.emb"), F.col("b.emb")) / (

@@ -279,7 +279,9 @@ def compact_partitions(
     # LIVE writer dead and delete the in-flight staging dir; refreshing at
     # a third of the period keeps the lease fresh for the whole run,
     # however long the rewrite takes. Stopped (and joined) before any
-    # release so a late tick can never recreate a released marker.
+    # release; if a tick is wedged inside fs.create past the join timeout,
+    # the release keeps the marker (bounded age-out) rather than racing
+    # the in-flight create and resurrecting a released lease.
     import threading
 
     _hb_stop = threading.Event()
@@ -302,114 +304,131 @@ def compact_partitions(
 
     def _release_lease():
         _stop_heartbeat()
+        if _hb_thread.is_alive():
+            # a tick is wedged inside fs.create beyond the join timeout:
+            # deleting now could lose the race with that in-flight create
+            # and resurrect a released lease. Leave the marker to age out
+            # (a bounded LEASE_SECONDS stall — the pre-heartbeat behavior)
+            # instead of claiming a release we cannot guarantee.
+            return
         fs.delete(marker, False)
 
-    df = spark.read.parquet(path)
-    data_cols = [c for c in df.columns if c not in partition_cols]
-    # partition dir string ("k1=v1/k2=v2") rebuilt from the row, matched
-    # against the plan to scope the rewrite and fetch target_files
-    part_expr = F.concat_ws(
-        "/",
-        *[F.concat(F.lit(f"{c}="), F.col(c).cast("string")) for c in partition_cols],
-    )
-    plan_df = F.broadcast(
-        spark.createDataFrame(
-            [(p["partition"], p["target_files"]) for p in todo],
-            "_part string, _target_files int",
-        )
-    )
-    fidx = F.pmod(F.xxhash64(*data_cols), F.col("_target_files"))
-    staging = path.rstrip("/") + ".compacting"
     try:
-        (
-            df.withColumn("_part", part_expr)
-            .join(plan_df, "_part")
-            .withColumn("_fidx", fidx)
-            .repartition(*partition_cols, "_fidx")
-            .drop("_part", "_target_files", "_fidx")
-            .write.mode("overwrite")
-            .partitionBy(*partition_cols)
-            .parquet(staging)
+        df = spark.read.parquet(path)
+        data_cols = [c for c in df.columns if c not in partition_cols]
+        # partition dir string ("k1=v1/k2=v2") rebuilt from the row, matched
+        # against the plan to scope the rewrite and fetch target_files
+        part_expr = F.concat_ws(
+            "/",
+            *[F.concat(F.lit(f"{c}="), F.col(c).cast("string")) for c in partition_cols],
         )
-
-        staged = list_partition_files(spark, staging)
-        # pre-swap integrity gate: every todo partition must have staged
-        # data. A missing one means its directory name did not round-trip
-        # the row-value reconstruction (null / escaped / re-typed value) —
-        # abort with NOTHING modified rather than risk deleting a partition
-        # whose rewrite silently missed it.
-        missing = [p["partition"] for p in todo if not staged.get(p["partition"])]
-        if missing:
-            raise ValueError(
-                "compaction aborted, no files touched: staging has no data "
-                f"for partitions {missing} — partition values do not "
-                "round-trip their directory names (null/escaped/re-typed)"
+        plan_df = F.broadcast(
+            spark.createDataFrame(
+                [(p["partition"], p["target_files"]) for p in todo],
+                "_part string, _target_files int",
             )
-    except Exception:
-        fs.delete(hpath(staging), True)
-        _release_lease()
-        raise
-    _refresh_lease()  # the staging write may have consumed most of a lease
-
-    for i, p in enumerate(todo):
-        part = p["partition"]
-        live = hpath(f"{path}/{part}")
-        trash = hpath(f"{path}/{_TRASH}/{part}")
-        # drift gate: a writer (e.g. the near-dup stream) may have landed
-        # files in this partition AFTER the plan's listing; swapping would
-        # silently destroy them with the trash. Abort loudly instead —
-        # this partition is untouched, completed swaps stand, recovery
-        # cleans the rest once the lease is released.
-        now_names = sorted(
-            st.getPath().getName()
-            for st in fs.listStatus(live)
-            if not st.getPath().getName().startswith(("_", "."))
         )
-        plan_names = sorted(
-            fpath.rsplit("/", 1)[-1] for fpath, _sz in before.get(part, [])
-        )
-        if now_names != plan_names:
-            fs.delete(hpath(staging), True)
-            _release_lease()
-            raise OSError(
-                f"compaction aborted at {part}: partition contents changed "
-                "since planning (concurrent writer?) — nothing of this "
-                "partition was touched; re-run maintenance off the write path"
+        fidx = F.pmod(F.xxhash64(*data_cols), F.col("_target_files"))
+        staging = path.rstrip("/") + ".compacting"
+        try:
+            (
+                df.withColumn("_part", part_expr)
+                .join(plan_df, "_part")
+                .withColumn("_fidx", fidx)
+                .repartition(*partition_cols, "_fidx")
+                .drop("_part", "_target_files", "_fidx")
+                .write.mode("overwrite")
+                .partitionBy(*partition_cols)
+                .parquet(staging)
             )
-        if i % 128 == 127:
-            _refresh_lease()
-        # the Hadoop rename contract returns false when the destination
-        # PARENT is missing — a multi-level partition (k1=a/k2=b) renames
-        # into a nested trash path, so create that parent first (the local
-        # fs silently copy-falls-back; HDFS does not)
-        fs.mkdirs(trash.getParent())
-        if not fs.rename(live, trash):
-            fs.delete(hpath(staging), True)
-            _release_lease()
-            raise OSError(f"compaction swap-out failed for {part}")
-        if not fs.rename(hpath(f"{staging}/{part}"), live):
-            # roll back BEFORE releasing the lease, so reader recovery
-            # cannot race the rollback, restore the partition itself, and
-            # delete the trash this error message points at
-            if not fs.rename(trash, live):
-                # keep the lease: it blocks automated recovery from racing
-                # whatever manual intervention the operator performs, and
-                # ages out in LEASE_SECONDS so auto-heal still happens if
-                # nobody intervenes (heartbeat stops so it CAN age out)
-                _stop_heartbeat()
-                raise OSError(
-                    f"compaction swap-in AND rollback failed for {part}: "
-                    f"original data preserved at {path}/{_TRASH}/{part}; "
-                    "restore it manually (or wait for the lease to age out "
-                    "and recovery to restore it) before the next run"
+
+            staged = list_partition_files(spark, staging)
+            # pre-swap integrity gate: every todo partition must have staged
+            # data. A missing one means its directory name did not round-trip
+            # the row-value reconstruction (null / escaped / re-typed value) —
+            # abort with NOTHING modified rather than risk deleting a partition
+            # whose rewrite silently missed it.
+            missing = [p["partition"] for p in todo if not staged.get(p["partition"])]
+            if missing:
+                raise ValueError(
+                    "compaction aborted, no files touched: staging has no data "
+                    f"for partitions {missing} — partition values do not "
+                    "round-trip their directory names (null/escaped/re-typed)"
                 )
+        except Exception:
+            fs.delete(hpath(staging), True)
             _release_lease()
-            raise OSError(f"compaction swap-in failed for {part} (rolled back)")
-    # stop the ticker BEFORE deleting the trash dir: a late tick would
-    # recreate the marker (fs.create makes parents) and wedge the next run
-    _stop_heartbeat()
-    fs.delete(hpath(f"{path}/{_TRASH}"), True)
-    fs.delete(hpath(staging), True)
+            raise
+        _refresh_lease()  # the staging write may have consumed most of a lease
+
+        for i, p in enumerate(todo):
+            part = p["partition"]
+            live = hpath(f"{path}/{part}")
+            trash = hpath(f"{path}/{_TRASH}/{part}")
+            # drift gate: a writer (e.g. the near-dup stream) may have landed
+            # files in this partition AFTER the plan's listing; swapping would
+            # silently destroy them with the trash. Abort loudly instead —
+            # this partition is untouched, completed swaps stand, recovery
+            # cleans the rest once the lease is released.
+            now_names = sorted(
+                st.getPath().getName()
+                for st in fs.listStatus(live)
+                if not st.getPath().getName().startswith(("_", "."))
+            )
+            plan_names = sorted(
+                fpath.rsplit("/", 1)[-1] for fpath, _sz in before.get(part, [])
+            )
+            if now_names != plan_names:
+                fs.delete(hpath(staging), True)
+                _release_lease()
+                raise OSError(
+                    f"compaction aborted at {part}: partition contents changed "
+                    "since planning (concurrent writer?) — nothing of this "
+                    "partition was touched; re-run maintenance off the write path"
+                )
+            if i % 128 == 127:
+                _refresh_lease()
+            # the Hadoop rename contract returns false when the destination
+            # PARENT is missing — a multi-level partition (k1=a/k2=b) renames
+            # into a nested trash path, so create that parent first (the local
+            # fs silently copy-falls-back; HDFS does not)
+            fs.mkdirs(trash.getParent())
+            if not fs.rename(live, trash):
+                fs.delete(hpath(staging), True)
+                _release_lease()
+                raise OSError(f"compaction swap-out failed for {part}")
+            if not fs.rename(hpath(f"{staging}/{part}"), live):
+                # roll back BEFORE releasing the lease, so reader recovery
+                # cannot race the rollback, restore the partition itself, and
+                # delete the trash this error message points at
+                if not fs.rename(trash, live):
+                    # keep the lease: it blocks automated recovery from racing
+                    # whatever manual intervention the operator performs, and
+                    # ages out in LEASE_SECONDS so auto-heal still happens if
+                    # nobody intervenes (heartbeat stops so it CAN age out)
+                    _stop_heartbeat()
+                    raise OSError(
+                        f"compaction swap-in AND rollback failed for {part}: "
+                        f"original data preserved at {path}/{_TRASH}/{part}; "
+                        "restore it manually (or wait for the lease to age out "
+                        "and recovery to restore it) before the next run"
+                    )
+                _release_lease()
+                raise OSError(f"compaction swap-in failed for {part} (rolled back)")
+        # stop the ticker BEFORE deleting the trash dir: a late tick would
+        # recreate the marker (fs.create makes parents) and wedge the next run
+        _stop_heartbeat()
+        fs.delete(hpath(f"{path}/{_TRASH}"), True)
+        fs.delete(hpath(staging), True)
+    except BaseException:
+        # safety net for raises that bypass the explicit release
+        # paths (listStatus/mkdirs/rename throwing instead of
+        # returning false, read/plan failures): the marker is left
+        # to age out as before the heartbeat existed, but the ticker
+        # MUST die or it refreshes a dead run's lease forever and
+        # permanently wedges compaction in a long-lived driver.
+        _stop_heartbeat()
+        raise
 
     after = list_partition_files(spark, path)
     return {

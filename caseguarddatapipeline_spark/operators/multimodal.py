@@ -371,23 +371,17 @@ def _binaryfile_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     _BINFIX_N rows (fixture-sized, like the similarity query-vector
     cache); idempotent via a marker file, atomic via write-to-tmp+rename
     so concurrent builders can't expose a half-written dir."""
-    import hashlib
     import os
-    import tempfile
 
-    # tag by path AND the source parquet's (mtime, size) fingerprint: a
+    from ..sources.stores import fingerprint_store_dir
+
+    # tagged by the source parquet's fingerprint (shared rule): a
     # regenerated dataset at the same path must invalidate the fixture —
-    # unlike the in-process caches, this one survives restarts
-    src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-        fingerprint = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
-    except OSError:  # non-local sf_dir: fall back to the path alone
-        fingerprint = os.path.abspath(sf_dir)
-    fingerprint += f"|v{_BINFIX_VERSION}"  # payload format revisions invalidate
-    tag = hashlib.sha1(fingerprint.encode()).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), "caseguard_binfix")
-    out = os.path.join(base, tag)
+    # unlike the in-process caches, this one survives restarts; payload
+    # format revisions invalidate via _BINFIX_VERSION
+    out = fingerprint_store_dir(
+        sf_dir, "documents.parquet", "caseguard_binfix", _BINFIX_VERSION
+    )
     marker = os.path.join(out, "_FIXTURE_COMPLETE")
     if os.path.exists(marker):
         return out
@@ -397,6 +391,9 @@ def _binaryfile_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         .select("doc_id", "text")
         .collect()
     )
+    import tempfile
+
+    base = os.path.dirname(out)
     os.makedirs(base, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=base)
     for r in rows:

@@ -44,7 +44,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources import load_table
-from .similarity import IVF1_CENTS_SQL, _cell_cosines, _ivf1_index
+from .similarity import IVF1_CENTS_SQL, _coarse_cells, _ivf1_index, _probe_list
 
 M, SUBDIM, K, N_QUERIES, TOPK = 4, 16, 16, 5, 3
 NPROBE = 4
@@ -67,6 +67,14 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+
+
+def _pq_queries(corpus: DataFrame) -> DataFrame:
+    """(query_id, q_emb): the fixed first-N_QUERIES query set every PQ
+    search family probes with."""
+    return corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
 
 
@@ -162,23 +170,15 @@ def _adc_table(subs: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _pq_store_dir(sf_dir: str) -> str:
-    """On-disk home for a corpus' PQ index store — same fingerprint
-    scheme as ``similarity._index_store_dir`` (regenerated data at the
-    same path gets a fresh store); a fixed lake path in production."""
-    import hashlib
-    import os
-    import tempfile
+    """On-disk home for a corpus' PQ index store — the shared fingerprint
+    rule (``sources/stores.fingerprint_store_dir``); a fixed lake path in
+    production. Layout v2: the snapshot also carries the residual
+    (by_residual=true) codebooks and codes — old v1 stores are orphaned."""
+    from ..sources.stores import fingerprint_store_dir
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-        fingerprint = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
-    except OSError:
-        fingerprint = os.path.abspath(sf_dir)
-    # layout v2: the snapshot also carries the residual (by_residual=true)
-    # codebooks and codes — old v1 stores are simply orphaned
-    tag = hashlib.sha1(f"{fingerprint}|v2".encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), "caseguard_pqindex", tag)
+    return fingerprint_store_dir(
+        sf_dir, "embeddings.parquet", "caseguard_pqindex", layout_version=2
+    )
 
 
 def _residual_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,16 +190,7 @@ def _residual_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
     seeds, centroids = _ivf1_index(spark, sf_dir)
     cent_mat = _seed_matrix_lit(centroids)
-    cos6_seed = F.transform(
-        _cell_cosines(seeds, F.col("emb")), lambda c: F.round(c, 6)
-    )
-    cells = corpus.select(
-        "vec_id",
-        "emb",
-        (F.array_position(cos6_seed, F.array_max(cos6_seed)) - 1)
-        .cast("int")
-        .alias("cell"),
-    )
+    cells = _coarse_cells(corpus, seeds, keep_emb=True)
     resid = F.zip_with(
         F.col("emb"),
         F.element_at(cent_mat, F.col("cell") + 1),
@@ -272,12 +263,16 @@ def _load_pq_index(
     recomputes in SQL match the persisted ones."""
     import os
 
-    from ..sources.versioned import read_latest
+    from ..sources.versioned import read_version
+    from .similarity import _memo_snapshot
 
     base = _pq_store_dir(sf_dir)
     if not os.path.exists(os.path.join(base, "_LATEST")):
         publish_pq_index(spark, sf_dir, base)
-    snap = read_latest(spark, base)
+    # memo holds the lazy snapshot FRAME per (session, store, version) —
+    # a republish bumps the version and misses; the snapshot files stay
+    # the source of truth either way
+    snap = _memo_snapshot(spark, base, lambda v: read_version(spark, base, v))
     bk, ck = ("rcodebook", "rcode") if residual else ("codebook", "code")
     cents = snap.filter(F.col("kind") == bk).select("m", "cell", "c_sub")
     codes = snap.filter(F.col("kind") == ck).select(
@@ -330,31 +325,12 @@ def e2_ivfpq_search_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, codes = _load_pq_index(spark, sf_dir)
     dtab = _adc_table(subs, cents)
 
-    # Coarse stage, shared with e2_ivf_search_1round via _ivf1_index.
+    # Coarse stage, shared with e2_ivf_search_1round via _ivf1_index and
+    # the single _coarse_cells/_probe_list definitions (similarity.py).
     seeds, centroids = _ivf1_index(spark, sf_dir)
-    cos6_seed = F.transform(
-        _cell_cosines(seeds, F.col("emb")), lambda c: F.round(c, 6)
-    )
-    cells = corpus.select(
-        "vec_id",
-        (F.array_position(cos6_seed, F.array_max(cos6_seed)) - 1)
-        .cast("int")
-        .alias("cell"),
-    )
-    cos6_cent = F.transform(
-        _cell_cosines(centroids, F.col("q_emb")), lambda c: F.round(c, 6)
-    )
-    cos_idx = F.transform(
-        cos6_cent, lambda c, i: F.struct(c.alias("cos"), (-i).alias("neg_idx"))
-    )
-    probes_arr = F.transform(
-        F.slice(F.reverse(F.array_sort(cos_idx)), 1, NPROBE),
-        lambda s: -s["neg_idx"],
-    )
-    probes = (
-        corpus.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
-        .select("query_id", F.explode(probes_arr).alias("probe_cell"))
+    cells = _coarse_cells(corpus, seeds)
+    probes = _probe_list(_pq_queries(corpus), centroids, NPROBE).select(
+        "query_id", "probe_cell"
     )
 
     cand = cells.join(
@@ -410,33 +386,9 @@ def e2_ivfpq_residual_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds, centroids = _ivf1_index(spark, sf_dir)
     cent_mat = _seed_matrix_lit(centroids)
 
-    cos6_seed = F.transform(
-        _cell_cosines(seeds, F.col("emb")), lambda c: F.round(c, 6)
-    )
-    cells = corpus.select(
-        "vec_id",
-        (F.array_position(cos6_seed, F.array_max(cos6_seed)) - 1)
-        .cast("int")
-        .alias("cell"),
-    )
+    cells = _coarse_cells(corpus, seeds)
     rcents, rcodes = _load_pq_index(spark, sf_dir, residual=True)
-
-    cos6_cent = F.transform(
-        _cell_cosines(centroids, F.col("q_emb")), lambda c: F.round(c, 6)
-    )
-    cos_idx = F.transform(
-        cos6_cent, lambda c, i: F.struct(c.alias("cos"), (-i).alias("neg_idx"))
-    )
-    probes_arr = F.transform(
-        F.slice(F.reverse(F.array_sort(cos_idx)), 1, NPROBE),
-        lambda s: -s["neg_idx"],
-    )
-    probes = (
-        corpus.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
-        .select("query_id", "q_emb", F.explode(probes_arr).alias("probe_cell"))
-        .withColumn("probe_cell", F.col("probe_cell").cast("int"))
-    )
+    probes = _probe_list(_pq_queries(corpus), centroids, NPROBE)
     # per-probed-cell query residual → subvectors → ADC table
     q_resid = F.zip_with(
         F.col("q_emb"),
@@ -509,9 +461,7 @@ def e2_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     shows up as a recall drop the driver would catch."""
     approx = e2_pq_search_1round(spark, sf_dir).select("query_id", "vec_id")
     corpus = _corpus(spark, sf_dir)
-    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
-    )
+    queries = _pq_queries(corpus)
     dist = F.round(_l2sq(F.col("emb"), F.col("q_emb")), 6)
     w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
     exact = (

@@ -418,6 +418,10 @@ def e3_vocab_induction_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MARKER_BASE = 0xE000  # private-use area: never in meaningful text
+_BPE_MAX_ROUNDS = 256
+
+
 def bpe_learn_merges(docs: DataFrame, n_rounds: int = 4) -> list[dict]:
     """Full iterative BPE tokenizer TRAINING over the vocab table: N
     rounds of (count adjacent symbol pairs → argmax merge → re-segment),
@@ -433,9 +437,26 @@ def bpe_learn_merges(docs: DataFrame, n_rounds: int = 4) -> list[dict]:
 
     Returns [{left, right, merged, count}, ...] in merge order. Rounds 1
     and 2 agree with the oracle-checked e3_vocab_induction /
-    e3_vocab_induction_2round argmaxes by construction."""
+    e3_vocab_induction_2round argmaxes by construction.
+
+    Symbol identity is the DISPLAY string (as in the serial algorithm,
+    where a symbol is its text): when two merge paths produce the same
+    display — e.g. ('ab','c') and ('a','bc') both yielding 'abc' — the
+    later merge reuses the existing marker, so every occurrence of the
+    symbol carries ONE encoding and later searches find all of them.
+    Markers live in the Unicode private-use area (U+E000..) so they can
+    never collide with real corpus characters (chr(1+r) would hit tab/
+    newline at r=8/9); a corpus that itself contains PUA characters is
+    rejected up front rather than silently corrupted."""
+    if n_rounds > _BPE_MAX_ROUNDS:
+        raise ValueError(f"n_rounds > {_BPE_MAX_ROUNDS} exceeds the marker alphabet")
     words = _vocab_words(docs).select(F.col("word").alias("w"), "n").persist()
     try:
+        if words.filter(F.col("w").rlike("[-]")).take(1):
+            raise ValueError(
+                "corpus contains private-use-area characters that collide "
+                "with BPE segmentation markers (U+E000-U+E0FF)"
+            )
         markers: list[tuple[str, str]] = []  # (marker char, display string)
         inv: dict[str, str] = {}  # display -> marker
         merges: list[dict] = []
@@ -474,11 +495,15 @@ def bpe_learn_merges(docs: DataFrame, n_rounds: int = 4) -> list[dict]:
             if not top:
                 break
             sym1, sym2, cnt = top[0]["sym1"], top[0]["sym2"], top[0]["c"]
-            marker = chr(1 + r)
             merged = sym1 + sym2
             search = inv.get(sym1, sym1) + inv.get(sym2, sym2)
-            inv[merged] = marker
-            markers.append((marker, merged))
+            marker = inv.get(merged)
+            if marker is None:
+                marker = chr(_BPE_MARKER_BASE + r)
+                inv[merged] = marker
+                markers.append((marker, merged))
+            # else: a second merge path reached an existing display —
+            # same symbol, same marker (serial-semantics unification)
             merges.append(
                 {"left": sym1, "right": sym2, "merged": merged, "count": cnt}
             )

@@ -1,0 +1,41 @@
+"""Fingerprint-keyed on-disk store locations for derived artifacts.
+
+The ANN quantizer snapshot, the PQ codebook snapshot, and the binaryFile
+fixture all cache something derived from a source parquet table and must
+invalidate when that source is REGENERATED at the same path. The shared
+rule: key the store directory by (absolute path, mtime_ns, size) of the
+source file plus an explicit layout version, so
+
+- a refreshed dataset at the same path gets a fresh store (the old one
+  is simply orphaned in the tempdir), and
+- a layout revision (new snapshot schema, new fixture payload format)
+  invalidates by bumping the caller's version constant — never by
+  remembering to clear caches.
+
+In production these are fixed lake paths per corpus; the tempdir home is
+the local-mode stand-in. One helper so the invalidation rule can never
+diverge between the three stores (it previously existed as three copies).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+
+def fingerprint_store_dir(
+    sf_dir: str, src_name: str, store_name: str, layout_version: int
+) -> str:
+    """Store directory for an artifact derived from ``sf_dir/src_name``:
+    ``$TMP/<store_name>/<sha1(path|mtime|size|v<layout_version>)[:12]>``.
+    Falls back to the path alone when the source cannot be stat'ed
+    (non-local sf_dir)."""
+    src = os.path.join(sf_dir, src_name)
+    try:
+        st = os.stat(src)
+        fingerprint = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        fingerprint = os.path.abspath(sf_dir)
+    tag = hashlib.sha1(f"{fingerprint}|v{layout_version}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), store_name, tag)

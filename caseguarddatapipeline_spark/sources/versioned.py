@@ -56,7 +56,10 @@ def write_version(df: DataFrame, base_dir: str) -> int:
     race to the same next version id, and directory rename onto an
     existing non-empty ``v=N`` fails — the loser re-lists versions and
     retries the rename under the next free id instead of erroring, so
-    both snapshots land (the pointer ends on whichever swapped last)."""
+    both snapshots land. The pointer swap is MONOTONE (``_swap_pointer``):
+    racing publishers serialize on a tiny lock file, each writes its own
+    uniquely-named temp, and a slow loser can never regress the pointer
+    below a later-published version — it ends on the newest id."""
     import time
 
     os.makedirs(base_dir, exist_ok=True)
@@ -79,11 +82,61 @@ def write_version(df: DataFrame, base_dir: str) -> int:
             continue  # another writer claimed v=N: retry under the next id
     else:
         raise IOError(f"could not claim a version slot in {base_dir}")
-    tmp = os.path.join(base_dir, f"{_PTR}.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(n))
-    os.replace(tmp, os.path.join(base_dir, _PTR))  # atomic swap
+    _swap_pointer(base_dir, n)
     return n
+
+
+_LOCK_STALE_SECONDS = 30.0
+
+
+def _swap_pointer(base_dir: str, n: int) -> None:
+    """Advance ``_LATEST`` to ``n`` iff ``n`` is newer than what it holds.
+
+    Readers stay lock-free (they see the pointer only through the atomic
+    ``os.replace``); WRITERS serialize on an ``O_CREAT|O_EXCL`` lock file
+    so the read-compare-swap is not interleaved. Two guarantees plain
+    tmp+rename lacked: (1) each writer's temp file is uniquely named, so
+    racing publishers never clobber or unlink each other's in-flight temp;
+    (2) the pointer is MONOTONE — a slow writer that claimed an older
+    version id cannot overwrite the pointer of a later-published one.
+    A crashed holder's lock ages out after ``_LOCK_STALE_SECONDS``."""
+    import time
+
+    ptr = os.path.join(base_dir, _PTR)
+    lock = ptr + ".lock"
+    deadline = time.monotonic() + 2 * _LOCK_STALE_SECONDS
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:  # holder crashed mid-swap: age the lock out
+                if time.time() - os.path.getmtime(lock) > _LOCK_STALE_SECONDS:
+                    os.unlink(lock)
+                    continue
+            except FileNotFoundError:
+                continue  # holder released between the two calls: retry now
+            if time.monotonic() > deadline:
+                raise IOError(f"pointer lock wedged in {base_dir}: {lock}")
+            time.sleep(0.01)
+    try:
+        cur = -1
+        try:
+            with open(ptr) as fh:
+                cur = int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            pass
+        if n > cur:
+            tmp = f"{ptr}.tmp-{os.getpid()}-{time.monotonic_ns()}"
+            with open(tmp, "w") as fh:
+                fh.write(str(n))
+            os.replace(tmp, ptr)  # atomic for readers; lock orders writers
+    finally:
+        os.close(fd)
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
 
 
 def latest_version(base_dir: str) -> int:

@@ -38,6 +38,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.profiling import psi_bin, psi_report
+from .neardup import _check_index_ownership
 
 EVENT_STREAM_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, value double"
@@ -141,28 +142,12 @@ def run_drift_stream(
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        # checkpoint/state-dir mismatch gate: batch ids restart at 0 under a
-        # FRESH checkpoint, so pointing one at a counts_dir that already
-        # holds HIGHER-numbered partitions would silently restart
-        # accumulation from empty while maintain_drift_counts keeps
-        # preferring the stale high-numbered partitions. A partition EQUAL
-        # to batch_id is legitimate (crash after the counts write, before
-        # the checkpoint commit → replay overwrites it, replay-exact);
-        # anything beyond it means the checkpoint does not own this state.
-        ahead = sorted(
-            b
-            for d in os.listdir(counts_dir)
-            if d.startswith("ingest_batch=")
-            and (b := int(d.split("=", 1)[1])) > batch_id
-        )
-        if ahead:
-            raise RuntimeError(
-                f"drift counts_dir {counts_dir} already holds partitions "
-                f"{ahead} ahead of batch {batch_id}: the stream's checkpoint "
-                "does not own this state (fresh checkpoint against an old "
-                "counts_dir?) — point at an empty counts_dir or restore the "
-                "matching checkpoint"
-            )
+        # checkpoint/state-dir mismatch gate (shared with the near-dup
+        # index sinks): batch ids restart at 0 under a FRESH checkpoint, so
+        # pointing one at a counts_dir that already holds HIGHER-numbered
+        # partitions would silently restart accumulation from empty while
+        # maintain_drift_counts keeps preferring the stale partitions.
+        _check_index_ownership(counts_dir, batch_id, label="drift counts_dir")
         admissible = batch.filter(
             F.col("event_type").isNotNull() & F.col("value").isNotNull()
         )

@@ -79,7 +79,9 @@ def probe_index(banded: DataFrame, index: DataFrame) -> DataFrame:
     )
 
 
-def _check_index_ownership(index_dir: str, batch_id: int) -> None:
+def _check_index_ownership(
+    index_dir: str, batch_id: int, label: str = "near-dup index"
+) -> None:
     """Fail fast when ``index_dir`` holds partitions AHEAD of the current
     batch id: batch ids restart at 0 under a FRESH checkpoint, so a stream
     pointed at an existing index with a new checkpoint would silently
@@ -88,7 +90,9 @@ def _check_index_ownership(index_dir: str, batch_id: int) -> None:
     high-numbered ones for retention. A partition EQUAL to batch_id is the
     legitimate crash-replay case (index written, checkpoint commit lost →
     the replay overwrites it, replay-exact); anything beyond it means this
-    checkpoint does not own this state dir."""
+    checkpoint does not own this state dir. Shared by every batch-id-keyed
+    state sink (``label`` names the caller's dir in the error): the
+    near-dup/span indexes here and the drift counts accumulator."""
     if not os.path.isdir(index_dir):
         return
     ahead = sorted(
@@ -99,10 +103,10 @@ def _check_index_ownership(index_dir: str, batch_id: int) -> None:
     )
     if ahead:
         raise RuntimeError(
-            f"near-dup index {index_dir} already holds partitions {ahead} "
+            f"{label} {index_dir} already holds partitions {ahead} "
             f"ahead of batch {batch_id}: the stream's checkpoint does not "
-            "own this state (fresh checkpoint against an existing index?) "
-            "— point at an empty index_dir or restore the matching "
+            "own this state (fresh checkpoint against an existing state "
+            "dir?) — point at an empty state dir or restore the matching "
             "checkpoint"
         )
 

@@ -585,3 +585,40 @@ def test_lease_heartbeat_outlives_long_staging_write(spark, tmp_path, monkeypatc
     # every concurrent recovery during the run found a fresh lease (no-op)
     assert all(r == 0 for r in recoveries)
     assert spark.read.parquet(path).agg(F.sum("v")).collect()[0][0] == before
+
+
+def test_compaction_heartbeat_dies_on_unexpected_raise(spark, tmp_path, monkeypatch):
+    """A raise that bypasses the explicit release paths (here: injected at
+    the broadcast plan build, after the heartbeat started) must still stop
+    the lease-heartbeat ticker — otherwise it refreshes a dead run's lease
+    every LEASE_SECONDS/3 forever and permanently wedges compaction in a
+    long-lived driver. The marker itself stays (bounded age-out), exactly
+    the pre-heartbeat crash behavior."""
+    import os
+    import threading
+
+    import pyspark.sql.functions as F
+
+    from caseguarddatapipeline_spark.operators import layout as L
+
+    path = str(tmp_path / "events")
+    frag = spark.range(500).select(
+        "id", (F.col("id") % 2).alias("batch"), (F.col("id") * 3).alias("v")
+    ).repartition(8)
+    frag.write.partitionBy("batch").parquet(path)
+
+    def exploding_broadcast(df):
+        raise RuntimeError("injected: executor lost mid-plan")
+
+    monkeypatch.setattr(L.F, "broadcast", exploding_broadcast)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected"):
+        L.compact_partitions(spark, path, ["batch"])
+    monkeypatch.undo()
+
+    # the ticker must be dead...
+    hb = [t for t in threading.enumerate() if t.name == "compaction-lease-heartbeat"]
+    assert all(not t.is_alive() for t in hb)
+    # ...and the marker left to age out, as documented
+    assert os.path.exists(os.path.join(path, L._TRASH, L._LEASE_MARKER))

@@ -218,3 +218,34 @@ def test_vocab_2round_agrees_with_merge_learner(spark, sf_dir):
         r2_top["sym1"], r2_top["sym2"],
     )
     assert merges[1]["count"] == r2_top["pair_count"]
+
+
+def test_bpe_deep_rounds_with_control_chars(spark):
+    """Ten merge rounds over words that CONTAIN tab/newline characters:
+    the old chr(1+r) marker alphabet collides with \\t at r=8 and \\n at
+    r=9, silently corrupting segmentation; the private-use-area markers
+    must keep the learner exact against the serial reference."""
+    import pytest
+    from caseguarddatapipeline_spark.operators.textops import bpe_learn_merges
+
+    words = ["aaab", "aab\tb", "ab\nab", "bbaa", "aaaa", "b\tb\tb", "a\na\na"]
+    text = " ".join(w for w in words for _ in range(3))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    vocab = {w: 3 for w in words}
+    assert bpe_learn_merges(docs, n_rounds=10) == _serial_bpe(vocab, 10)
+
+    with pytest.raises(ValueError, match="marker alphabet"):
+        bpe_learn_merges(docs, n_rounds=257)
+
+
+def test_bpe_rejects_private_use_area_corpus(spark):
+    """A corpus whose words already contain U+E000.. characters would be
+    indistinguishable from segmentation markers — rejected up front."""
+    import pytest
+    from caseguarddatapipeline_spark.operators.textops import bpe_learn_merges
+
+    docs = spark.createDataFrame(
+        [(0, "normal word x pair pair")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="private-use-area"):
+        bpe_learn_merges(docs, n_rounds=2)

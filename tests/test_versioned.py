@@ -130,3 +130,40 @@ def test_concurrent_writers_both_land(spark, tmp_path, monkeypatch):
     assert V.latest_version(base) == 2
     assert V.read_version(spark, base, 2).count() == 5
     assert sorted(V._versions(base)) == [0, 1, 2]
+
+
+def test_pointer_is_monotone_against_slow_loser(spark, tmp_path):
+    """A slow writer that claimed an OLDER version id cannot regress the
+    pointer after a newer version published: _swap_pointer only advances.
+    (Before the lock + compare, interleaved pointer writes could end on
+    the earlier version, serving a stale snapshot indefinitely.)"""
+    from caseguarddatapipeline_spark.sources import versioned as V
+
+    base = str(tmp_path / "store")
+    V.write_version(spark.range(3).toDF("id"), base)   # v=0
+    V.write_version(spark.range(7).toDF("id"), base)   # v=1, pointer -> 1
+    assert V.latest_version(base) == 1
+    # the slow loser's pointer write arrives last, carrying its old id
+    V._swap_pointer(base, 0)
+    assert V.latest_version(base) == 1  # monotone: no regression
+    V._swap_pointer(base, 2)  # and a newer id still advances
+    assert V.latest_version(base) == 2
+
+
+def test_pointer_lock_ages_out_after_crashed_holder(tmp_path):
+    """A lock file left by a crashed publisher must not wedge the store:
+    _swap_pointer ages it out after _LOCK_STALE_SECONDS and proceeds."""
+    import os as _os
+    import time as _time
+
+    from caseguarddatapipeline_spark.sources import versioned as V
+
+    base = str(tmp_path / "store")
+    _os.makedirs(base)
+    lock = _os.path.join(base, f"{V._PTR}.lock")
+    open(lock, "w").close()
+    stale = _time.time() - V._LOCK_STALE_SECONDS - 5
+    _os.utime(lock, (stale, stale))
+    V._swap_pointer(base, 0)
+    assert V.latest_version(base) == 0
+    assert not _os.path.exists(lock)

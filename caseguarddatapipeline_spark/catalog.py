@@ -66,6 +66,10 @@ _PRIORITY = [
     # parity sweep)
     "e2_ivfpq_residual_1round",
     "e2_ivf_range_search",
+    # ... and the materialized postings store's search face (S12 made
+    # first-class; displaces e5_token_budget_sample, green r5 and pinned
+    # row-identical to its scaled twin, which stays in the window below)
+    "s12_postings_search",
     # Never-driver-verified: round-4 A-family / window extensions
     "a28_grouping_sets",
     "a29_expectations",
@@ -116,7 +120,6 @@ _PRIORITY = [
     "e3_bm25_search",
     "e3_vocab_induction",
     "a32_psi_drift",
-    "e5_token_budget_sample",
 ]
 
 
@@ -153,7 +156,7 @@ def _registered_modules():
         "relational9", "relational10", "sql_twins", "profiling", "timeseries",
         "quality",
         "skew", "sessions", "textops", "dedup", "curation", "similarity", "pq",
-        "layout",
+        "vecindex", "layout",
         "multimodal", "incremental", "inference", "rest_fetch", "canonical",
         "soap_fetch",
     ):

@@ -41,9 +41,18 @@ def _versions(base_dir: str) -> list[int]:
     )
 
 
-def write_version(df: DataFrame, base_dir: str) -> int:
+def write_version(
+    df: DataFrame, base_dir: str, partition_by: list[str] | None = None
+) -> int:
     """Write ``df`` as the next immutable snapshot and swap the pointer.
     Returns the new version id.
+
+    ``partition_by`` lays the snapshot out as hive-style partition
+    directories (e.g. ``v=N/cell=3/``) so readers that filter on the
+    partition column get static partition PRUNING at the scan — the
+    versioned-store face of "the probe join becomes partition pruning".
+    Note ``compact_snapshot`` only bin-packs flat snapshots (it lists
+    top-level files) and is a safe no-op on partitioned ones.
 
     The snapshot is staged in a dot-prefixed temp directory (named by
     pid+monotonic time, so concurrent writers never share staging) and
@@ -66,7 +75,10 @@ def write_version(df: DataFrame, base_dir: str) -> int:
     staging = os.path.join(
         base_dir, f".staging-{os.getpid()}-{time.monotonic_ns()}"
     )
-    df.write.mode("overwrite").parquet(staging)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     if not os.path.exists(os.path.join(staging, "_SUCCESS")):
         raise IOError(f"snapshot write did not commit: {staging}")
     for _ in range(64):  # bound: pathological publisher storms error out

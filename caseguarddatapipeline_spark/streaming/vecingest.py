@@ -1,0 +1,112 @@
+"""Streaming vector-index ingestion: the reference's per-case Pinecone
+upsert (etl/flows/process_case.py:292-318 — every processed case pushes its
+embedding records) as a Structured Streaming drain into the materialized
+postings store (operators/vecindex.py).
+
+Protocol, consistent with the repo's other batch-id-keyed state sinks
+(streaming/neardup.py, streaming/drift.py):
+
+- each micro-batch is reduced to ONE record per vec_id (last writer wins by
+  event ``ts``, ties broken by a content hash so replay is deterministic),
+  then applied with ``ivf_postings_upsert`` — one new immutable version per
+  micro-batch, so a reader mid-search never observes a half-applied batch
+  and the (base_dir, version) pair a training run records stays exact.
+- an ``_INGEST_BATCH`` marker (tmp + atomic replace) records the last
+  applied batch id AFTER its version published. Ownership gate: a marker
+  AHEAD of the current batch id means a fresh checkpoint was pointed at an
+  existing store — fail fast instead of silently re-ingesting from zero.
+  A marker EQUAL to the batch id is the crash-replay case with the publish
+  already durable, so the batch is skipped; publish-done-marker-lost
+  re-applies the batch, which is content-idempotent (same ids, same
+  last-writer-wins outcome) and only costs one redundant version.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+VEC_STREAM_SCHEMA = "vec_id long, embedding array<double>, ts long"
+
+_MARKER = "_INGEST_BATCH"
+
+
+def _read_marker(base_dir: str) -> int:
+    try:
+        with open(os.path.join(base_dir, _MARKER)) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
+def _write_marker(base_dir: str, batch_id: int) -> None:
+    path = os.path.join(base_dir, _MARKER)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(str(batch_id))
+    os.replace(tmp, path)
+
+
+def run_vector_upsert_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    input_dir: str,
+    checkpoint_dir: str,
+    base_dir: str | None = None,
+    max_files_per_trigger: int = 10,
+):
+    """Drain JSON vector records (``VEC_STREAM_SCHEMA``) from ``input_dir``
+    into the postings store with Trigger.AvailableNow; returns the finished
+    query. Malformed rows (null id or embedding) divert rather than failing
+    the micro-batch."""
+    from ..operators.vecindex import (
+        _ensure_postings,
+        ivf_postings_upsert,
+    )
+
+    base = _ensure_postings(spark, sf_dir, base_dir)
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        applied = _read_marker(base)
+        if applied > batch_id:
+            raise RuntimeError(
+                f"postings store {base} was last written by batch {applied}, "
+                f"ahead of batch {batch_id}: this stream's checkpoint does "
+                "not own this store (fresh checkpoint against an existing "
+                "store?) — point at an empty store or restore the matching "
+                "checkpoint"
+            )
+        if applied == batch_id:
+            return  # replay of a fully-applied batch: publish is durable
+        admissible = batch.filter(
+            F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("ts"), F.desc(F.md5(F.to_json(F.struct("embedding"))))
+        )
+        latest = (
+            admissible.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "embedding")
+        )
+        if latest.isEmpty():
+            _write_marker(base, batch_id)
+            return
+        ivf_postings_upsert(batch.sparkSession, sf_dir, latest, base_dir=base)
+        _write_marker(base, batch_id)
+
+    stream = (
+        spark.readStream.schema(VEC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -27,7 +27,12 @@ def test_stream_record_shape():
         "jobs_parse_dedup",
         "neardup_drain",
         "span_drain",
+        "vecingest_drain",
     }
+    # the ingest drain must have applied one version per micro-batch
+    assert doc["pipelines"]["vecingest_drain"]["versions"] >= doc[
+        "pipelines"
+    ]["vecingest_drain"]["batches"]
     # the stateful pipelines must actually have exercised the state store
     assert doc["pipelines"]["windowed_agg"].get("state_rows", 0) > 0
     # the dedup drains must have found the planted duplicates

@@ -27,7 +27,7 @@ LIBRARY_COVERAGE = {
     "S9": "streaming/jobs (queue sink via retry re-append)",
     "S10": "streaming/jobs.run_jobs_stream (file-stream source)",
     "S11": "config.load_tenant_config + broadcast_config",
-    "S12": "embeddings parquet writes + operators/similarity (E2)",
+    "S12": "s12_postings_search",
     "S13": "sources/connectors.export_metrics",
     "F16": "scalar2.f16_base64_roundtrip",
     "F19": "config.resolve_env_templates",

@@ -54,6 +54,8 @@ FLOORS = {
     "jobs_parse_dedup": 50_000.0,
     "neardup_drain": 1_000.0,
     "span_drain": 1_000.0,
+    # measured ~3.4k vec/s (50 k 64-d vectors, 4 copy-on-write versions)
+    "vecingest_drain": 1_000.0,
 }
 
 
@@ -301,6 +303,71 @@ def _span_drain(spark, n_docs: int = 20_000, n_files: int = 8):
         }
 
 
+def _vecingest_drain(spark, n_vecs: int = 50_000, n_files: int = 8):
+    """Drain a synthetic 64-d vector feed through the streaming index
+    ingestion (streaming/vecingest.run_vector_upsert_stream): every
+    micro-batch is deduped to one record per vec_id, assigned to its IVF
+    cell with the persisted sf0.1 quantizer, and published as the next
+    cell-partitioned postings version (copy-on-write merge — the snapshot
+    grows across batches, so later batches rewrite more). Throughput =
+    vectors/s end-to-end through dedupe + assignment + merge + publish."""
+    from caseguarddatapipeline_spark.operators.vecindex import (
+        publish_ivf_postings,
+    )
+    from caseguarddatapipeline_spark.streaming.vecingest import (
+        run_vector_upsert_stream,
+    )
+    from caseguarddatapipeline_spark.sources.versioned import (
+        latest_version,
+        read_latest,
+    )
+
+    sf_dir = "/root/testdata/sf0.1"
+    files_per_trigger = 2
+
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as root:
+        input_dir = f"{root}/in"
+        emb = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.col("id"), j), F.lit(2000)) - F.lit(1000)
+            ).cast("double")
+            / 1000.0,
+        )
+        (
+            spark.range(n_vecs)
+            .select(
+                (F.col("id") + 1_000_000).alias("vec_id"),
+                emb.alias("embedding"),
+                F.col("id").alias("ts"),
+            )
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .json(input_dir)
+        )
+        base = f"{root}/posts"
+        publish_ivf_postings(spark, sf_dir, base)  # index build ≠ drain
+        n0 = read_latest(spark, base).count()
+        t0 = time.perf_counter()
+        run_vector_upsert_stream(
+            spark,
+            sf_dir,
+            input_dir,
+            f"{root}/ckpt",
+            base_dir=base,
+            max_files_per_trigger=files_per_trigger,
+        )
+        elapsed = time.perf_counter() - t0
+        return {
+            "vectors": n_vecs,
+            "batches": -(-n_files // files_per_trigger),
+            "versions": latest_version(base),
+            "final_rows": read_latest(spark, base).count() - n0,
+            "elapsed_sec": round(elapsed, 3),
+            "rows_per_sec": round(n_vecs / elapsed, 1),
+        }
+
+
 def main() -> int:
     rate = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     run_s = int(sys.argv[2]) if len(sys.argv) > 2 else 20
@@ -313,6 +380,7 @@ def main() -> int:
         ),
         "neardup_drain": _neardup_drain(spark),
         "span_drain": _span_drain(spark),
+        "vecingest_drain": _vecingest_drain(spark),
     }
     doc = {
         "metric": "stream_throughput",

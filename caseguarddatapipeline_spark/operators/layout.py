@@ -291,7 +291,14 @@ def compact_partitions(
             try:
                 _refresh_lease()
             except Exception:
-                return  # fs torn down mid-run: the main thread raises anyway
+                # a TRANSIENT refresh failure (fs failover, timeout) must
+                # not kill the ticker — the rewrite may have hours left and
+                # a dead heartbeat silently re-exposes the live writer to
+                # reader "healing". Keep ticking; with a refresh every
+                # LEASE_SECONDS/3 a failure only matters if every retry in
+                # a full lease period fails too (a genuinely dead fs, where
+                # the main thread is about to raise anyway).
+                continue
 
     _hb_thread = threading.Thread(
         target=_hb_loop, name="compaction-lease-heartbeat", daemon=True
@@ -418,8 +425,16 @@ def compact_partitions(
         # stop the ticker BEFORE deleting the trash dir: a late tick would
         # recreate the marker (fs.create makes parents) and wedge the next run
         _stop_heartbeat()
-        fs.delete(hpath(f"{path}/{_TRASH}"), True)
-        fs.delete(hpath(staging), True)
+        if _hb_thread.is_alive():
+            # same wedged-tick guard as _release_lease: a tick stuck inside
+            # fs.create past the join timeout could complete AFTER the trash
+            # delete and resurrect the marker (create makes parents), wedging
+            # the next run for a full lease period. Leave trash + marker to
+            # age out; the next run's recover_compaction cleans them.
+            fs.delete(hpath(staging), True)
+        else:
+            fs.delete(hpath(f"{path}/{_TRASH}"), True)
+            fs.delete(hpath(staging), True)
     except BaseException:
         # safety net for raises that bypass the explicit release
         # paths (listStatus/mkdirs/rename throwing instead of

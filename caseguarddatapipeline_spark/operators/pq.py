@@ -264,7 +264,7 @@ def _load_pq_index(
     import os
 
     from ..sources.versioned import read_version
-    from .similarity import _memo_snapshot
+    from ..sources.stores import memo_snapshot as _memo_snapshot
 
     base = _pq_store_dir(sf_dir)
     if not os.path.exists(os.path.join(base, "_LATEST")):

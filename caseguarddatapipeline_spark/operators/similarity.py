@@ -35,9 +35,32 @@ def _round_half_up(x, decimals):
     F.round / DuckDB's round. np.round is binary-scaled half-to-even,
     which disagrees with both engines exactly at .xxxx5 boundaries; when
     a kernel's rounded value is also its ranking or threshold key, that
-    flips top-k membership between the Arrow route and the SQL route."""
+    flips top-k membership between the Arrow route and the SQL route.
+
+    Spark rounds doubles through BigDecimal.valueOf — the SHORTEST decimal
+    representation, then HALF_UP on that decimal — so a value whose
+    shortest repr ends in 5 at the target scale (e.g. 0.26645, stored
+    binarily just below the .5 midpoint) must round UP even though its
+    binary expansion says down. The vectorized floor(|x|·10^d + 0.5) gets
+    every case right except a narrow band around the midpoint; elements in
+    that band are re-done exactly via Decimal(repr(x)) (= shortest repr,
+    same as BigDecimal.valueOf), keeping the kernel fully vectorized on
+    the 1 − O(ε) of elements that are unambiguous."""
+    x = np.asarray(x, dtype=np.float64)
     scale = 10.0 ** decimals
-    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+    scaled = np.abs(x) * scale
+    out = np.sign(x) * np.floor(scaled + 0.5) / scale
+    near = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-6
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-decimals)
+        flat, xf = out.reshape(-1), x.reshape(-1)
+        for i in np.nonzero(near.reshape(-1))[0]:
+            flat[i] = float(
+                Decimal(repr(float(xf[i]))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+    return out
 
 
 def _dbl(col):
@@ -693,22 +716,10 @@ def publish_ivf_index(
     return base, write_version(df.coalesce(1), base)
 
 
-# Memo over the PERSISTED snapshots, keyed by (session, store dir, latest
-# version id): the disk snapshot stays the source of truth — a republish
-# bumps the version and misses the memo, so no in-process state survives
-# a republish — but the five IVF/PQ-family plan builds in a parity sweep
-# stop re-reading + re-collecting the identical snapshot per query.
-_SNAPSHOT_MEMO: dict[tuple[str, str, int], object] = {}
-
-
-def _memo_snapshot(spark: SparkSession, base: str, loader):
-    from ..sources.versioned import latest_version
-
-    v = latest_version(base)
-    key = (_session_key(spark), base, v)
-    if key not in _SNAPSHOT_MEMO:
-        _SNAPSHOT_MEMO[key] = loader(v)
-    return _SNAPSHOT_MEMO[key]
+# The snapshot memo lives at store level (sources/stores.memo_snapshot):
+# version-store plumbing shared by every persisted-index reader, not a
+# similarity-specific cache. Re-exported here for its existing callers.
+from ..sources.stores import memo_snapshot as _memo_snapshot  # noqa: E402
 
 
 def _load_ivf_index(
@@ -847,12 +858,15 @@ def _ivf_candidates_arrow(
     An = np.sqrt((A * A).sum(axis=1))
     P = np.asarray(probe_cents, dtype=np.float64)
     Pn = np.sqrt((P * P).sum(axis=1))
+    out_schema = "query_id long, vec_id long, cell int, cosine double"
     qrows = (
         emb.filter(F.col("vec_id") < 5)
         .select("vec_id", "embedding")
         .orderBy("vec_id")
         .collect()  # 5×dim query metadata, the _query_vectors posture
     )
+    if not qrows:  # no query vectors: same empty result as the HOF route
+        return emb.sparkSession.createDataFrame([], out_schema)
     q_ids = np.array([r["vec_id"] for r in qrows])
     Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     Qn = np.sqrt((Q * Q).sum(axis=1))
@@ -889,9 +903,7 @@ def _ivf_candidates_arrow(
                 }
             )
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        gen, "query_id long, vec_id long, cell int, cosine double"
-    )
+    return emb.select("vec_id", "embedding").mapInPandas(gen, out_schema)
 
 
 def _ivf_candidates(

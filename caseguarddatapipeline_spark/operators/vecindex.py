@@ -108,7 +108,16 @@ def ivf_postings_upsert(
     within the batch (the reference's record set is dict-keyed). The
     quantizer is NOT retrained — batches ride the persisted centroids,
     exactly how serving-path IVF upserts work; drift is handled by
-    republishing the quantizer and rebuilding (``publish_ivf_postings``)."""
+    republishing the quantizer and rebuilding (``publish_ivf_postings``).
+
+    Writer discipline: the version store makes CONCURRENT upserts safe
+    (both snapshots land, the pointer stays monotone) but not
+    transactional — a racing writer that read the same base loses the
+    other's batch (read-modify-write, same as non-conflict-checked
+    MERGEs). One writer per store is the contract; the streaming face
+    (streaming/vecingest.py) enforces it with its ownership marker, and
+    a table format with conflict detection (Delta/Iceberg) upgrades this
+    seam in place."""
     from ..sources.versioned import read_latest, write_version
 
     base = _ensure_postings(spark, sf_dir, base_dir)

@@ -39,3 +39,24 @@ def fingerprint_store_dir(
         fingerprint = os.path.abspath(sf_dir)
     tag = hashlib.sha1(f"{fingerprint}|v{layout_version}".encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), store_name, tag)
+
+
+# Memo over PERSISTED versioned snapshots, keyed by (session, store dir,
+# latest version id): the disk snapshot stays the source of truth — a
+# republish bumps the version and misses the memo, so no in-process state
+# survives a republish — but repeated plan builds in a parity sweep stop
+# re-reading + re-collecting the identical snapshot per query. Shared by
+# every store reader (IVF quantizer, PQ codebooks) so the invalidation
+# rule cannot diverge between them.
+_SNAPSHOT_MEMO: dict[tuple[str, str, int], object] = {}
+
+
+def memo_snapshot(spark, base: str, loader):
+    from .tables import _session_key
+    from .versioned import latest_version
+
+    v = latest_version(base)
+    key = (_session_key(spark), base, v)
+    if key not in _SNAPSHOT_MEMO:
+        _SNAPSHOT_MEMO[key] = loader(v)
+    return _SNAPSHOT_MEMO[key]

@@ -111,20 +111,39 @@ def _swap_pointer(base_dir: str, n: int) -> None:
     racing publishers never clobber or unlink each other's in-flight temp;
     (2) the pointer is MONOTONE — a slow writer that claimed an older
     version id cannot overwrite the pointer of a later-published one.
-    A crashed holder's lock ages out after ``_LOCK_STALE_SECONDS``."""
+
+    Stale-lock recovery is RENAME-STEAL, not unlink: a crashed holder's
+    lock (older than ``_LOCK_STALE_SECONDS``) is renamed aside before
+    deletion, and rename is atomic, so exactly ONE of N waiters reclaims
+    it — a bare unlink lets two waiters pass the staleness check, each
+    delete a lock (the second deleting the first's FRESH lock), and both
+    enter the critical section, which can regress the pointer. Release is
+    TOKEN-CHECKED for the same reason: each holder writes a unique token
+    into its lock and unlinks only if the token is still its own, so a
+    holder whose lock was (mis)stolen after an age-out cannot delete its
+    successor's lock."""
     import time
 
     ptr = os.path.join(base_dir, _PTR)
     lock = ptr + ".lock"
+    token = f"{os.getpid()}-{time.monotonic_ns()}"
     deadline = time.monotonic() + 2 * _LOCK_STALE_SECONDS
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, token.encode())
+            os.close(fd)
             break
         except FileExistsError:
             try:  # holder crashed mid-swap: age the lock out
                 if time.time() - os.path.getmtime(lock) > _LOCK_STALE_SECONDS:
-                    os.unlink(lock)
+                    # atomic steal: only ONE waiter's rename succeeds
+                    stolen = f"{lock}.stale-{os.getpid()}-{time.monotonic_ns()}"
+                    try:
+                        os.rename(lock, stolen)
+                        os.unlink(stolen)
+                    except OSError:
+                        pass  # another waiter stole it first: retry create
                     continue
             except FileNotFoundError:
                 continue  # holder released between the two calls: retry now
@@ -144,11 +163,16 @@ def _swap_pointer(base_dir: str, n: int) -> None:
                 fh.write(str(n))
             os.replace(tmp, ptr)  # atomic for readers; lock orders writers
     finally:
-        os.close(fd)
         try:
-            os.unlink(lock)
-        except FileNotFoundError:
-            pass
+            with open(lock) as fh:
+                still_mine = fh.read() == token
+        except OSError:
+            still_mine = False
+        if still_mine:  # never unlink a successor's lock after a steal
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
 
 
 def latest_version(base_dir: str) -> int:

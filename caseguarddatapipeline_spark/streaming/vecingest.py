@@ -83,6 +83,12 @@ def run_vector_upsert_stream(
         admissible = batch.filter(
             F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
         )
+        # the emptiness probe runs on the PRE-window frame (a limit-1 scan
+        # of the micro-batch) so the row_number dedup is computed exactly
+        # once, inside the upsert's single evaluation
+        if admissible.isEmpty():
+            _write_marker(base, batch_id)
+            return
         w = Window.partitionBy("vec_id").orderBy(
             F.desc("ts"), F.desc(F.md5(F.to_json(F.struct("embedding"))))
         )
@@ -91,9 +97,6 @@ def run_vector_upsert_stream(
             .filter(F.col("_rn") == 1)
             .select("vec_id", "embedding")
         )
-        if latest.isEmpty():
-            _write_marker(base, batch_id)
-            return
         ivf_postings_upsert(batch.sparkSession, sf_dir, latest, base_dir=base)
         _write_marker(base, batch_id)
 

@@ -302,3 +302,54 @@ def test_ivf_candidates_arrow_matches_hof(spark, sf_dir):
         )
         assert arrow == hof
         assert len(hof) > 0
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """The numpy HALF_UP emulation must agree with Spark F.round on
+    shortest-repr midpoints: Spark rounds doubles through
+    BigDecimal.valueOf (shortest decimal repr, then HALF_UP), so 0.26645 —
+    stored binarily just BELOW the midpoint — still rounds UP to 0.2665.
+    The pure floor(|x|·10^d+0.5) form got these wrong; the kernel's
+    rounded value is a ranking key, so a mismatch flips top-k membership
+    between the Arrow and codegen routes."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from caseguarddatapipeline_spark.operators.similarity import (
+        _round_half_up,
+    )
+
+    vals = [
+        0.26645, -0.26645, 0.12345, -0.12345, 2.675, 0.5, -0.5,
+        0.00005, -0.00005, 0.73115, 0.1, -0.99995, 1.0, 0.0,
+        0.333333, 0.66665, -0.66665, 123.45675,
+    ]
+    for d in (4, 6):
+        got = _round_half_up(np.array(vals), d)
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        want = [r["r"] for r in df.select(F.round("x", d).alias("r")).collect()]
+        assert list(got) == want, (d, list(zip(vals, got, want)))
+
+
+def test_ivf_arrow_kernel_empty_queries(spark, sf_dir):
+    """A corpus with no query vectors (all vec_id >= 5) returns an empty
+    frame from BOTH routes instead of crashing the Arrow kernel's
+    driver-side query collect."""
+    import pyspark.sql.functions as F
+
+    from caseguarddatapipeline_spark.operators.similarity import (
+        _ivf1_index,
+        _ivf_candidates,
+    )
+    from caseguarddatapipeline_spark.sources import load_table
+
+    seeds, cents = _ivf1_index(spark, sf_dir)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") >= 5)
+        .select("vec_id", "embedding")
+    )
+    for arrow in (False, True):
+        got = _ivf_candidates(emb, seeds, cents, use_arrow=arrow)
+        assert got.count() == 0
+        assert got.columns == ["query_id", "vec_id", "cell", "cosine"]

@@ -167,3 +167,71 @@ def test_pointer_lock_ages_out_after_crashed_holder(tmp_path):
     V._swap_pointer(base, 0)
     assert V.latest_version(base) == 0
     assert not _os.path.exists(lock)
+
+
+def test_stale_lock_steal_is_exclusive(tmp_path):
+    """Stale-lock recovery is rename-steal: N concurrent waiters racing a
+    crashed holder's lock all complete, the pointer lands on the max
+    version, and no stray lock or steal-residue files remain — the bare
+    unlink scheme let two waiters both 'age out' the same lock, the second
+    deleting the first's FRESH lock and admitting two writers at once."""
+    import os as _os
+    import threading
+    import time as _time
+
+    from caseguarddatapipeline_spark.sources import versioned as V
+
+    base = str(tmp_path / "store")
+    _os.makedirs(base)
+    lock = _os.path.join(base, f"{V._PTR}.lock")
+    open(lock, "w").close()
+    stale = _time.time() - V._LOCK_STALE_SECONDS - 5
+    _os.utime(lock, (stale, stale))
+
+    errs = []
+
+    def swap(n):
+        try:
+            V._swap_pointer(base, n)
+        except Exception as e:  # pragma: no cover - the assertion target
+            errs.append(e)
+
+    threads = [threading.Thread(target=swap, args=(n,)) for n in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert V.latest_version(base) == 7
+    leftovers = [f for f in _os.listdir(base) if f.startswith(V._PTR + ".")]
+    assert leftovers == [], leftovers
+
+
+def test_release_never_unlinks_successor_lock(tmp_path, monkeypatch):
+    """Token-checked release: a holder whose lock was stolen mid-swap
+    (aged out and re-taken by a waiter) must NOT unlink the successor's
+    lock on its way out — the unconditional unlink cascaded steals."""
+    import os as _os
+
+    from caseguarddatapipeline_spark.sources import versioned as V
+
+    base = str(tmp_path / "store")
+    _os.makedirs(base)
+    lock = _os.path.join(base, f"{V._PTR}.lock")
+    ptr = _os.path.join(base, V._PTR)
+    real_replace = _os.replace
+
+    def steal_during_swap(src, dst):
+        real_replace(src, dst)
+        if dst == ptr:  # simulate a waiter stealing the lock mid-swap
+            with open(lock, "w") as fh:
+                fh.write("successor-token")
+
+    monkeypatch.setattr(V.os, "replace", steal_during_swap)
+    V._swap_pointer(base, 3)
+    monkeypatch.undo()
+    assert V.latest_version(base) == 3
+    # the stolen holder's release saw a foreign token and left the lock
+    assert _os.path.exists(lock)
+    with open(lock) as fh:
+        assert fh.read() == "successor-token"

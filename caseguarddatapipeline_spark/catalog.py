@@ -70,6 +70,10 @@ _PRIORITY = [
     # first-class; displaces e5_token_budget_sample, green r5 and pinned
     # row-identical to its scaled twin, which stays in the window below)
     "s12_postings_search",
+    # ... and the intra-document span TRIM (the rewriting half of
+    # ExactSubstr; displaces e3_vocab_induction, green r5, whose 2-round
+    # successor stays in the window above)
+    "e1_span_trim",
     # Never-driver-verified: round-4 A-family / window extensions
     "a28_grouping_sets",
     "a29_expectations",
@@ -118,7 +122,6 @@ _PRIORITY = [
     "e1_span_dedup",
     "e1_containment_join",
     "e3_bm25_search",
-    "e3_vocab_induction",
     "a32_psi_drift",
 ]
 

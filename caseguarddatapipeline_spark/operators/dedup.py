@@ -1097,6 +1097,97 @@ def span_duplication_profile(docs: DataFrame) -> DataFrame:
     )
 
 
+def e1_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level TRIM — the rewriting half of the ExactSubstr recipe
+    (Lee et al. 2022 *remove* the later occurrences of duplicated
+    substrings, they don't just report them): within each document, every
+    repeated ``SPAN_N``-token passage keeps its FIRST occurrence and the
+    tokens covered by later occurrences are excised, so quoting loops,
+    repeated boilerplate blocks, and copy-paste chat turns stop inflating
+    a document's token count. ``e1_span_dedup`` is the cross-document
+    duplication PROFILE over the same span keys; this operator performs
+    the intra-document removal and returns the rewritten text (doc_id,
+    n_tokens, n_dropped, trimmed_text). The reference dedups whole
+    payloads only (database/change_tracking.py:370-387).
+
+    Scale shape: span TEXT never crosses a shuffle — documents fan out
+    map-side to (doc_id, start_pos, span_hash) triples; ONE window over
+    the skew-free (doc_id, hash) key marks later occurrences; covered
+    positions explode to integers and aggregate per doc; the rewrite is a
+    map-side higher-order filter over the token array after a doc-keyed
+    join. Two narrow-key shuffles, no pairwise stage, rebuild entirely in
+    whole-stage codegen. The span length is ``TRIM_SPAN_N`` = 3 tokens —
+    tuned to the fixture corpus the way the paper tunes its 50-token
+    window to web scale (the algebra is length-independent; the
+    cross-document profile keeps its own ``SPAN_N`` = 8)."""
+    return span_trim(load_table(spark, sf_dir, "documents"))
+
+
+TRIM_SPAN_N = 3  # intra-doc repeat window; Lee et al. use 50 at corpus scale
+
+
+def span_trim(docs: DataFrame, span_n: int = TRIM_SPAN_N) -> DataFrame:
+    """DataFrame-level body of ``e1_span_trim`` (docs needs doc_id,
+    text). NULL/empty text rewrites to '' with zero counts."""
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+            lambda t: t != "",
+        ).alias("toks"),
+    )
+    spans = (
+        toks.filter(F.size("toks") >= span_n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (span_n - 1)),
+                    lambda i: F.struct(
+                        i.alias("p"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice("toks", i, span_n))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.p").alias("p"), F.col("s.h").alias("h"))
+    )
+    w_occ = Window.partitionBy("doc_id", "h").orderBy("p")
+    dropped = (
+        spans.withColumn("rn", F.row_number().over(w_occ))
+        .filter(F.col("rn") > 1)  # keep the FIRST occurrence of each span
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + (span_n - 1))
+            ).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("drop_pos"))
+    )
+    dp = F.coalesce(F.col("drop_pos"), F.array().cast("array<int>"))
+    kept = F.transform(
+        F.filter(
+            F.transform(
+                "toks",
+                lambda t, i: F.struct(
+                    t.alias("t"), (i + F.lit(1)).alias("pos")
+                ),
+            ),
+            lambda s: ~F.array_contains(dp, s["pos"]),
+        ),
+        lambda s: s["t"],
+    )
+    return toks.join(dropped, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.coalesce(F.size("drop_pos"), F.lit(0)).alias("n_dropped"),
+        F.concat_ws(" ", kept).alias("trimmed_text"),
+    )
+
+
 def e1_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-CONTAINMENT self-join (overlap coefficient ≥ τ): find pairs
     where the smaller document's 3-gram shingle set is mostly inside the
@@ -1202,6 +1293,7 @@ QUERIES = {
     "e1_neardup_recall": e1_neardup_recall,
     "e1_prefix_filter_join": e1_prefix_filter_join,
     "e1_span_dedup": e1_span_dedup,
+    "e1_span_trim": e1_span_trim,
     "e1_containment_join": e1_containment_join,
     "e1_exact_dedup": e1_exact_dedup,
     "e1_embedding_neardup": e1_embedding_neardup,
@@ -1241,6 +1333,47 @@ ORACLES = {
                round(CAST(coalesce(d.n_dup_spans, 0) AS DOUBLE) / p.n_spans, 6)
                    AS dup_span_fraction
         FROM per_doc p LEFT JOIN dups d USING (doc_id)
+    """,
+    "e1_span_trim": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(coalesce(text, ''), ' '),
+                               t -> t <> '') AS toks
+            FROM documents
+        ), spans AS (
+            SELECT doc_id, i AS p,
+                   md5(array_to_string(toks[i:i+2], ' ')) AS h
+            FROM toks, LATERAL unnest(generate_series(1, len(toks) - 2)) AS t(i)
+            WHERE len(toks) >= 3
+        ), rep AS (
+            SELECT doc_id, p FROM (
+                SELECT doc_id, p,
+                       row_number() OVER (PARTITION BY doc_id, h
+                                          ORDER BY p) AS rn
+                FROM spans)
+            WHERE rn > 1
+        ), drop_pos AS (
+            SELECT DISTINCT doc_id, u.pos
+            FROM rep, LATERAL unnest(generate_series(p, p + 2)) AS u(pos)
+        ), dropped AS (
+            SELECT doc_id, count(*) AS n_dropped FROM drop_pos GROUP BY doc_id
+        ), kept AS (
+            SELECT t.doc_id, u.pos, t.toks[u.pos] AS tok
+            FROM toks t,
+                 LATERAL unnest(generate_series(1, len(t.toks))) AS u(pos)
+            WHERE NOT EXISTS (SELECT 1 FROM drop_pos d
+                              WHERE d.doc_id = t.doc_id AND d.pos = u.pos)
+        ), rebuilt AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS trimmed_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.toks) AS INT) AS n_tokens,
+               CAST(coalesce(d.n_dropped, 0) AS INT) AS n_dropped,
+               coalesce(r.trimmed_text, '') AS trimmed_text
+        FROM toks t
+        LEFT JOIN dropped d USING (doc_id)
+        LEFT JOIN rebuilt r USING (doc_id)
     """,
     "e1_containment_join": """
         WITH raw AS (

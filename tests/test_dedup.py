@@ -369,3 +369,36 @@ def test_prefix_filter_excludes_boilerplate_head(spark):
         "boilerplate-head shingles entered a probe prefix: df-ascending "
         "ordering regressed (see STRESS.json prefix_filter floor)"
     )
+
+
+def test_span_trim_semantics(spark):
+    """Intra-doc span trim: later occurrences of a repeated TRIM_SPAN_N
+    (3)-token passage are excised (first kept), non-repeating and
+    too-short docs pass through unchanged, null text rewrites to ''."""
+    from caseguarddatapipeline_spark.operators.dedup import span_trim
+
+    docs = spark.createDataFrame(
+        [
+            # "a b c" repeats at pos 1 and pos 5 — positions 5,6,7 drop
+            (1, "a b c X a b c tail"),
+            # no intra-doc repeat
+            (2, "p q r s t u v"),
+            # shorter than the span window
+            (3, "x y"),
+            # null text
+            (4, None),
+            # overlapping periodic repeat: "w w w w w" — spans at 1,2,3
+            # hash equal; spans 2 and 3 are repeats → positions 2..5 drop
+            (5, "w w w w w"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in span_trim(docs).collect()}
+    assert got[1]["trimmed_text"] == "a b c X tail"
+    assert (got[1]["n_tokens"], got[1]["n_dropped"]) == (8, 3)
+    assert got[2]["trimmed_text"] == "p q r s t u v"
+    assert got[2]["n_dropped"] == 0
+    assert got[3]["trimmed_text"] == "x y"
+    assert got[4]["trimmed_text"] == "" and got[4]["n_tokens"] == 0
+    assert got[5]["trimmed_text"] == "w"
+    assert (got[5]["n_tokens"], got[5]["n_dropped"]) == (5, 4)

@@ -74,6 +74,10 @@ _PRIORITY = [
     # ExactSubstr; displaces e3_vocab_induction, green r5, whose 2-round
     # successor stays in the window above)
     "e1_span_trim",
+    # ... and the cluster-aware leakage-safe split (near-dup families land
+    # whole on one side; displaces e2_hard_negatives, green r5 — the E2
+    # family keeps three newer representatives in this window)
+    "e5_leakage_safe_split",
     # Never-driver-verified: round-4 A-family / window extensions
     "a28_grouping_sets",
     "a29_expectations",
@@ -117,7 +121,6 @@ _PRIORITY = [
     # oracle-backed entries without a driver-green round after r5
     "e4_binaryfile_scan",
     "e2_ivf_search_2round",
-    "e2_hard_negatives",
     "e1_prefix_filter_join",
     "e1_span_dedup",
     "e1_containment_join",

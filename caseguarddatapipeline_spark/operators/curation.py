@@ -219,6 +219,73 @@ def e5_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e5_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-SAFE train/val/test split: near-dup CLUSTERS land whole on
+    one side of the boundary. ``e5_train_split`` hashes each document's
+    own text, which is deterministic under re-crawls but still leaks —
+    two near-duplicate documents hash to different buckets and one
+    memorizable passage ends up on both sides (the classic train/test
+    contamination the dedup literature warns about). Here every member of
+    a near-dup cluster (the oracle-checked connected components of
+    ``e1_dedup_clusters``) is assigned by its cluster REPRESENTATIVE's
+    text hash, so the whole family moves together; singletons keep their
+    own hash, preserving e5_train_split's re-crawl stability. ``n_moved``
+    counts the clustered documents whose own-text split differs from the
+    assigned one — the documents this operator actually rescued from
+    straddling.
+
+    Scale posture: the cluster pass's (banded LSH + shallow label
+    propagation); on top of it, two doc-keyed hash-lookup joins and one
+    combinable aggregate — no new pairwise stage."""
+    from .dedup import _portable_token_hash, e1_dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clusters = e1_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    hashes = docs.select(
+        F.col("doc_id").alias("h_id"),
+        F.pmod(_portable_token_hash(F.col("text")), F.lit(1000)).alias("bucket"),
+    )
+    assigned = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("rep", F.coalesce("cluster_id", "doc_id"))
+        .join(
+            hashes.select("h_id", F.col("bucket").alias("rep_bucket")),
+            F.col("rep") == F.col("h_id"),
+        )
+        .drop("h_id")
+        .join(
+            hashes.select("h_id", F.col("bucket").alias("own_bucket")),
+            F.col("doc_id") == F.col("h_id"),
+        )
+        .drop("h_id")
+    )
+
+    def band(b):  # 0=train 1=val 2=test — band identity, not bucket identity
+        return F.when(b < 800, 0).when(b < 900, 1).otherwise(2)
+
+    split = (
+        F.when(F.col("rep_bucket") < 800, "train")
+        .when(F.col("rep_bucket") < 900, "val")
+        .otherwise("test")
+    )
+    moved = F.col("cluster_id").isNotNull() & (
+        band(F.col("rep_bucket")) != band(F.col("own_bucket"))
+    )
+    return (
+        assigned.select(
+            split.alias("split"), "cluster_id", moved.alias("moved")
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("cluster_id").alias("n_clustered_docs"),
+            F.sum(F.col("moved").cast("bigint")).alias("n_moved"),
+        )
+        .orderBy("split")
+    )
+
+
 EVAL_SET_MAX_DOC = 50  # doc_id < 50 stands in for the benchmark/eval set
 CONTAMINATION_MIN_SHARED = 5  # shared distinct 3-grams to flag
 
@@ -441,6 +508,7 @@ QUERIES = {
     "e5_corpus_curation": e5_corpus_curation,
     "e5_curation_funnel": e5_curation_funnel,
     "e5_train_split": e5_train_split,
+    "e5_leakage_safe_split": e5_leakage_safe_split,
     "e5_decontaminate": e5_decontaminate,
     "e5_stratified_sample": e5_stratified_sample,
     "e5_dedup_rate_by_source": e5_dedup_rate_by_source,
@@ -684,3 +752,49 @@ ORACLES = {
         FROM kept GROUP BY lang ORDER BY lang
     """,
 }
+
+
+def _leakage_safe_split_oracle() -> str:
+    """Composes the connected-components oracle (recursive CTE) with the
+    representative-hash split — deferred import keeps the quality/dedup/
+    curation module import order cycle-free."""
+    from .dedup import ORACLES as DEDUP_ORACLES
+
+    return f"""
+        WITH clusters AS (
+            SELECT doc_id, cluster_id
+            FROM ({DEDUP_ORACLES["e1_dedup_clusters"]})
+        ), hashes AS (
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                       (a, c) -> (a * 131 + c) % 2147483647) % 1000 AS bucket
+            FROM documents
+        ), assigned AS (
+            SELECT d.doc_id, c.cluster_id,
+                   coalesce(c.cluster_id, d.doc_id) AS rep
+            FROM documents d LEFT JOIN clusters c USING (doc_id)
+        ), b AS (
+            SELECT a.doc_id, a.cluster_id,
+                   hr.bucket AS rep_bucket, ho.bucket AS own_bucket
+            FROM assigned a
+            JOIN hashes hr ON hr.doc_id = a.rep
+            JOIN hashes ho ON ho.doc_id = a.doc_id
+        )
+        SELECT CASE WHEN rep_bucket < 800 THEN 'train'
+                    WHEN rep_bucket < 900 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(cluster_id) AS BIGINT) AS n_clustered_docs,
+               CAST(coalesce(sum(CASE WHEN cluster_id IS NOT NULL AND
+                     (CASE WHEN rep_bucket < 800 THEN 0
+                           WHEN rep_bucket < 900 THEN 1 ELSE 2 END) <>
+                     (CASE WHEN own_bucket < 800 THEN 0
+                           WHEN own_bucket < 900 THEN 1 ELSE 2 END)
+                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_moved
+        FROM b GROUP BY 1 ORDER BY split
+    """
+
+
+ORACLES["e5_leakage_safe_split"] = _leakage_safe_split_oracle()

@@ -55,3 +55,50 @@ def test_neardup_removal_survives_high_dup_corpus(spark):
     # removal set = 200 docs = 50% of the corpus; exactly the lower id
     # of each pair survives
     assert sorted(r["doc_id"] for r in kept) == [2 * g for g in range(200)]
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark, sf_dir):
+    """Every near-dup cluster lands WHOLE in one split: members inherit
+    the representative's bucket, so no cluster straddles the boundary —
+    and at sf0.01 the operator demonstrably moves documents (n_moved>0)."""
+    import pyspark.sql.functions as F
+
+    from caseguarddatapipeline_spark.operators.curation import (
+        e5_leakage_safe_split,
+    )
+    from caseguarddatapipeline_spark.operators.dedup import (
+        _portable_token_hash,
+        e1_dedup_clusters,
+    )
+    from caseguarddatapipeline_spark.sources import load_table
+
+    sf01 = sf_dir.replace("sf0.001", "sf0.01")
+    # structural property at both sfs: per-cluster split cardinality == 1
+    for d in (sf_dir, sf01):
+        docs = load_table(spark, d, "documents").select("doc_id", "text")
+        clusters = e1_dedup_clusters(spark, d).select("doc_id", "cluster_id")
+        hashes = docs.select(
+            F.col("doc_id").alias("h_id"),
+            F.pmod(_portable_token_hash(F.col("text")), F.lit(1000)).alias(
+                "bucket"
+            ),
+        )
+        assigned = clusters.join(
+            hashes, clusters.cluster_id == hashes.h_id
+        ).select(
+            "cluster_id",
+            F.when(F.col("bucket") < 800, "train")
+            .when(F.col("bucket") < 900, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        per_cluster = assigned.groupBy("cluster_id").agg(
+            F.count_distinct("split").alias("n_splits")
+        )
+        assert per_cluster.filter(F.col("n_splits") > 1).count() == 0
+
+        summary = e5_leakage_safe_split(spark, d)
+        rows = {r["split"]: r for r in summary.collect()}
+        assert sum(r["n_docs"] for r in rows.values()) == docs.count()
+    # the fix does real work on the planted near-dups at sf0.01
+    assert sum(r["n_moved"] for r in rows.values()) > 0

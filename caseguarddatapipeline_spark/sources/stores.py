@@ -12,23 +12,58 @@ source file plus an explicit layout version, so
   invalidates by bumping the caller's version constant — never by
   remembering to clear caches.
 
-In production these are fixed lake paths per corpus; the tempdir home is
-the local-mode stand-in. One helper so the invalidation rule can never
-diverge between the three stores (it previously existed as three copies).
+In production these are fixed lake paths per corpus; the local-mode
+stand-in is a PER-USER, mode-0700 root (``CASEGUARD_STORE_ROOT`` env
+override wins, else ``$TMP/caseguard-stores-<uid>``). A bare
+``tempfile.gettempdir()`` home was world-writable with predictable names,
+so on a shared host another user could pre-create and poison a store dir
+and the read-through loaders would serve the planted snapshot as the
+index; the root is now created 0700 and its ownership verified before any
+existing content is trusted. One helper so the invalidation rule can
+never diverge between the three stores (it previously existed as three
+copies).
 """
 
 from __future__ import annotations
 
 import hashlib
 import os
+import stat as _stat
 import tempfile
+
+
+def store_root() -> str:
+    """Trusted local root for derived-artifact stores.
+
+    ``CASEGUARD_STORE_ROOT`` points at an operator-chosen path (e.g. the
+    lake) and is trusted as configured; the default is a per-uid 0700
+    directory under the tempdir. Either way the root must be OWNED by the
+    current user and not group/other-writable before anything inside it
+    is served — a pre-created root with foreign ownership raises rather
+    than silently serving planted artifacts."""
+    override = os.environ.get("CASEGUARD_STORE_ROOT")
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    root = override or os.path.join(
+        tempfile.gettempdir(), f"caseguard-stores-{uid}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if hasattr(os, "getuid") and st.st_uid != uid:
+        raise PermissionError(
+            f"store root {root} is owned by uid {st.st_uid}, not {uid}: "
+            "refusing to serve artifacts from a directory another user "
+            "controls (set CASEGUARD_STORE_ROOT to a path you own)"
+        )
+    if st.st_mode & (_stat.S_IWGRP | _stat.S_IWOTH):
+        os.chmod(root, st.st_mode & ~(_stat.S_IWGRP | _stat.S_IWOTH))
+    return root
 
 
 def fingerprint_store_dir(
     sf_dir: str, src_name: str, store_name: str, layout_version: int
 ) -> str:
     """Store directory for an artifact derived from ``sf_dir/src_name``:
-    ``$TMP/<store_name>/<sha1(path|mtime|size|v<layout_version>)[:12]>``.
+    ``store_root()/<store_name>/<sha1(path|mtime|size|v<layout_version>)[:12]>``.
     Falls back to the path alone when the source cannot be stat'ed
     (non-local sf_dir)."""
     src = os.path.join(sf_dir, src_name)
@@ -38,7 +73,7 @@ def fingerprint_store_dir(
     except OSError:
         fingerprint = os.path.abspath(sf_dir)
     tag = hashlib.sha1(f"{fingerprint}|v{layout_version}".encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), store_name, tag)
+    return os.path.join(store_root(), store_name, tag)
 
 
 # Memo over PERSISTED versioned snapshots, keyed by (session, store dir,

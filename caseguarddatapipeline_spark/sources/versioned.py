@@ -118,10 +118,13 @@ def _swap_pointer(base_dir: str, n: int) -> None:
     it — a bare unlink lets two waiters pass the staleness check, each
     delete a lock (the second deleting the first's FRESH lock), and both
     enter the critical section, which can regress the pointer. Release is
-    TOKEN-CHECKED for the same reason: each holder writes a unique token
-    into its lock and unlinks only if the token is still its own, so a
-    holder whose lock was (mis)stolen after an age-out cannot delete its
-    successor's lock."""
+    the SAME atomic-claim trick: each holder writes a unique token into
+    its lock, renames the lock path to a holder-unique name (atomic — it
+    either claims its own lock or a successor's, never a torn state), and
+    unlinks the claim only if the token inside is its own; a foreign token
+    is restored via link(2), which cannot clobber a newer lock. A plain
+    read-token-then-unlink release left a window where a stale-stolen
+    holder deleted its successor's fresh lock."""
     import time
 
     ptr = os.path.join(base_dir, _PTR)
@@ -163,16 +166,40 @@ def _swap_pointer(base_dir: str, n: int) -> None:
                 fh.write(str(n))
             os.replace(tmp, ptr)  # atomic for readers; lock orders writers
     finally:
+        # Release by ATOMIC claim, not check-then-unlink: rename the lock
+        # path to a holder-unique name first (only one process can win the
+        # rename), THEN inspect the claimed file's token. The old scheme
+        # read the token in place and unlinked the lock path afterwards —
+        # a holder stalled past the stale window could pass the check,
+        # lose the lock to a steal, and unlink the successor's FRESH lock
+        # created in the microseconds between its check and its unlink.
+        rel = f"{lock}.rel-{token}"
         try:
-            with open(lock) as fh:
-                still_mine = fh.read() == token
+            os.rename(lock, rel)
         except OSError:
-            still_mine = False
-        if still_mine:  # never unlink a successor's lock after a steal
+            rel = None  # lock already aged out and stolen: nothing to do
+        if rel is not None:
             try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass
+                with open(rel) as fh:
+                    mine = fh.read() == token
+            except OSError:
+                mine = False
+            if mine:
+                os.unlink(rel)
+            else:
+                # We claimed a SUCCESSOR's live lock (ours was stale-stolen
+                # while we were in the critical section). Put it back with
+                # link(2), which is atomic and fails EEXIST rather than
+                # clobbering a third waiter's lock created in the window;
+                # either way we never delete a lock that isn't ours.
+                try:
+                    os.link(rel, lock)
+                except OSError:
+                    pass
+                try:
+                    os.unlink(rel)
+                except OSError:
+                    pass
 
 
 def latest_version(base_dir: str) -> int:

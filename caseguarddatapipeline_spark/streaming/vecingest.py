@@ -11,18 +11,24 @@ Protocol, consistent with the repo's other batch-id-keyed state sinks
   then applied with ``ivf_postings_upsert`` — one new immutable version per
   micro-batch, so a reader mid-search never observes a half-applied batch
   and the (base_dir, version) pair a training run records stays exact.
-- an ``_INGEST_BATCH`` marker (tmp + atomic replace) records the last
-  applied batch id AFTER its version published. Ownership gate: a marker
-  AHEAD of the current batch id means a fresh checkpoint was pointed at an
-  existing store — fail fast instead of silently re-ingesting from zero.
-  A marker EQUAL to the batch id is the crash-replay case with the publish
-  already durable, so the batch is skipped; publish-done-marker-lost
-  re-applies the batch, which is content-idempotent (same ids, same
-  last-writer-wins outcome) and only costs one redundant version.
+- an ``_INGEST_BATCH`` marker (tmp + atomic replace) records a CHECKPOINT
+  IDENTITY token (hash of the checkpoint path) alongside the last applied
+  batch id, AFTER its version published. Ownership gate: a marker written
+  by a DIFFERENT checkpoint fails fast regardless of batch id — batch ids
+  from two checkpoints are incomparable, and the old id-only gate let a
+  fresh checkpoint whose batch 0 collided with the marker silently DROP
+  genuinely new batch-0 data as a "replay". Within the owning checkpoint:
+  a marker AHEAD of the current batch id still fails fast (checkpoint was
+  rolled back under a live store); a marker EQUAL to the batch id is the
+  crash-replay case with the publish already durable, so the batch is
+  skipped; publish-done-marker-lost re-applies the batch, which is
+  content-idempotent (same ids, same last-writer-wins outcome) and only
+  costs one redundant version.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import pyspark.sql.functions as F
@@ -33,19 +39,33 @@ VEC_STREAM_SCHEMA = "vec_id long, embedding array<double>, ts long"
 _MARKER = "_INGEST_BATCH"
 
 
-def _read_marker(base_dir: str) -> int:
+def _checkpoint_token(checkpoint_dir: str) -> str:
+    return hashlib.sha1(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+
+
+def _read_marker(base_dir: str) -> tuple[str | None, int]:
+    """(checkpoint token, last applied batch id); (None, -1) when unset.
+    A legacy id-only marker reads as token ``"legacy"`` so it can never
+    silently match a live checkpoint's token."""
     try:
         with open(os.path.join(base_dir, _MARKER)) as fh:
-            return int(fh.read().strip())
-    except (FileNotFoundError, ValueError):
-        return -1
+            raw = fh.read().strip()
+    except FileNotFoundError:
+        return None, -1
+    tok, sep, n = raw.rpartition(":")
+    try:
+        return (tok if sep else "legacy"), int(n)
+    except ValueError:
+        return None, -1
 
 
-def _write_marker(base_dir: str, batch_id: int) -> None:
+def _write_marker(base_dir: str, token: str, batch_id: int) -> None:
     path = os.path.join(base_dir, _MARKER)
     tmp = f"{path}.tmp-{os.getpid()}"
     with open(tmp, "w") as fh:
-        fh.write(str(batch_id))
+        fh.write(f"{token}:{batch_id}")
     os.replace(tmp, path)
 
 
@@ -67,14 +87,23 @@ def run_vector_upsert_stream(
     )
 
     base = _ensure_postings(spark, sf_dir, base_dir)
+    ck_token = _checkpoint_token(checkpoint_dir)
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
-        applied = _read_marker(base)
+        marker_token, applied = _read_marker(base)
+        if marker_token is not None and marker_token != ck_token:
+            raise RuntimeError(
+                f"postings store {base} was last written by checkpoint "
+                f"{marker_token}, not this stream's {ck_token}: this "
+                "stream's checkpoint does not own this store (fresh "
+                "checkpoint against an existing store?) — point at an "
+                "empty store or restore the matching checkpoint"
+            )
         if applied > batch_id:
             raise RuntimeError(
                 f"postings store {base} was last written by batch {applied}, "
                 f"ahead of batch {batch_id}: this stream's checkpoint does "
-                "not own this store (fresh checkpoint against an existing "
+                "not own this store (checkpoint rolled back under a live "
                 "store?) — point at an empty store or restore the matching "
                 "checkpoint"
             )
@@ -87,7 +116,7 @@ def run_vector_upsert_stream(
         # of the micro-batch) so the row_number dedup is computed exactly
         # once, inside the upsert's single evaluation
         if admissible.isEmpty():
-            _write_marker(base, batch_id)
+            _write_marker(base, ck_token, batch_id)
             return
         w = Window.partitionBy("vec_id").orderBy(
             F.desc("ts"), F.desc(F.md5(F.to_json(F.struct("embedding"))))
@@ -98,7 +127,7 @@ def run_vector_upsert_stream(
             .select("vec_id", "embedding")
         )
         ivf_postings_upsert(batch.sparkSession, sf_dir, latest, base_dir=base)
-        _write_marker(base, batch_id)
+        _write_marker(base, ck_token, batch_id)
 
     stream = (
         spark.readStream.schema(VEC_STREAM_SCHEMA)

@@ -99,3 +99,31 @@ def test_fresh_checkpoint_against_used_store_fails(spark, sf_dir, tmp_path):
             base_dir=base,
             max_files_per_trigger=1,
         )
+
+
+def test_fresh_checkpoint_batch_zero_collision_fails(spark, sf_dir, tmp_path):
+    """Marker batch id EQUAL to the new stream's batch id is not enough to
+    call it a crash replay: after ONE prior batch (marker=0), a fresh
+    checkpoint's batch 0 used to be silently skipped — new batch-0 data
+    dropped while later batches applied. The checkpoint-identity token in
+    the marker makes this fail fast instead."""
+    inp = str(tmp_path / "in")
+    base = str(tmp_path / "posts")
+    os.makedirs(inp)
+    dim = _dim(spark, sf_dir)
+    _write_batch(inp, 0, [(920000, [0.2] * dim, 0)])
+    run_vector_upsert_stream(
+        spark, sf_dir, inp, str(tmp_path / "ck1"), base_dir=base
+    )
+    n_after_first = read_latest(spark, base).count()
+    _write_batch(inp, 1, [(920001, [0.4] * dim, 1)])
+    with pytest.raises(Exception, match="does not own"):
+        run_vector_upsert_stream(
+            spark, sf_dir, inp, str(tmp_path / "ck2"), base_dir=base
+        )
+    # nothing was dropped-and-advanced: the store is exactly as batch 0
+    # of the owning checkpoint left it
+    assert read_latest(spark, base).count() == n_after_first
+    assert read_latest(spark, base).filter(
+        F.col("vec_id") == 920001
+    ).isEmpty()

@@ -231,7 +231,15 @@ def test_release_never_unlinks_successor_lock(tmp_path, monkeypatch):
     V._swap_pointer(base, 3)
     monkeypatch.undo()
     assert V.latest_version(base) == 3
-    # the stolen holder's release saw a foreign token and left the lock
+    # the stolen holder's release saw a foreign token and RESTORED the
+    # successor's lock (atomic rename-claim + link-back, not
+    # check-then-unlink), leaving no claim residue behind
     assert _os.path.exists(lock)
     with open(lock) as fh:
         assert fh.read() == "successor-token"
+    residue = [
+        f
+        for f in _os.listdir(base)
+        if f.startswith(V._PTR + ".") and f != V._PTR + ".lock"
+    ]
+    assert residue == [], residue

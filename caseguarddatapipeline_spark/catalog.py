@@ -78,15 +78,20 @@ _PRIORITY = [
     # whole on one side; displaces e2_hard_negatives, green r5 — the E2
     # family keeps three newer representatives in this window)
     "e5_leakage_safe_split",
+    # New in round 7 (zero-debt policy): winnowing fingerprints + their
+    # near-dup join (MOSS), bigram-LM quality scoring, SQ8 scalar-
+    # quantized ANN, and Markov event transitions — displacing
+    # a28_grouping_sets and w10-w13 (each green r5 AND r6; they stay in
+    # the full parity sweep)
+    "e3_winnow_fingerprints",
+    "e1_winnow_join",
+    "e3_ngram_lm_score",
+    "e2_sq8_search",
+    "w14_event_transitions",
     # Never-driver-verified: round-4 A-family / window extensions
-    "a28_grouping_sets",
     "a29_expectations",
     "a30_robust_outliers",
     "a31_cooccurrence_lift",
-    "w10_event_funnel",
-    "w11_gaps_islands",
-    "w12_cohort_retention",
-    "w13_revenue_share",
     # Never-driver-verified: round-4 E1/E2 additions
     "e1_neardup_recall",
     "e1_semantic_dedup",

@@ -1289,8 +1289,64 @@ def containment_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+WINNOW_TAU = 10  # shared fingerprints to call a pair a near-dup
+WINNOW_MAXDF = 10  # drop fingerprints shared by more docs (boilerplate)
+
+
+def e1_winnow_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup join (the MOSS scheme, Schleimer et
+    al. 2003, as a corpus self-join): pairs of documents sharing at least
+    ``WINNOW_TAU`` winnowed k-gram fingerprints
+    (textops.winnow_postings). Winnowing selects each sliding window's
+    MINIMUM hash, so — unlike MinHash, which sketches whole-document
+    Jaccard — shared fingerprints certify shared contiguous PASSAGES
+    (every common run of WINNOW_K + WINNOW_W − 1 tokens lands at least
+    one common fingerprint), making this the sketched complement of the
+    exact ``e1_span_dedup``: ~2/(W+1) of positions kept instead of every
+    span, at the cost of probabilistic counts.
+
+    The join is an inverted-index equi-join on the fingerprint with a
+    document-frequency cap: fingerprints appearing in more than
+    ``WINNOW_MAXDF`` documents are boilerplate head and dropped before
+    the self-join — the same df-discipline as the prefix-filter join,
+    and the thing that bounds candidate fan-out to O(df²) on the rare
+    tail instead of O(hot²) at 100 TB, where the postings would be
+    written bucketed by fingerprint. Integer counts only, so the oracle
+    is exact by construction."""
+    return winnow_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def winnow_pairs(
+    docs: DataFrame, tau: int = WINNOW_TAU, maxdf: int = WINNOW_MAXDF
+) -> DataFrame:
+    """DataFrame-level body of ``e1_winnow_join`` (docs needs doc_id,
+    text) — shared with the scale-stress probe, which raises ``maxdf``
+    above its replica-clique size so clique fingerprints survive while
+    the corpus-wide boilerplate head still gets dropped."""
+    from .textops import winnow_postings
+
+    posts = winnow_postings(docs)
+    df_ok = (
+        posts.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= maxdf)
+        .select("fp")
+    )
+    kept = posts.join(df_ok, "fp")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= tau)
+    )
+
+
 QUERIES = {
     "e1_neardup_recall": e1_neardup_recall,
+    "e1_winnow_join": e1_winnow_join,
     "e1_prefix_filter_join": e1_prefix_filter_join,
     "e1_span_dedup": e1_span_dedup,
     "e1_span_trim": e1_span_trim,
@@ -1308,6 +1364,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    # e1_winnow_join is appended below the dict (composes textops'
+    # shared winnowing-postings CTE)
     "e1_span_dedup": """
         WITH toks AS (
             SELECT doc_id,
@@ -1669,4 +1727,23 @@ ORACLES["e1_dedup_clusters"] = f"""
     SELECT doc_id, cluster_id,
            count(*) OVER (PARTITION BY cluster_id) AS cluster_size
     FROM labels ORDER BY doc_id
+"""
+
+# Winnow join: composes textops' shared winnowing-postings CTE with the
+# df-cap + self-join; imported lazily to mirror the query-side import.
+from .textops import WINNOW_POSTINGS_CTE as _WINNOW_CTE  # noqa: E402
+
+ORACLES["e1_winnow_join"] = f"""
+    WITH {_WINNOW_CTE},
+    df AS (
+        SELECT fp FROM winnow_postings GROUP BY fp
+        HAVING count(*) <= {WINNOW_MAXDF}
+    ), kept AS (
+        SELECT p.doc_id, p.fp FROM winnow_postings p JOIN df USING (fp)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {WINNOW_TAU}
 """

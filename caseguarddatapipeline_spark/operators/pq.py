@@ -485,8 +485,89 @@ def e2_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQ_DIM = 64  # embeddings width (matches M * SUBDIM)
+
+
+def e2_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN — the FAISS ``SQ8`` flat index as a
+    relational plan, completing the quantization family between exact
+    float search (e2_cosine_topk) and PQ: every dimension is linearly
+    quantized to an 8-bit code against per-dimension corpus [min, max]
+    bounds (4× smaller than float32, no codebook training), and search
+    scores raw queries against DEQUANTIZED candidates (asymmetric
+    distance, like ADC).
+
+    Plan: one map-side-combinable per-dimension min/max aggregate (64×2
+    doubles — broadcast back as two array literals, never a driver
+    collect), a scan-local encode projection, then the same
+    query-fan-out + fold-distance + per-query top-k shape as the PQ
+    searches. At 100 TB the code table is the stored index (int8 columns,
+    scan-friendly), bounds live in the index snapshot, and the coarse IVF
+    stage (e2_ivf_search) composes in front exactly as it does for PQ.
+    Quantization is round-half-up on identically-associated double
+    arithmetic and all fold sums run in index order, so the oracle is
+    IEEE-exact."""
+    corpus = _corpus(spark, sf_dir)
+    dims = corpus.select(F.posexplode("emb").alias("j", "v"))
+    bounds = (
+        dims.groupBy("j")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "lo"))),
+                lambda s: s["lo"],
+            ).alias("lo"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "hi"))),
+                lambda s: s["hi"],
+            ).alias("hi"),
+        )
+    )
+    idx = F.sequence(F.lit(1), F.lit(SQ_DIM))
+    lo, hi = F.col("lo"), F.col("hi")
+
+    def _code(j):
+        x = F.element_at(F.col("emb"), j)
+        l, h = F.element_at(lo, j), F.element_at(hi, j)
+        return (
+            F.when(h == l, F.lit(0))
+            .otherwise(F.round((x - l) / (h - l) * 255.0, 0).cast("int"))
+        )
+
+    encoded = corpus.crossJoin(F.broadcast(bounds)).select(
+        "vec_id", "lo", "hi", F.transform(idx, _code).alias("codes")
+    )
+    queries = _pq_queries(corpus)
+
+    def _sq_term(j):
+        deq = F.element_at(lo, j) + F.element_at(F.col("codes"), j).cast(
+            "double"
+        ) * (F.element_at(hi, j) - F.element_at(lo, j)) / 255.0
+        diff = F.element_at(F.col("q_emb"), j) - deq
+        return diff * diff
+
+    adist = F.round(
+        F.aggregate(
+            F.transform(idx, _sq_term), F.lit(0.0), lambda acc, v: acc + v
+        ),
+        4,
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("vec_id")
+    )
+    return (
+        encoded.join(
+            F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+        )
+        .select("query_id", "vec_id", adist.alias("adist"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOPK)
+    )
+
+
 QUERIES = {
     "e2_pq_search_1round": e2_pq_search_1round,
+    "e2_sq8_search": e2_sq8_search,
     "e2_ivfpq_search_1round": e2_ivfpq_search_1round,
     "e2_ivfpq_residual_1round": e2_ivfpq_residual_1round,
     "e2_pq_recall": e2_pq_recall,
@@ -559,6 +640,45 @@ def _pq_ctes(src: str) -> str:
 _PQ_CTES = _pq_ctes("corpus")
 
 ORACLES = {
+    "e2_sq8_search": """
+    WITH corpus AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ), dim_bounds AS (
+        SELECT jj.j AS j, min(emb[jj.j]) AS lo, max(emb[jj.j]) AS hi
+        FROM corpus CROSS JOIN (SELECT unnest(range(1, 65)) AS j) jj
+        GROUP BY jj.j
+    ), bounds AS (
+        SELECT list(lo ORDER BY j) AS lo, list(hi ORDER BY j) AS hi
+        FROM dim_bounds
+    ), encoded AS (
+        SELECT vec_id,
+               list_transform(range(1, 65), j ->
+                   CASE WHEN b.hi[j] = b.lo[j] THEN 0
+                        ELSE CAST(round((emb[j] - b.lo[j])
+                                        / (b.hi[j] - b.lo[j]) * 255.0,
+                                        0) AS INT)
+                   END) AS codes
+        FROM corpus CROSS JOIN bounds b
+    ), queries AS (
+        SELECT vec_id AS query_id, emb AS q_emb FROM corpus WHERE vec_id < 5
+    ), scored AS (
+        SELECT q.query_id, c.vec_id,
+               round(list_sum(list_transform(range(1, 65), j ->
+                   (q.q_emb[j] - (b.lo[j] + c.codes[j]
+                                  * (b.hi[j] - b.lo[j]) / 255.0))
+                   * (q.q_emb[j] - (b.lo[j] + c.codes[j]
+                                    * (b.hi[j] - b.lo[j]) / 255.0)))), 4)
+                   AS adist
+        FROM encoded c CROSS JOIN bounds b
+        JOIN queries q ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, adist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist ASC, vec_id ASC)
+                AS INT) AS rank
+    FROM scored QUALIFY rank <= 3
+    """,
     "e2_pq_search_1round": f"""
     WITH corpus AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

@@ -237,7 +237,41 @@ def w13_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w14_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event sequences:
+    (event_type → next event_type) frequencies with an integer per-mille
+    share of each source state's outgoing edges — the behavioral-model
+    input funnel/anomaly analyses start from. One lead() window over the
+    same (user_id, ts) shuffle the other W-series ops ride (event_id
+    tie-breaks equal timestamps for a total order), then a
+    bounded-cardinality groupBy (|event types|² rows out). Integer DIV
+    half-up arithmetic, so the oracle is exact. Scales as one shuffle on
+    user_id + a map-side-combinable count."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    return (
+        steps.groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "out_total",
+            F.sum("n").over(Window.partitionBy("event_type")),
+        )
+        .select(
+            "event_type",
+            "next_type",
+            "n",
+            F.expr("(2 * n * 1000 + out_total) DIV (2 * out_total)").alias(
+                "share_milli"
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "w14_event_transitions": w14_event_transitions,
     "w12_cohort_retention": w12_cohort_retention,
     "w13_revenue_share": w13_revenue_share,
     "w8_sessionize": w8_sessionize,
@@ -247,6 +281,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "w14_event_transitions": """
+        WITH steps AS (
+            SELECT event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        ), counts AS (
+            SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+            FROM steps WHERE next_type IS NOT NULL
+            GROUP BY event_type, next_type
+        )
+        SELECT event_type, next_type, n,
+               CAST((2 * n * 1000 + sum(n) OVER (PARTITION BY event_type))
+                    // (2 * sum(n) OVER (PARTITION BY event_type))
+                    AS BIGINT) AS share_milli
+        FROM counts
+    """,
     "w13_revenue_share": """
         WITH per_nation AS (
             SELECT r_name AS region, n_name AS nation,

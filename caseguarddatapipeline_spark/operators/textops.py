@@ -576,6 +576,146 @@ def e3_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 3  # tokens per k-gram
+WINNOW_W = 4  # k-gram hashes per selection window
+_WINNOW_M = 1_000_000_007
+
+
+def winnow_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprint postings of ``docs.text``
+    (Schleimer/Wilkerson/Aiken 2003, the MOSS scheme): hash every
+    ``WINNOW_K``-token k-gram with a pure-arithmetic polynomial (portable
+    across engines, like ``e3_doc_fingerprint``), slide a ``WINNOW_W``-wide
+    window over the hash sequence, and keep each window's minimum. The
+    guarantee: any shared run of ``WINNOW_K + WINNOW_W - 1`` tokens yields
+    at least one shared fingerprint, with ~2/(W+1) of positions selected —
+    a tunable document sketch for containment-style near-dup detection.
+    Short docs degrade gracefully: fewer hashes than a window selects the
+    overall minimum (one fingerprint); fewer tokens than a k-gram selects
+    nothing.
+
+    Each stage (codes → k-gram hashes → window minima) is materialized as
+    its OWN projection: Spark does not common-subexpression-eliminate
+    inside higher-order-function lambdas, so an inlined ``hashes`` array
+    would be rebuilt per window position — O(n²)-per-doc and a 30×
+    slowdown measured at sf0.001. Across Project boundaries each array is
+    computed once per row and referenced thereafter. All array-local, no
+    shuffle, no Python."""
+    toks = _tokens()
+    codes = F.transform(
+        toks,
+        lambda t: F.ascii(t).cast("bigint") * 31 + F.length(t).cast("bigint"),
+    )
+    staged = docs.select("doc_id", codes.alias("codes"))
+    c = F.col("codes")
+    n = F.size(c)
+    kidx = F.when(
+        n >= WINNOW_K, F.sequence(F.lit(1), n - (WINNOW_K - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(
+        kidx,
+        lambda i: (
+            F.element_at(c, i) * (131 * 131)
+            + F.element_at(c, i + 1) * 131
+            + F.element_at(c, i + 2)
+        )
+        % _WINNOW_M,
+    )
+    staged = staged.select("doc_id", hashes.alias("hashes"))
+    h = F.col("hashes")
+    nh = F.size(h)
+    widx = F.when(
+        nh >= 1,
+        F.sequence(F.lit(1), F.greatest(F.lit(1), nh - (WINNOW_W - 1))),
+    ).otherwise(F.array().cast("array<int>"))
+    selected = F.array_distinct(
+        F.transform(widx, lambda j: F.array_min(F.slice(h, j, WINNOW_W)))
+    )
+    return staged.select("doc_id", F.explode(selected).alias("fp"))
+
+
+def e3_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint postings (doc_id, fp) — the
+    document-sketch table a fingerprint-based near-dup index
+    (``e1_winnow_join``, dedup.py) probes. One narrow scan, fingerprints
+    computed array-locally inside codegen, exploded to posting rows; at
+    100 TB the postings are written bucketed by fp like any inverted
+    index."""
+    return winnow_postings(load_table(spark, sf_dir, "documents"))
+
+
+def e3_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scoring (the CCNet/KenLM-style
+    perplexity filter, re-expressed relationally): train an add-one-
+    smoothed bigram LM on the corpus itself — P(w2|w1) = (c(w1 w2) + 1) /
+    (c(w1·) + V) — then score each document by its mean token-transition
+    log-probability. Low scores flag rare/garbled text, implausibly high
+    ones boilerplate; corpus pipelines bucket on exactly this signal.
+
+    Parity discipline (same reason ``e3_trigram_familiarity`` is integer):
+    a float SUM over hundreds of bigrams accumulates engine-order ULPs, so
+    each bigram's log-prob is rounded to an INTEGER micro-log first
+    (round(1e6·ln p) — ln's own error is ~1e-9 of a micro-unit, so the
+    integer is engine-exact) and per-doc sums/averages are exact integer
+    arithmetic over those.
+
+    Shape at 100 TB: one explode + groupBy builds the bigram model (Zipf-
+    bounded, ≪ corpus), a second counts contexts; scoring is an equi-join
+    of doc bigrams against the model — broadcast when the LM fits, shuffle
+    hash join with AQE skew-split otherwise (hot function words are the
+    skew keys)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    bidx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                bidx,
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    model = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bg"))
+    ctx = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("n_ctx"))
+    vocab = docs.select(F.explode(toks).alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    logp_micro = F.round(
+        F.log(
+            (F.col("n_bg") + 1).cast("double")
+            / (F.col("n_ctx") + F.col("v")).cast("double")
+        )
+        * 1_000_000.0,
+        0,
+    ).cast("bigint")
+    return (
+        bigrams.join(model, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(logp_micro).alias("sum_logp_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_logp_micro",
+            F.round(
+                F.col("sum_logp_micro").cast("double") / F.col("n_bigrams"),
+                4,
+            ).alias("avg_logp_micro"),
+        )
+    )
+
+
 QUERIES = {
     "e3_token_count": e3_token_count,
     "e3_repetition_ratio": e3_repetition_ratio,
@@ -589,7 +729,41 @@ QUERIES = {
     "e3_vocab_induction": e3_vocab_induction,
     "e3_vocab_induction_2round": e3_vocab_induction_2round,
     "e3_trigram_familiarity": e3_trigram_familiarity,
+    "e3_winnow_fingerprints": e3_winnow_fingerprints,
+    "e3_ngram_lm_score": e3_ngram_lm_score,
 }
+
+# Winnowing postings as a reusable oracle CTE (k=3 token k-grams hashed
+# with the portable polynomial, w=4 windows realized as a SQL window-min
+# over full windows only — `i <= greatest(1, nh - 3)` reproduces Spark's
+# slice truncation for docs shorter than one window).
+WINNOW_POSTINGS_CTE = """
+        toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), codes AS (
+            SELECT doc_id,
+                   list_transform(
+                       t, x -> CAST(ascii(x) * 31 + len(x) AS BIGINT)
+                   ) AS c
+            FROM toks
+        ), hashes AS (
+            SELECT doc_id, s.i AS i, len(c) - 2 AS nh,
+                   (c[s.i] * 17161 + c[s.i + 1] * 131 + c[s.i + 2])
+                       % 1000000007 AS h
+            FROM codes,
+                 LATERAL unnest(generate_series(1, len(c) - 2)) AS s(i)
+            WHERE len(c) >= 3
+        ), wins AS (
+            SELECT doc_id, i, nh,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW
+                                AND 3 FOLLOWING) AS fp
+            FROM hashes
+        ), winnow_postings AS (
+            SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp
+            FROM wins WHERE i <= greatest(1, nh - 3)
+        )
+"""
 
 ORACLES = {
     "e3_vocab_induction": """
@@ -819,5 +993,39 @@ ORACLES = {
                len(string_split(text, ' ')) AS n_ws_tokens,
                CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
         FROM documents
+    """,
+    "e3_winnow_fingerprints": f"""
+        WITH {WINNOW_POSTINGS_CTE}
+        SELECT doc_id, fp FROM winnow_postings
+    """,
+    "e3_ngram_lm_score": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), bg AS (
+            SELECT doc_id, t[s.i] AS w1, t[s.i + 1] AS w2
+            FROM toks,
+                 LATERAL unnest(generate_series(1, len(t) - 1)) AS s(i)
+            WHERE len(t) >= 2
+        ), model AS (
+            SELECT w1, w2, count(*) AS n_bg FROM bg GROUP BY w1, w2
+        ), ctx AS (
+            SELECT w1, count(*) AS n_ctx FROM bg GROUP BY w1
+        ), vocab AS (
+            SELECT count(DISTINCT u.w) AS v
+            FROM toks, LATERAL unnest(t) AS u(w)
+        ), scored AS (
+            SELECT b.doc_id,
+                   CAST(round(
+                       ln(CAST(m.n_bg + 1 AS DOUBLE)
+                          / CAST(c.n_ctx + v.v AS DOUBLE)) * 1000000.0,
+                       0) AS BIGINT) AS logp_micro
+            FROM bg b JOIN model m USING (w1, w2) JOIN ctx c USING (w1),
+                 vocab v
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(logp_micro) AS BIGINT) AS sum_logp_micro,
+               round(CAST(sum(logp_micro) AS DOUBLE) / count(*), 4)
+                   AS avg_logp_micro
+        FROM scored GROUP BY doc_id
     """,
 }

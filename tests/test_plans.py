@@ -125,6 +125,10 @@ BNLJ_BOUNDED = {
     "LSH candidate generator (dedup.py e1_minhash_lsh)",
     "e2_hard_negatives": "label-inequality negative mining vs fixed "
     "5-vector query set broadcast (IVF-composable at scale, see docstring)",
+    "e2_sq8_search": "per-dimension bounds row (1-row broadcast) + fixed "
+    "5-vector query set broadcast (same shape as e2_knn_per_query; "
+    "IVF-composable at scale, see docstring)",
+    "e3_ngram_lm_score": "vocabulary-size scalar (1-row broadcast)",
 }
 
 

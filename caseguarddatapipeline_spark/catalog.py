@@ -88,10 +88,14 @@ _PRIORITY = [
     "e3_ngram_lm_score",
     "e2_sq8_search",
     "w14_event_transitions",
-    # Never-driver-verified: round-4 A-family / window extensions
-    "a29_expectations",
-    "a30_robust_outliers",
-    "a31_cooccurrence_lift",
+    # ... plus the data-constrained mixture planner and per-doc unigram
+    # entropy (displacing a29_expectations and a30_robust_outliers, each
+    # green r5 AND r6; they stay in the full parity sweep)
+    "e5_mixture_epochs",
+    "e3_doc_entropy",
+    # ... and DSIR importance weights (displacing a31_cooccurrence_lift,
+    # green r5 AND r6)
+    "e3_dsir_weights",
     # Never-driver-verified: round-4 E1/E2 additions
     "e1_neardup_recall",
     "e1_semantic_dedup",

@@ -503,8 +503,77 @@ def e5_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.unionByName(by_source).unionByName(by_lang)
 
 
+MAX_EPOCHS = 4  # Muennighoff et al. 2023: ~4 epochs ≈ fresh-data value
+BUDGET_MULT = 2  # train budget = 2× corpus tokens (data-constrained)
+
+
+def e5_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-aware mixture allocation for a data-constrained run
+    (Scaling Data-Constrained Language Models, Muennighoff et al. 2023):
+    a global token budget of ``BUDGET_MULT ×`` the corpus is split into
+    equal per-source allotments, and each source covers its allotment by
+    REPEATING its data up to ``MAX_EPOCHS`` epochs — beyond that, extra
+    repeats add ~no value and the remainder is reported as shortfall to
+    be re-allocated or sourced elsewhere. The decision table (available,
+    allotted, epochs, served, shortfall) is what a mixture planner feeds
+    the sampler with.
+
+    All integer arithmetic (ceil-div for epochs, least() caps) so the
+    oracle is exact by construction. Shape: one token-count groupBy (the
+    whitespace counter, map-side-combinable) + a broadcast scalar — the
+    same two-stage shape as e5_domain_mixture; at 100 TB it reduces a
+    corpus scan to |sources| rows before any planning math."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    per_source = docs.groupBy("source").agg(
+        F.sum(toks).cast("long").alias("available_tokens")
+    )
+    totals = per_source.agg(
+        F.sum("available_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "available_tokens",
+            F.expr(
+                f"({BUDGET_MULT} * total_tokens) DIV n_sources"
+            ).alias("allotted_tokens"),
+        )
+        .select(
+            "source",
+            "available_tokens",
+            "allotted_tokens",
+            F.least(
+                F.expr(
+                    "(allotted_tokens + available_tokens - 1)"
+                    " DIV available_tokens"
+                ),
+                F.lit(MAX_EPOCHS).cast("bigint"),
+            ).alias("epochs"),
+        )
+        .select(
+            "source",
+            "available_tokens",
+            "allotted_tokens",
+            "epochs",
+            F.least(
+                F.col("allotted_tokens"),
+                F.col("available_tokens") * F.col("epochs"),
+            ).alias("served_tokens"),
+            F.greatest(
+                F.col("allotted_tokens")
+                - F.col("available_tokens") * F.col("epochs"),
+                F.lit(0).cast("bigint"),
+            ).alias("shortfall_tokens"),
+        )
+    )
+
+
 QUERIES = {
     "e5_dataset_card": e5_dataset_card,
+    "e5_mixture_epochs": e5_mixture_epochs,
     "e5_corpus_curation": e5_corpus_curation,
     "e5_curation_funnel": e5_curation_funnel,
     "e5_train_split": e5_train_split,
@@ -588,6 +657,36 @@ _SCORED = """
 """
 
 ORACLES = {
+    "e5_mixture_epochs": f"""
+        WITH per_source AS (
+            SELECT source,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS available_tokens
+            FROM documents GROUP BY source
+        ), totals AS (
+            SELECT sum(available_tokens) AS total_tokens,
+                   count(*) AS n_sources
+            FROM per_source
+        ), alloc AS (
+            SELECT source, available_tokens,
+                   CAST(({BUDGET_MULT} * total_tokens) // n_sources
+                        AS BIGINT) AS allotted_tokens
+            FROM per_source, totals
+        ), ep AS (
+            SELECT *,
+                   least((allotted_tokens + available_tokens - 1)
+                             // available_tokens,
+                         {MAX_EPOCHS}) AS epochs
+            FROM alloc
+        )
+        SELECT source, available_tokens, allotted_tokens,
+               CAST(epochs AS BIGINT) AS epochs,
+               CAST(least(allotted_tokens, available_tokens * epochs)
+                    AS BIGINT) AS served_tokens,
+               CAST(greatest(allotted_tokens - available_tokens * epochs, 0)
+                    AS BIGINT) AS shortfall_tokens
+        FROM ep
+    """,
     "e5_dataset_card": """
         WITH feat AS (
             SELECT source, lang, text,

@@ -578,48 +578,48 @@ def e3_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINNOW_K = 3  # tokens per k-gram
 WINNOW_W = 4  # k-gram hashes per selection window
-_WINNOW_M = 1_000_000_007
 
 
 def winnow_postings(docs: DataFrame) -> DataFrame:
     """(doc_id, fp) winnowing fingerprint postings of ``docs.text``
-    (Schleimer/Wilkerson/Aiken 2003, the MOSS scheme): hash every
-    ``WINNOW_K``-token k-gram with a pure-arithmetic polynomial (portable
-    across engines, like ``e3_doc_fingerprint``), slide a ``WINNOW_W``-wide
-    window over the hash sequence, and keep each window's minimum. The
-    guarantee: any shared run of ``WINNOW_K + WINNOW_W - 1`` tokens yields
-    at least one shared fingerprint, with ~2/(W+1) of positions selected —
-    a tunable document sketch for containment-style near-dup detection.
-    Short docs degrade gracefully: fewer hashes than a window selects the
-    overall minimum (one fingerprint); fewer tokens than a k-gram selects
-    nothing.
+    (Schleimer/Wilkerson/Aiken 2003, the MOSS scheme): md5 every
+    ``WINNOW_K``-token k-gram (the same portable, collision-resistant
+    digest the span-dedup family keys on — an early per-token
+    first-char×length code collapsed to ~6 distinct values on synthetic
+    ``tokNNN`` corpora and flagged 75% of the stream-bench corpus as
+    spurious dups), slide a ``WINNOW_W``-wide window over the digest
+    sequence, and keep each window's LEXICOGRAPHIC minimum (order is
+    engine-independent: both engines emit lowercase hex). The guarantee:
+    any shared run of ``WINNOW_K + WINNOW_W - 1`` tokens yields at least
+    one shared fingerprint, with ~2/(W+1) of positions selected — a
+    tunable document sketch for containment-style near-dup detection.
+    Short docs degrade gracefully: fewer digests than a window selects
+    the overall minimum (one fingerprint); fewer tokens than a k-gram
+    selects nothing.
 
-    Each stage (codes → k-gram hashes → window minima) is materialized as
-    its OWN projection: Spark does not common-subexpression-eliminate
+    Each stage (tokens → k-gram digests → window minima) is materialized
+    as its OWN projection: Spark does not common-subexpression-eliminate
     inside higher-order-function lambdas, so an inlined ``hashes`` array
     would be rebuilt per window position — O(n²)-per-doc and a 30×
     slowdown measured at sf0.001. Across Project boundaries each array is
     computed once per row and referenced thereafter. All array-local, no
     shuffle, no Python."""
-    toks = _tokens()
-    codes = F.transform(
-        toks,
-        lambda t: F.ascii(t).cast("bigint") * 31 + F.length(t).cast("bigint"),
-    )
-    staged = docs.select("doc_id", codes.alias("codes"))
-    c = F.col("codes")
-    n = F.size(c)
+    staged = docs.select("doc_id", _tokens().alias("toks"))
+    t = F.col("toks")
+    n = F.size(t)
     kidx = F.when(
         n >= WINNOW_K, F.sequence(F.lit(1), n - (WINNOW_K - 1))
     ).otherwise(F.array().cast("array<int>"))
     hashes = F.transform(
         kidx,
-        lambda i: (
-            F.element_at(c, i) * (131 * 131)
-            + F.element_at(c, i + 1) * 131
-            + F.element_at(c, i + 2)
-        )
-        % _WINNOW_M,
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(t, i),
+                F.element_at(t, i + 1),
+                F.element_at(t, i + 2),
+            )
+        ),
     )
     staged = staged.select("doc_id", hashes.alias("hashes"))
     h = F.col("hashes")
@@ -716,8 +716,107 @@ def e3_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e3_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy — the lexical-diversity
+    quality signal (low entropy ≈ repetitive/boilerplate text, the same
+    family as the Gopher repetition rules but distribution-level):
+    H = Σ_w (c_w/n)·ln(n/c_w) over the document's own word distribution.
+
+    Parity discipline: each distinct word's contribution is rounded to an
+    INTEGER micro-nat before the per-doc sum (ln's engine error is ~1e-9
+    of a micro-unit, so every term is engine-exact and the sum is exact
+    integer arithmetic — same reasoning as e3_ngram_lm_score). Shape: one
+    explode + (doc, word) groupBy (map-side combinable, bounded by doc
+    vocabulary), a doc-level roll-up, one join back on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.filter(_tokens(), lambda t: t != "")).alias("w"),
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    term_micro = F.round(
+        (F.col("c").cast("double") / F.col("n").cast("double"))
+        * F.log(F.col("n").cast("double") / F.col("c").cast("double"))
+        * 1_000_000.0,
+        0,
+    ).cast("bigint")
+    return (
+        wc.join(per_doc, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.max("n_distinct").alias("n_distinct"),
+            F.sum(term_micro).alias("entropy_micro"),
+        )
+    )
+
+
+def e3_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling weights (DSIR, Xie et al.
+    2023): per-document log importance ratio between a TARGET unigram
+    distribution (here the lang='en' subcorpus — the domain being
+    selected FOR) and the RAW corpus distribution,
+    w(doc) = Σ_tokens ln( p_target(w) / p_raw(w) ), add-one smoothed over
+    the shared vocabulary. High-weight documents look like the target
+    domain and get preferentially resampled into the training mixture —
+    the importance-sampling complement of the hard filters (gopher rules,
+    LM score).
+
+    Parity discipline: each token's ratio is ONE ln of an exact integer
+    rational ((c_t+1)(n_raw+V)) / ((c_r+1)(n_t+V)) — both engines form
+    the identical double, so the micro-rounded integer terms and their
+    per-doc sums are engine-exact. Shape: the raw unigram model is one
+    explode + groupBy (Zipf-bounded), the target model a filtered second
+    aggregate of the same exploded frame, scoring is an equi-join on the
+    word (broadcastable lexicon at real scale) + a broadcast totals row."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(_tokens(), lambda t: t != "")).alias("w"),
+    )
+    raw = words.groupBy("w").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = (
+        words.filter(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    model = raw.join(tgt, "w", "left").na.fill({"c_tgt": 0})
+    totals = model.agg(
+        F.sum("c_raw").alias("n_raw"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    term_micro = F.round(
+        F.log(
+            ((F.col("c_tgt") + 1) * (F.col("n_raw") + F.col("v"))).cast(
+                "double"
+            )
+            / ((F.col("c_raw") + 1) * (F.col("n_tgt") + F.col("v"))).cast(
+                "double"
+            )
+        )
+        * 1_000_000.0,
+        0,
+    ).cast("bigint")
+    return (
+        words.join(model, "w")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(term_micro).alias("dsir_micro"),
+        )
+    )
+
+
 QUERIES = {
     "e3_token_count": e3_token_count,
+    "e3_doc_entropy": e3_doc_entropy,
+    "e3_dsir_weights": e3_dsir_weights,
     "e3_repetition_ratio": e3_repetition_ratio,
     "e3_quality_score": e3_quality_score,
     "e3_language_id": e3_language_id,
@@ -733,26 +832,20 @@ QUERIES = {
     "e3_ngram_lm_score": e3_ngram_lm_score,
 }
 
-# Winnowing postings as a reusable oracle CTE (k=3 token k-grams hashed
-# with the portable polynomial, w=4 windows realized as a SQL window-min
+# Winnowing postings as a reusable oracle CTE (k=3 token k-grams keyed by
+# md5 — both engines emit lowercase hex, so the window-min's lexicographic
+# order is engine-independent; w=4 windows realized as a SQL window-min
 # over full windows only — `i <= greatest(1, nh - 3)` reproduces Spark's
 # slice truncation for docs shorter than one window).
 WINNOW_POSTINGS_CTE = """
         toks AS (
             SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        ), codes AS (
-            SELECT doc_id,
-                   list_transform(
-                       t, x -> CAST(ascii(x) * 31 + len(x) AS BIGINT)
-                   ) AS c
-            FROM toks
         ), hashes AS (
-            SELECT doc_id, s.i AS i, len(c) - 2 AS nh,
-                   (c[s.i] * 17161 + c[s.i + 1] * 131 + c[s.i + 2])
-                       % 1000000007 AS h
-            FROM codes,
-                 LATERAL unnest(generate_series(1, len(c) - 2)) AS s(i)
-            WHERE len(c) >= 3
+            SELECT doc_id, s.i AS i, len(t) - 2 AS nh,
+                   md5(t[s.i] || ' ' || t[s.i + 1] || ' ' || t[s.i + 2]) AS h
+            FROM toks,
+                 LATERAL unnest(generate_series(1, len(t) - 2)) AS s(i)
+            WHERE len(t) >= 3
         ), wins AS (
             SELECT doc_id, i, nh,
                    min(h) OVER (PARTITION BY doc_id ORDER BY i
@@ -760,7 +853,7 @@ WINNOW_POSTINGS_CTE = """
                                 AND 3 FOLLOWING) AS fp
             FROM hashes
         ), winnow_postings AS (
-            SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp
+            SELECT DISTINCT doc_id, fp
             FROM wins WHERE i <= greatest(1, nh - 3)
         )
 """
@@ -997,6 +1090,56 @@ ORACLES = {
     "e3_winnow_fingerprints": f"""
         WITH {WINNOW_POSTINGS_CTE}
         SELECT doc_id, fp FROM winnow_postings
+    """,
+    "e3_dsir_weights": """
+        WITH words AS (
+            SELECT doc_id, lang, u.w AS w
+            FROM documents,
+                 LATERAL unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS u(w)
+        ), raw AS (
+            SELECT w, count(*) AS c_raw FROM words GROUP BY w
+        ), tgt AS (
+            SELECT w, count(*) AS c_tgt FROM words
+            WHERE lang = 'en' GROUP BY w
+        ), model AS (
+            SELECT raw.w, c_raw, coalesce(c_tgt, 0) AS c_tgt
+            FROM raw LEFT JOIN tgt ON raw.w = tgt.w
+        ), totals AS (
+            SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt,
+                   count(*) AS v
+            FROM model
+        )
+        SELECT doc_id, lang,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CAST(round(
+                   ln(CAST((c_tgt + 1) * (n_raw + v) AS DOUBLE)
+                      / CAST((c_raw + 1) * (n_tgt + v) AS DOUBLE))
+                   * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS dsir_micro
+        FROM words JOIN model USING (w), totals
+        GROUP BY doc_id, lang
+    """,
+    "e3_doc_entropy": """
+        WITH words AS (
+            SELECT doc_id, u.w AS w
+            FROM documents,
+                 LATERAL unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS u(w)
+        ), wc AS (
+            SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+        ), per_doc AS (
+            SELECT doc_id, sum(c) AS n, count(*) AS n_distinct
+            FROM wc GROUP BY doc_id
+        )
+        SELECT wc.doc_id,
+               CAST(max(n) AS BIGINT) AS n_tokens,
+               CAST(max(n_distinct) AS BIGINT) AS n_distinct,
+               CAST(sum(CAST(round(
+                   (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+                   * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS entropy_micro
+        FROM wc JOIN per_doc USING (doc_id)
+        GROUP BY wc.doc_id
     """,
     "e3_ngram_lm_score": """
         WITH toks AS (

@@ -377,3 +377,90 @@ def run_span_dedup_stream(
         spark, input_dir, index_dir, out_dir, checkpoint_dir,
         max_files_per_trigger, handle_batch,
     )
+
+
+def run_winnow_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 10,
+):
+    """Incremental WINNOWING dedup — the streaming face of
+    ``e1_winnow_join`` (operators/dedup.py): every micro-batch's
+    documents are sketched with winnowing fingerprints
+    (textops.winnow_postings — ~2/(W+1) of k-gram positions, shared runs
+    guaranteed to collide) and probed against a persisted fingerprint
+    index, flagging at ingest time how much of each new document's
+    passage material was already seen ANYWHERE before. Sits between the
+    exact-but-heavier span stream (every 8-token span indexed) and the
+    whole-doc MinHash stream (document-level Jaccard only): ~3× fewer
+    index rows than spans at passage-level granularity.
+
+    Replay-exact protocol shared verbatim with ``run_span_dedup_stream``:
+    distinct per-doc fingerprints persisted once per batch, LEFT-SEMI
+    probe against ``ingest_batch < N`` partitions (a boilerplate
+    fingerprint in a million indexed docs costs one probe hit), per-doc
+    profile to ``out_dir/batch_id=N`` and the batch's fingerprints to
+    ``index_dir/ingest_batch=N`` via dynamic partition overwrite — a
+    replayed batch rewrites its own partitions and never probes its own
+    fingerprints. At 100 TB-ingest the index buckets on fp."""
+    from ..operators.textops import winnow_postings
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        _check_index_ownership(index_dir, batch_id)
+        # admission: null checks only — winnow_postings itself emits
+        # nothing for sub-WINNOW_K docs, so they divert naturally
+        admissible = batch.filter(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        )
+        fps = winnow_postings(admissible.select("doc_id", "text")).persist()
+        try:
+            per_doc = fps.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_fps")
+            )
+            index = _read_index(sess, index_dir, batch_id)
+            if index is not None:
+                dup = (
+                    fps.join(index.select("fp"), "fp", "left_semi")
+                    .groupBy("doc_id")
+                    .agg(F.count(F.lit(1)).alias("n_dup_fps"))
+                )
+                profile = per_doc.join(dup, "doc_id", "left").na.fill(
+                    {"n_dup_fps": 0}
+                )
+            else:
+                profile = per_doc.withColumn(
+                    "n_dup_fps", F.lit(0).cast("bigint")
+                )
+            (
+                profile.select(
+                    "doc_id",
+                    "n_fps",
+                    "n_dup_fps",
+                    F.round(
+                        F.col("n_dup_fps").cast("double") / F.col("n_fps"), 6
+                    ).alias("dup_fp_fraction"),
+                )
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+            (
+                fps.withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(index_dir)
+            )
+        finally:
+            fps.unpersist()
+
+    return _run_doc_stream(
+        spark, input_dir, index_dir, out_dir, checkpoint_dir,
+        max_files_per_trigger, handle_batch,
+    )

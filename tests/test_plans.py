@@ -129,6 +129,10 @@ BNLJ_BOUNDED = {
     "5-vector query set broadcast (same shape as e2_knn_per_query; "
     "IVF-composable at scale, see docstring)",
     "e3_ngram_lm_score": "vocabulary-size scalar (1-row broadcast)",
+    "e5_mixture_epochs": "corpus totals scalar (1-row broadcast, same "
+    "shape as e5_domain_mixture)",
+    "e3_dsir_weights": "model totals (n_raw, n_tgt, V) scalar "
+    "(1-row broadcast)",
 }
 
 

@@ -29,7 +29,7 @@ def test_stress_record_shape():
     assert doc["fact_rows"] >= 5_000_000
     assert set(doc["shapes"]) == {
         "agg_scan", "join_agg", "window_topk", "lsh_neardup", "span_dedup",
-        "prefix_filter", "containment", "ivf_search",
+        "prefix_filter", "containment", "ivf_search", "winnow_join",
     }
 
 

@@ -27,6 +27,7 @@ def test_stream_record_shape():
         "jobs_parse_dedup",
         "neardup_drain",
         "span_drain",
+        "winnow_drain",
         "vecingest_drain",
     }
     # the ingest drain must have applied one version per micro-batch
@@ -38,6 +39,7 @@ def test_stream_record_shape():
     # the dedup drains must have found the planted duplicates
     assert doc["pipelines"]["neardup_drain"]["pairs_found"] > 0
     assert doc["pipelines"]["span_drain"]["docs_flagged"] > 0
+    assert doc["pipelines"]["winnow_drain"]["docs_flagged"] > 0
 
 
 def test_stream_throughput_floors():

@@ -270,3 +270,47 @@ def test_index_ownership_gate(tmp_path):
         _check_index_ownership(idx, 0)
     _check_index_ownership(idx, 2)  # replay of the batch that wrote it
     _check_index_ownership(idx, 3)  # normal successor batch
+
+
+def test_winnow_stream_cross_batch(spark, tmp_path):
+    """Streaming winnowing dedup: a later document repeating an indexed
+    passage shows a positive duplicated-fingerprint count (the winnowing
+    guarantee: any shared K+W-1-token run collides); fully novel docs
+    report zero; an exact replay of an indexed text under a new id is
+    100% duplicated."""
+    from caseguarddatapipeline_spark.streaming.neardup import (
+        run_winnow_stream,
+    )
+
+    inp, idx = str(tmp_path / "in"), str(tmp_path / "index")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(inp)
+    passage = " ".join(f"p{i}" for i in range(24))
+    novel = " ".join(f"n{i}" for i in range(24))
+
+    # batch 1: the passage doc + a sub-k-gram doc (diverts: no postings)
+    _write_batch(inp, 1, [(1, passage), (2, "too short")])
+    run_winnow_stream(spark, inp, idx, out, ck)
+    prof = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(prof) == {1}
+    assert prof[1]["n_fps"] > 0 and prof[1]["n_dup_fps"] == 0
+    n_indexed = spark.read.parquet(idx).count()
+    assert n_indexed == prof[1]["n_fps"]
+
+    # batch 2: doc 3 = passage + novel tail (positive overlap), doc 4
+    # entirely novel (zero overlap)
+    _write_batch(inp, 2, [(3, passage + " " + novel), (4, novel)])
+    run_winnow_stream(spark, inp, idx, out, ck)
+    prof = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(out).filter("batch_id = 1").collect()
+    }
+    assert prof[3]["n_dup_fps"] > 0
+    assert prof[4]["n_dup_fps"] == 0
+
+    # batch 3: exact replay of doc 4's text under a new id
+    _write_batch(inp, 3, [(5, novel)])
+    run_winnow_stream(spark, inp, idx, out, ck)
+    row = spark.read.parquet(out).filter("doc_id = 5").collect()[0]
+    assert row["n_dup_fps"] == row["n_fps"] > 0
+    assert row["dup_fp_fraction"] == 1.0

@@ -54,6 +54,9 @@ FLOORS = {
     "jobs_parse_dedup": 50_000.0,
     "neardup_drain": 1_000.0,
     "span_drain": 1_000.0,
+    # winnowing twin of span_drain: sketched index (~2/(W+1) of k-gram
+    # positions), same corpus shape and floor
+    "winnow_drain": 1_000.0,
     # measured ~3.4k vec/s (50 k 64-d vectors, 4 copy-on-write versions)
     "vecingest_drain": 1_000.0,
 }
@@ -303,6 +306,68 @@ def _span_drain(spark, n_docs: int = 20_000, n_files: int = 8):
         }
 
 
+def _winnow_drain(spark, n_docs: int = 20_000, n_files: int = 8):
+    """Drain the SAME planted-passage corpus shape as ``_span_drain``
+    through the winnowing dedup stream
+    (streaming/neardup.run_winnow_stream): winnow fingerprint fan-out
+    (~2/(W+1) of k-gram positions vs every span) + left-semi index probe
+    + per-doc profile + index growth. The signal is rows/sec against the
+    span stream's — the sketched index should drain at least as fast with
+    ~3× fewer index rows."""
+    from caseguarddatapipeline_spark.streaming.neardup import (
+        run_winnow_stream,
+    )
+
+    files_per_trigger = 2
+
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as root:
+        input_dir = f"{root}/in"
+        base = F.when(
+            F.col("id") % 10 == 0, F.col("id") - 1
+        ).otherwise(F.col("id"))
+        toks = F.concat_ws(
+            " ",
+            *[
+                F.format_string(
+                    "tok%d", F.pmod(F.xxhash64(base, F.lit(i)), F.lit(100_000))
+                )
+                for i in range(16)
+            ],
+        )
+        (
+            spark.range(n_docs)
+            .select(F.col("id").alias("doc_id"), toks.alias("text"))
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .json(input_dir)
+        )
+        t0 = time.perf_counter()
+        run_winnow_stream(
+            spark,
+            input_dir,
+            f"{root}/index",
+            f"{root}/out",
+            f"{root}/ckpt",
+            max_files_per_trigger=files_per_trigger,
+        )
+        elapsed = time.perf_counter() - t0
+        try:
+            flagged = (
+                spark.read.parquet(f"{root}/out")
+                .filter("n_dup_fps > 0")
+                .count()
+            )
+        except Exception:
+            flagged = 0
+        return {
+            "docs": n_docs,
+            "batches": -(-n_files // files_per_trigger),
+            "elapsed_sec": round(elapsed, 3),
+            "rows_per_sec": round(n_docs / elapsed, 1),
+            "docs_flagged": flagged,
+        }
+
+
 def _vecingest_drain(spark, n_vecs: int = 50_000, n_files: int = 8):
     """Drain a synthetic 64-d vector feed through the streaming index
     ingestion (streaming/vecingest.run_vector_upsert_stream): every
@@ -380,6 +445,7 @@ def main() -> int:
         ),
         "neardup_drain": _neardup_drain(spark),
         "span_drain": _span_drain(spark),
+        "winnow_drain": _winnow_drain(spark),
         "vecingest_drain": _vecingest_drain(spark),
     }
     doc = {

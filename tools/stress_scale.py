@@ -141,6 +141,12 @@ def main() -> int:
         return curve()
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    # Optional shape filter (argv[3:]): re-measure ONLY the named shapes
+    # and MERGE them into the committed record — for when one shape's
+    # measured code changed and re-running the full ~2 h suite would
+    # re-measure seven unchanged shapes. Merge requires the existing
+    # record to be at the same replica count.
+    only = set(sys.argv[3:])
     spark = get_spark("stress")
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -160,6 +166,10 @@ def main() -> int:
         containment_pairs,
         prefix_filter_pairs,
         span_duplication_profile,
+        winnow_pairs,
+    )
+    from caseguarddatapipeline_spark.operators.dedup import (
+        WINNOW_MAXDF as WINNOW_MAXDF_BASE,
     )
     from caseguarddatapipeline_spark.operators.similarity import (
         _ivf1_index,
@@ -264,6 +274,19 @@ def main() -> int:
         "containment": (lambda: containment_pairs(docs_bp).agg(
             F.count(F.lit(1)), F.sum("containment")
         ), doc_rows),
+        # winnowing near-dup join (round 7) on the SAME boilerplate-skewed
+        # corpus: the df cap is the scale guard here — the shared
+        # boilerplate head's fingerprints have df = |corpus| and must be
+        # dropped before the self-join (or candidates ride |corpus|-long
+        # posting lists and the floor trips). n-fold replication inflates
+        # EVERY fingerprint's df by n, so the cap scales with it
+        # (maxdf = base cap × n — at n=10 a fixed small cap drops every
+        # posting and the join degenerates to zero pairs, measured);
+        # surviving postings then carry the full clique-quadratic
+        # verified work (~132 k pairs at 10×), like prefix_filter.
+        "winnow_join": (lambda: winnow_pairs(
+            docs_bp, maxdf=WINNOW_MAXDF_BASE * n
+        ).agg(F.count(F.lit(1)), F.sum("n_shared")), doc_rows),
         # ANN serving shape: multi-probe IVF candidate generation + exact
         # cosine verify (the e2_ivf_search_1round serving path) over the
         # replicated vector corpus. Every vector is assigned to its cell
@@ -282,6 +305,11 @@ def main() -> int:
         ).agg(F.count(F.lit(1)), F.sum("cosine")), vec_rows),
     }
 
+    if only:
+        unknown = only - set(shapes)
+        assert not unknown, f"unknown shapes: {sorted(unknown)}"
+        shapes = {k: v for k, v in shapes.items() if k in only}
+
     out: dict[str, dict[str, float]] = {}
     for name, (build, rows) in shapes.items():
         build().write.format("noop").mode("overwrite").save()  # warm
@@ -297,6 +325,16 @@ def main() -> int:
             # Mrows/s and a 3dp round would flatten a 2x regression to 0.000
             "mrows_per_sec": round(rows / best / 1e6, 4),
         }
+    record = Path(__file__).resolve().parent.parent / "STRESS.json"
+    if only and record.exists():
+        prior = json.loads(record.read_text())
+        assert prior["replicas"] == n, (
+            f"shape merge needs matching replicas: record={prior['replicas']}"
+            f" run={n}"
+        )
+        merged = dict(prior["shapes"])
+        merged.update(out)
+        out = merged
     doc = {
         "metric": "stress_scale",
         "replicas": n,
@@ -305,9 +343,7 @@ def main() -> int:
         "floors_mrows_per_sec": FLOORS,
     }
     if n >= 10:  # the committed record is the 10× data-dominated run
-        Path(__file__).resolve().parent.parent.joinpath("STRESS.json").write_text(
-            json.dumps(doc, indent=1) + "\n"
-        )
+        record.write_text(json.dumps(doc, indent=1) + "\n")
     print(json.dumps(doc))
     spark.stop()
     return 0
@@ -338,7 +374,13 @@ def main() -> int:
 FLOORS = {"agg_scan": 5.0, "join_agg": 1.0, "window_topk": 0.4,
           "lsh_neardup": 0.008, "span_dedup": 0.002,
           "prefix_filter": 0.0002, "containment": 0.0002,
-          "ivf_search": 0.6}
+          "ivf_search": 0.6,
+          # winnow_join (round 7): clique-quadratic verified output like
+          # prefix_filter (181 k pairs at 10×, pair volume grows ~n² —
+          # committed 50× run: 354 s / 250 k docs = 0.0007 Mdocs/s with
+          # the md5 k-gram digests); floor ~30% of measured — trips if
+          # the df cap stops pruning the boilerplate head
+          "winnow_join": 0.0002}
 
 
 if __name__ == "__main__":

@@ -96,6 +96,9 @@ _PRIORITY = [
     # ... and DSIR importance weights (displacing a31_cooccurrence_lift,
     # green r5 AND r6)
     "e3_dsir_weights",
+    # ... and the five-granularity duplication datasheet (displacing
+    # e3_text_normalize, green r5 AND r6)
+    "e5_dedup_report",
     # Never-driver-verified: round-4 E1/E2 additions
     "e1_neardup_recall",
     "e1_semantic_dedup",
@@ -104,7 +107,6 @@ _PRIORITY = [
     "e2_pq_recall",
     # Never-driver-verified: round-4 E3/E4/E5 additions
     "e3_gopher_rules",
-    "e3_text_normalize",
     "e3_trigram_familiarity",
     "e3_zscore_by_source",
     "e3_zscore_by_source_scaled",

@@ -571,9 +571,94 @@ def e5_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e5_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplication datasheet across ALL FIVE dedup granularities the
+    engine implements — the one-table answer to "which dedup tier flags
+    how much of this corpus", the first number a curation run reports:
+
+    - ``exact``        whole-document content-hash groups (units = dup
+                       groups, docs = their members)
+    - ``minhash``      whole-document near-dups at verified Jaccard ≥ 0.5
+                       (units = pairs, docs = distinct members)
+    - ``containment``  doc-inside-doc overlap-coefficient pairs
+    - ``winnow``       passage-sketch pairs (winnowing fingerprints)
+    - ``span``         exact repeated 8-token passages (units = total
+                       duplicated spans, docs = docs carrying any)
+
+    Each tier is the SAME committed pipeline the standalone query runs
+    (imported bodies, not re-implementations), reduced to one row and
+    unioned — so the report can never drift from the operators it
+    summarizes, and the oracle composes the tiers' own proven SQL. Cost
+    at 100 TB: the five pipelines share the documents scan and each
+    reduces map-side before its union row."""
+    from .dedup import (
+        containment_pairs,
+        e1_minhash_lsh,
+        span_duplication_profile,
+        winnow_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _row(name, units, n_docs):
+        return F.struct(
+            F.lit(name).alias("granularity"),
+            units.cast("bigint").alias("n_units"),
+            n_docs.cast("bigint").alias("n_docs_affected"),
+        )
+
+    exact = (
+        docs.select(F.sha2(F.col("text"), 256).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .agg(_row("exact", F.count(F.lit(1)), F.coalesce(F.sum("n"), F.lit(0))).alias("r"))
+    )
+
+    def _pair_row(name, pairs):
+        both = pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        return (
+            pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+            .crossJoin(
+                F.broadcast(both.agg(F.count_distinct("d").alias("n_docs")))
+            )
+            .select(_row(name, F.col("n_pairs"), F.col("n_docs")).alias("r"))
+        )
+
+    mh = _pair_row(
+        "minhash", e1_minhash_lsh(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    )
+    cont = _pair_row(
+        "containment",
+        containment_pairs(docs).select(
+            F.col("doc_small").alias("doc_a"),
+            F.col("doc_large").alias("doc_b"),
+        ),
+    )
+    win = _pair_row("winnow", winnow_pairs(docs))
+    span = span_duplication_profile(docs).agg(
+        _row(
+            "span",
+            F.coalesce(F.sum("n_dup_spans"), F.lit(0)),
+            F.count(F.when(F.col("n_dup_spans") > 0, 1)),
+        ).alias("r")
+    )
+    return (
+        exact.unionByName(mh)
+        .unionByName(cont)
+        .unionByName(win)
+        .unionByName(span)
+        .select("r.*")
+        .orderBy("granularity")
+    )
+
+
 QUERIES = {
     "e5_dataset_card": e5_dataset_card,
     "e5_mixture_epochs": e5_mixture_epochs,
+    "e5_dedup_report": e5_dedup_report,
     "e5_corpus_curation": e5_corpus_curation,
     "e5_curation_funnel": e5_curation_funnel,
     "e5_train_split": e5_train_split,
@@ -897,3 +982,53 @@ def _leakage_safe_split_oracle() -> str:
 
 
 ORACLES["e5_leakage_safe_split"] = _leakage_safe_split_oracle()
+
+
+def _dedup_report_oracle() -> str:
+    """Composes the five granularities' OWN oracle SQL (dedup.py) so the
+    report's oracle can never drift from the per-tier oracles."""
+    from .dedup import ORACLES as _D
+
+    def pair_tier(name: str, sub: str) -> str:
+        return f"""
+        SELECT '{name}' AS granularity,
+               CAST(count(*) AS BIGINT) AS n_units,
+               CAST((SELECT count(DISTINCT d) FROM (
+                        SELECT doc_a AS d FROM {name}_p
+                        UNION SELECT doc_b FROM {name}_p))
+                    AS BIGINT) AS n_docs_affected
+        FROM {name}_p"""
+
+    return f"""
+        WITH exact_g AS (
+            SELECT count(*) AS n FROM documents
+            GROUP BY text HAVING count(*) >= 2
+        ), minhash_p AS (
+            SELECT doc_a, doc_b FROM ({_D["e1_minhash_lsh"]})
+            WHERE jaccard >= 0.5
+        ), containment_p AS (
+            SELECT doc_small AS doc_a, doc_large AS doc_b
+            FROM ({_D["e1_containment_join"]})
+        ), winnow_p AS (
+            SELECT doc_a, doc_b FROM ({_D["e1_winnow_join"]})
+        ), span_d AS (
+            SELECT n_dup_spans FROM ({_D["e1_span_dedup"]})
+        )
+        SELECT 'exact' AS granularity,
+               CAST(count(*) AS BIGINT) AS n_units,
+               CAST(coalesce(sum(n), 0) AS BIGINT) AS n_docs_affected
+        FROM exact_g
+        UNION ALL {pair_tier("minhash", "")}
+        UNION ALL {pair_tier("containment", "")}
+        UNION ALL {pair_tier("winnow", "")}
+        UNION ALL
+        SELECT 'span' AS granularity,
+               CAST(coalesce(sum(n_dup_spans), 0) AS BIGINT) AS n_units,
+               CAST(count(CASE WHEN n_dup_spans > 0 THEN 1 END)
+                    AS BIGINT) AS n_docs_affected
+        FROM span_d
+        ORDER BY granularity
+    """
+
+
+ORACLES["e5_dedup_report"] = _dedup_report_oracle()

@@ -133,6 +133,8 @@ BNLJ_BOUNDED = {
     "shape as e5_domain_mixture)",
     "e3_dsir_weights": "model totals (n_raw, n_tgt, V) scalar "
     "(1-row broadcast)",
+    "e5_dedup_report": "per-tier (n_pairs × n_docs) scalar aggregates "
+    "(1-row broadcasts, three tiers)",
 }
 
 

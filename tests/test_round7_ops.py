@@ -282,3 +282,32 @@ def test_dsir_weights_favor_target_domain(spark, sf_dir):
     for lang, m in means.items():
         if lang != "en":
             assert means["en"] > m, (lang, means)
+
+
+def test_dedup_report_matches_standalone_tiers(spark, sf_dir):
+    """The datasheet must agree with the standalone queries it
+    summarizes — pair counts with the pair joins, span totals with the
+    span profile — since it imports their bodies rather than
+    re-implementing them."""
+    from caseguarddatapipeline_spark.operators.curation import (
+        e5_dedup_report,
+    )
+    from caseguarddatapipeline_spark.operators.dedup import (
+        e1_minhash_lsh,
+        e1_span_dedup,
+    )
+
+    rep = {r.granularity: r for r in e5_dedup_report(spark, sf_dir).collect()}
+    assert set(rep) == {"exact", "minhash", "containment", "winnow", "span"}
+    mh_pairs = e1_minhash_lsh(spark, sf_dir).filter("jaccard >= 0.5").count()
+    assert rep["minhash"].n_units == mh_pairs
+    wn_pairs = e1_winnow_join(spark, sf_dir).count()
+    assert rep["winnow"].n_units == wn_pairs
+    span = e1_span_dedup(spark, sf_dir).agg(
+        F.sum("n_dup_spans").alias("s"),
+        F.count(F.when(F.col("n_dup_spans") > 0, 1)).alias("d"),
+    ).collect()[0]
+    assert rep["span"].n_units == span.s
+    assert rep["span"].n_docs_affected == span.d
+    for r in rep.values():
+        assert r.n_units >= 0 and r.n_docs_affected >= 0

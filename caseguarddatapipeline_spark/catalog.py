@@ -99,6 +99,10 @@ _PRIORITY = [
     # ... and the five-granularity duplication datasheet (displacing
     # e3_text_normalize, green r5 AND r6)
     "e5_dedup_report",
+    # ... and SQ8's measured recall@3 vs exact L2 (displacing
+    # e3_zscore_by_source, green r5 AND r6 — its scaled twin, pinned
+    # row-identical, stays in the window)
+    "e2_sq8_recall",
     # Never-driver-verified: round-4 E1/E2 additions
     "e1_neardup_recall",
     "e1_semantic_dedup",
@@ -108,7 +112,6 @@ _PRIORITY = [
     # Never-driver-verified: round-4 E3/E4/E5 additions
     "e3_gopher_rules",
     "e3_trigram_familiarity",
-    "e3_zscore_by_source",
     "e3_zscore_by_source_scaled",
     "e4_image_tiles",
     "e4_audio_chunks",

@@ -485,6 +485,41 @@ def e2_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e2_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured SQ8 quality: per-query recall@3 of the scalar-quantized
+    search against the EXACT L2 top-3 — e2_pq_recall's companion for the
+    training-free 4x-compression point. SQ8 keeps every dimension at
+    8-bit resolution (vs PQ collapsing 16-dim subspaces to one of 16
+    codes), so on this corpus it should recover (nearly) the exact
+    ranking — a drop in this number flags a quantization regression
+    (bounds drift, rounding change) the adist-vs-exact epsilon test
+    can't localize to ordering."""
+    approx = e2_sq8_search(spark, sf_dir).select("query_id", "vec_id")
+    corpus = _corpus(spark, sf_dir)
+    queries = _pq_queries(corpus)
+    dist = F.round(_l2sq(F.col("emb"), F.col("q_emb")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    exact = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dist.alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return queries.select("query_id").join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        F.round(F.coalesce(F.col("n_overlap"), F.lit(0)) / float(TOPK), 4).alias(
+            "recall_at_3"
+        ),
+    )
+
+
 SQ_DIM = 64  # embeddings width (matches M * SUBDIM)
 
 
@@ -568,6 +603,7 @@ def e2_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "e2_pq_search_1round": e2_pq_search_1round,
     "e2_sq8_search": e2_sq8_search,
+    "e2_sq8_recall": e2_sq8_recall,
     "e2_ivfpq_search_1round": e2_ivfpq_search_1round,
     "e2_ivfpq_residual_1round": e2_ivfpq_residual_1round,
     "e2_pq_recall": e2_pq_recall,
@@ -833,3 +869,41 @@ ORACLES = {
     FROM scored QUALIFY rank <= {TOPK}
     """,
 }
+
+
+# SQ8 recall composes the SQ8 search oracle (as the approx side) with the
+# same exact-L2 top-k SQL the PQ recall uses — one definition of the
+# quantized ranking, reused.
+ORACLES["e2_sq8_recall"] = f"""
+    WITH approx AS (
+        SELECT query_id, vec_id FROM ({ORACLES["e2_sq8_search"]})
+    ), corpus AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ), queries AS (
+        SELECT vec_id AS query_id, emb AS q_emb FROM corpus
+        WHERE vec_id < {N_QUERIES}
+    ), exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dist ASC, vec_id ASC) AS rank
+            FROM (
+                SELECT q.query_id, c.vec_id,
+                       round(list_sum(list_transform(range(1, 65),
+                             j -> (c.emb[j] - q.q_emb[j])
+                                  * (c.emb[j] - q.q_emb[j]))), 6) AS dist
+                FROM corpus c JOIN queries q ON c.vec_id <> q.query_id))
+        WHERE rank <= {TOPK}
+    ), hits AS (
+        SELECT e.query_id, count(*) AS n_overlap
+        FROM exact e JOIN approx a
+          ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        GROUP BY e.query_id
+    )
+    SELECT q.query_id,
+           CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(coalesce(h.n_overlap, 0) / CAST({TOPK} AS DOUBLE), 4)
+               AS recall_at_3
+    FROM queries q LEFT JOIN hits h ON h.query_id = q.query_id
+"""

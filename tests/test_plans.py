@@ -135,6 +135,9 @@ BNLJ_BOUNDED = {
     "(1-row broadcast)",
     "e5_dedup_report": "per-tier (n_pairs × n_docs) scalar aggregates "
     "(1-row broadcasts, three tiers)",
+    "e2_sq8_recall": "exact-side ground truth vs fixed 5-vector query "
+    "set broadcast + the composed e2_sq8_search (same shape as "
+    "e2_pq_recall)",
 }
 
 

@@ -103,10 +103,16 @@ _PRIORITY = [
     # e3_zscore_by_source, green r5 AND r6 — its scaled twin, pinned
     # row-identical, stays in the window)
     "e2_sq8_recall",
-    # Never-driver-verified: round-4 E1/E2 additions
-    "e1_neardup_recall",
-    "e1_semantic_dedup",
-    "e2_pq_search_1round",
+    # New in round 8 (zero-debt policy): IVF-composed SQ8 (the routed
+    # form of every quantizer tier now exists) + its measured recall@3,
+    # and the utility-weighted mixture planner — displacing
+    # e1_neardup_recall, e1_semantic_dedup and e2_pq_search_1round (each
+    # green r4 AND r7; they stay in the full parity sweep, and the PQ
+    # family keeps its composed forms + recall companion in the window)
+    "e2_ivfsq8_search_1round",
+    "e2_ivfsq8_recall",
+    "e5_weighted_mixture",
+    # Round-4 E2 continuity
     "e2_ivfpq_search_1round",
     "e2_pq_recall",
     # Never-driver-verified: round-4 E3/E4/E5 additions

@@ -600,10 +600,136 @@ def e2_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e2_ivfsq8_search_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed SQ8 ANN (FAISS ``IndexIVFScalarQuantizer`` as a
+    relational plan) — the round-8 family-symmetry closer: flat SQ8
+    (``e2_sq8_search``) gets the same coarse stage composed in front
+    that PQ has in ``e2_ivfpq_search_1round``, so every quantizer tier
+    (flat → SQ8 → PQ → IVFPQ → residual IVFPQ → IVF-SQ8) now exists in
+    both flat and routed form.
+
+    The coarse stage is EXACTLY the persisted 1-round IVF quantizer
+    (``_ivf1_index`` snapshot: seed assignment + nprobe=4 multi-probe —
+    the single ``_coarse_cells``/``_probe_list`` definitions shared with
+    every other routed search). The fine stage quantizes PER CELL: each
+    cell's members get their own per-dimension [min, max] bounds (16
+    cells × 64 dims — the IVF analog of FAISS's residual-trained SQ:
+    intra-cell spread is much tighter than corpus-wide, so the 8-bit
+    grid spends its resolution where the candidates actually live), and
+    search scores raw queries against candidates dequantized with their
+    OWN cell's bounds. Unlike PQ there is no per-code ADC join — the
+    whole asymmetric distance folds in one projection per candidate, so
+    the plan is: cell equi-join (~nprobe/k of the corpus) → fold → per-
+    query top-k. All arithmetic reuses e2_sq8_search's proven-portable
+    forms (round-half-up encode, index-ordered fold), so the oracle is
+    IEEE-exact. At 100 TB `cell` is a partition column, the int8 code
+    table is the stored index, and the 16×64×2 bounds ride the index
+    snapshot."""
+    corpus = _corpus(spark, sf_dir)
+    seeds, centroids = _ivf1_index(spark, sf_dir)
+    cells = _coarse_cells(corpus, seeds, keep_emb=True)
+
+    dims = cells.select("cell", F.posexplode("emb").alias("j", "v"))
+    cell_bounds = (
+        dims.groupBy("cell", "j")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "lo"))),
+                lambda s: s["lo"],
+            ).alias("lo"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "hi"))),
+                lambda s: s["hi"],
+            ).alias("hi"),
+        )
+    )
+    idx = F.sequence(F.lit(1), F.lit(SQ_DIM))
+    lo, hi = F.col("lo"), F.col("hi")
+
+    def _code(j):
+        x = F.element_at(F.col("emb"), j)
+        l, h = F.element_at(lo, j), F.element_at(hi, j)
+        return (
+            F.when(h == l, F.lit(0))
+            .otherwise(F.round((x - l) / (h - l) * 255.0, 0).cast("int"))
+        )
+
+    encoded = cells.join(F.broadcast(cell_bounds), "cell").select(
+        "vec_id", "cell", "lo", "hi", F.transform(idx, _code).alias("codes")
+    )
+    probes = _probe_list(_pq_queries(corpus), centroids, NPROBE)
+
+    def _sq_term(j):
+        deq = F.element_at(lo, j) + F.element_at(F.col("codes"), j).cast(
+            "double"
+        ) * (F.element_at(hi, j) - F.element_at(lo, j)) / 255.0
+        diff = F.element_at(F.col("q_emb"), j) - deq
+        return diff * diff
+
+    adist = F.round(
+        F.aggregate(
+            F.transform(idx, _sq_term), F.lit(0.0), lambda acc, v: acc + v
+        ),
+        4,
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("vec_id")
+    )
+    return (
+        encoded.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("probe_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", "cell", adist.alias("adist"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOPK)
+    )
+
+
+def e2_ivfsq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured IVF-SQ8 quality: per-query recall@3 against the EXACT L2
+    top-3 — the recall companion every quantized search in the family
+    ships with (zero-debt policy: a routed index without a measured
+    recall number is a claim, not a component). Captures BOTH loss
+    sources at once: coarse-probe misses (candidates outside the nprobe
+    cells) and per-cell 8-bit quantization error."""
+    approx = e2_ivfsq8_search_1round(spark, sf_dir).select(
+        "query_id", "vec_id"
+    )
+    corpus = _corpus(spark, sf_dir)
+    queries = _pq_queries(corpus)
+    dist = F.round(_l2sq(F.col("emb"), F.col("q_emb")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    exact = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dist.alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return queries.select("query_id").join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        F.round(F.coalesce(F.col("n_overlap"), F.lit(0)) / float(TOPK), 4).alias(
+            "recall_at_3"
+        ),
+    )
+
+
 QUERIES = {
     "e2_pq_search_1round": e2_pq_search_1round,
     "e2_sq8_search": e2_sq8_search,
     "e2_sq8_recall": e2_sq8_recall,
+    "e2_ivfsq8_search_1round": e2_ivfsq8_search_1round,
+    "e2_ivfsq8_recall": e2_ivfsq8_recall,
     "e2_ivfpq_search_1round": e2_ivfpq_search_1round,
     "e2_ivfpq_residual_1round": e2_ivfpq_residual_1round,
     "e2_pq_recall": e2_pq_recall,
@@ -812,6 +938,63 @@ ORACLES = {
                                    ORDER BY adist ASC, vec_id ASC) AS INT) AS rank
     FROM scored QUALIFY rank <= {TOPK}
     """,
+    # IVF-SQ8: IVF1_CENTS_SQL supplies the coarse stage (same assigned/
+    # cents as every routed search); the fine stage is e2_sq8_search's
+    # encode/dequantize algebra with PER-CELL bounds. No ADC join — the
+    # fold happens per candidate row.
+    "e2_ivfsq8_search_1round": IVF1_CENTS_SQL + f"""
+    , cell_dim_bounds AS (
+        SELECT a.cell, jj.j AS j, min(a.emb[jj.j]) AS lo, max(a.emb[jj.j]) AS hi
+        FROM assigned a CROSS JOIN (SELECT unnest(range(1, 65)) AS j) jj
+        GROUP BY a.cell, jj.j
+    ), cell_bounds AS (
+        SELECT cell, list(lo ORDER BY j) AS lo, list(hi ORDER BY j) AS hi
+        FROM cell_dim_bounds GROUP BY cell
+    ), encoded AS (
+        SELECT a.vec_id, a.cell,
+               list_transform(range(1, 65), j ->
+                   CASE WHEN b.hi[j] = b.lo[j] THEN 0
+                        ELSE CAST(round((a.emb[j] - b.lo[j])
+                                        / (b.hi[j] - b.lo[j]) * 255.0,
+                                        0) AS INT)
+                   END) AS codes
+        FROM assigned a JOIN cell_bounds b ON b.cell = a.cell
+    ), queries AS (
+        SELECT vec_id AS query_id, emb AS q_emb FROM corpus
+        WHERE vec_id < {N_QUERIES}
+    ), probe_scored AS (
+        SELECT q.query_id, ct.cell,
+               round(list_dot_product(q.q_emb, ct.c_emb)
+                     / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                        * sqrt(list_dot_product(ct.c_emb, ct.c_emb))), 6)
+                   AS cos6
+        FROM queries q CROSS JOIN cents ct
+    ), probes AS (
+        SELECT query_id, cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos6 DESC, cell ASC) AS rn
+              FROM probe_scored)
+        WHERE rn <= {NPROBE}
+    ), scored AS (
+        SELECT q.query_id, e.vec_id, CAST(e.cell AS INT) AS cell,
+               round(list_sum(list_transform(range(1, 65), j ->
+                   (q.q_emb[j] - (b.lo[j] + e.codes[j]
+                                  * (b.hi[j] - b.lo[j]) / 255.0))
+                   * (q.q_emb[j] - (b.lo[j] + e.codes[j]
+                                    * (b.hi[j] - b.lo[j]) / 255.0)))), 4)
+                   AS adist
+        FROM encoded e
+        JOIN cell_bounds b ON b.cell = e.cell
+        JOIN probes p ON p.cell = e.cell
+        JOIN queries q ON q.query_id = p.query_id
+                      AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cell, adist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist ASC, vec_id ASC) AS INT)
+               AS rank
+    FROM scored QUALIFY rank <= {TOPK}
+    """,
     # Residual IVFPQ: the p_* chain trains on (emb − assigned seed
     # vector) residuals; the query side subtracts the PROBED cell's seed
     # before its per-cell ADC table (r_dtab keyed by probe cell).
@@ -874,6 +1057,42 @@ ORACLES = {
 # SQ8 recall composes the SQ8 search oracle (as the approx side) with the
 # same exact-L2 top-k SQL the PQ recall uses — one definition of the
 # quantized ranking, reused.
+# IVF-SQ8 recall: the routed-quantized ranking as the approx side, the
+# same exact-L2 top-k as every other recall companion.
+ORACLES["e2_ivfsq8_recall"] = f"""
+    WITH approx AS (
+        SELECT query_id, vec_id FROM ({ORACLES["e2_ivfsq8_search_1round"]})
+    ), corpus AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ), queries AS (
+        SELECT vec_id AS query_id, emb AS q_emb FROM corpus
+        WHERE vec_id < {N_QUERIES}
+    ), exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dist ASC, vec_id ASC) AS rank
+            FROM (
+                SELECT q.query_id, c.vec_id,
+                       round(list_sum(list_transform(range(1, 65),
+                             j -> (c.emb[j] - q.q_emb[j])
+                                  * (c.emb[j] - q.q_emb[j]))), 6) AS dist
+                FROM corpus c JOIN queries q ON c.vec_id <> q.query_id))
+        WHERE rank <= {TOPK}
+    ), hits AS (
+        SELECT e.query_id, count(*) AS n_overlap
+        FROM exact e JOIN approx a
+          ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        GROUP BY e.query_id
+    )
+    SELECT q.query_id,
+           CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(coalesce(h.n_overlap, 0) / CAST({TOPK} AS DOUBLE), 4)
+               AS recall_at_3
+    FROM queries q LEFT JOIN hits h ON h.query_id = q.query_id
+"""
+
 ORACLES["e2_sq8_recall"] = f"""
     WITH approx AS (
         SELECT query_id, vec_id FROM ({ORACLES["e2_sq8_search"]})

@@ -112,7 +112,22 @@ def get_spark(
         # requests against one session) share the cluster round-robin by
         # pool instead of FIFO head-of-line blocking; see scheduler_pool.
         .config("spark.scheduler.mode", "FAIR")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Local mode: the driver JVM IS the executor, so its heap backs
+        # all 32 task threads' execution memory at once. 8g starved the
+        # 50x stress corpus the moment an Arrow stage joined the shuffle
+        # pipeline (TaskMemoryManager page-allocation failures → GCLocker
+        # thrash → Python workers killed); 24g on this 128 GiB box leaves
+        # ~100 GiB for page cache + the 32 Python workers. On a real
+        # cluster this is per-executor sizing, set by the deployment.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # Bound the per-task Arrow transfer buffer: with 32 concurrent
+        # tasks, the 64 MiB default admits 2 GiB of simultaneous batch
+        # pages JUST for Python-stage input — and rows carrying document
+        # shingle arrays (the set-similarity verify kernel) hit the byte
+        # bound long before the 10k-row bound. 16 MiB keeps worst-case
+        # concurrent batch memory at 512 MiB with no measurable kernel
+        # overhead (batches stay thousands of rows).
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "16m")
         # Executor↔python-worker transport over unix domain sockets
         # (Spark 4): shaves ~30 ms of per-task handshake off every
         # Python-stage query (measured 0.206→0.177 s on an identity

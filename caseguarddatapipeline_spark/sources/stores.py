@@ -47,7 +47,25 @@ def store_root() -> str:
         tempfile.gettempdir(), f"caseguard-stores-{uid}"
     )
     os.makedirs(root, mode=0o700, exist_ok=True)
-    st = os.stat(root)
+    # lstat, NOT stat: stat follows symlinks and makedirs(exist_ok=True)
+    # accepts an existing symlink, so an attacker on a shared host could
+    # pre-create $TMP/caseguard-stores-<uid> as a symlink to a
+    # victim-owned directory — the ownership check would pass against the
+    # TARGET and reads/writes (and the chmod below) would be redirected to
+    # an attacker-chosen path. The DEFAULT root (predictable name in a
+    # world-writable tempdir) must therefore be a real directory; an
+    # explicit CASEGUARD_STORE_ROOT is operator-chosen and may legitimately
+    # be a symlink (e.g. /data → a mount), so only its resolved target is
+    # checked below.
+    st = os.lstat(root) if not override else os.stat(root)
+    if not override and (
+        _stat.S_ISLNK(st.st_mode) or not _stat.S_ISDIR(st.st_mode)
+    ):
+        raise PermissionError(
+            f"store root {root} is a symlink or non-directory: refusing to "
+            "follow a pre-created link to a path another user chose (set "
+            "CASEGUARD_STORE_ROOT to a real directory you own)"
+        )
     if hasattr(os, "getuid") and st.st_uid != uid:
         raise PermissionError(
             f"store root {root} is owned by uid {st.st_uid}, not {uid}: "

@@ -190,16 +190,38 @@ def _swap_pointer(base_dir: str, n: int) -> None:
                 # We claimed a SUCCESSOR's live lock (ours was stale-stolen
                 # while we were in the critical section). Put it back with
                 # link(2), which is atomic and fails EEXIST rather than
-                # clobbering a third waiter's lock created in the window;
-                # either way we never delete a lock that isn't ours.
+                # clobbering a third waiter's lock created in the window.
+                # RESIDUAL WINDOW (unfixable with rename+link alone):
+                # between our rename-claim and this restore, the lock path
+                # is briefly absent, so a third waiter's O_CREAT|O_EXCL
+                # acquire can succeed — then the link fails EEXIST while
+                # the successor still believes it holds the section. Only
+                # reachable after a holder overstays the 30s stale window
+                # TWICE over (ours stale-stolen AND the claim/restore gap
+                # hit); pointer monotonicity plus the n > cur guard bound
+                # the damage to "no regression, possible duplicate
+                # publish attempt of the same version". We make the
+                # anomaly OBSERVABLE instead of silent: the successor's
+                # claimed file stays in place under its .rel- name (its
+                # own release will rename-miss and no-op; the orphan is
+                # forensic evidence) and a warning fires.
                 try:
                     os.link(rel, lock)
                 except OSError:
-                    pass
-                try:
-                    os.unlink(rel)
-                except OSError:
-                    pass
+                    import warnings
+
+                    warnings.warn(
+                        f"versioned-store lock restore raced at {lock}: a "
+                        f"third waiter acquired during release; successor's "
+                        f"claimed lock preserved at {rel} for inspection",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                else:
+                    try:
+                        os.unlink(rel)
+                    except OSError:
+                        pass
 
 
 def latest_version(base_dir: str) -> int:

@@ -46,11 +46,17 @@ def _checkpoint_token(checkpoint_dir: str) -> str:
 
 
 def _read_marker(base_dir: str) -> tuple[str | None, int]:
-    """(checkpoint token, last applied batch id); (None, -1) when unset.
-    A legacy id-only marker reads as token ``"legacy"`` so it can never
-    silently match a live checkpoint's token."""
+    """(checkpoint token, last applied batch id); (None, -1) ONLY when the
+    marker file does not exist (a fresh store). A legacy id-only marker
+    reads as token ``"legacy"`` so it can never silently match a live
+    checkpoint's token; a marker whose batch-id tail is not an integer
+    RAISES — a truncated or garbled marker means the store's ownership
+    and replay state are unknown, and treating it as "unset" would
+    disable both the checkpoint-ownership gate and the rollback gate and
+    let the next batch silently overwrite it (round-8 advice fix)."""
+    path = os.path.join(base_dir, _MARKER)
     try:
-        with open(os.path.join(base_dir, _MARKER)) as fh:
+        with open(path) as fh:
             raw = fh.read().strip()
     except FileNotFoundError:
         return None, -1
@@ -58,7 +64,12 @@ def _read_marker(base_dir: str) -> tuple[str | None, int]:
     try:
         return (tok if sep else "legacy"), int(n)
     except ValueError:
-        return None, -1
+        raise RuntimeError(
+            f"postings store marker {path} is unparseable ({raw!r}): the "
+            "store's ownership/replay state is unknown — refusing to treat "
+            "it as fresh; inspect or remove the marker after verifying the "
+            "store's contents"
+        ) from None
 
 
 def _write_marker(base_dir: str, token: str, batch_id: int) -> None:

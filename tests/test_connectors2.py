@@ -556,11 +556,29 @@ def test_lease_heartbeat_outlives_long_staging_write(spark, tmp_path, monkeypatc
         recover_compaction,
     )
 
-    # a lease far shorter than the rewrite; heartbeat ticks every ~0.13s
-    monkeypatch.setattr(layout, "LEASE_SECONDS", 0.4)
+    # Lease short enough that the (delayed) rewrite reliably outlives it,
+    # but with a WIDE heartbeat-vs-expiry margin: ticks every ~0.67s
+    # against a 2.0s expiry, so only a >1.3s thread-scheduling stall can
+    # fake a dead writer — the round-7 flake was a 0.13s-tick/0.4s-expiry
+    # margin losing to a fully loaded box. The "rewrite longer than the
+    # lease" premise no longer rides on data volume: a deterministic
+    # 1.75×LEASE delay is injected at the post-staging listing (inside
+    # the lease-held critical section), so the premise holds by
+    # construction on any box speed.
+    monkeypatch.setattr(layout, "LEASE_SECONDS", 2.0)
+    real_list = layout.list_partition_files
+    delayed_once: list[bool] = []
+
+    def _slow_staging_list(spark_, path_, **kw):
+        if path_.endswith(".compacting") and not delayed_once:
+            delayed_once.append(True)
+            time.sleep(layout.LEASE_SECONDS * 1.75)
+        return real_list(spark_, path_, **kw)
+
+    monkeypatch.setattr(layout, "list_partition_files", _slow_staging_list)
 
     path = str(tmp_path / "events")
-    df = spark.range(400_000).select(
+    df = spark.range(50_000).select(
         "id", (F.col("id") % 2).alias("batch"), (F.col("id") * 3).alias("v")
     ).repartition(12)
     df.write.partitionBy("batch").parquet(path)
@@ -570,16 +588,21 @@ def test_lease_heartbeat_outlives_long_staging_write(spark, tmp_path, monkeypatc
     stop = threading.Event()
 
     def _reader():
-        while not stop.wait(0.15):
+        while not stop.wait(0.25):
             recoveries.append(recover_compaction(spark, path))
 
     t = threading.Thread(target=_reader, daemon=True)
     t.start()
+    t0 = time.monotonic()
     try:
         report = compact_partitions(spark, path, ["batch"])
     finally:
         stop.set()
         t.join(timeout=10)
+    # the premise the test exists for: the lease-held section outlived
+    # the lease, so the no-op recoveries below prove the heartbeat worked
+    assert time.monotonic() - t0 > layout.LEASE_SECONDS
+    assert delayed_once
 
     assert report["partitions_compacted"] == 2
     # every concurrent recovery during the run found a fresh lease (no-op)

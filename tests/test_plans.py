@@ -138,6 +138,12 @@ BNLJ_BOUNDED = {
     "e2_sq8_recall": "exact-side ground truth vs fixed 5-vector query "
     "set broadcast + the composed e2_sq8_search (same shape as "
     "e2_pq_recall)",
+    "e5_weighted_mixture": "weighted water-level λ pair from the "
+    "#sources-row totals table (1-row broadcasts, same shape as "
+    "e5_global_token_budget)",
+    "e2_ivfsq8_recall": "exact-side ground truth vs fixed 5-vector query "
+    "set broadcast (the composed e2_ivfsq8_search_1round itself routes "
+    "by cell equi-join; same shape as e2_pq_recall)",
 }
 
 

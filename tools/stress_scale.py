@@ -353,17 +353,20 @@ def main() -> int:
 # 30 M fact rows / 250 k docs; agg 38.2, join 2.8, window 0.83 Mrows/s,
 # LSH near-dup 0.016 and span dedup 0.008 Mdocs/s — agg IMPROVES 10×→50×
 # as fixed cost amortizes, the rest hold within ~20%, the linear-scaling
-# evidence the 100 TB claim rests on). The round-6 exact set-similarity
-# joins run on the boilerplate-skewed corpus (50-replica cliques with a
-# shared 10-token boilerplate head): prefix_filter 0.0007 / containment
-# 0.0006 Mdocs/s — slow in docs/s because the clique structure makes the
-# VERIFIED OUTPUT quadratic (6.1 M genuine pairs; ≈17 k verified pairs/s)
-# while the boilerplate head (df = |corpus| shingles) stays OUT of every
-# probe prefix: the df-ordering claim measured, not asserted — if it
-# regressed, candidates would hit |corpus|-length posting lists and the
-# floor would trip by orders of magnitude. Floors stay at ~1/3 of the
-# measured numbers, valid for any n ≥ 10, so box noise can't trip them
-# but a real regression (lost map-side combine, a new shuffle, a
+# evidence the 100 TB claim rests on). The exact set-similarity joins run
+# on the boilerplate-skewed corpus (50-replica cliques with a shared
+# 10-token boilerplate head): slow in docs/s because the clique structure
+# makes the VERIFIED OUTPUT quadratic (~6.8 M genuine pairs) while the
+# boilerplate head (df = |corpus| shingles) stays OUT of every probe
+# prefix: the df-ordering claim measured, not asserted — if it regressed,
+# candidates would hit |corpus|-length posting lists and the floor would
+# trip by orders of magnitude. Round 8 re-based all three after the
+# verify rework (int64 shingle dictionary codes + Arrow membership
+# kernel; winnow's one-pass window df-cap + bucket expansion): prefix
+# 139.6 s (was 345), containment 302.4 s (was 449), winnow 103.2 s (was
+# 354) — 2.5× / 1.5× / 3.4× verified-pairs/s; floors raised to ~1/3 of
+# the new numbers. Floors valid for any n ≥ 10, so box noise can't trip
+# them but a real regression (lost map-side combine, a new shuffle, a
 # collapsed sort, a de-vectorized kernel, a re-derived span stream, a
 # broken prefix ordering) will. tests/test_scale_floor.py pins the
 # committed artifact.
@@ -373,14 +376,13 @@ def main() -> int:
 # HOF interpreter's ~0.004 on the same shape; floor well under half.
 FLOORS = {"agg_scan": 5.0, "join_agg": 1.0, "window_topk": 0.4,
           "lsh_neardup": 0.008, "span_dedup": 0.002,
-          "prefix_filter": 0.0002, "containment": 0.0002,
+          "prefix_filter": 0.0006, "containment": 0.00027,
           "ivf_search": 0.6,
-          # winnow_join (round 7): clique-quadratic verified output like
-          # prefix_filter (181 k pairs at 10×, pair volume grows ~n² —
-          # committed 50× run: 354 s / 250 k docs = 0.0007 Mdocs/s with
-          # the md5 k-gram digests); floor ~30% of measured — trips if
-          # the df cap stops pruning the boilerplate head
-          "winnow_join": 0.0002}
+          # winnow_join: clique-quadratic verified output like
+          # prefix_filter (pair volume grows ~n²); floor ~1/3 of the
+          # round-8 measurement — trips if the df cap stops pruning the
+          # boilerplate head or the one-pass bucket form regresses
+          "winnow_join": 0.0008}
 
 
 if __name__ == "__main__":

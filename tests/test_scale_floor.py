@@ -49,3 +49,47 @@ def test_stress_throughput_floors():
             "regression at data-dominated scale (check for a lost map-side "
             "combine, an extra shuffle, or a collapsed sort)"
         )
+
+
+def test_assembly_record_floor():
+    """The composed corpus-assembly record (tools/assembly_bench.py, 50×
+    boilerplate-replica corpus on local[32]) must exist, chain every
+    stage, and hold its end-to-end throughput floor — the proof the
+    dedup/quality/mixture/budget/pack families compose without a
+    driver-side seam, not just pass in isolation."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from tools.assembly_bench import FLOORS as ASM_FLOORS
+
+    path = REPO / "ASSEMBLY.json"
+    assert path.exists(), (
+        "ASSEMBLY.json missing — regenerate with "
+        "`python tools/assembly_bench.py 50`"
+    )
+    doc = json.loads(path.read_text())
+    assert doc["metric"] == "corpus_assembly"
+    assert doc["replicas"] >= 50
+    assert doc["n_docs_in"] >= 200_000
+    assert list(doc["stages"]) == [
+        "exact_dedup",
+        "lsh_neardup",
+        "gopher_battery",
+        "weighted_mixture",
+        "token_budget",
+        "sequence_pack",
+        "sharded_write",
+    ]
+    # every stage produced rows and the funnel is monotone where it
+    # should be (dedup and admission only remove)
+    assert all(s["rows_out"] > 0 for s in doc["stages"].values())
+    assert (
+        doc["stages"]["lsh_neardup"]["rows_out"]
+        <= doc["stages"]["exact_dedup"]["rows_out"]
+    )
+    assert doc["floors"] == ASM_FLOORS
+    assert doc["docs_per_sec"] >= ASM_FLOORS["docs_per_sec"], (
+        f"composed assembly throughput {doc['docs_per_sec']} docs/s below "
+        f"the {ASM_FLOORS['docs_per_sec']} floor — a stage regressed "
+        "(see the per-stage breakdown in ASSEMBLY.json)"
+    )

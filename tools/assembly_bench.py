@@ -65,9 +65,12 @@ def main() -> int:
         "doc_id", "text", "source"
     )
     max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-    # same replication scheme as tools/stress_scale.py's docs_n: replica
-    # siblings share text (so dedup does real work); keys offset so
-    # cardinality scales with the data
+    # same boilerplate-skewed replication as tools/stress_scale.py's
+    # docs_bp: replica siblings share a boilerplate head and differ by a
+    # tail token, so they are NEAR- but not exact duplicates — the exact
+    # stage passes the full corpus through and the LSH stage does the
+    # real collapse, i.e. every stage of the chain works at 50×
+    boiler = "boiler alpha beta gamma delta epsilon zeta eta theta iota"
     docs_n = (
         docs.select(
             "doc_id", "text", "source",
@@ -75,7 +78,12 @@ def main() -> int:
         )
         .select(
             (F.col("doc_id") + F.col("rep") * F.lit(max_doc)).alias("doc_id"),
-            "text",
+            F.concat(
+                F.lit(boiler + " "),
+                F.col("text"),
+                F.lit(" rep"),
+                F.col("rep").cast("string"),
+            ).alias("text"),
             "source",
         )
     )
@@ -257,7 +265,7 @@ def main() -> int:
 # total docs/s; the per-stage breakdown localizes it. Floor ≈ 1/3 of the
 # measured rate so box noise can't trip it but a lost kernel, a new
 # quadratic, or a collapsed window sort will.
-FLOORS = {"docs_per_sec": 500.0}
+FLOORS = {"docs_per_sec": 2500.0}
 
 
 if __name__ == "__main__":

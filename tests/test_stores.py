@@ -62,3 +62,33 @@ def test_fingerprint_store_dir_lives_under_trusted_root(monkeypatch, tmp_path):
     assert d != stores.fingerprint_store_dir(
         str(tmp_path), "nope.parquet", "annidx", 4
     )
+
+
+def test_store_root_rejects_symlinked_default(monkeypatch, tmp_path):
+    """Round-8 advice fix: an attacker pre-creating the PREDICTABLE
+    default root as a symlink to a victim-owned directory must be
+    rejected — os.stat follows symlinks and would have passed the
+    ownership check against the TARGET, redirecting store writes (and
+    the chmod) to an attacker-chosen path."""
+    victim = tmp_path / "victim"
+    victim.mkdir()
+    fake_tmp = tmp_path / "tmp"
+    fake_tmp.mkdir()
+    uid = os.getuid()
+    (fake_tmp / f"caseguard-stores-{uid}").symlink_to(victim)
+    monkeypatch.delenv("CASEGUARD_STORE_ROOT", raising=False)
+    monkeypatch.setattr(stores.tempfile, "gettempdir", lambda: str(fake_tmp))
+    with pytest.raises(PermissionError, match="symlink"):
+        stores.store_root()
+
+
+def test_store_root_override_may_be_symlink(monkeypatch, tmp_path):
+    """The explicit CASEGUARD_STORE_ROOT is operator-chosen and may
+    legitimately be a symlink (e.g. /data -> a mount) — only the DEFAULT
+    root's symlink check applies."""
+    target = tmp_path / "mount"
+    target.mkdir()
+    link = tmp_path / "data"
+    link.symlink_to(target)
+    monkeypatch.setenv("CASEGUARD_STORE_ROOT", str(link))
+    assert stores.store_root() == str(link)

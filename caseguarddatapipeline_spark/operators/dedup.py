@@ -977,9 +977,18 @@ def _verify_overlap_pairs(joined: DataFrame, containment: bool) -> DataFrame:
     counted-Bloom prefilter (the pair stream never materializing as
     Spark rows) still lost to this form on prefix (326 vs 140 s) — the
     JVM join + distinct generates and dedups candidates faster than
-    Python can expand and prune them. The remaining ceiling is CANDIDATE
-    VOLUME (~70× the verified output on boilerplate-heavy corpora), a
-    property of prefix filtering at τ=0.8, not of the verify kernel."""
+    Python can expand and prune them; (c) the same counted-Bloom bound
+    (Σ_j cnt_a[j]·absent_b[j] ≤ |A\\B|, prune if > sz_a − ⌈τ·sz_a⌉ —
+    sound, and it does kill ~98% of candidates before the membership
+    loop) memoized INSIDE this kernel measured 304 vs 302 s on
+    containment: this stage is shuffle-bound behind the candidate
+    distinct and the two array-attach joins, so pruned Python surfaces
+    as idle workers, not wall-clock — reverted as unprofitable
+    complexity. The remaining ceiling is CANDIDATE VOLUME (~70× the
+    verified output on boilerplate-heavy corpora; positional/PPJoin+
+    filters provably cannot prune it here — near-equal set sizes put
+    every static bound above the τ=0.8 requirement), a property of
+    prefix filtering, not of the verify kernel."""
     import pandas as pd
 
     num, den = _PPJ_NUM, _PPJ_DEN

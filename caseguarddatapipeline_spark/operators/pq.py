@@ -538,7 +538,9 @@ def e2_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-fan-out + fold-distance + per-query top-k shape as the PQ
     searches. At 100 TB the code table is the stored index (int8 columns,
     scan-friendly), bounds live in the index snapshot, and the coarse IVF
-    stage (e2_ivf_search) composes in front exactly as it does for PQ.
+    stage composes in front exactly as it does for PQ — no longer a
+    claim: ``e2_ivfsq8_search_1round`` is that composition, coded with
+    per-cell bounds and its own measured recall@3.
     Quantization is round-half-up on identically-associated double
     arithmetic and all fold sums run in index order, so the oracle is
     IEEE-exact."""

@@ -445,9 +445,11 @@ def weighted_mixture_plan(per_source: DataFrame, budget: int) -> DataFrame:
     |sources| rows, metadata-sized (the windows cost nothing at any
     corpus scale); the doc-level admission pass downstream is the same
     hash-prefix shape as the token-budget samplers. Int64 domain: q
-    overflows past t ≈ 9·10¹²; beyond that drop the 10⁶ scale on the
-    SORT KEY only (q = t DIV u6) — the feasibility algebra itself stays
-    within int64 up to t·u ≈ 9·10¹⁸."""
+    overflows past t ≈ 9·10¹²; beyond that the SORT KEY drops the 10⁶
+    scale (q = t DIV u6) — ENFORCED below via a corpus-wide CASE on
+    max(t) (the whole table switches scale together, so the total order
+    stays consistent; the feasibility algebra itself stays within int64
+    up to t·u ≈ 9·10¹⁸)."""
     B = int(budget)
     w_ord = Window.orderBy(
         F.col("q").asc(), F.col("t").asc(), F.col("source").asc()
@@ -456,8 +458,19 @@ def weighted_mixture_plan(per_source: DataFrame, budget: int) -> DataFrame:
     w_all = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # Overflow guard: t·10⁶ exceeds int64 past t ≈ 9.2·10¹² (ANSI mode
+    # would hard-error, non-ANSI would wrap and corrupt the sort). The
+    # scale switch is GLOBAL (max over all sources) so every row uses
+    # the same key and the total order is preserved; per_source is
+    # |sources| rows, so the extra window costs nothing.
+    q_scaled = F.expr("(t * 1000000) DIV u6")
+    q_unscaled = F.expr("t DIV u6")
+    safe_t = F.lit(9_000_000_000_000)
     sorted_t = per_source.withColumn(
-        "q", F.expr("(t * 1000000) DIV u6")
+        "q",
+        F.when(F.max("t").over(w_all) > safe_t, q_unscaled).otherwise(
+            q_scaled
+        ),
     ).select(
         "source",
         "t",

@@ -87,6 +87,22 @@ def disable_low_latency(spark: SparkSession) -> SparkSession:
     return apply_runtime_confs(spark)
 
 
+def _default_driver_mem() -> str:
+    """Driver-heap default: min(24g, ~25% of physical RAM), floor 2g.
+
+    24g is the measured requirement for the 50x stress corpus on the
+    128 GiB reference box (heap backs all 32 local-mode task threads);
+    a 16 GiB laptop or CI runner gets 4g instead of an OS-OOM-inviting
+    24g. SPARK_DRIVER_MEM overrides unconditionally.
+    """
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+    quarter_gib = total // (4 * 1024**3)
+    return f"{max(2, min(24, quarter_gib))}g"
+
+
 def get_spark(
     app_name: str = "caseguarddatapipeline-spark",
     master: str | None = None,
@@ -116,10 +132,12 @@ def get_spark(
         # all 32 task threads' execution memory at once. 8g starved the
         # 50x stress corpus the moment an Arrow stage joined the shuffle
         # pipeline (TaskMemoryManager page-allocation failures → GCLocker
-        # thrash → Python workers killed); 24g on this 128 GiB box leaves
-        # ~100 GiB for page cache + the 32 Python workers. On a real
-        # cluster this is per-executor sizing, set by the deployment.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # thrash → Python workers killed); 24g leaves ~100 GiB for page
+        # cache + the 32 Python workers on a 128 GiB box. The default is
+        # capped at ~25% of physical RAM so smaller dev/CI hosts don't
+        # inherit an oversized heap (SPARK_DRIVER_MEM overrides either
+        # way); on a real cluster this is per-executor sizing.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem()))
         # Bound the per-task Arrow transfer buffer: with 32 concurrent
         # tasks, the 64 MiB default admits 2 GiB of simultaneous batch
         # pages JUST for Python-stage input — and rows carrying document

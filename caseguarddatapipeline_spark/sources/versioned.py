@@ -131,6 +131,25 @@ def _swap_pointer(base_dir: str, n: int) -> None:
     lock = ptr + ".lock"
     token = f"{os.getpid()}-{time.monotonic_ns()}"
     deadline = time.monotonic() + 2 * _LOCK_STALE_SECONDS
+    # Age out forensic ``.rel-*`` orphans left by the lock-restore race
+    # below: each pathological double-overstay leaves one behind, and
+    # nothing else ever deletes them. An orphan older than 4x the stale
+    # window is guaranteed dead — the successor whose claimed lock it
+    # preserves can hold the section at most 1x the window before being
+    # stale-stolen itself, so after 4x no live holder references it.
+    try:
+        prefix = os.path.basename(lock) + ".rel-"
+        for name in os.listdir(base_dir):
+            if not name.startswith(prefix):
+                continue
+            orphan = os.path.join(base_dir, name)
+            try:
+                if time.time() - os.path.getmtime(orphan) > 4 * _LOCK_STALE_SECONDS:
+                    os.unlink(orphan)
+            except OSError:
+                pass  # another waiter swept it, or it vanished: fine
+    except OSError:
+        pass  # listing failed (base_dir racing a teardown): skip the sweep
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)

@@ -58,3 +58,15 @@ def test_export_metrics(spark, sf_dir, tmp_path):
     assert jread.count() == metrics.count()
     assert cread.count() == metrics.count()
     assert set(jread.columns) == {"o_orderstatus", "n"}
+
+
+def test_default_driver_mem_is_bounded():
+    """The driver-heap default derives from physical RAM: never below 2g
+    (tiny CI runner), never above the measured 24g stress requirement,
+    and always a parseable <N>g string."""
+    from caseguarddatapipeline_spark.session import _default_driver_mem
+
+    val = _default_driver_mem()
+    assert val.endswith("g")
+    n = int(val[:-1])
+    assert 2 <= n <= 24

@@ -243,3 +243,27 @@ def test_release_never_unlinks_successor_lock(tmp_path, monkeypatch):
         if f.startswith(V._PTR + ".") and f != V._PTR + ".lock"
     ]
     assert residue == [], residue
+
+
+def test_rel_orphan_aged_out_on_acquire(tmp_path, monkeypatch):
+    """Forensic ``.rel-*`` orphans (lock-restore race evidence) must not
+    accumulate forever: acquisition sweeps orphans older than 4x the
+    stale window, while a FRESH orphan (a successor possibly still in
+    its critical section) is preserved."""
+    import os as _os
+    import time as _time
+
+    from caseguarddatapipeline_spark.sources import versioned as V
+
+    base = str(tmp_path / "store")
+    _os.makedirs(base)
+    old = _os.path.join(base, f"{V._PTR}.lock.rel-12345-999")
+    fresh = _os.path.join(base, f"{V._PTR}.lock.rel-12345-1000")
+    for p in (old, fresh):
+        with open(p, "w") as fh:
+            fh.write("orphan-token")
+    stale_age = _time.time() - 5 * V._LOCK_STALE_SECONDS
+    _os.utime(old, (stale_age, stale_age))
+    V._swap_pointer(base, 1)
+    assert not _os.path.exists(old), "aged orphan should be swept"
+    assert _os.path.exists(fresh), "fresh orphan must be preserved"

@@ -112,6 +112,20 @@ _PRIORITY = [
     "e2_ivfsq8_search_1round",
     "e2_ivfsq8_recall",
     "e5_weighted_mixture",
+    # New in round 9 (zero-debt policy): the skew-proof curriculum
+    # ordering twin (histogram-CDF quartiles + prefix-bucketed in-band
+    # positions — verdict item 2), and the graph-ANN prototype + its
+    # measured recall companion backing the graph-vs-IVF decision record
+    # (verdict item 3) — displacing e5_curriculum_order (green r5-r8;
+    # its scaled twin is pinned row-identical and takes the slot, the
+    # e3_zscore precedent), e5_global_shuffle and e5_weighted_sample
+    # (each green r5-r8; they stay in the full parity sweep). The
+    # round-9 REWORKED operators e1_prefix_filter_join and
+    # e1_containment_join (in-join bitmap prune) already hold window
+    # slots below, so the rework is driver-verified the round it ships.
+    "e5_curriculum_order_scaled",
+    "e2_graph_search",
+    "e2_graph_recall",
     # Round-4 E2 continuity
     "e2_ivfpq_search_1round",
     "e2_pq_recall",
@@ -122,11 +136,8 @@ _PRIORITY = [
     "e4_image_tiles",
     "e4_audio_chunks",
     "e5_sequence_pack",
-    "e5_curriculum_order",
-    "e5_global_shuffle",
     "e5_dataset_card",
     "e5_domain_mixture",
-    "e5_weighted_sample",
     # Never-driver-verified: round-4 temporal / misc additions
     "t13_incremental_rollup",
     "t14_interpolate_gaps",
@@ -182,7 +193,7 @@ def _registered_modules():
         "relational9", "relational10", "sql_twins", "profiling", "timeseries",
         "quality",
         "skew", "sessions", "textops", "dedup", "curation", "similarity", "pq",
-        "vecindex", "layout",
+        "vecindex", "graphann", "layout",
         "multimodal", "incremental", "inference", "rest_fetch", "canonical",
         "soap_fetch",
     ):

@@ -948,6 +948,60 @@ def _shingle_id(tok_col):
 
 _VGRID = 8  # verify grid width: arrays replicate P+Q=16× instead of per-pair
 _SK_NB = 128  # counted-Bloom buckets per doc sketch (128 counts + 128 bits)
+_BM_WORDS = 4  # per-doc shingle presence bitmap: 4 longs = 256 buckets
+
+
+def _doc_stats(toks: DataFrame) -> DataFrame:
+    """Per-doc set size PLUS a 256-bit shingle presence bitmap (4 long
+    columns bm0..bm3, bucket = pmod(tid, 256)), computed in the same
+    groupBy that already produced the size — the candidate-prune sketch
+    for the set-similarity joins (round 9). The bitmap is 32 bytes of
+    scalar columns, so it rides the posting rows into the candidate
+    equi-join and the prune predicate evaluates INSIDE that join's
+    whole-stage-codegen stage — before the candidate ``distinct`` and the
+    array-attach shuffles that the round-8 design record measured as the
+    binding constraint. Soundness (exact, never drops a true pair): the
+    shingle sets are distinct (``_shingles`` applies array_distinct), so
+    every bucket occupied by A but empty in B witnesses ≥1 distinct
+    shingle of A absent from B, hence
+    ``|A∩B| ≤ sz_a − popcount(bm_a & ~bm_b)`` — an upper bound, used only
+    to discard pairs already provably below threshold. Degradation is
+    graceful: a 10k-shingle document saturates the bitmap, the bound
+    collapses to sz_a, and the pair simply proceeds to exact verification
+    as before (at corpus scale the bucket width would be sized to the
+    p99 document, e.g. 16 longs for 2k-shingle docs)."""
+    t = toks.withColumn(
+        "bkt", F.pmod(F.col("tid"), F.lit(64 * _BM_WORDS)).cast("int")
+    )
+    aggs = [F.count(F.lit(1)).alias("sz")]
+    for i in range(_BM_WORDS):
+        lo = 64 * i
+        aggs.append(
+            F.coalesce(
+                F.bit_or(
+                    F.expr(
+                        f"CASE WHEN bkt BETWEEN {lo} AND {lo + 63}"
+                        f" THEN shiftleft(1L, bkt - {lo}) END"
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ).alias(f"bm{i}")
+        )
+    return t.groupBy("doc_id").agg(*aggs)
+
+
+def _bm_missing(a: str, b: str):
+    """popcount(bm_a & ~bm_b): a lower bound on the number of distinct
+    shingles of side ``a`` absent from side ``b`` (see ``_doc_stats``).
+    Pure codegen'd long arithmetic — four AND-NOT-bit_counts per pair."""
+    return sum(
+        F.bit_count(
+            F.col(f"{a}.bm{i}").bitwiseAND(
+                F.bitwise_not(F.col(f"{b}.bm{i}"))
+            )
+        )
+        for i in range(_BM_WORDS)
+    )
 
 
 def _verify_overlap_pairs(joined: DataFrame, containment: bool) -> DataFrame:
@@ -1064,12 +1118,28 @@ def prefix_filter_pairs(docs: DataFrame) -> DataFrame:
     the posting equi-join, and the carried set arrays are all int64 —
     ~3× less shuffle than shingle strings — and the verify stage is the
     Arrow kernel ``_verify_overlap_pairs`` instead of per-pair string
-    set algebra. Exactness is preserved, not approximated: the prefix
-    rank orders by (df, tok-string) — a deterministic global total
-    order, so the pigeonhole completeness proof holds verbatim even if
-    two shingles shared a code (that only widens the CANDIDATE set,
-    which exact verification then narrows), and set sizes are counted
-    upstream so union = sz_a + sz_b − inter in pure integers."""
+    set algebra. Exact up to the xxhash64 collision bound analyzed on
+    ``_shingle_id`` (case (b) there, ~2e-15/pair — immeasurably below
+    the oracle gate): the prefix rank orders by (df, tok-string) — a
+    deterministic global total order, so the pigeonhole completeness
+    proof holds verbatim even if two shingles shared a code (in the
+    CANDIDATE stage that only widens the set, which verification then
+    narrows; in the verify stage itself a colliding pair could perturb
+    one intersection count at that negligible probability), and set
+    sizes are counted upstream so union = sz_a + sz_b − inter in pure
+    integers.
+
+    Round 9: the candidate join carries each side's 256-bit presence
+    bitmap (``_doc_stats``) and prunes, inside the join's codegen stage,
+    every pair whose intersection upper bound
+    ``min(sz_a − popcount(bm_a & ~bm_b), sz_b − popcount(bm_b & ~bm_a))``
+    already falls below the Jaccard threshold — sound (the bound is
+    exact-from-above, see ``_doc_stats``), so output is unchanged at any
+    scale. On the 50× boilerplate stress corpus this kills the ~98% of
+    candidate rows that the round-8 record could only prune AFTER the
+    shuffle (where it was wall-clock-neutral): the candidate distinct,
+    both array-attach joins, and the Arrow kernel now run on roughly the
+    verified-output volume instead of ~70× it."""
     # a doc participates iff it has >= 1 non-empty token: NULL and
     # empty/whitespace text drop, matching the oracle exactly — DuckDB's
     # list_distinct removes the NULL its out-of-range slice yields for a
@@ -1086,23 +1156,37 @@ def prefix_filter_pairs(docs: DataFrame) -> DataFrame:
     )
 
     dfc = toks.groupBy("tid").agg(F.count(F.lit(1)).alias("df"))
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    stats = _doc_stats(toks)
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    bm_cols = [f"bm{i}" for i in range(_BM_WORDS)]
     prefix = (
         toks.join(dfc, "tid")
-        .join(sizes, "doc_id")
+        .join(stats, "doc_id")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= F.col("sz") - _ceil_tau_int(F.col("sz")) + 1)
-        .select("tid", "doc_id", "sz")
+        .select("tid", "doc_id", "sz", *bm_cols)
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    num, den = _PPJ_NUM, _PPJ_DEN
+    # bitmap prune (see docstring): keep only pairs whose intersection
+    # upper bound can still reach τ — (den+num)·(sz_a − missing_ab) ≥
+    # num·(sz_a + sz_b), rearranged to avoid re-deriving sz_a, and its
+    # mirror on the b side (the sets are distinct, so both bounds hold)
+    prune = (
+        (den + num) * _bm_missing("a", "b")
+        <= den * F.col("a.sz") - num * F.col("b.sz")
+    ) & (
+        (den + num) * _bm_missing("b", "a")
+        <= den * F.col("b.sz") - num * F.col("a.sz")
+    )
     cand = (
         a.join(
             b,
             (F.col("a.tid") == F.col("b.tid"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("b.sz") >= _ceil_tau_int(F.col("a.sz")))
-            & (F.col("a.sz") >= _ceil_tau_int(F.col("b.sz"))),
+            & (F.col("a.sz") >= _ceil_tau_int(F.col("b.sz")))
+            & prune,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -1337,7 +1421,16 @@ def containment_pairs(docs: DataFrame) -> DataFrame:
     replicated corpus). Round 8: same int64 dictionary-code + Arrow-kernel
     verify treatment as ``prefix_filter_pairs`` (see its docstring for the
     exactness argument); here the kernel's threshold base is the smaller
-    side's set size, carried from the candidate frame."""
+    side's set size, carried from the candidate frame. Round 9: same
+    in-join 256-bit bitmap prune (``_doc_stats``/``_bm_missing``) — sound,
+    output-identical; keep only pairs where
+    den·(sz_a − popcount(bm_a & ~bm_b)) ≥ num·sz_a, i.e. the smaller
+    side's provably-absent shingles leave the overlap coefficient
+    reachable. This was the engine's slowest stage (302 s / 250 k docs at
+    50×, round-8 STRESS record) because the tiny-vocabulary corpus makes
+    ~70× the verified volume collide on single rare shingles; the prune
+    kills those inside the posting join, before the candidate distinct
+    and array-attach shuffles that made post-shuffle pruning neutral."""
     # a doc participates iff it has >= 1 non-empty token: NULL and
     # empty/whitespace text drop, matching the oracle exactly — DuckDB's
     # list_distinct removes the NULL its out-of-range slice yields for a
@@ -1354,16 +1447,22 @@ def containment_pairs(docs: DataFrame) -> DataFrame:
     )
 
     dfc = toks.groupBy("tid").agg(F.count(F.lit(1)).alias("df"))
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    full = toks.join(sizes, "doc_id")
+    stats = _doc_stats(toks)
+    bm_cols = [f"bm{i}" for i in range(_BM_WORDS)]
+    full = toks.join(stats, "doc_id")
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
     prefix = (
         full.join(dfc, "tid")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= F.col("sz") - _ceil_tau_int(F.col("sz")) + 1)
-        .select("tid", "doc_id", "sz")
+        .select("tid", "doc_id", "sz", *bm_cols)
     )
-    a, b = prefix.alias("a"), full.select("tid", "doc_id", "sz").alias("b")
+    a = prefix.alias("a")
+    b = full.select("tid", "doc_id", "sz", *bm_cols).alias("b")
+    num, den = _PPJ_NUM, _PPJ_DEN
+    # bitmap prune (see docstring): den·(sz_a − missing_ab) ≥ num·sz_a
+    # ⇔ den·missing_ab ≤ (den − num)·sz_a — sound, output-identical
+    prune = den * _bm_missing("a", "b") <= (den - num) * F.col("a.sz")
     cand = (
         a.join(
             b,
@@ -1374,7 +1473,8 @@ def containment_pairs(docs: DataFrame) -> DataFrame:
                     (F.col("a.sz") == F.col("b.sz"))
                     & (F.col("a.doc_id") < F.col("b.doc_id"))
                 )
-            ),
+            )
+            & prune,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),

@@ -193,6 +193,108 @@ def e5_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded.select("doc_id", "quality", "band", pos.alias("pos_in_band"))
 
 
+def curriculum_order_scaled(docs: DataFrame) -> DataFrame:
+    """The 100 TB deployment form of e5_curriculum_order — identical
+    output (pinned row-for-row by tests/test_quality.py), with BOTH
+    data-sized global windows decomposed away (the round-8 verdict's one
+    remaining uncoded scale form):
+
+    - the quartile assignment replaces ``ntile(4) OVER (ORDER BY quality
+      DESC, doc_id)`` — a single-partition sort of the whole corpus —
+      with the histogram-CDF rank decomposition of
+      ``zscore_by_source_scaled``: rank = (# docs with higher quality,
+      from a broadcast value-histogram running sum) + (row_number within
+      the tie group), then ntile's uneven-tile arithmetic as plain
+      column math from (rank, n). The only unpartitioned window runs
+      over the DISTINCT quality values (metadata-sized: one row per
+      distinct ratio, ≤ max token count² values), never over documents;
+      per-task work is bounded by the largest tie group.
+    - the in-band position replaces ``row_number() OVER (PARTITION BY
+      band ...)`` — four partitions, each a quarter of the corpus in one
+      task — with the same decomposition over a 2-hex-char prefix bucket
+      of the md5 shuffle key: position = (# docs in lexicographically
+      smaller buckets of this band, from a broadcast 4×256-row
+      histogram) + (row_number within (band, bucket)). The prefix is a
+      PREFIX of the order key, so (bucket, key) lexicographic equals key
+      order exactly — not an approximation — and md5 uniformity bounds
+      every task at ~n/1024 (at larger corpora, widen the prefix: 4 hex
+      chars → 256 k buckets).
+    """
+    toks = F.split(F.col("text"), " ")
+    quality = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    scored = docs.select(
+        "doc_id",
+        F.round(quality, 6).alias("quality"),
+        F.md5(F.concat(F.lit(SHUFFLE_SEED), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    hist = scored.groupBy("quality").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy(F.col("quality").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.select(
+        "quality", F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("below")
+    )
+    n_total = scored.agg(F.count(F.lit(1)).alias("n"))
+    local = F.row_number().over(Window.partitionBy("quality").orderBy("doc_id"))
+    ranked = (
+        scored.withColumn("local_rn", local)
+        .join(F.broadcast(cum), "quality")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn("rnk", F.col("below") + F.col("local_rn"))
+    )
+    # ntile(4) over n rows: the first n%4 tiles hold ceil(n/4) rows
+    k = F.lit(4)
+    q, rem = (F.col("n") / k).cast("long"), F.col("n") % k
+    big = rem * (q + 1)
+    band = F.when(
+        F.col("rnk") <= big, ((F.col("rnk") - 1) / (q + 1)).cast("long")
+    ).otherwise(
+        # unreachable when q = 0 (then big = n); guard for ANSI's eager cast
+        rem + ((F.col("rnk") - 1 - big) / F.greatest(q, F.lit(1))).cast("long")
+    ) + 1
+    banded = ranked.select(
+        "doc_id",
+        "quality",
+        "shuffle_key",
+        F.substring("shuffle_key", 1, 2).alias("bucket"),
+        band.cast("int").alias("band"),
+    )
+    bh = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w_b = (
+        Window.partitionBy("band")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bcum = bh.select(
+        "band",
+        "bucket",
+        F.coalesce(F.sum("cnt").over(w_b), F.lit(0)).alias("pbelow"),
+    )
+    plocal = F.row_number().over(
+        Window.partitionBy("band", "bucket").orderBy("shuffle_key")
+    )
+    return (
+        banded.withColumn("p_rn", plocal)
+        .join(F.broadcast(bcum), ["band", "bucket"])
+        .select(
+            "doc_id",
+            "quality",
+            "band",
+            (F.col("pbelow") + F.col("p_rn")).cast("int").alias("pos_in_band"),
+        )
+    )
+
+
+def e5_curriculum_order_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry for the skew-proof curriculum ordering — identical
+    output to e5_curriculum_order (same oracle), different physical plan:
+    histogram-CDF quartiles + prefix-bucketed in-band positions instead
+    of one global sort and four corpus-quarter window tasks."""
+    return curriculum_order_scaled(load_table(spark, sf_dir, "documents"))
+
+
 def w11_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: maximal runs of CONSECUTIVE active days per user
     (monitoring/dashboard.py:311-382 reports activity continuity; the
@@ -665,6 +767,7 @@ QUERIES = {
     "e3_zscore_by_source": e3_zscore_by_source,
     "e5_global_shuffle": e5_global_shuffle,
     "e5_curriculum_order": e5_curriculum_order,
+    "e5_curriculum_order_scaled": e5_curriculum_order_scaled,
     "e5_weighted_sample": e5_weighted_sample,
     "e5_token_budget_sample": e5_token_budget_sample,
     "e5_token_budget_sample_scaled": e5_token_budget_sample_scaled,
@@ -840,6 +943,7 @@ ORACLES = {
 # identical output contract, different execution strategy → same oracle
 # (the e1_minhash_lsh_vectorized pattern)
 ORACLES["e3_zscore_by_source_scaled"] = ORACLES["e3_zscore_by_source"]
+ORACLES["e5_curriculum_order_scaled"] = ORACLES["e5_curriculum_order"]
 ORACLES["e5_token_budget_sample_scaled"] = ORACLES["e5_token_budget_sample"]
 
 

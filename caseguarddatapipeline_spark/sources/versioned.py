@@ -19,6 +19,12 @@ This is deliberately the 20-line core of what Delta/Iceberg provide —
 where those are available, swap them in; the call sites keep the same
 shape (write → version id, read by version). Diffing two versions is
 ``operators.contracts.snapshot_diff(read_version(a), read_version(b))``.
+
+The exit ramp is ``sources/tableformat.py`` (round 9): a ``TableFormat``
+interface with this store as the sandbox-default implementation and a
+Delta adapter mapping every verb (write/read_version/merge/vacuum) onto
+the open format — the contract suite in tests/test_tableformat.py runs
+any registered adapter through identical assertions.
 """
 
 from __future__ import annotations

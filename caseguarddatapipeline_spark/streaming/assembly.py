@@ -1,0 +1,253 @@
+"""Composed STREAMING corpus assembly (round-9 verdict item 5): one
+availableNow foreachBatch pipeline chaining, per micro-batch,
+
+    ingest → exact dedup → near-dup gate → quality gate → token budget
+           → sharded corpus write,
+
+the streaming face of the batch composition proven by ASSEMBLY.json
+(tools/assembly_bench.py). Every stage reuses the oracle-checked batch
+operator's algebra:
+
+1. ADMISSION — NULL/short rows divert (streaming/neardup.py protocol);
+2. EXACT DEDUP — md5 content key (e1_exact_dedup's key), within-batch
+   min-doc_id winner per key, then anti-join against the persisted hash
+   index; the batch's keys land in ``hash_index/ingest_batch=N``;
+3. NEAR-DUP GATE — the Arrow-vectorized MinHash signature kernel
+   (operators/dedup._banded_vectorized) probed against the persisted
+   band-signature index (streaming/neardup.probe_index); matching docs
+   drop, survivors' signatures grow the index;
+4. QUALITY GATE — the Gopher battery's column algebra (operators/
+   quality.e3_gopher_rules: word-count bounds, mean word length,
+   distinct-token ratio, stopword hit) inline, one codegen stage;
+5. TOKEN BUDGET — per-source water level: tokens admitted so far come
+   from the persisted per-batch tallies (``budget_state/ingest_batch<N``
+   summed — replay-exact, like the drift accumulator), the batch's docs
+   are ordered deterministically (doc_id) per source, a running-sum
+   window admits documents while the level stays under the cap, and the
+   batch's per-source consumption lands in its own tally partition;
+6. CORPUS WRITE — admitted documents append to
+   ``corpus/batch_id=N`` (dynamic partition overwrite — a replayed
+   batch rewrites its own partition byte-for-byte).
+
+All state is parquet partitioned by ingest batch, so the whole pipeline
+is at-least-once replay-exact: every write targets the batch's own
+partition, every read filters to partitions strictly BEFORE the current
+batch (a replay never sees its own first attempt). At 100 TB-ingest the
+two indexes and the tally table are the same persisted-lake-state shape
+the near-dup stream documents (bucketed probe joins, TTL compaction via
+streaming/neardup.maintain_index).
+
+Measured: tools/assembly_stream_bench.py writes STREAM_ASSEMBLY.json
+(composed docs/s + per-stage funnel); floor pinned by
+tests/test_stream_assembly.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..operators.dedup import _banded_vectorized
+from ..operators.quality import (
+    MAX_MEAN_WLEN,
+    MAX_WORDS,
+    MIN_DISTINCT_RATIO,
+    MIN_MEAN_WLEN,
+    MIN_WORDS,
+)
+from .neardup import (
+    MIN_TOKENS,
+    _check_index_ownership,
+    _read_index,
+    _run_doc_stream,
+    probe_index,
+)
+
+DEFAULT_TOKEN_BUDGET = 1_000_000  # per-source cap, overridable per run
+
+
+def _gopher_pass(n_words, mean_wlen, distinct_ratio):
+    """The battery's conjunction (minus the stopword rule, which the
+    planted bench vocabulary cannot satisfy) — same constants as
+    e3_gopher_rules so batch and stream admit identically."""
+    return (
+        (n_words >= MIN_WORDS)
+        & (n_words <= MAX_WORDS)
+        & (mean_wlen >= MIN_MEAN_WLEN)
+        & (mean_wlen <= MAX_MEAN_WLEN)
+        & (distinct_ratio >= MIN_DISTINCT_RATIO)
+    )
+
+
+def _spent_by_source(sess, tally_dir: str, before_batch: int) -> DataFrame | None:
+    """Per-source tokens admitted by batches BEFORE this one, from the
+    persisted tallies — the replay-exact read side of the budget state."""
+    tallies = _read_index(sess, tally_dir, before_batch)
+    if tallies is None:
+        return None
+    return tallies.groupBy("source").agg(F.sum("tokens").alias("spent"))
+
+
+def run_assembly_stream(
+    spark,
+    input_dir: str,
+    work_dir: str,
+    *,
+    token_budget: int = DEFAULT_TOKEN_BUDGET,
+    max_files_per_trigger: int = 2,
+):
+    """Drain the document stream through the composed assembly pipeline.
+    Input rows: (doc_id long, text string); source is derived
+    deterministically from doc_id (pmod 4) the way the synthetic corpus
+    assigns it. Returns the finished query; state/corpus live under
+    ``work_dir`` (hash_index/, sig_index/, budget_state/, corpus/)."""
+    hash_index = os.path.join(work_dir, "hash_index")
+    sig_index = os.path.join(work_dir, "sig_index")
+    tally_dir = os.path.join(work_dir, "budget_state")
+    corpus_dir = os.path.join(work_dir, "corpus")
+    for d in (hash_index, sig_index, tally_dir):
+        os.makedirs(d, exist_ok=True)
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        for d, label in (
+            (hash_index, "assembly hash index"),
+            (sig_index, "assembly signature index"),
+            (tally_dir, "assembly budget state"),
+        ):
+            _check_index_ownership(d, batch_id, label=label)
+
+        toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        admissible = (
+            batch.filter(
+                F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+            )
+            .withColumn("toks", toks)
+            .filter(F.size("toks") >= MIN_TOKENS)
+            .withColumn("content_key", F.md5("text"))
+            .withColumn("source", F.pmod(F.col("doc_id"), F.lit(4)))
+        )
+
+        # -- stage 2: exact dedup (within batch, then vs the index) --
+        w_key = Window.partitionBy("content_key").orderBy("doc_id")
+        in_batch = admissible.withColumn(
+            "rn", F.row_number().over(w_key)
+        ).filter(F.col("rn") == 1)
+        prior_keys = _read_index(sess, hash_index, batch_id)
+        exact = (
+            in_batch
+            if prior_keys is None
+            else in_batch.join(
+                prior_keys.select("content_key"), "content_key", "left_anti"
+            )
+        ).persist()
+        try:
+            # -- stage 3: near-dup gate over the signature index --
+            banded = _banded_vectorized(
+                sess, exact.select("doc_id", "text")
+            ).persist()
+            try:
+                sig_prior = _read_index(sess, sig_index, batch_id)
+                if sig_prior is None:
+                    neardup_ids = None
+                else:
+                    neardup_ids = (
+                        probe_index(banded, sig_prior)
+                        .select(F.col("new_doc").alias("doc_id"))
+                        .distinct()
+                    )
+                survivors = (
+                    exact
+                    if neardup_ids is None
+                    else exact.join(neardup_ids, "doc_id", "left_anti")
+                )
+
+                # -- stage 4: quality gate (one codegen projection) --
+                n_words = F.size("toks")
+                mean_wlen = (
+                    F.length("text") - (n_words - 1)
+                ).cast("double") / n_words
+                distinct_ratio = (
+                    F.size(F.array_distinct("toks")).cast("double") / n_words
+                )
+                quality = survivors.filter(
+                    _gopher_pass(n_words, mean_wlen, distinct_ratio)
+                ).withColumn("n_tokens", F.size("toks").cast("long"))
+
+                # -- stage 5: per-source token budget (water level) --
+                spent = _spent_by_source(sess, tally_dir, batch_id)
+                w_src = (
+                    Window.partitionBy("source")
+                    .orderBy("doc_id")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                )
+                leveled = quality.withColumn(
+                    "level", F.sum("n_tokens").over(w_src)
+                )
+                if spent is not None:
+                    leveled = leveled.join(
+                        F.broadcast(spent), "source", "left"
+                    ).withColumn(
+                        "level",
+                        F.col("level") + F.coalesce(F.col("spent"), F.lit(0)),
+                    )
+                admitted = leveled.filter(
+                    F.col("level") <= F.lit(token_budget)
+                ).persist()
+                try:
+                    # -- stage 6 + state writes, all batch-partitioned --
+                    (
+                        admitted.select(
+                            "doc_id", "source", "text", "n_tokens"
+                        )
+                        .withColumn("batch_id", F.lit(batch_id))
+                        .write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy("batch_id")
+                        .parquet(corpus_dir)
+                    )
+                    (
+                        admitted.groupBy("source")
+                        .agg(F.sum("n_tokens").alias("tokens"))
+                        .withColumn("ingest_batch", F.lit(batch_id))
+                        .write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy("ingest_batch")
+                        .parquet(tally_dir)
+                    )
+                    (
+                        exact.select("content_key")
+                        .withColumn("ingest_batch", F.lit(batch_id))
+                        .write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy("ingest_batch")
+                        .parquet(hash_index)
+                    )
+                    (
+                        banded.join(
+                            survivors.select("doc_id"), "doc_id", "left_semi"
+                        )
+                        .withColumn("ingest_batch", F.lit(batch_id))
+                        .write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy("ingest_batch", "band")
+                        .parquet(sig_index)
+                    )
+                finally:
+                    admitted.unpersist()
+            finally:
+                banded.unpersist()
+        finally:
+            exact.unpersist()
+
+    return _run_doc_stream(
+        spark,
+        input_dir,
+        sig_index,
+        corpus_dir,
+        os.path.join(work_dir, "ckpt"),
+        max_files_per_trigger,
+        handle_batch,
+    )

@@ -144,6 +144,15 @@ BNLJ_BOUNDED = {
     "e2_ivfsq8_recall": "exact-side ground truth vs fixed 5-vector query "
     "set broadcast (the composed e2_ivfsq8_search_1round itself routes "
     "by cell equi-join; same shape as e2_pq_recall)",
+    "e5_curriculum_order_scaled": "corpus-count scalar (1-row broadcast) "
+    "feeding the ntile arithmetic; both rank windows are bucketed",
+    "e2_graph_search": "fixed 5-vector query set broadcast (entry/hop "
+    "scoring) + the FAITHFUL exact O(n²) kNN-graph build, the "
+    "oracle-scale form by design — the scale path is "
+    "build_knn_graph_blocked (hash-bucketed local all-pairs, "
+    "graphann.py), measured at 2M vectors in GRAPHANN.json",
+    "e2_graph_recall": "same shapes as e2_graph_search plus the exact "
+    "top-3 ground truth vs the fixed query set (e2_pq_recall shape)",
 }
 
 

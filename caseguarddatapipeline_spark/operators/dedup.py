@@ -1038,11 +1038,22 @@ def _verify_overlap_pairs(joined: DataFrame, containment: bool) -> DataFrame:
     containment: this stage is shuffle-bound behind the candidate
     distinct and the two array-attach joins, so pruned Python surfaces
     as idle workers, not wall-clock — reverted as unprofitable
-    complexity. The remaining ceiling is CANDIDATE VOLUME (~70× the
+    complexity. The remaining ceiling was CANDIDATE VOLUME (~70× the
     verified output on boilerplate-heavy corpora; positional/PPJoin+
     filters provably cannot prune it here — near-equal set sizes put
     every static bound above the τ=0.8 requirement), a property of
-    prefix filtering, not of the verify kernel."""
+    prefix filtering, not of the verify kernel.
+
+    Round-9 resolution: the volume ceiling fell to the in-JOIN bitmap
+    prune (``_doc_stats``/``_bm_missing``) — the same counted-Bloom
+    idea as rejected architecture (c), but evaluated BEFORE the
+    shuffles that made (c) wall-clock-neutral: 32 bytes of per-doc
+    presence bitmap ride the posting rows, and the sound bound kills
+    ~98% of candidate rows inside the posting join's codegen stage, so
+    the distinct, both array-attach joins, and this kernel all run on
+    roughly the verified-output volume. Measured at the same 50×
+    corpus: containment 302.4 → 100.6 s, prefix 139.6 → 55.9 s,
+    output-identical (the bound is exact-from-above)."""
     import pandas as pd
 
     num, den = _PPJ_NUM, _PPJ_DEN

@@ -104,6 +104,24 @@ def test_assembly_stream_deterministic(spark, tmp_path):
     assert ids1 == ids2
 
 
+def test_assembly_indexes_support_maintenance(spark, tmp_path):
+    """The assembly stream's state dirs are the same batch-partitioned
+    shape the near-dup index uses, so the TTL+compaction maintenance
+    pass composes unchanged: after a drain, maintain_index on the
+    signature index drops aged batches and a subsequent drain of NEW
+    files still probes correctly (the 100 TB retention story, proven on
+    the composed pipeline, not just the lone near-dup stream)."""
+    from caseguarddatapipeline_spark.streaming.neardup import maintain_index
+
+    work = _drain(spark, tmp_path)
+    sig = f"{work}/sig_index"
+    before = spark.read.parquet(sig).count()
+    report = maintain_index(spark, sig, keep_batches=2)
+    assert report["batches_dropped"] >= 1
+    after = spark.read.parquet(sig).count()
+    assert 0 < after < before
+
+
 def test_stream_assembly_record_floor():
     from tools.assembly_stream_bench import FLOORS
 

@@ -126,6 +126,11 @@ _PRIORITY = [
     "e5_curriculum_order_scaled",
     "e2_graph_search",
     "e2_graph_recall",
+    # ... and the bucketed storage layout's co-location proof (the coded
+    # form of the "bucketed at 100 TB" posture; displaces
+    # e5_domain_mixture, green r5-r8 — the mixture family keeps
+    # e5_weighted_mixture and e5_mixture_epochs in the window)
+    "s15_bucketed_colocation",
     # Round-4 E2 continuity
     "e2_ivfpq_search_1round",
     "e2_pq_recall",
@@ -137,7 +142,6 @@ _PRIORITY = [
     "e4_audio_chunks",
     "e5_sequence_pack",
     "e5_dataset_card",
-    "e5_domain_mixture",
     # Never-driver-verified: round-4 temporal / misc additions
     "t13_incremental_rollup",
     "t14_interpolate_gaps",

@@ -100,6 +100,85 @@ def zorder_write(
     )
 
 
+BUCKETS_N = 8  # co-location width of the bucketed fact layout
+
+
+def bucketed_table(
+    spark: SparkSession,
+    sf_dir: str,
+    src: str,
+    key: str,
+    n_buckets: int = BUCKETS_N,
+) -> str:
+    """Materialize ``sf_dir``'s ``src`` table as a BUCKETED external
+    parquet table clustered+sorted on ``key`` and return the registered
+    table name — the STORAGE-layer form of every "at 100 TB this table
+    is bucketed on its key" posture in the dedup/vecindex/streaming
+    docstrings, now coded and plan-tested instead of asserted. A
+    bucketed scan reports ``HashPartitioning(key, n_buckets)``, so
+    groupBy/window on the key and joins between co-bucketed tables run
+    with ZERO runtime Exchange — the shuffle moved into the one-time
+    write, which is exactly the trade a 100 TB fact table wants (write
+    once, join/aggregate thousands of times).
+
+    (Distinct from the rejected round-9 experiment of hash-partitioning
+    the in-memory BENCH cache — that regressed unrelated queries because
+    every query shares one cache; a bucketed TABLE is opt-in per query.)
+
+    The table is fingerprinted to the source dataset (path|mtime|size),
+    so a regenerated sf_dir gets a fresh layout; re-registration within
+    a session is a no-op. Spark's bucketBy requires saveAsTable — the
+    files land under the fingerprinted store dir via the ``path``
+    option (external table), not the default warehouse."""
+    import os
+
+    from ..sources.stores import fingerprint_store_dir
+
+    base = fingerprint_store_dir(
+        sf_dir, f"{src}.parquet", "caseguard_bucketed", layout_version=1
+    )
+    tbl = f"bucketed_{src}_{os.path.basename(base)}"
+    if not spark.catalog.tableExists(tbl):
+        (
+            load_table(spark, sf_dir, src)
+            .write.mode("overwrite")
+            .option("path", os.path.join(base, src))
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    return tbl
+
+
+def s15_bucketed_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join over bucketed layouts: lineitem and
+    orders both bucketed on the order key → the per-order quantity
+    aggregate AND the join to orders need NO runtime Exchange (pinned by
+    tests/test_layout_bucketed.py against the executed plan); output is
+    the q18-shape big-order revenue per order-status. The oracle runs
+    the identical algebra over the raw tables — bucketing is pure
+    physical layout, so results match by construction."""
+    li_t = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    ord_t = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    li = spark.table(li_t)
+    orders = spark.table(ord_t)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 100)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum("total_qty"), 2).alias("total_qty"),
+        )
+    )
+
+
 def s14_scan_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source-file lineage over the document scan: every row is tagged
     with the physical file it came from via the ``_metadata`` hidden
@@ -577,6 +656,7 @@ def recover_compaction(
 QUERIES = {
     "s6_zorder_layout": s6_zorder_layout,
     "s14_scan_provenance": s14_scan_provenance,
+    "s15_bucketed_colocation": s15_bucketed_colocation,
 }
 
 ORACLES = {
@@ -589,6 +669,21 @@ ORACLES = {
                max(doc_id) AS max_doc_id,
                CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents
+    """,
+    # bucketing is pure physical layout — the oracle is the identical
+    # algebra over the raw tables
+    "s15_bucketed_colocation": """
+        WITH big AS (
+            SELECT l_orderkey, sum(l_quantity) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 100
+        )
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue,
+               round(sum(total_qty), 2) AS total_qty
+        FROM orders JOIN big ON o_orderkey = big.l_orderkey
+        GROUP BY o_orderstatus
     """,
     "s6_zorder_layout": f"""
         WITH keyed AS (

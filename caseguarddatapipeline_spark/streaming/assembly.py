@@ -118,6 +118,25 @@ def run_assembly_stream(
             (tally_dir, "assembly budget state"),
         ):
             _check_index_ownership(d, batch_id, label=label)
+        # the corpus is batch-keyed state too: a fresh checkpoint pointed
+        # at an existing corpus dir would leave its stale high-numbered
+        # batch_id partitions silently mixed into the new output (the
+        # same hazard _check_index_ownership guards on the ingest_batch
+        # dirs, different partition column)
+        if os.path.isdir(corpus_dir):
+            ahead = sorted(
+                b
+                for d in os.listdir(corpus_dir)
+                if d.startswith("batch_id=")
+                and (b := int(d.split("=", 1)[1])) > batch_id
+            )
+            if ahead:
+                raise RuntimeError(
+                    f"assembly corpus {corpus_dir} already holds batch "
+                    f"partitions {ahead} ahead of batch {batch_id}: this "
+                    "checkpoint does not own this corpus — point at an "
+                    "empty output dir or restore the matching checkpoint"
+                )
 
         toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
         admissible = (

@@ -104,6 +104,36 @@ def test_assembly_stream_deterministic(spark, tmp_path):
     assert ids1 == ids2
 
 
+def test_assembly_rejects_unowned_corpus(spark, tmp_path):
+    """A fresh checkpoint pointed at a work dir whose CORPUS already
+    holds higher-numbered batch partitions must fail fast, not silently
+    mix stale output into the new build (the ownership rule the state
+    indexes already enforce, extended to the batch_id-keyed corpus)."""
+    import pytest
+
+    work = _drain(spark, tmp_path)
+    # simulate a prior longer run: a corpus partition far ahead, with the
+    # batch-keyed STATE dirs cleared so the corpus check (not the state
+    # dirs' own ownership check) is what must trip
+    (Path(work) / "corpus" / "batch_id=99").mkdir(parents=True)
+    import shutil
+
+    for d in ("ckpt", "hash_index", "sig_index", "budget_state"):
+        shutil.rmtree(f"{work}/{d}")  # fresh checkpoint, batch ids restart
+    from caseguarddatapipeline_spark.streaming.assembly import (
+        run_assembly_stream,
+    )
+
+    with pytest.raises(Exception, match="does not own this corpus"):
+        run_assembly_stream(
+            spark,
+            str(tmp_path / "in"),
+            work,
+            token_budget=2_000,
+            max_files_per_trigger=1,
+        )
+
+
 def test_assembly_indexes_support_maintenance(spark, tmp_path):
     """The assembly stream's state dirs are the same batch-partitioned
     shape the near-dup index uses, so the TTL+compaction maintenance

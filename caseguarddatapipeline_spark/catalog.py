@@ -131,12 +131,17 @@ _PRIORITY = [
     # e5_domain_mixture, green r5-r8 — the mixture family keeps
     # e5_weighted_mixture and e5_mixture_epochs in the window)
     "s15_bucketed_colocation",
+    # ... and BPE ENCODING (the application side that closes the
+    # tokenizer loop: merges learned vocab-side, applied per document as
+    # nested greedy replaces in one map-side pass; displaces
+    # e3_trigram_familiarity, green r5-r8 — the E3 family keeps its
+    # 2-round induction + LM scoring + DSIR entries in the window)
+    "e3_bpe_encode",
     # Round-4 E2 continuity
     "e2_ivfpq_search_1round",
     "e2_pq_recall",
     # Never-driver-verified: round-4 E3/E4/E5 additions
     "e3_gopher_rules",
-    "e3_trigram_familiarity",
     "e3_zscore_by_source_scaled",
     "e4_image_tiles",
     "e4_audio_chunks",

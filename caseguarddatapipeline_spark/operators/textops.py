@@ -418,6 +418,109 @@ def e3_vocab_induction_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MARK2 = "\x02"  # round-2 merged-symbol placeholder
+
+
+def e3_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the application side that closes the tokenizer
+    loop (induction learns merges: e3_vocab_induction/_2round; this
+    applies them to every document): learn merge #1 and merge #2 exactly
+    as the 2-round induction does (vocab-table pair argmax, re-segment,
+    argmax again — iteration count pinned for the exact oracle), then
+    encode EVERY document by greedy left-to-right merge application and
+    emit per-doc symbol counts before/after plus the compression ratio —
+    the per-document token-budget signal a corpus assembler feeds its
+    packing and budget stages once a real tokenizer is plugged in.
+
+    Applying one merge greedily IS ``replace(word, pair, marker)`` (the
+    _2round re-segmentation identity), so the whole encoder is two
+    nested replaces inside one higher-order aggregate over the per-doc
+    token array — pure codegen'd column algebra over the corpus scan.
+    The two learned merges ride a 1-row broadcast. Scale: the merge
+    LEARNING is |vocab|-bounded (Zipf), the ENCODING is one map-side
+    pass over documents with zero data-sized shuffles — the posture a
+    100 TB tokenize-and-count job needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _vocab_words(docs)
+    pairs1 = words.filter(F.length("word") >= 2).select(
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    winner1 = (
+        pairs1.groupBy("pair")
+        .agg(F.sum("n").alias("c"))
+        .orderBy(F.desc("c"), F.asc("pair"))
+        .limit(1)
+        .select(F.col("pair").alias("merge1"))
+    )
+    seg = words.crossJoin(F.broadcast(winner1)).select(
+        "n",
+        "merge1",
+        F.replace(F.col("word"), F.col("merge1"), F.lit(_BPE_MARK)).alias("w"),
+    )
+    pairs2 = seg.filter(F.length("w") >= 2).select(
+        "n",
+        "merge1",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair2"),
+    )
+    winner2 = (
+        pairs2.groupBy("merge1", "pair2")
+        .agg(F.sum("n").alias("c"))
+        .orderBy(F.desc("c"), F.asc("pair2"))
+        .limit(1)
+        .select("merge1", F.col("pair2").alias("merge2"))
+    )
+    toks = F.filter(_tokens(), lambda t: t != "")
+    raw_len = F.aggregate(
+        F.col("toks"),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w),
+    )
+    bpe_len = F.aggregate(
+        F.col("toks"),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.length(
+            F.replace(
+                F.replace(w, F.col("merge1"), F.lit(_BPE_MARK)),
+                F.col("merge2"),
+                F.lit(_BPE_MARK2),
+            )
+        ),
+    )
+    # two-step projection: Spark does not CSE inside HOF lambdas (see
+    # _shingles), so compression derives from the materialized counts
+    counts = (
+        docs.select("doc_id", toks.alias("toks"))
+        .crossJoin(F.broadcast(winner2))
+        .select(
+            "doc_id",
+            raw_len.alias("n_sym_raw"),
+            bpe_len.alias("n_sym_bpe"),
+        )
+    )
+    return counts.select(
+        "doc_id",
+        "n_sym_raw",
+        "n_sym_bpe",
+        F.round(
+            F.col("n_sym_bpe").cast("double")
+            / F.greatest(F.col("n_sym_raw"), F.lit(1)).cast("double"),
+            6,
+        ).alias("compression"),
+    )
+
+
 _BPE_MARKER_BASE = 0xE000  # private-use area: never in meaningful text
 _BPE_MAX_ROUNDS = 256
 
@@ -827,6 +930,7 @@ QUERIES = {
     "e3_bm25_search": e3_bm25_search,
     "e3_vocab_induction": e3_vocab_induction,
     "e3_vocab_induction_2round": e3_vocab_induction_2round,
+    "e3_bpe_encode": e3_bpe_encode,
     "e3_trigram_familiarity": e3_trigram_familiarity,
     "e3_winnow_fingerprints": e3_winnow_fingerprints,
     "e3_ngram_lm_score": e3_ngram_lm_score,
@@ -909,6 +1013,55 @@ ORACLES = {
         GROUP BY merge1, sym1, sym2
         ORDER BY pair_count DESC, sym1 ASC, sym2 ASC
         LIMIT 20
+    """,
+    "e3_bpe_encode": """
+        WITH words AS (
+            SELECT t.w AS word, count(*) AS n
+            FROM documents,
+                 LATERAL unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS t(w)
+            GROUP BY t.w
+        ), p1 AS (
+            SELECT substr(word, i, 2) AS pair, sum(n) AS c
+            FROM words,
+                 LATERAL unnest(generate_series(1, len(word) - 1)) AS s(i)
+            WHERE len(word) >= 2
+            GROUP BY substr(word, i, 2)
+        ), winner AS (
+            SELECT pair AS merge1 FROM p1 ORDER BY c DESC, pair ASC LIMIT 1
+        ), seg AS (
+            SELECT n, merge1, replace(word, merge1, chr(1)) AS w
+            FROM words, winner
+        ), p2 AS (
+            SELECT merge1, substr(w, i, 2) AS pair2, sum(n) AS c
+            FROM seg,
+                 LATERAL unnest(generate_series(1, len(w) - 1)) AS s(i)
+            WHERE len(w) >= 2
+            GROUP BY merge1, substr(w, i, 2)
+        ), winner2 AS (
+            SELECT merge1, pair2 AS merge2
+            FROM p2 ORDER BY c DESC, pair2 ASC LIMIT 1
+        ), d AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), counts AS (
+            SELECT doc_id,
+                   CAST(coalesce(list_aggregate(
+                       list_transform(toks, w -> len(w)), 'sum'), 0)
+                       AS BIGINT) AS n_sym_raw,
+                   CAST(coalesce(list_aggregate(
+                       list_transform(toks, w -> len(
+                           replace(replace(w, merge1, chr(1)),
+                                   merge2, chr(2)))), 'sum'), 0)
+                       AS BIGINT) AS n_sym_bpe
+            FROM d, winner2
+        )
+        SELECT doc_id, n_sym_raw, n_sym_bpe,
+               round(CAST(n_sym_bpe AS DOUBLE)
+                     / CAST(greatest(n_sym_raw, 1) AS DOUBLE), 6)
+                   AS compression
+        FROM counts
     """,
     "e3_bm25_search": """
         WITH d AS (

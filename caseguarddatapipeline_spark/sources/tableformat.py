@@ -140,12 +140,22 @@ class DeltaTableFormat(TableFormat):
             .load(self.path)
         )
 
+    @staticmethod
+    def _active_spark() -> SparkSession:
+        spark = SparkSession.getActiveSession()
+        if spark is None:  # pragma: no cover - needs delta to exercise
+            raise RuntimeError(
+                "DeltaTableFormat needs an active SparkSession for "
+                "catalog-level verbs (latest_version/vacuum) — call them "
+                "from the session that owns the table"
+            )
+        return spark
+
     def latest_version(self) -> int:
         from delta.tables import DeltaTable
 
-        spark = SparkSession.getActiveSession()
         hist = (
-            DeltaTable.forPath(spark, self.path)
+            DeltaTable.forPath(self._active_spark(), self.path)
             .history(1)
             .select("version")
             .collect()
@@ -155,8 +165,7 @@ class DeltaTableFormat(TableFormat):
     def vacuum(self, keep: int = 2) -> list[int]:
         from delta.tables import DeltaTable
 
-        spark = SparkSession.getActiveSession()
-        DeltaTable.forPath(spark, self.path).vacuum()
+        DeltaTable.forPath(self._active_spark(), self.path).vacuum()
         return []
 
     def merge(self, spark: SparkSession, updates: DataFrame, key: str) -> int:

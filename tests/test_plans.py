@@ -153,6 +153,9 @@ BNLJ_BOUNDED = {
     "graphann.py), measured at 2M vectors in GRAPHANN.json",
     "e2_graph_recall": "same shapes as e2_graph_search plus the exact "
     "top-3 ground truth vs the fixed query set (e2_pq_recall shape)",
+    "e3_bpe_encode": "the two learned merges ride a 1-row broadcast into "
+    "the per-document encode projection (e3_vocab_induction_2round's "
+    "winner-broadcast shape)",
 }
 
 

@@ -137,14 +137,26 @@ _PRIORITY = [
     # e3_trigram_familiarity, green r5-r8 — the E3 family keeps its
     # 2-round induction + LM scoring + DSIR entries in the window)
     "e3_bpe_encode",
+    # New in round 10 (zero-debt policy): BYTE-REAL multimodal decode —
+    # per-tile pixel statistics over genuinely decoded PPM/BMP payloads
+    # and per-frame PCM statistics over genuinely decoded WAV payloads
+    # (verdict item 1) — displacing their coordinate-only plan twins
+    # e4_image_tiles and e4_audio_chunks (each green r4-r9, six rounds;
+    # they stay in the full parity sweep), and the N-round BPE encoder
+    # applying ALL learned merges (verdict item 6) — displacing
+    # e3_gopher_rules (green r4-r9; the E3 family keeps five newer
+    # representatives in the window). e4_binaryfile_scan below is
+    # REWORKED this round (fixture v3 adds the ppm/bmp classes) and
+    # already holds a window slot, so the rework is driver-verified the
+    # round it ships.
+    "e4_pixel_tile_stats",
+    "e4_wav_pcm_frames",
+    "e3_bpe_encode_nround",
     # Round-4 E2 continuity
     "e2_ivfpq_search_1round",
     "e2_pq_recall",
     # Never-driver-verified: round-4 E3/E4/E5 additions
-    "e3_gopher_rules",
     "e3_zscore_by_source_scaled",
-    "e4_image_tiles",
-    "e4_audio_chunks",
     "e5_sequence_pack",
     "e5_dataset_card",
     # Never-driver-verified: round-4 temporal / misc additions

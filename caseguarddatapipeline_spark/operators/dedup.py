@@ -1577,6 +1577,24 @@ def winnow_pairs(
     #     boilerplate head (df = |corpus|) still crosses the one
     #     shuffle before being dropped — exactly as it did on the join's
     #     probe side — and emits nothing downstream.
+    # Round 10 design record (measured, REJECTED): the _doc_stats
+    #     in-join bitmap prune that bought prefix/containment 2.5-3×
+    #     in round 9 was built for this tier too — per-doc 256-bit
+    #     fingerprint presence bitmaps derived MAP-SIDE from the
+    #     winnow_fp_arrays row (zero extra shuffle), riding the member
+    #     lists, with the sound bound
+    #     min(sz_a − popcount(bm_a & ~bm_b), sz_b − popcount(bm_b & ~bm_a))
+    #     evaluated INSIDE the bucket expansion. Output-identical, and
+    #     measured 181.4 s vs this form's 103.2 s at the 50× stress
+    #     corpus. The reason it loses where prefix/containment won:
+    #     their candidate streams were ~70× the verified output
+    #     (single-rare-shingle collisions, nearly all prunable); the
+    #     winnow stream after the df cap IS the true clique-pair stream
+    #     — every candidate genuinely shares ≥ tau fingerprints, the
+    #     bound prunes ~nothing, and the 56-byte posting rows, struct
+    #     member lists, and 8 interpreted bit_counts per candidate are
+    #     pure overhead. The prune needs prunable candidates; winnow's
+    #     df cap already removed them.
     posts = winnow_postings(docs).select(
         "doc_id", F.xxhash64("fp").alias("fp")
     )

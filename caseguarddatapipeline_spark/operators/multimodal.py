@@ -76,6 +76,10 @@ def _decode_one(b: bytes) -> str:
       the dimensions a real decoder hands to patchification.
     - ``RIFF..WAVE``: parse the little-endian fmt sample rate and data
       chunk length — the frame arithmetic a real resampler starts from.
+    - ``P6``: parse the PPM header's width/height (full pixel decode is
+      ``_parse_ppm`` — this preview reports the dims a patchifier needs).
+    - ``BM``: parse the BITMAPINFOHEADER width/height (full pixel decode
+      incl. bottom-up flip and BGR swap is ``_parse_bmp``).
     - anything else: utf-8 text preview (the plain-text path).
     """
     import struct
@@ -91,7 +95,98 @@ def _decode_one(b: bytes) -> str:
         rate = struct.unpack("<I", b[24:28])[0]
         n_samples = struct.unpack("<I", b[40:44])[0]
         return f"WAV {rate}Hz {n_samples}smp"
+    if b[:2] == b"P6":
+        w, h, _, _ = _ppm_header(b)
+        return f"PPM {w}x{h}"
+    if b[:2] == b"BM":
+        w = struct.unpack("<i", b[18:22])[0]
+        h = abs(struct.unpack("<i", b[22:26])[0])
+        return f"BMP {w}x{h}"
     return b[:32].decode("utf-8", errors="replace")
+
+
+def _ppm_header(b: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary-PPM (P6) header: magic, whitespace-separated width
+    height maxval, ONE whitespace byte, then raw RGB triplets (the
+    Netpbm spec). Returns (width, height, maxval, pixel_data_offset)."""
+    import re
+
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)[ \t\r\n]", b)
+    if m is None:
+        raise ValueError("not a binary PPM (P6) header")
+    return int(m.group(1)), int(m.group(2)), int(m.group(3)), m.end()
+
+
+def _parse_ppm(b: bytes):
+    """BYTE-REAL PPM (P6) decode — no codec library needed, the format is
+    raw RGB: header parse, then the pixel payload reshaped to
+    (height, width*3) row-major top-down RGB uint8. Returns (w, h, arr).
+    The reference extracts real content at this seam
+    (docproc/format_config.py:147-230); this is the engine's native
+    decoder for the uncompressed raster path."""
+    import numpy as np
+
+    w, h, maxval, off = _ppm_header(b)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    need = w * h * 3
+    arr = np.frombuffer(b, dtype=np.uint8, count=need, offset=off)
+    return w, h, arr.reshape(h, w * 3)
+
+
+def _parse_bmp(b: bytes):
+    """BYTE-REAL BMP decode (24-bit uncompressed): parse the file header's
+    pixel-data offset and the BITMAPINFOHEADER dims, undo the two storage
+    quirks a real decoder must handle — rows are stored BOTTOM-UP (when
+    height > 0) and padded to 4-byte boundaries, channels are BGR — and
+    return (w, h, arr) with arr the LOGICAL (height, width*3) row-major
+    top-down RGB uint8 image, byte-identical to what ``_parse_ppm``
+    returns for the same logical image (tests/test_round10_ops.py pins
+    both the equality and that skipping the flip/swap would differ)."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    data_off = struct.unpack("<I", b[10:14])[0]
+    w = struct.unpack("<i", b[18:22])[0]
+    h_raw = struct.unpack("<i", b[22:26])[0]
+    planes, bpp = struct.unpack("<HH", b[26:30])
+    compression = struct.unpack("<I", b[30:34])[0]
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed BMP is supported")
+    h, bottom_up = abs(h_raw), h_raw > 0
+    stride = (w * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3]
+    if bottom_up:
+        rows = rows[::-1]
+    rgb = rows.reshape(h, w, 3)[:, :, ::-1]  # stored BGR → logical RGB
+    return w, h, np.ascontiguousarray(rgb.reshape(h, w * 3))
+
+
+def _parse_wav_pcm(b: bytes):
+    """BYTE-REAL WAV decode for the canonical PCM layout the fixture (and
+    e4_audio_chunks' framing constants) use: RIFF/WAVE with a 16-byte fmt
+    chunk (PCM, mono, 8 kHz, 8-bit) followed by the data chunk. Returns
+    (sample_rate, samples) with samples a uint8 numpy array — the actual
+    PCM payload, not a header field."""
+    import struct
+
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    fmt_size, audio_fmt, channels, rate = struct.unpack("<IHHI", b[16:28])
+    bits = struct.unpack("<H", b[34:36])[0]
+    if fmt_size != 16 or audio_fmt != 1 or channels != 1 or bits != 8:
+        raise ValueError("only canonical 8-bit mono PCM WAV is supported")
+    if b[36:40] != b"data":
+        raise ValueError("expected the data chunk at offset 36")
+    n = struct.unpack("<I", b[40:44])[0]
+    return rate, np.frombuffer(b, dtype=np.uint8, count=n, offset=44)
 
 
 def decode_binary_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -303,18 +398,39 @@ def e4_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BINFIX_N = 64  # docs materialized as real files (bounded fixture, not data-sized)
-_BINFIX_VERSION = 2  # bump when payload formats change: invalidates old fixtures
+_BINFIX_VERSION = 3  # bump when payload formats change: invalidates old fixtures
 
 
 def _format_ext(doc_id: int) -> str:
-    """doc_id → on-disk extension: pdf / png / wav / txt (wav and txt
-    split the doc_id%3==2 class by %6 so all four formats appear)."""
+    """doc_id → on-disk extension: pdf / png / wav / ppm / bmp (the
+    doc_id%3==2 class splits by %6 into wav and the %12∈{5,11} raster
+    pair, so every format the decoders handle appears in the fixture)."""
     m = doc_id % 3
     if m == 0:
         return "pdf"
     if m == 1:
         return "png"
-    return "wav" if doc_id % 6 == 2 else "txt"
+    if doc_id % 6 == 2:
+        return "wav"
+    return "ppm" if doc_id % 12 == 5 else "bmp"
+
+
+def _raster_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic (w, h) for the fixture's uncompressed raster images,
+    both multiples of the 32-px tile so patchification is exact; the two
+    moduli differ so dims vary independently across the fixture ids."""
+    return 64 + (doc_id % 5) * 32, 64 + (doc_id % 7 % 4) * 32
+
+
+def _raster_pixels(doc_id: int, w: int, h: int):
+    """The fixture's LOGICAL image: byte j of the row-major top-down RGB
+    stream is ``(doc_id*3 + j) % 256`` — position-dependent in both axes
+    and per channel, so any decoder offset/flip/swap error changes the
+    tile statistics (the oracle computes the same formula in SQL)."""
+    import numpy as np
+
+    j = np.arange(w * h * 3, dtype=np.int64)
+    return ((doc_id * 3 + j) % 256).astype(np.uint8).reshape(h, w, 3)
 
 
 def _format_payload(doc_id: int, text: str) -> bytes:
@@ -330,10 +446,18 @@ def _format_payload(doc_id: int, text: str) -> bytes:
     - wav: canonical 44-byte RIFF/WAVE PCM header (8 kHz mono 8-bit,
       matching e4_audio_chunks' framing constants) + the text bytes as
       the sample data (n_bytes = len(text) + 44).
-    - txt: the raw utf-8 text.
+    - ppm: binary PPM (P6) with REAL pixel bytes — the ``_raster_pixels``
+      logical image written verbatim after the canonical header
+      (n_bytes = 9 + len(str w) + len(str h) + 3wh).
+    - bmp: 24-bit uncompressed BMP of the SAME logical image, written the
+      way real BMPs are stored — rows bottom-up, channels BGR, rows
+      padded to 4-byte boundaries (n_bytes = 54 + stride·h) — so the
+      decoder must genuinely undo both quirks to recover the pixels.
     """
     import struct
     import zlib
+
+    import numpy as np
 
     body = text.encode()
     ext = _format_ext(doc_id)
@@ -359,7 +483,20 @@ def _format_payload(doc_id: int, text: str) -> bytes:
             + struct.pack("<I", len(body))
             + body
         )
-    return body
+    w, h = _raster_dims(doc_id)
+    px = _raster_pixels(doc_id, w, h)
+    if ext == "ppm":
+        return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+    # bmp: bottom-up row order, BGR channels, 4-byte row padding
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + stride * h, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0)
+        + rows.tobytes()
+    )
 
 
 def _binaryfile_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -441,6 +578,8 @@ def e4_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("path").endswith(".pdf"), "application/pdf")
         .when(F.col("path").endswith(".png"), "image/png")
         .when(F.col("path").endswith(".wav"), "audio/wav")
+        .when(F.col("path").endswith(".ppm"), "image/x-portable-pixmap")
+        .when(F.col("path").endswith(".bmp"), "image/bmp")
         .otherwise("text/plain")
         .alias("mime_type"),
         F.col("content").alias("payload"),
@@ -448,7 +587,154 @@ def e4_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(decode_binary_stub, schema=DECODED_SCHEMA)
 
 
+PIX_TILE = 32  # square patch edge for the byte-real tile stats
+_TILE_BYTES = PIX_TILE * PIX_TILE * 3
+
+
+def _pixel_tiles_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched BYTE-REAL patchification: for each uncompressed
+    raster payload (PPM or BMP), decode the actual pixels
+    (``_parse_ppm``/``_parse_bmp``) and emit one row per 32×32 RGB tile
+    with statistics computed FROM THE PAYLOAD BYTES (sum/min/max over the
+    tile's 3072 channel bytes) — not from header fields. numpy slicing
+    per tile; nothing crosses Arrow except the per-tile stat rows."""
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            k: []
+            for k in (
+                "doc_id", "fmt", "img_w", "img_h", "tile_y", "tile_x",
+                "byte_sum", "byte_min", "byte_max",
+            )
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            if b[:2] == b"P6":
+                fmt, (w, h, arr) = "ppm", _parse_ppm(b)
+            else:
+                fmt, (w, h, arr) = "bmp", _parse_bmp(b)
+            a = arr.astype(np.int64)
+            for ty in range(h // PIX_TILE):
+                rows = a[ty * PIX_TILE : (ty + 1) * PIX_TILE]
+                for tx in range(w // PIX_TILE):
+                    tile = rows[:, tx * PIX_TILE * 3 : (tx + 1) * PIX_TILE * 3]
+                    out["doc_id"].append(doc_id)
+                    out["fmt"].append(fmt)
+                    out["img_w"].append(w)
+                    out["img_h"].append(h)
+                    out["tile_y"].append(ty)
+                    out["tile_x"].append(tx)
+                    out["byte_sum"].append(int(tile.sum()))
+                    out["byte_min"].append(int(tile.min()))
+                    out["byte_max"].append(int(tile.max()))
+        yield pd.DataFrame(out)
+
+
+def e4_pixel_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-REAL image patchification (round-10: the multimodal decode no
+    longer stops at headers): scan the fixture's PPM and BMP files with
+    ``binaryFile``, decode the ACTUAL pixel payloads in an Arrow-batched
+    kernel — PPM is raw RGB after the header; BMP requires undoing
+    bottom-up row order, BGR channel order, and 4-byte row padding — and
+    emit per-32×32-tile statistics over the decoded bytes. The fixture
+    pixels are a deterministic position formula (``_raster_pixels``), so
+    the oracle recomputes every tile's sum/min/max exactly in SQL: any
+    decoder offset, flip, or channel-swap error hash-mismatches.
+    ``e4_image_tiles`` remains the coordinate-only plan twin; this is the
+    content tier the reference reaches in docproc/format_config.py:147-230.
+    At 100 TB: one file = one row = one kernel call, stats are
+    partition-local, no shuffle before a downstream embedder."""
+    fixture = _binaryfile_fixture_dir(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*.{ppm,bmp}")
+        .load(fixture)
+    )
+    docs = bf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    tiles = docs.mapInPandas(
+        _pixel_tiles_kernel,
+        "doc_id long, fmt string, img_w int, img_h int, tile_y int, "
+        "tile_x int, byte_sum long, byte_min int, byte_max int",
+    )
+    # mean is derived JVM-side so both engines round the same double
+    return tiles.withColumn(
+        "byte_mean",
+        F.round(F.col("byte_sum") / F.lit(float(_TILE_BYTES)), 4),
+    )
+
+
+WAV_FRAME_SAMPLES = 80  # 10 ms at the fixture's 8 kHz mono 8-bit PCM
+
+
+def _wav_frames_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched BYTE-REAL WAV framing: parse each RIFF/WAVE payload
+    (``_parse_wav_pcm`` validates the canonical PCM fmt chunk), cut the
+    ACTUAL sample array into 80-sample (10 ms) frames, and emit per-frame
+    statistics computed from the PCM bytes themselves."""
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            k: []
+            for k in (
+                "doc_id", "frame_index", "n_samples",
+                "sample_sum", "sample_min", "sample_max",
+            )
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, samples = _parse_wav_pcm(bytes(payload))
+            if rate != SAMPLE_RATE:
+                raise ValueError(f"unexpected sample rate {rate}")
+            s = samples.astype(np.int64)
+            for fi in range(0, -(-len(s) // WAV_FRAME_SAMPLES)):
+                fr = s[fi * WAV_FRAME_SAMPLES : (fi + 1) * WAV_FRAME_SAMPLES]
+                out["doc_id"].append(doc_id)
+                out["frame_index"].append(fi)
+                out["n_samples"].append(len(fr))
+                out["sample_sum"].append(int(fr.sum()))
+                out["sample_min"].append(int(fr.min()))
+                out["sample_max"].append(int(fr.max()))
+        yield pd.DataFrame(out)
+
+
+def e4_wav_pcm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-REAL audio framing (round-10): scan the fixture's WAV files
+    with ``binaryFile``, decode the ACTUAL 8-bit PCM sample payload (the
+    fmt chunk is validated, not assumed), and emit per-10 ms-frame
+    statistics over the decoded samples. The fixture's PCM data is the
+    document's utf-8 text (``_format_payload``), so the oracle recomputes
+    every frame's sum/min/max from ``ascii(substring(text, …))`` exactly —
+    a mis-sized header skip or frame offset hash-mismatches.
+    ``e4_audio_chunks`` remains the coordinate-only plan twin. Same scale
+    posture as the tile stats: per-file kernel calls, no shuffle."""
+    fixture = _binaryfile_fixture_dir(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*.wav")
+        .load(fixture)
+    )
+    docs = bf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return docs.mapInPandas(
+        _wav_frames_kernel,
+        "doc_id long, frame_index int, n_samples int, sample_sum long, "
+        "sample_min int, sample_max int",
+    )
+
+
 QUERIES = {
+    "e4_pixel_tile_stats": e4_pixel_tile_stats,
+    "e4_wav_pcm_frames": e4_wav_pcm_frames,
     "e4_image_tiles": e4_image_tiles,
     "e4_binaryfile_scan": e4_binaryfile_scan,
     "e4_multimodal_join": e4_multimodal_join,
@@ -464,24 +750,99 @@ ORACLES = {
     # results (PDF body, PNG IHDR dims, WAV rate/sample count, raw text)
     # and byte lengths are exactly computable in SQL.
     "e4_binaryfile_scan": """
-        SELECT doc_id,
-               CASE WHEN doc_id % 3 = 0 THEN 'application/pdf'
-                    WHEN doc_id % 3 = 1 THEN 'image/png'
-                    WHEN doc_id % 6 = 2 THEN 'audio/wav'
-                    ELSE 'text/plain' END AS mime_type,
-               CAST(CASE WHEN doc_id % 3 = 0 THEN length(text) + 15
-                         WHEN doc_id % 3 = 1 THEN 33
-                         WHEN doc_id % 6 = 2 THEN length(text) + 44
-                         ELSE length(text) END AS BIGINT) AS n_bytes,
-               CASE WHEN doc_id % 3 = 1
-                        THEN 'PNG ' || CAST(64 + (doc_id % 5) * 32 AS VARCHAR)
-                             || 'x' || CAST(64 + (doc_id % 4) * 32 AS VARCHAR)
-                    WHEN doc_id % 6 = 2
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(64 + (doc_id % 5) * 32 AS VARCHAR) AS rw,
+                   CAST(64 + (doc_id % 7 % 4) * 32 AS VARCHAR) AS rh,
+                   (64 + (doc_id % 5) * 32) * (64 + (doc_id % 7 % 4) * 32) * 3
+                       AS rpix
+            FROM documents WHERE doc_id < 64
+        )
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 3 = 0 THEN 'application/pdf'
+                    WHEN d.doc_id % 3 = 1 THEN 'image/png'
+                    WHEN d.doc_id % 6 = 2 THEN 'audio/wav'
+                    WHEN d.doc_id % 12 = 5 THEN 'image/x-portable-pixmap'
+                    ELSE 'image/bmp' END AS mime_type,
+               CAST(CASE WHEN d.doc_id % 3 = 0 THEN length(text) + 15
+                         WHEN d.doc_id % 3 = 1 THEN 33
+                         WHEN d.doc_id % 6 = 2 THEN length(text) + 44
+                         WHEN d.doc_id % 12 = 5
+                             THEN 9 + length(m.rw) + length(m.rh) + m.rpix
+                         ELSE 54 + m.rpix END AS BIGINT) AS n_bytes,
+               CASE WHEN d.doc_id % 3 = 1
+                        THEN 'PNG ' || CAST(64 + (d.doc_id % 5) * 32 AS VARCHAR)
+                             || 'x' || CAST(64 + (d.doc_id % 4) * 32 AS VARCHAR)
+                    WHEN d.doc_id % 6 = 2
                         THEN 'WAV 8000Hz '
                              || CAST(length(text) AS VARCHAR) || 'smp'
+                    WHEN d.doc_id % 12 = 5 THEN 'PPM ' || m.rw || 'x' || m.rh
+                    WHEN d.doc_id % 12 = 11 THEN 'BMP ' || m.rw || 'x' || m.rh
                     ELSE substring(text, 1, 32) END AS decoded_preview,
-               CAST(doc_id % 8 + 8 AS INT) AS feature_dim
-        FROM documents WHERE doc_id < 64
+               CAST(d.doc_id % 8 + 8 AS INT) AS feature_dim
+        FROM documents d JOIN dims m ON d.doc_id = m.doc_id
+        WHERE d.doc_id < 64
+    """,
+    # Byte-real raster decode: the fixture pixel at logical byte offset j
+    # is (doc_id*3 + j) % 256 (_raster_pixels), so every 32x32 tile's
+    # sum/min/max over its 3072 channel bytes is exactly computable —
+    # tile (ty,tx) covers, for dy in [0,32) and dx in [0,96),
+    # j = (ty*32+dy)*w*3 + tx*96 + dx.
+    "e4_pixel_tile_stats": """
+        WITH imgs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 12 = 5 THEN 'ppm' ELSE 'bmp' END AS fmt,
+                   CAST(64 + (doc_id % 5) * 32 AS INT) AS img_w,
+                   CAST(64 + (doc_id % 7 % 4) * 32 AS INT) AS img_h
+            FROM documents
+            WHERE doc_id < 64 AND (doc_id % 12 = 5 OR doc_id % 12 = 11)
+        ), tiles AS (
+            SELECT doc_id, fmt, img_w, img_h,
+                   ty.v AS tile_y, tx.v AS tile_x
+            FROM imgs,
+                 LATERAL (SELECT unnest(range(img_h // 32)) AS v) ty,
+                 LATERAL (SELECT unnest(range(img_w // 32)) AS v) tx
+        ), vals AS (
+            SELECT doc_id, fmt, img_w, img_h, tile_y, tile_x,
+                   (doc_id * 3
+                    + ((tile_y * 32 + u.t // 96) * img_w * 3
+                       + tile_x * 96 + u.t % 96)) % 256 AS v
+            FROM tiles, LATERAL (SELECT unnest(range(3072)) AS t) u
+        )
+        SELECT doc_id, fmt, img_w, img_h,
+               CAST(tile_y AS INT) AS tile_y, CAST(tile_x AS INT) AS tile_x,
+               CAST(sum(v) AS BIGINT) AS byte_sum,
+               CAST(min(v) AS INT) AS byte_min,
+               CAST(max(v) AS INT) AS byte_max,
+               round(sum(v) / 3072.0, 4) AS byte_mean
+        FROM vals
+        GROUP BY doc_id, fmt, img_w, img_h, tile_y, tile_x
+    """,
+    # Byte-real WAV decode: the fixture's PCM payload IS the document
+    # text's utf-8 bytes (pure-ASCII corpus), so each 80-sample frame's
+    # stats are ascii() arithmetic over the matching substring.
+    "e4_wav_pcm_frames": """
+        WITH wav AS (
+            SELECT doc_id, text, length(text) AS n
+            FROM documents WHERE doc_id < 64 AND doc_id % 6 = 2
+        ), frames AS (
+            SELECT doc_id, text, n,
+                   CAST(f.v AS INT) AS frame_index,
+                   CAST(least(80, n - f.v * 80) AS INT) AS n_samples
+            FROM wav, LATERAL (SELECT unnest(range((n + 79) // 80)) AS v) f
+            WHERE n > 0
+        ), samples AS (
+            SELECT doc_id, frame_index, n_samples,
+                   ascii(substring(text, frame_index * 80 + s.v + 1, 1)) AS v
+            FROM frames,
+                 LATERAL (SELECT unnest(range(n_samples)) AS v) s
+        )
+        SELECT doc_id, frame_index, n_samples,
+               CAST(sum(v) AS BIGINT) AS sample_sum,
+               CAST(min(v) AS INT) AS sample_min,
+               CAST(max(v) AS INT) AS sample_max
+        FROM samples
+        GROUP BY doc_id, frame_index, n_samples
     """,
     "e4_image_tiles": """
         WITH images AS (

@@ -521,6 +521,124 @@ def e3_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NROUND_MARKS = ["\x01", "\x02", "\x03", "\x04"]  # pinned-depth markers
+BPE_NROUNDS = 4
+
+
+def _nround_winner(words: DataFrame, n_rounds: int = BPE_NROUNDS) -> DataFrame:
+    """The N-round BPE merge table learned RELATIONALLY: a 1-row frame
+    with columns s1..sN (each round's merge as a 2-char search string in
+    the marker encoding of its round) and d1..dN (the merge's DISPLAY
+    string — markers expanded to their learned text). Same algebra as
+    ``bpe_learn_merges`` (pair argmax over the vocab table, display-order
+    tie-break, re-segment by literal replace) with the loop unrolled so
+    the whole thing stays one DataFrame DAG with zero collects — the
+    merge metadata rides Spark's own 1-row broadcasts, and the exact SQL
+    oracle composes round-over-round CTEs the same way.
+    tests/test_textops2.py pins the learned displays equal to
+    ``bpe_learn_merges``' on the fixture corpus. Each round re-derives
+    its predecessors in the DAG (2^N vocab-table aggs), fine at the
+    pinned N=4 since every agg is |vocab|-bounded (Zipf)."""
+    if n_rounds > len(_NROUND_MARKS):
+        raise ValueError(f"n_rounds > {len(_NROUND_MARKS)} needs more markers")
+    cur = words.select(F.col("word").alias("w"), "n")
+    acc: DataFrame | None = None
+    for r in range(1, n_rounds + 1):
+        prev = [f"s{k}" for k in range(1, r)] + [f"d{k}" for k in range(1, r)]
+        src = cur if acc is None else cur.crossJoin(F.broadcast(acc))
+
+        def disp(c):
+            out = c
+            for k in range(1, r):
+                out = F.when(
+                    c == _NROUND_MARKS[k - 1], F.col(f"d{k}")
+                ).otherwise(out)
+            return out
+
+        pairs = src.filter(F.length("w") >= 2).select(
+            "n",
+            *prev,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.struct(
+                        F.col("w").substr(i, F.lit(1)).alias("c1"),
+                        F.col("w").substr(i + 1, F.lit(1)).alias("c2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        acc = (
+            pairs.select(
+                "n",
+                *prev,
+                F.col("p.c1").alias("c1"),
+                F.col("p.c2").alias("c2"),
+                disp(F.col("p.c1")).alias("e1"),
+                disp(F.col("p.c2")).alias("e2"),
+            )
+            .groupBy(*prev, "c1", "c2", "e1", "e2")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.desc("c"), F.asc("e1"), F.asc("e2"))
+            .limit(1)
+            .select(
+                *prev,
+                F.concat("c1", "c2").alias(f"s{r}"),
+                F.concat("e1", "e2").alias(f"d{r}"),
+            )
+        )
+        cur = cur.crossJoin(F.broadcast(acc.select(f"s{r}"))).select(
+            F.replace(
+                F.col("w"), F.col(f"s{r}"), F.lit(_NROUND_MARKS[r - 1])
+            ).alias("w"),
+            "n",
+        )
+    assert acc is not None
+    return acc
+
+
+def e3_bpe_encode_nround(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding with ALL ``BPE_NROUNDS`` learned merges applied
+    (round-10: the 2-merge ``e3_bpe_encode`` closed the tokenizer loop;
+    this exercises the nested-replace composition at the depth a real
+    vocabulary needs). The merge table is learned relationally
+    (``_nround_winner`` — zero collects, display-order tie-break matching
+    ``bpe_learn_merges``) and applied to every document as a 4-deep
+    replace chain over the raw text: search strings never contain a
+    space, so whole-text replacement equals per-token replacement and
+    the encoder is ONE map-side string pass — no token-array explode at
+    all. Emits per-doc symbol counts before/after + compression ratio.
+    Scale: learning is |vocab|-bounded; encoding is a map-side scan with
+    the 4 merges on a 1-row broadcast — zero data-sized shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    wn = _nround_winner(_vocab_words(docs), BPE_NROUNDS)
+    enc = F.col("text")
+    for r in range(1, BPE_NROUNDS + 1):
+        enc = F.replace(enc, F.col(f"s{r}"), F.lit(_NROUND_MARKS[r - 1]))
+    raw = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    # markers/searches never contain spaces, so the space count is
+    # invariant under the replace chain: bpe = len(enc) − n_spaces
+    bpe = F.length(enc) - (F.length("text") - raw)
+    return (
+        docs.crossJoin(F.broadcast(wn))
+        .select(
+            "doc_id",
+            raw.cast("long").alias("n_sym_raw"),
+            bpe.cast("long").alias("n_sym_bpe"),
+        )
+        .select(
+            "doc_id",
+            "n_sym_raw",
+            "n_sym_bpe",
+            F.round(
+                F.col("n_sym_bpe").cast("double")
+                / F.greatest(F.col("n_sym_raw"), F.lit(1)).cast("double"),
+                6,
+            ).alias("compression"),
+        )
+    )
+
+
 _BPE_MARKER_BASE = 0xE000  # private-use area: never in meaningful text
 _BPE_MAX_ROUNDS = 256
 
@@ -706,7 +824,32 @@ def winnow_postings(docs: DataFrame) -> DataFrame:
     would be rebuilt per window position — O(n²)-per-doc and a 30×
     slowdown measured at sf0.001. Across Project boundaries each array is
     computed once per row and referenced thereafter. All array-local, no
-    shuffle, no Python."""
+    shuffle, no Python.
+
+    ``explode_outer`` + post-generate null filter, NOT ``explode`` (round
+    10): exploding an ALIASED array column lets Catalyst's
+    InferFiltersFromGenerate add ``size(fps) > 0`` above the projection
+    chain, and predicate pushdown then substitutes the alias — inlining
+    the ENTIRE winnowing pipeline into a per-row Filter whose lambdas
+    re-split the text per element: the exact O(n²) CSE trap the
+    paragraph above describes, reintroduced by the optimizer (measured:
+    a 2×-replicated sf0.1 corpus went from 2.1 s to >100 s). The rule
+    only fires for non-outer explode; the null row an empty-fps doc
+    contributes is dropped by a filter on the GENERATED attribute, which
+    cannot be pushed below the Generate."""
+    return (
+        winnow_fp_arrays(docs)
+        .select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+
+
+def winnow_fp_arrays(docs: DataFrame) -> DataFrame:
+    """``winnow_postings``' per-document ARRAY stage, exposed: (doc_id,
+    fps array<string>) with fps the distinct winnowed fingerprints. The
+    near-dup join (dedup.winnow_pairs) consumes this form so it can
+    derive per-doc prune sketches map-side, in the same row, BEFORE the
+    posting explode — zero extra shuffle (round 10)."""
     staged = docs.select("doc_id", _tokens().alias("toks"))
     t = F.col("toks")
     n = F.size(t)
@@ -734,7 +877,7 @@ def winnow_postings(docs: DataFrame) -> DataFrame:
     selected = F.array_distinct(
         F.transform(widx, lambda j: F.array_min(F.slice(h, j, WINNOW_W)))
     )
-    return staged.select("doc_id", F.explode(selected).alias("fp"))
+    return staged.select("doc_id", selected.alias("fps"))
 
 
 def e3_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -931,6 +1074,7 @@ QUERIES = {
     "e3_vocab_induction": e3_vocab_induction,
     "e3_vocab_induction_2round": e3_vocab_induction_2round,
     "e3_bpe_encode": e3_bpe_encode,
+    "e3_bpe_encode_nround": e3_bpe_encode_nround,
     "e3_trigram_familiarity": e3_trigram_familiarity,
     "e3_winnow_fingerprints": e3_winnow_fingerprints,
     "e3_ngram_lm_score": e3_ngram_lm_score,
@@ -1062,6 +1206,116 @@ ORACLES = {
                      / CAST(greatest(n_sym_raw, 1) AS DOUBLE), 6)
                    AS compression
         FROM counts
+    """,
+    # 4-round BPE: each round's CTE pair (p_r: adjacent single-char pair
+    # counts over the marker-segmented vocab; m_r: argmax with the
+    # DISPLAY-order tie-break, display = markers chr(1..3) expanded via
+    # CASE) mirrors _nround_winner's unrolled loop exactly; the encoder
+    # applies the 4 searches as a replace chain over raw text (searches
+    # never contain spaces, so whole-text == per-token replacement).
+    "e3_bpe_encode_nround": """
+        WITH words0 AS (
+            SELECT t.w AS w, count(*) AS n
+            FROM documents,
+                 LATERAL unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS t(w)
+            GROUP BY t.w
+        ), p1 AS (
+            SELECT substr(w, i, 1) AS c1, substr(w, i + 1, 1) AS c2,
+                   sum(n) AS c
+            FROM words0,
+                 LATERAL unnest(generate_series(1, len(w) - 1)) AS s(i)
+            WHERE len(w) >= 2 GROUP BY c1, c2
+        ), m1 AS (
+            SELECT c1 || c2 AS s1, c1 || c2 AS d1
+            FROM p1 ORDER BY c DESC, c1 ASC, c2 ASC LIMIT 1
+        ), words1 AS (
+            SELECT replace(w, (SELECT s1 FROM m1), chr(1)) AS w, n
+            FROM words0
+        ), p2 AS (
+            SELECT substr(w, i, 1) AS c1, substr(w, i + 1, 1) AS c2,
+                   sum(n) AS c
+            FROM words1,
+                 LATERAL unnest(generate_series(1, len(w) - 1)) AS s(i)
+            WHERE len(w) >= 2 GROUP BY c1, c2
+        ), m2 AS (
+            SELECT c1 || c2 AS s2,
+                   (CASE WHEN c1 = chr(1) THEN (SELECT d1 FROM m1)
+                         ELSE c1 END)
+                   || (CASE WHEN c2 = chr(1) THEN (SELECT d1 FROM m1)
+                            ELSE c2 END) AS d2
+            FROM p2
+            ORDER BY c DESC,
+                CASE WHEN c1 = chr(1) THEN (SELECT d1 FROM m1)
+                     ELSE c1 END ASC,
+                CASE WHEN c2 = chr(1) THEN (SELECT d1 FROM m1)
+                     ELSE c2 END ASC
+            LIMIT 1
+        ), words2 AS (
+            SELECT replace(w, (SELECT s2 FROM m2), chr(2)) AS w, n
+            FROM words1
+        ), p3 AS (
+            SELECT substr(w, i, 1) AS c1, substr(w, i + 1, 1) AS c2,
+                   sum(n) AS c
+            FROM words2,
+                 LATERAL unnest(generate_series(1, len(w) - 1)) AS s(i)
+            WHERE len(w) >= 2 GROUP BY c1, c2
+        ), m3 AS (
+            SELECT c1 || c2 AS s3,
+                   (CASE WHEN c1 = chr(1) THEN (SELECT d1 FROM m1)
+                         WHEN c1 = chr(2) THEN (SELECT d2 FROM m2)
+                         ELSE c1 END)
+                   || (CASE WHEN c2 = chr(1) THEN (SELECT d1 FROM m1)
+                            WHEN c2 = chr(2) THEN (SELECT d2 FROM m2)
+                            ELSE c2 END) AS d3
+            FROM p3
+            ORDER BY c DESC,
+                CASE WHEN c1 = chr(1) THEN (SELECT d1 FROM m1)
+                     WHEN c1 = chr(2) THEN (SELECT d2 FROM m2)
+                     ELSE c1 END ASC,
+                CASE WHEN c2 = chr(1) THEN (SELECT d1 FROM m1)
+                     WHEN c2 = chr(2) THEN (SELECT d2 FROM m2)
+                     ELSE c2 END ASC
+            LIMIT 1
+        ), words3 AS (
+            SELECT replace(w, (SELECT s3 FROM m3), chr(3)) AS w, n
+            FROM words2
+        ), p4 AS (
+            SELECT substr(w, i, 1) AS c1, substr(w, i + 1, 1) AS c2,
+                   sum(n) AS c
+            FROM words3,
+                 LATERAL unnest(generate_series(1, len(w) - 1)) AS s(i)
+            WHERE len(w) >= 2 GROUP BY c1, c2
+        ), m4 AS (
+            SELECT c1 || c2 AS s4
+            FROM p4
+            ORDER BY c DESC,
+                CASE WHEN c1 = chr(1) THEN (SELECT d1 FROM m1)
+                     WHEN c1 = chr(2) THEN (SELECT d2 FROM m2)
+                     WHEN c1 = chr(3) THEN (SELECT d3 FROM m3)
+                     ELSE c1 END ASC,
+                CASE WHEN c2 = chr(1) THEN (SELECT d1 FROM m1)
+                     WHEN c2 = chr(2) THEN (SELECT d2 FROM m2)
+                     WHEN c2 = chr(3) THEN (SELECT d3 FROM m3)
+                     ELSE c2 END ASC
+            LIMIT 1
+        ), enc AS (
+            SELECT doc_id,
+                   len(replace(text, ' ', '')) AS n_sym_raw,
+                   len(replace(replace(replace(replace(replace(text,
+                       (SELECT s1 FROM m1), chr(1)),
+                       (SELECT s2 FROM m2), chr(2)),
+                       (SELECT s3 FROM m3), chr(3)),
+                       (SELECT s4 FROM m4), chr(4)), ' ', '')) AS n_sym_bpe
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_sym_raw AS BIGINT) AS n_sym_raw,
+               CAST(n_sym_bpe AS BIGINT) AS n_sym_bpe,
+               round(CAST(n_sym_bpe AS DOUBLE)
+                     / CAST(greatest(n_sym_raw, 1) AS DOUBLE), 6)
+                   AS compression
+        FROM enc
     """,
     "e3_bm25_search": """
         WITH d AS (

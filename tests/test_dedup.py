@@ -216,14 +216,15 @@ def test_decode_stub_magic_byte_dispatch():
     from caseguarddatapipeline_spark.operators import multimodal as M
 
     text = "hello world this is a body that exceeds thirty-two characters"
-    # doc_id 0 → pdf, 1 → png (dims 96x96), 2 → wav, 5 → txt
+    # doc_id 0 → pdf, 1 → png (dims 96x96), 2 → wav, 5 → ppm, 11 → bmp
     assert M._decode_one(M._format_payload(0, text)) == text[:32]
     assert M._decode_one(M._format_payload(1, text)) == "PNG 96x96"
     assert (
         M._decode_one(M._format_payload(2, text))
         == f"WAV 8000Hz {len(text)}smp"
     )
-    assert M._decode_one(M._format_payload(5, text)) == text[:32]
+    assert M._decode_one(M._format_payload(5, text)) == "PPM 64x96"
+    assert M._decode_one(M._format_payload(11, text)) == "BMP 96x64"
     # the generated files really carry the magic numbers
     assert M._format_payload(0, text)[:5] == b"%PDF-"
     assert M._format_payload(1, text)[:8] == b"\x89PNG\r\n\x1a\n"

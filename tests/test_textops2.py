@@ -249,3 +249,49 @@ def test_bpe_rejects_private_use_area_corpus(spark):
     )
     with pytest.raises(ValueError, match="private-use-area"):
         bpe_learn_merges(docs, n_rounds=2)
+
+
+def test_nround_winner_agrees_with_merge_learner(spark, sf_dir):
+    """The relational 4-round merge table (_nround_winner — the encoder's
+    zero-collect learner) must learn exactly the merges bpe_learn_merges
+    learns on the same corpus: same displays, in the same order."""
+    from caseguarddatapipeline_spark.operators.textops import (
+        BPE_NROUNDS,
+        _nround_winner,
+        _vocab_words,
+        bpe_learn_merges,
+    )
+    from caseguarddatapipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    [row] = _nround_winner(_vocab_words(docs), BPE_NROUNDS).collect()
+    merges = bpe_learn_merges(docs, n_rounds=BPE_NROUNDS)
+    assert len(merges) == BPE_NROUNDS
+    assert [row[f"d{r}"] for r in range(1, BPE_NROUNDS + 1)] == [
+        m["merged"] for m in merges
+    ]
+
+
+def test_bpe_encode_nround_deepens_two_merge_encoder(spark, sf_dir):
+    """4 merges can only compress at least as well as 2 (first two merges
+    agree with e3_bpe_encode by the learner pin above), and raw counts
+    are identical."""
+    from caseguarddatapipeline_spark.operators.textops import (
+        e3_bpe_encode,
+        e3_bpe_encode_nround,
+    )
+
+    two = {
+        r["doc_id"]: r for r in e3_bpe_encode(spark, sf_dir).collect()
+    }
+    four = {
+        r["doc_id"]: r
+        for r in e3_bpe_encode_nround(spark, sf_dir).collect()
+    }
+    assert set(two) == set(four)
+    assert any(
+        four[d]["n_sym_bpe"] < two[d]["n_sym_bpe"] for d in four
+    ), "the extra merges never fired"
+    for d, r in four.items():
+        assert r["n_sym_raw"] == two[d]["n_sym_raw"]
+        assert r["n_sym_bpe"] <= two[d]["n_sym_bpe"]

@@ -30,6 +30,10 @@ assertions, so a new adapter is proven by construction.
 
 from __future__ import annotations
 
+import json
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -101,6 +105,130 @@ class VersionedStoreFormat(TableFormat):
         from .versioned import vacuum
 
         return vacuum(self.base_dir, keep=keep)
+
+
+class ManifestTableFormat(TableFormat):
+    """SECOND sandbox-runnable implementation (round-10: an interface
+    exercised by one implementation is an assertion, not an abstraction) —
+    an Iceberg-shaped MANIFEST layout, structurally different from the
+    versioned store's snapshot-dir-plus-pointer design:
+
+    - ``manifests/manifest-<N>.json`` is the unit of commit: it lists the
+      snapshot's leaf parquet FILES explicitly (plus partition columns);
+      readers resolve a version to that file list — never a directory
+      listing — so a half-written data dir is invisible by construction.
+    - ``data/v<N>/`` holds each version's files, write-once
+      (``errorifexists``); partitioned writes keep their partition
+      subdirs and readers recover partition columns via ``basePath``,
+      so partition pruning survives the explicit-file-list read.
+    - Commit is ONE atomic manifest rename (same crash-safety argument
+      as the versioned store's pointer swap, different mechanism);
+      a crash before it leaves an orphan data dir that vacuum sweeps.
+    - ``vacuum`` drops old manifests FIRST, then their now-unreferenced
+      data dirs and any orphan dir older than the oldest survivor — the
+      current version always survives.
+
+    tests/test_tableformat.py runs this through the identical contract
+    suite as ``VersionedStoreFormat`` (one fixture param), which is what
+    proves call sites survive an adapter swap."""
+
+    def __init__(self, base_dir: str):
+        self.base_dir = base_dir
+        self._manifest_dir = os.path.join(base_dir, "manifests")
+        self._data_dir = os.path.join(base_dir, "data")
+
+    def _manifests(self) -> dict[int, str]:
+        if not os.path.isdir(self._manifest_dir):
+            return {}
+        out: dict[int, str] = {}
+        for f in os.listdir(self._manifest_dir):
+            m = re.fullmatch(r"manifest-(\d+)\.json", f)
+            if m:
+                out[int(m.group(1))] = os.path.join(self._manifest_dir, f)
+        return out
+
+    def write(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        taken = set(self._manifests())
+        if os.path.isdir(self._data_dir):  # skip orphan dirs from crashes
+            taken.update(
+                int(m.group(1))
+                for d in os.listdir(self._data_dir)
+                if (m := re.fullmatch(r"v(\d+)", d))
+            )
+        version = max(taken) + 1 if taken else 0
+        vdir = os.path.join(self._data_dir, f"v{version}")
+        w = df.write.mode("errorifexists")  # version dirs are write-once
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(vdir)
+        files = sorted(
+            os.path.relpath(os.path.join(root, f), self._data_dir)
+            for root, _, fs in os.walk(vdir)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        doc = {
+            "version": version,
+            "partition_by": list(partition_by or []),
+            "files": files,
+        }
+        tmp = os.path.join(
+            self._manifest_dir, f".manifest-{version}.tmp.{os.getpid()}"
+        )
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.rename(tmp, os.path.join(self._manifest_dir, f"manifest-{version}.json"))
+        return version
+
+    def _read_manifest(self, version: int) -> dict:
+        path = self._manifests().get(version)
+        if path is None:
+            raise FileNotFoundError(
+                f"no manifest for version {version} under {self.base_dir}"
+            )
+        with open(path) as f:
+            return json.load(f)
+
+    def read_version(self, spark: SparkSession, version: int) -> DataFrame:
+        doc = self._read_manifest(version)
+        vdir = os.path.join(self._data_dir, f"v{doc['version']}")
+        paths = [os.path.join(self._data_dir, p) for p in doc["files"]]
+        return spark.read.option("basePath", vdir).parquet(*paths)
+
+    def read_latest(self, spark: SparkSession) -> DataFrame:
+        return self.read_version(spark, self.latest_version())
+
+    def latest_version(self) -> int:
+        ms = self._manifests()
+        if not ms:
+            raise FileNotFoundError(f"no manifests under {self.base_dir}")
+        return max(ms)
+
+    def vacuum(self, keep: int = 2) -> list[int]:
+        import shutil
+
+        ms = self._manifests()
+        if not ms:
+            return []
+        survivors = sorted(ms)[-max(keep, 1) :]
+        dropped = [v for v in sorted(ms) if v not in survivors]
+        for v in dropped:  # manifests first: readers lose the reference
+            os.remove(ms[v])
+        if os.path.isdir(self._data_dir):
+            for d in os.listdir(self._data_dir):
+                m = re.fullmatch(r"v(\d+)", d)
+                # dropped snapshots, plus orphans from crashed writes
+                # (older than the oldest survivor — never an in-flight
+                # writer, whose version is above the newest manifest)
+                if m and int(m.group(1)) not in survivors and (
+                    int(m.group(1)) in dropped
+                    or int(m.group(1)) < min(survivors)
+                ):
+                    shutil.rmtree(
+                        os.path.join(self._data_dir, d), ignore_errors=True
+                    )
+        return dropped
 
 
 class DeltaTableFormat(TableFormat):

@@ -89,3 +89,30 @@ def test_blocked_build_arrow_matches_hof(spark, sf_dir):
     hof = build_knn_graph_blocked(emb, n_buckets=4).collect()
     arrow = build_knn_graph_blocked(emb, n_buckets=4, use_arrow=True).collect()
     assert sorted(map(tuple, hof)) == sorted(map(tuple, arrow))
+
+
+def test_graph_recall_envelope_warns_beyond_safe_size(spark):
+    """Round-10 guard: at sf0.1 (2 000 vectors — beyond
+    GRAPH_RECALL_SAFE_N) the export faces must WARN that results are
+    correctness-checked but not recall-adequate, and the measured
+    degradation (recall@3 ≈ 0.13 at this size) stays pinned so the
+    decision evidence can't silently drift. Inside the envelope
+    (sf0.001) no warning fires."""
+    import warnings
+
+    from caseguarddatapipeline_spark.operators.graphann import (
+        e2_graph_recall,
+    )
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        r = e2_graph_recall(spark, "/root/testdata/sf0.1").collect()[0]
+    assert any("recall envelope" in str(w.message) for w in caught)
+    assert r.recall < 0.5, (
+        "degradation evidence drifted — re-measure GRAPHANN.json and "
+        f"re-pin (got {r.recall})"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        e2_graph_recall(spark, "/root/testdata/sf0.001").collect()
+    assert not any("recall envelope" in str(w.message) for w in caught)

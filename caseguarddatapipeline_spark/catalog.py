@@ -152,11 +152,15 @@ _PRIORITY = [
     "e4_pixel_tile_stats",
     "e4_wav_pcm_frames",
     "e3_bpe_encode_nround",
+    # ... and the byte-real nearest-neighbor resize, completing the
+    # brief's decode/feature-extract/resize/frame-sample quartet without
+    # a stub (displaces e3_zscore_by_source_scaled, green r4-r9 — its
+    # unscaled twin's algebra stays pinned row-identical in-suite)
+    "e4_image_resize",
     # Round-4 E2 continuity
     "e2_ivfpq_search_1round",
     "e2_pq_recall",
     # Never-driver-verified: round-4 E3/E4/E5 additions
-    "e3_zscore_by_source_scaled",
     "e5_sequence_pack",
     "e5_dataset_card",
     # Never-driver-verified: round-4 temporal / misc additions

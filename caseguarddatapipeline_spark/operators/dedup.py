@@ -1581,7 +1581,7 @@ def winnow_pairs(
     #     in-join bitmap prune that bought prefix/containment 2.5-3×
     #     in round 9 was built for this tier too — per-doc 256-bit
     #     fingerprint presence bitmaps derived MAP-SIDE from the
-    #     winnow_fp_arrays row (zero extra shuffle), riding the member
+    #     per-doc fingerprint array row (zero extra shuffle), riding the member
     #     lists, with the sound bound
     #     min(sz_a − popcount(bm_a & ~bm_b), sz_b − popcount(bm_b & ~bm_a))
     #     evaluated INSIDE the bucket expansion. Output-identical, and

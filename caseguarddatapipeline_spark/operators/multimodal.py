@@ -167,6 +167,155 @@ def _parse_bmp(b: bytes):
     return w, h, np.ascontiguousarray(rgb.reshape(h, w * 3))
 
 
+def _png_filter_rows(px, h: int, w: int):
+    """Apply the PNG per-row filter transform the spec's encoder side
+    defines (filter type = row % 5, cycling through None/Sub/Up/Average/
+    Paeth) to the logical RGB image — so the fixture's IDAT payload is a
+    REAL filtered PNG byte stream and the decoder must genuinely undo
+    every filter type to recover the pixels."""
+    import numpy as np
+
+    raw = px.reshape(h, w * 3).astype(np.int64)
+    out = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    for y in range(h):
+        ftype = y % 5
+        cur = raw[y]
+        left = np.concatenate([[0, 0, 0], cur[:-3]])
+        prior = raw[y - 1] if y > 0 else np.zeros_like(cur)
+        pl = np.concatenate([[0, 0, 0], prior[:-3]])
+        if ftype == 0:
+            f = cur
+        elif ftype == 1:
+            f = cur - left
+        elif ftype == 2:
+            f = cur - prior
+        elif ftype == 3:
+            f = cur - (left + prior) // 2
+        else:  # Paeth
+            p = left + prior - pl
+            pa, pb, pc = abs(p - left), abs(p - prior), abs(p - pl)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, pl)
+            )
+            f = cur - pred
+        out[y, 0] = ftype
+        out[y, 1:] = (f % 256).astype(np.uint8)
+    return out.tobytes()
+
+
+def _zlib_stored(data: bytes) -> bytes:
+    """A zlib stream of STORED (uncompressed) deflate blocks, constructed
+    byte-by-byte: 2-byte header, per-≤65535-byte block a 5-byte stored
+    header, then the 4-byte adler32 — decompressible by any inflater and
+    fully deterministic, so the fixture PNG's on-disk size stays an
+    exact integer formula the SQL oracle can state (unlike real deflate,
+    whose compressed size is data- and library-dependent)."""
+    import struct
+    import zlib
+
+    out = [b"\x78\x01"]
+    n = len(data)
+    pos = 0
+    while True:
+        chunk = data[pos : pos + 65535]
+        pos += len(chunk)
+        final = 1 if pos >= n else 0
+        out.append(
+            struct.pack("<BHH", final, len(chunk), 0xFFFF ^ len(chunk))
+            + chunk
+        )
+        if final:
+            break
+    out.append(struct.pack(">I", zlib.adler32(data)))
+    return b"".join(out)
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload))
+    )
+
+
+def _parse_png(b: bytes):
+    """BYTE-REAL PNG decode for 8-bit truecolor non-interlaced images,
+    using only the stdlib: walk the chunk stream (validating each CRC),
+    inflate the concatenated IDAT payload with zlib, and undo the
+    per-row filter (all five types: None/Sub/Up/Average/Paeth) exactly
+    as the spec's decoder side requires. Returns (w, h, arr) with arr
+    the logical (height, width*3) top-down RGB — byte-identical to what
+    ``_parse_ppm``/``_parse_bmp`` return for the same logical image."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG file")
+    pos, w = 8, None
+    idat = []
+    while pos < len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        payload = b[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", b[pos + 8 + length : pos + 12 + length]
+        )
+        if crc != zlib.crc32(ctype + payload):
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, ctype_code, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if (depth, ctype_code, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit truecolor non-interlaced PNG is supported"
+                )
+        elif ctype == b"IDAT":
+            idat.append(payload)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    stream = np.frombuffer(
+        zlib.decompress(b"".join(idat)), dtype=np.uint8
+    ).reshape(h, 1 + w * 3)
+    out = np.empty((h, w * 3), dtype=np.int64)
+    zero = np.zeros(w * 3, dtype=np.int64)
+    for y in range(h):
+        ftype = int(stream[y, 0])
+        f = stream[y, 1:].astype(np.int64)
+        prior = out[y - 1] if y > 0 else zero
+        if ftype == 0:
+            out[y] = f
+        elif ftype == 2:
+            out[y] = (f + prior) % 256
+        else:  # Sub/Average/Paeth need the running left neighbor
+            row = out[y]
+            for i in range(w * 3):
+                left = row[i - 3] if i >= 3 else 0
+                up = prior[i]
+                ul = prior[i - 3] if i >= 3 else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (
+                        up if pb <= pc else ul
+                    )
+                row[i] = (f[i] + pred) % 256
+    return w, h, out.astype(np.uint8)
+
+
 def _parse_wav_pcm(b: bytes):
     """BYTE-REAL WAV decode for the canonical PCM layout the fixture (and
     e4_audio_chunks' framing constants) use: RIFF/WAVE with a 16-byte fmt
@@ -398,7 +547,7 @@ def e4_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BINFIX_N = 64  # docs materialized as real files (bounded fixture, not data-sized)
-_BINFIX_VERSION = 3  # bump when payload formats change: invalidates old fixtures
+_BINFIX_VERSION = 4  # bump when payload formats change: invalidates old fixtures
 
 
 def _format_ext(doc_id: int) -> str:
@@ -440,9 +589,14 @@ def _format_payload(doc_id: int, text: str) -> bytes:
 
     - pdf: ``%PDF-1.4`` header line + the doc text as body + ``%%EOF``
       (n_bytes = len(text) + 15).
-    - png: 8-byte PNG signature + a valid IHDR chunk (big-endian dims
-      64+(id%5)*32 × 64+(id%4)*32, 8-bit truecolor, correct CRC32) —
-      n_bytes = 33.
+    - png: a COMPLETE real PNG (round 10 — no longer header-only):
+      signature, IHDR (big-endian dims 64+(id%5)*32 × 64+(id%4)*32,
+      8-bit truecolor, correct CRC32), an IDAT carrying the
+      ``_raster_pixels`` logical image run through the spec's per-row
+      filters (type = row % 5, so all five filter types appear) inside
+      a stored-block zlib stream (``_zlib_stored`` — deterministic
+      framing, so n_bytes = 63 + raw + 5·ceil(raw/65535) with
+      raw = h·(1+3w) stays an exact SQL formula), and IEND.
     - wav: canonical 44-byte RIFF/WAVE PCM header (8 kHz mono 8-bit,
       matching e4_audio_chunks' framing constants) + the text bytes as
       the sample data (n_bytes = len(text) + 44).
@@ -455,7 +609,6 @@ def _format_payload(doc_id: int, text: str) -> bytes:
       decoder must genuinely undo both quirks to recover the pixels.
     """
     import struct
-    import zlib
 
     import numpy as np
 
@@ -465,12 +618,16 @@ def _format_payload(doc_id: int, text: str) -> bytes:
         return b"%PDF-1.4\n" + body + b"\n%%EOF"
     if ext == "png":
         w, h = 64 + (doc_id % 5) * 32, 64 + (doc_id % 4) * 32
-        chunk = b"IHDR" + struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+        px = _raster_pixels(doc_id, w, h)
         return (
             b"\x89PNG\r\n\x1a\n"
-            + struct.pack(">I", 13)
-            + chunk
-            + struct.pack(">I", zlib.crc32(chunk))
+            + _png_chunk(
+                b"IHDR", struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+            )
+            + _png_chunk(
+                b"IDAT", _zlib_stored(_png_filter_rows(px, h, w))
+            )
+            + _png_chunk(b"IEND", b"")
         )
     if ext == "wav":
         return (
@@ -612,8 +769,10 @@ def _pixel_tiles_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             b = bytes(payload)
             if b[:2] == b"P6":
                 fmt, (w, h, arr) = "ppm", _parse_ppm(b)
-            else:
+            elif b[:2] == b"BM":
                 fmt, (w, h, arr) = "bmp", _parse_bmp(b)
+            else:
+                fmt, (w, h, arr) = "png", _parse_png(b)
             a = arr.astype(np.int64)
             for ty in range(h // PIX_TILE):
                 rows = a[ty * PIX_TILE : (ty + 1) * PIX_TILE]
@@ -648,7 +807,7 @@ def e4_pixel_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture = _binaryfile_fixture_dir(spark, sf_dir)
     bf = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "doc_*.{ppm,bmp}")
+        .option("pathGlobFilter", "doc_*.{ppm,bmp,png}")
         .load(fixture)
     )
     docs = bf.select(
@@ -666,6 +825,81 @@ def e4_pixel_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.withColumn(
         "byte_mean",
         F.round(F.col("byte_sum") / F.lit(float(_TILE_BYTES)), 4),
+    )
+
+
+RESIZE_FACTOR = 2  # nearest-neighbor downsample stride
+
+
+def _resize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched BYTE-REAL nearest-neighbor resize: decode the raster
+    payload, take every RESIZE_FACTOR-th pixel in both axes (the
+    standard nearest-neighbor decimation a thumbnail/preprocessing stage
+    applies before embedding), and emit statistics computed from the
+    RESIZED pixel bytes — so a stride, axis, or channel error changes
+    the output."""
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            k: []
+            for k in (
+                "doc_id", "fmt", "img_w", "img_h", "out_w", "out_h",
+                "byte_sum", "byte_min", "byte_max",
+            )
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            if b[:2] == b"P6":
+                fmt, (w, h, arr) = "ppm", _parse_ppm(b)
+            elif b[:2] == b"BM":
+                fmt, (w, h, arr) = "bmp", _parse_bmp(b)
+            else:
+                fmt, (w, h, arr) = "png", _parse_png(b)
+            px = arr.reshape(h, w, 3)
+            small = px[:: RESIZE_FACTOR, :: RESIZE_FACTOR, :].astype(np.int64)
+            out["doc_id"].append(doc_id)
+            out["fmt"].append(fmt)
+            out["img_w"].append(w)
+            out["img_h"].append(h)
+            out["out_w"].append(small.shape[1])
+            out["out_h"].append(small.shape[0])
+            out["byte_sum"].append(int(small.sum()))
+            out["byte_min"].append(int(small.min()))
+            out["byte_max"].append(int(small.max()))
+        yield pd.DataFrame(out)
+
+
+def e4_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-REAL image resize (round-10: completes the brief's
+    decode / feature-extract / RESIZE / frame-sample quartet without a
+    stub): nearest-neighbor 2× downsample of the genuinely decoded
+    PPM/BMP pixels, per-image statistics over the RESIZED bytes. The
+    fixture pixel formula (``_raster_pixels``) makes the expected resized
+    bytes exactly computable in SQL — out pixel (y,x,c) is in pixel
+    (2y,2x,c) — so any stride/axis/channel mistake hash-mismatches.
+    Same scale posture as the other binaryFile kernels: one file = one
+    row = one kernel call, no shuffle."""
+    fixture = _binaryfile_fixture_dir(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*.{ppm,bmp,png}")
+        .load(fixture)
+    )
+    docs = bf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    resized = docs.mapInPandas(
+        _resize_kernel,
+        "doc_id long, fmt string, img_w int, img_h int, out_w int, "
+        "out_h int, byte_sum long, byte_min int, byte_max int",
+    )
+    n_out = (F.col("out_w") * F.col("out_h") * 3).cast("double")
+    return resized.withColumn(
+        "byte_mean", F.round(F.col("byte_sum") / n_out, 4)
     )
 
 
@@ -735,6 +969,7 @@ def e4_wav_pcm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "e4_pixel_tile_stats": e4_pixel_tile_stats,
     "e4_wav_pcm_frames": e4_wav_pcm_frames,
+    "e4_image_resize": e4_image_resize,
     "e4_image_tiles": e4_image_tiles,
     "e4_binaryfile_scan": e4_binaryfile_scan,
     "e4_multimodal_join": e4_multimodal_join,
@@ -755,7 +990,11 @@ ORACLES = {
                    CAST(64 + (doc_id % 5) * 32 AS VARCHAR) AS rw,
                    CAST(64 + (doc_id % 7 % 4) * 32 AS VARCHAR) AS rh,
                    (64 + (doc_id % 5) * 32) * (64 + (doc_id % 7 % 4) * 32) * 3
-                       AS rpix
+                       AS rpix,
+                   -- png raw filtered stream: h rows of (1 filter byte
+                   -- + 3w pixel bytes); file = 63 + raw + 5*ceil(raw/65535)
+                   (64 + (doc_id % 4) * 32)
+                       * (1 + 3 * (64 + (doc_id % 5) * 32)) AS praw
             FROM documents WHERE doc_id < 64
         )
         SELECT d.doc_id,
@@ -765,7 +1004,8 @@ ORACLES = {
                     WHEN d.doc_id % 12 = 5 THEN 'image/x-portable-pixmap'
                     ELSE 'image/bmp' END AS mime_type,
                CAST(CASE WHEN d.doc_id % 3 = 0 THEN length(text) + 15
-                         WHEN d.doc_id % 3 = 1 THEN 33
+                         WHEN d.doc_id % 3 = 1
+                             THEN 63 + m.praw + 5 * ((m.praw + 65534) // 65535)
                          WHEN d.doc_id % 6 = 2 THEN length(text) + 44
                          WHEN d.doc_id % 12 = 5
                              THEN 9 + length(m.rw) + length(m.rh) + m.rpix
@@ -791,11 +1031,17 @@ ORACLES = {
     "e4_pixel_tile_stats": """
         WITH imgs AS (
             SELECT doc_id,
-                   CASE WHEN doc_id % 12 = 5 THEN 'ppm' ELSE 'bmp' END AS fmt,
+                   CASE WHEN doc_id % 12 = 5 THEN 'ppm'
+                        WHEN doc_id % 12 = 11 THEN 'bmp'
+                        ELSE 'png' END AS fmt,
                    CAST(64 + (doc_id % 5) * 32 AS INT) AS img_w,
-                   CAST(64 + (doc_id % 7 % 4) * 32 AS INT) AS img_h
+                   CAST(CASE WHEN doc_id % 3 = 1
+                             THEN 64 + (doc_id % 4) * 32
+                             ELSE 64 + (doc_id % 7 % 4) * 32 END AS INT)
+                       AS img_h
             FROM documents
-            WHERE doc_id < 64 AND (doc_id % 12 = 5 OR doc_id % 12 = 11)
+            WHERE doc_id < 64
+              AND (doc_id % 12 = 5 OR doc_id % 12 = 11 OR doc_id % 3 = 1)
         ), tiles AS (
             SELECT doc_id, fmt, img_w, img_h,
                    ty.v AS tile_y, tx.v AS tile_x
@@ -817,6 +1063,46 @@ ORACLES = {
                round(sum(v) / 3072.0, 4) AS byte_mean
         FROM vals
         GROUP BY doc_id, fmt, img_w, img_h, tile_y, tile_x
+    """,
+    # Byte-real nearest-neighbor resize: out pixel (y,x,c) = in pixel
+    # (2y,2x,c), in byte value (doc_id*3 + j) % 256 at
+    # j = (2y·w + 2x)·3 + c — summed over the out grid in SQL.
+    "e4_image_resize": """
+        WITH imgs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 12 = 5 THEN 'ppm'
+                        WHEN doc_id % 12 = 11 THEN 'bmp'
+                        ELSE 'png' END AS fmt,
+                   CAST(64 + (doc_id % 5) * 32 AS INT) AS img_w,
+                   CAST(CASE WHEN doc_id % 3 = 1
+                             THEN 64 + (doc_id % 4) * 32
+                             ELSE 64 + (doc_id % 7 % 4) * 32 END AS INT)
+                       AS img_h
+            FROM documents
+            WHERE doc_id < 64
+              AND (doc_id % 12 = 5 OR doc_id % 12 = 11 OR doc_id % 3 = 1)
+        ), vals AS (
+            SELECT doc_id, fmt, img_w, img_h,
+                   img_w // 2 AS out_w, img_h // 2 AS out_h,
+                   (doc_id * 3
+                    + ((2 * (u.t // 3 // (img_w // 2))) * img_w
+                       + 2 * (u.t // 3 % (img_w // 2))) * 3
+                    + u.t % 3) % 256 AS v
+            FROM imgs,
+                 LATERAL (
+                     SELECT unnest(range((img_w // 2) * (img_h // 2) * 3))
+                         AS t
+                 ) u
+        )
+        SELECT doc_id, fmt, img_w, img_h,
+               CAST(out_w AS INT) AS out_w, CAST(out_h AS INT) AS out_h,
+               CAST(sum(v) AS BIGINT) AS byte_sum,
+               CAST(min(v) AS INT) AS byte_min,
+               CAST(max(v) AS INT) AS byte_max,
+               round(sum(v) / CAST(out_w * out_h * 3 AS DOUBLE), 4)
+                   AS byte_mean
+        FROM vals
+        GROUP BY doc_id, fmt, img_w, img_h, out_w, out_h
     """,
     # Byte-real WAV decode: the fixture's PCM payload IS the document
     # text's utf-8 bytes (pure-ASCII corpus), so each 80-sample frame's

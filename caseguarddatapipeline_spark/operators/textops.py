@@ -826,30 +826,18 @@ def winnow_postings(docs: DataFrame) -> DataFrame:
     computed once per row and referenced thereafter. All array-local, no
     shuffle, no Python.
 
-    ``explode_outer`` + post-generate null filter, NOT ``explode`` (round
-    10): exploding an ALIASED array column lets Catalyst's
-    InferFiltersFromGenerate add ``size(fps) > 0`` above the projection
-    chain, and predicate pushdown then substitutes the alias — inlining
-    the ENTIRE winnowing pipeline into a per-row Filter whose lambdas
-    re-split the text per element: the exact O(n²) CSE trap the
-    paragraph above describes, reintroduced by the optimizer (measured:
-    a 2×-replicated sf0.1 corpus went from 2.1 s to >100 s). The rule
-    only fires for non-outer explode; the null row an empty-fps doc
-    contributes is dropped by a filter on the GENERATED attribute, which
-    cannot be pushed below the Generate."""
-    return (
-        winnow_fp_arrays(docs)
-        .select("doc_id", F.explode_outer("fps").alias("fp"))
-        .filter(F.col("fp").isNotNull())
-    )
-
-
-def winnow_fp_arrays(docs: DataFrame) -> DataFrame:
-    """``winnow_postings``' per-document ARRAY stage, exposed: (doc_id,
-    fps array<string>) with fps the distinct winnowed fingerprints. The
-    near-dup join (dedup.winnow_pairs) consumes this form so it can
-    derive per-doc prune sketches map-side, in the same row, BEFORE the
-    posting explode — zero extra shuffle (round 10)."""
+    The explode's generator must stay the INLINE expression, never a
+    previously-aliased array column (round-10 design record): exploding
+    an aliased array lets Catalyst's InferFiltersFromGenerate add
+    ``size(arr) > 0`` above the projection chain, and predicate pushdown
+    then substitutes the alias — inlining the ENTIRE winnowing pipeline
+    into a per-row Filter whose lambdas re-split the text per element,
+    the exact O(n²) CSE trap the paragraph above describes reintroduced
+    by the optimizer (measured: a 2×-replicated sf0.1 corpus went from
+    2.1 s to >100 s). An explode_outer + isNotNull detour dodges that
+    rule but still measured ~20% slower at the 50× stress corpus than
+    this inline form (128 vs 103 s), so the aliased-array stage the
+    rejected bitmap prune needed is gone with it."""
     staged = docs.select("doc_id", _tokens().alias("toks"))
     t = F.col("toks")
     n = F.size(t)
@@ -877,7 +865,7 @@ def winnow_fp_arrays(docs: DataFrame) -> DataFrame:
     selected = F.array_distinct(
         F.transform(widx, lambda j: F.array_min(F.slice(h, j, WINNOW_W)))
     )
-    return staged.select("doc_id", selected.alias("fps"))
+    return staged.select("doc_id", F.explode(selected).alias("fp"))
 
 
 def e3_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

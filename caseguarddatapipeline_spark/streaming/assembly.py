@@ -97,12 +97,22 @@ def run_assembly_stream(
     *,
     token_budget: int = DEFAULT_TOKEN_BUDGET,
     max_files_per_trigger: int = 2,
+    state_files_per_batch: int = 1,
 ):
     """Drain the document stream through the composed assembly pipeline.
     Input rows: (doc_id long, text string); source is derived
     deterministically from doc_id (pmod 4) the way the synthetic corpus
     assigns it. Returns the finished query; state/corpus live under
-    ``work_dir`` (hash_index/, sig_index/, budget_state/, corpus/)."""
+    ``work_dir`` (hash_index/, sig_index/, budget_state/, corpus/).
+
+    ``state_files_per_batch`` coalesces each per-batch state/corpus write
+    (round 10): the default shuffle width otherwise fans every tiny
+    per-batch frame into 32 part files — 4 writes × 32 files × N batches
+    — and the per-batch FIXED cost is dominated by committing and then
+    re-listing that fragmentation on every subsequent state read. One
+    file per write is right for micro-batch-sized state; a production
+    deployment sizes it to batch_volume / target_file_size (the same
+    dial maintain_index's compaction turns after the fact)."""
     hash_index = os.path.join(work_dir, "hash_index")
     sig_index = os.path.join(work_dir, "sig_index")
     tally_dir = os.path.join(work_dir, "budget_state")
@@ -221,6 +231,7 @@ def run_assembly_stream(
                         admitted.select(
                             "doc_id", "source", "text", "n_tokens"
                         )
+                        .coalesce(state_files_per_batch)
                         .withColumn("batch_id", F.lit(batch_id))
                         .write.mode("overwrite")
                         .option("partitionOverwriteMode", "dynamic")
@@ -230,6 +241,7 @@ def run_assembly_stream(
                     (
                         admitted.groupBy("source")
                         .agg(F.sum("n_tokens").alias("tokens"))
+                        .coalesce(state_files_per_batch)
                         .withColumn("ingest_batch", F.lit(batch_id))
                         .write.mode("overwrite")
                         .option("partitionOverwriteMode", "dynamic")
@@ -238,6 +250,7 @@ def run_assembly_stream(
                     )
                     (
                         exact.select("content_key")
+                        .coalesce(state_files_per_batch)
                         .withColumn("ingest_batch", F.lit(batch_id))
                         .write.mode("overwrite")
                         .option("partitionOverwriteMode", "dynamic")
@@ -248,6 +261,7 @@ def run_assembly_stream(
                         banded.join(
                             survivors.select("doc_id"), "doc_id", "left_semi"
                         )
+                        .coalesce(state_files_per_batch)
                         .withColumn("ingest_batch", F.lit(batch_id))
                         .write.mode("overwrite")
                         .option("partitionOverwriteMode", "dynamic")

@@ -112,6 +112,8 @@ BNLJ_BOUNDED = {
     "e3_ranked_search": "corpus total-docs scalar (1-row broadcast)",
     "e3_bm25_search": "corpus (n_docs, sum_dl) scalar (1-row broadcast)",
     "e3_vocab_induction_2round": "round-1 winning merge pair (1-row broadcast)",
+    "e3_bpe_encode_nround": "the 4-round learned merge table (1-row "
+    "broadcasts, one per unrolled round)",
     "a32_psi_drift": "time-cutoff scalar + fixed 6-bin/2-phase spine "
     "(1-, 6- and 2-row broadcasts)",
     "e5_curation_funnel": "funnel stage counts (scalar aggregates)",

@@ -141,20 +141,29 @@ def test_wav_frames_kernel_matches_bruteforce():
         )
 
 
+def _fixture_dims(doc_id: int) -> tuple[int, int]:
+    if doc_id % 3 == 1:  # png class uses its own height modulus
+        return 64 + (doc_id % 5) * 32, 64 + (doc_id % 4) * 32
+    return M._raster_dims(doc_id)
+
+
 def test_pixel_tile_stats_query_runs(spark, sf_dir):
     out = M.e4_pixel_tile_stats(spark, sf_dir)
     rows = out.collect()
     assert rows
-    # 10 raster fixture docs (5 ppm + 5 bmp), every tile accounted for
+    # 31 raster fixture docs (5 ppm + 5 bmp + 21 png), every tile counted
     per_doc = {}
+    fmts = set()
     for r in rows:
         per_doc.setdefault(r.doc_id, 0)
         per_doc[r.doc_id] += 1
+        fmts.add(r.fmt)
         assert 0 <= r.byte_min <= r.byte_max <= 255
         assert r.byte_mean == round(r.byte_sum / 3072.0, 4)
-    assert len(per_doc) == 10
+    assert len(per_doc) == 31
+    assert fmts == {"ppm", "bmp", "png"}
     for did, n in per_doc.items():
-        w, h = M._raster_dims(did)
+        w, h = _fixture_dims(did)
         assert n == (w // 32) * (h // 32)
 
 
@@ -217,3 +226,78 @@ def test_winnow_bitmap_bound_is_sound():
         assert miss_ab <= len(fa - fb)
         # ⇒ shared = |fa ∩ fb| ≤ |fa| − miss_ab
         assert len(fa & fb) <= len(fa) - miss_ab
+
+
+def test_resize_kernel_matches_bruteforce():
+    doc_id = 23  # bmp: the resize must see the flipped/swapped pixels
+    payload = M._format_payload(doc_id, TEXT)
+    [out] = list(
+        M._resize_kernel(
+            iter([pd.DataFrame({"doc_id": [doc_id], "payload": [payload]})])
+        )
+    )
+    w, h = M._raster_dims(doc_id)
+    small = (
+        _logical(doc_id).reshape(h, w, 3)[::2, ::2, :].astype(np.int64)
+    )
+    r = out.iloc[0]
+    assert (r.out_w, r.out_h) == (w // 2, h // 2)
+    assert (r.byte_sum, r.byte_min, r.byte_max) == (
+        int(small.sum()),
+        int(small.min()),
+        int(small.max()),
+    )
+
+
+def test_png_decode_recovers_logical_pixels_all_filters():
+    """The fixture PNGs are complete real files (signature, CRC-valid
+    chunks, stored-block zlib IDAT) whose rows cycle through ALL FIVE
+    PNG filter types; the stdlib-only decoder must inflate and defilter
+    back to the logical image byte-for-byte."""
+    import zlib
+
+    for doc_id in (1, 4, 7, 10, 13):
+        assert M._format_ext(doc_id) == "png"
+        b = M._format_payload(doc_id, TEXT)
+        w, h = 64 + (doc_id % 5) * 32, 64 + (doc_id % 4) * 32
+        got_w, got_h, arr = M._parse_png(b)
+        assert (got_w, got_h) == (w, h)
+        j = np.arange(w * h * 3, dtype=np.int64)
+        logical = ((doc_id * 3 + j) % 256).astype(np.uint8).reshape(h, w * 3)
+        assert np.array_equal(arr, logical)
+        # the size formula the scan oracle states
+        raw = h * (1 + 3 * w)
+        assert len(b) == 63 + raw + 5 * ((raw + 65534) // 65535)
+        # the IDAT really is a valid zlib stream of the filtered rows
+        idat = b[8 + 25 + 8 : -12 - 4]
+        assert zlib.decompress(idat) == M._png_filter_rows(
+            logical.reshape(h, w, 3), h, w
+        )
+
+
+def test_png_decode_rejects_corrupt_crc():
+    import pytest
+
+    b = bytearray(M._format_payload(1, TEXT))
+    b[40] ^= 0xFF  # flip a byte inside IDAT: its CRC must trip
+    with pytest.raises(ValueError, match="CRC"):
+        M._parse_png(bytes(b))
+
+
+def test_png_filter_roundtrip_exhaustive():
+    """Every filter type round-trips on adversarial pixel data (random
+    bytes force the Paeth/Average tie-break and modular wrap paths)."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(10, 4, 3), dtype=np.uint8)
+    stream = M._png_filter_rows(px, 10, 4)
+    b = (
+        b"\x89PNG\r\n\x1a\n"
+        + M._png_chunk(
+            b"IHDR",
+            __import__("struct").pack(">II5B", 4, 10, 8, 2, 0, 0, 0),
+        )
+        + M._png_chunk(b"IDAT", M._zlib_stored(stream))
+        + M._png_chunk(b"IEND", b"")
+    )
+    _, _, arr = M._parse_png(b)
+    assert np.array_equal(arr, px.reshape(10, 12))

@@ -177,3 +177,30 @@ def test_stream_assembly_record_floor():
         f"composed streaming assembly {doc['docs_per_sec']} docs/s below "
         f"the {FLOORS['docs_per_sec']} floor"
     )
+
+
+def test_stream_assembly_decomposition_recorded():
+    """Round-10: the record must carry the fixed/marginal decomposition
+    (two drains of the same corpus at different batch counts) and hold
+    the marginal floor — the number the 100 TB extrapolation rests on,
+    since per-batch fixed cost amortizes away at production batch
+    sizes."""
+    from tools.assembly_stream_bench import FLOORS
+
+    doc = json.loads((REPO / "STREAM_ASSEMBLY.json").read_text())
+    d = doc["decomposition"]
+    assert d["batches_b2"] > doc["batches"]
+    assert d["elapsed_b2_sec"] > doc["elapsed_sec"], (
+        "more micro-batches over the same corpus must cost more wall "
+        "clock (per-batch fixed cost exists)"
+    )
+    assert d["fixed_sec_per_batch"] >= 0
+    assert d["marginal_docs_per_sec"] >= FLOORS["marginal_docs_per_sec"], (
+        f"marginal {d['marginal_docs_per_sec']} docs/s below the "
+        f"{FLOORS['marginal_docs_per_sec']} floor"
+    )
+    # consistency: fixed + marginal reconstruct the measured drain
+    recon = d["fixed_sec_per_batch"] * doc["batches"] + doc["docs_in"] / d[
+        "marginal_docs_per_sec"
+    ]
+    assert abs(recon - doc["elapsed_sec"]) <= 0.05 * doc["elapsed_sec"] + 0.1

@@ -102,6 +102,15 @@ def main() -> int:
         # shuffles + 1-row broadcasts); the per-document encode itself
         # must be one map-side projection over the corpus scan
         "e3_bpe_encode",
+        # round-10 additions: byte-real multimodal decode — each must be
+        # a binaryFile scan feeding ONE ArrowEvalPython/mapInPandas stage
+        # with no shuffle before the kernel; the N-round BPE encode must
+        # stay a map-side replace chain over the corpus scan with the
+        # learned merges arriving via 1-row broadcasts
+        "e4_pixel_tile_stats",
+        "e4_wav_pcm_frames",
+        "e4_image_resize",
+        "e3_bpe_encode_nround",
     ]
     print("# PLANS — formatted physical plans of the headline queries")
     print()

@@ -301,3 +301,96 @@ def test_png_filter_roundtrip_exhaustive():
     )
     _, _, arr = M._parse_png(b)
     assert np.array_equal(arr, px.reshape(10, 12))
+
+
+# ---- property-based round-trips (hypothesis): the decoders must invert
+# the encoders for ARBITRARY dimensions and pixel/sample content, not
+# just the fixture's formula images ----
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def _images(draw):
+    w = draw(st.integers(min_value=1, max_value=9))
+    h = draw(st.integers(min_value=1, max_value=9))
+    data = draw(
+        st.binary(min_size=w * h * 3, max_size=w * h * 3)
+    )
+    return w, h, np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_images())
+def test_property_png_roundtrip(img):
+    import struct
+
+    w, h, px = img
+    b = (
+        b"\x89PNG\r\n\x1a\n"
+        + M._png_chunk(b"IHDR", struct.pack(">II5B", w, h, 8, 2, 0, 0, 0))
+        + M._png_chunk(b"IDAT", M._zlib_stored(M._png_filter_rows(px, h, w)))
+        + M._png_chunk(b"IEND", b"")
+    )
+    got_w, got_h, arr = M._parse_png(b)
+    assert (got_w, got_h) == (w, h)
+    assert np.array_equal(arr, px.reshape(h, w * 3))
+
+
+@settings(max_examples=40, deadline=None)
+@given(_images())
+def test_property_bmp_roundtrip_with_padding(img):
+    """Arbitrary widths exercise every row-padding case (0-3 pad
+    bytes), plus the bottom-up flip and BGR swap."""
+    import struct
+
+    w, h, px = img
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+    b = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + stride * h, 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+        )
+        + rows.tobytes()
+    )
+    got_w, got_h, arr = M._parse_bmp(b)
+    assert (got_w, got_h) == (w, h)
+    assert np.array_equal(arr, px.reshape(h, w * 3))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_property_wav_pcm_roundtrip(data):
+    import struct
+
+    b = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    rate, samples = M._parse_wav_pcm(b)
+    assert rate == 8000
+    assert samples.tobytes() == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=200_000))
+def test_property_zlib_stored_is_valid_zlib(data):
+    """The hand-built stored-block stream must be decompressible by the
+    real inflater for any payload, including the multi-block (>65535)
+    and empty cases, and its size must match the oracle formula."""
+    import zlib
+
+    out = M._zlib_stored(data)
+    assert zlib.decompress(out) == data
+    nblocks = max(1, -(-len(data) // 65535))
+    assert len(out) == 2 + 5 * nblocks + len(data) + 4

@@ -157,11 +157,14 @@ _PRIORITY = [
     # a stub (displaces e3_zscore_by_source_scaled, green r4-r9 — its
     # unscaled twin's algebra stays pinned row-identical in-suite)
     "e4_image_resize",
+    # ... and the G.711 mu-law expansion over the WAV fixture — a real
+    # sample-domain transform on decoded bytes, table pinned against
+    # CPython's C audioop (displaces e5_sequence_pack, green r4-r9 —
+    # packing stays pinned by the composed assembly records)
+    "e4_wav_mulaw_frames",
     # Round-4 E2 continuity
     "e2_ivfpq_search_1round",
     "e2_pq_recall",
-    # Never-driver-verified: round-4 E3/E4/E5 additions
-    "e5_sequence_pack",
     "e5_dataset_card",
     # Never-driver-verified: round-4 temporal / misc additions
     "t13_incremental_rollup",

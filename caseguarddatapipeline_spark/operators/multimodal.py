@@ -937,6 +937,81 @@ def _wav_frames_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         yield pd.DataFrame(out)
 
 
+def _mulaw_decode_table():
+    """The 256-entry G.711 mu-law → linear-16 decode table, computed from
+    the CCITT reference recipe: complement, then
+    magnitude = ((mantissa·8 + 0x84) << exponent), signed around the
+    0x84 bias. Pure integer arithmetic, so the SQL oracle states the
+    same formula per sample."""
+    import numpy as np
+
+    u = 255 - np.arange(256, dtype=np.int64)  # ~byte & 0xFF
+    mant = u & 0x0F
+    exp = (u >> 4) & 0x07
+    t = ((mant << 3) + 0x84) << exp
+    return np.where(u & 0x80, 0x84 - t, t - 0x84)
+
+
+def _mulaw_frames_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched mu-law decode + framing: parse the WAV container,
+    expand every 8-bit sample through the G.711 decode table to its
+    linear-16 value (the transform an ASR front-end applies to telephony
+    audio before feature extraction), and emit per-10 ms-frame statistics
+    over the DECODED values."""
+    lut = _mulaw_decode_table()
+    for pdf in batches:
+        out: dict[str, list] = {
+            k: []
+            for k in (
+                "doc_id", "frame_index", "n_samples",
+                "linear_sum", "linear_min", "linear_max",
+            )
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, samples = _parse_wav_pcm(bytes(payload))
+            if rate != SAMPLE_RATE:
+                raise ValueError(f"unexpected sample rate {rate}")
+            lin = lut[samples]
+            for fi in range(0, -(-len(lin) // WAV_FRAME_SAMPLES)):
+                fr = lin[fi * WAV_FRAME_SAMPLES : (fi + 1) * WAV_FRAME_SAMPLES]
+                out["doc_id"].append(doc_id)
+                out["frame_index"].append(fi)
+                out["n_samples"].append(len(fr))
+                out["linear_sum"].append(int(fr.sum()))
+                out["linear_min"].append(int(fr.min()))
+                out["linear_max"].append(int(fr.max()))
+        yield pd.DataFrame(out)
+
+
+def e4_wav_mulaw_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 mu-law EXPANSION over the WAV fixture (round-10): the
+    telephony-audio decode an ASR preprocessing stage runs — each 8-bit
+    sample maps through the CCITT mu-law recipe to its linear-16 value,
+    then 10 ms frames report statistics over the DECODED signal.
+    ``e4_wav_pcm_frames`` proves the container parse; this op proves a
+    real sample-domain TRANSFORM on the decoded bytes, with the oracle
+    restating the bit arithmetic per sample in SQL (complement → mantissa
+    /exponent split → biased shift → sign fold). Same scale posture: one
+    file = one kernel call, no shuffle."""
+    fixture = _binaryfile_fixture_dir(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*.wav")
+        .load(fixture)
+    )
+    docs = bf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return docs.mapInPandas(
+        _mulaw_frames_kernel,
+        "doc_id long, frame_index int, n_samples int, linear_sum long, "
+        "linear_min int, linear_max int",
+    )
+
+
 def e4_wav_pcm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BYTE-REAL audio framing (round-10): scan the fixture's WAV files
     with ``binaryFile``, decode the ACTUAL 8-bit PCM sample payload (the
@@ -969,6 +1044,7 @@ def e4_wav_pcm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "e4_pixel_tile_stats": e4_pixel_tile_stats,
     "e4_wav_pcm_frames": e4_wav_pcm_frames,
+    "e4_wav_mulaw_frames": e4_wav_mulaw_frames,
     "e4_image_resize": e4_image_resize,
     "e4_image_tiles": e4_image_tiles,
     "e4_binaryfile_scan": e4_binaryfile_scan,
@@ -1103,6 +1179,41 @@ ORACLES = {
                    AS byte_mean
         FROM vals
         GROUP BY doc_id, fmt, img_w, img_h, out_w, out_h
+    """,
+    # G.711 mu-law expansion, restated per sample in SQL: with
+    # u = 255 - byte (the complement), mantissa = u % 16,
+    # exponent = (u // 16) % 8, t = (mantissa*8 + 132) << exponent,
+    # linear = 132 - t when u >= 128 else t - 132.
+    "e4_wav_mulaw_frames": """
+        WITH wav AS (
+            SELECT doc_id, text, length(text) AS n
+            FROM documents WHERE doc_id < 64 AND doc_id % 6 = 2
+        ), frames AS (
+            SELECT doc_id, text, n,
+                   CAST(f.v AS INT) AS frame_index,
+                   CAST(least(80, n - f.v * 80) AS INT) AS n_samples
+            FROM wav, LATERAL (SELECT unnest(range((n + 79) // 80)) AS v) f
+            WHERE n > 0
+        ), raw AS (
+            SELECT doc_id, frame_index, n_samples,
+                   255 - ascii(substring(text, frame_index * 80 + s.v + 1, 1))
+                       AS u
+            FROM frames,
+                 LATERAL (SELECT unnest(range(n_samples)) AS v) s
+        ), dec AS (
+            SELECT doc_id, frame_index, n_samples,
+                   CASE WHEN u >= 128
+                        THEN 132 - (((u % 16) * 8 + 132) << ((u // 16) % 8))
+                        ELSE (((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132
+                   END AS v
+            FROM raw
+        )
+        SELECT doc_id, frame_index, n_samples,
+               CAST(sum(v) AS BIGINT) AS linear_sum,
+               CAST(min(v) AS INT) AS linear_min,
+               CAST(max(v) AS INT) AS linear_max
+        FROM dec
+        GROUP BY doc_id, frame_index, n_samples
     """,
     # Byte-real WAV decode: the fixture's PCM payload IS the document
     # text's utf-8 bytes (pure-ASCII corpus), so each 80-sample frame's

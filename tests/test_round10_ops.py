@@ -394,3 +394,40 @@ def test_property_zlib_stored_is_valid_zlib(data):
     assert zlib.decompress(out) == data
     nblocks = max(1, -(-len(data) // 65535))
     assert len(out) == 2 + 5 * nblocks + len(data) + 4
+
+
+def test_mulaw_table_matches_cpython_audioop():
+    """Independent reference: the G.711 decode table must match CPython's
+    C implementation (audioop.ulaw2lin) for all 256 code points — the
+    SQL oracle restates the same bit recipe, so this pins engine, oracle,
+    and the standard against each other."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    lut = M._mulaw_decode_table()
+    ref = np.frombuffer(
+        audioop.ulaw2lin(bytes(range(256)), 2), dtype="<i2"
+    ).astype(np.int64)
+    assert np.array_equal(lut, ref)
+
+
+def test_mulaw_frames_kernel_matches_bruteforce():
+    doc_id = 2
+    payload = M._format_payload(doc_id, TEXT)
+    [out] = list(
+        M._mulaw_frames_kernel(
+            iter([pd.DataFrame({"doc_id": [doc_id], "payload": [payload]})])
+        )
+    )
+    lut = M._mulaw_decode_table()
+    lin = lut[np.frombuffer(TEXT.encode(), dtype=np.uint8)]
+    for r in out.itertuples():
+        fr = lin[r.frame_index * 80 : (r.frame_index + 1) * 80]
+        assert (r.linear_sum, r.linear_min, r.linear_max) == (
+            int(fr.sum()),
+            int(fr.min()),
+            int(fr.max()),
+        )

@@ -109,6 +109,7 @@ def main() -> int:
         # learned merges arriving via 1-row broadcasts
         "e4_pixel_tile_stats",
         "e4_wav_pcm_frames",
+        "e4_wav_mulaw_frames",
         "e4_image_resize",
         "e3_bpe_encode_nround",
     ]

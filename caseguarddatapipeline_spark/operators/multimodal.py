@@ -10,11 +10,16 @@ embedding array — written as parquet partitioned by modality/tenant, read
 with full column pruning (a scan that only needs metadata never touches the
 binary bytes).
 
-The decode/feature-extract step for real image/audio payloads needs codec
-libraries not present in this container, so ``decode_binary_stub`` is a
-deterministic fake behind the real mapInPandas plumbing (schema, batching,
-Arrow transfer are production-shaped; swap the stub body for PIL/ffmpeg in a
-real deployment).
+Decode is BYTE-REAL for four formats (round 10): PPM (raw RGB), BMP
+(bottom-up rows, BGR channels, 4-byte padding undone), PNG (stdlib-only
+chunk walk with CRC validation, zlib inflate, all five per-row filters
+defiltered), and WAV PCM (container parse + G.711 mu-law expansion pinned
+against CPython's audioop) — each with tile/resize/frame statistics
+queries whose exact SQL oracles recompute the fixture's deterministic
+payloads. Only lossy codecs (JPEG/MP3-class) remain behind the
+``decode_binary_stub`` header-preview seam, whose mapInPandas plumbing
+(schema, batching, Arrow transfer) is production-shaped — swap in
+PIL/ffmpeg in a real deployment.
 """
 
 from __future__ import annotations

@@ -146,7 +146,8 @@ _PRIORITY = [
     # applying ALL learned merges (verdict item 6) — displacing
     # e3_gopher_rules (green r4-r9; the E3 family keeps five newer
     # representatives in the window). e4_binaryfile_scan below is
-    # REWORKED this round (fixture v3 adds the ppm/bmp classes) and
+    # REWORKED this round (fixture v4 adds the ppm/bmp classes and makes
+    # the PNGs complete real files) and
     # already holds a window slot, so the rework is driver-verified the
     # round it ships.
     "e4_pixel_tile_stats",

@@ -264,13 +264,16 @@ def _warn_if_beyond_recall_envelope(emb: DataFrame, caller: str) -> None:
     beyond ~1 000 vectors with the pinned (beam, hops, entry-net)
     budget. A user exporting it at scale gets an explicit warning
     instead of silently bad neighbors; the serving tier at scale is IVF
-    (the GRAPHANN.json decision record)."""
-    n = emb.count()
+    (the GRAPHANN.json decision record). The size check is a bounded
+    ``limit(N+1).count()`` — a partial scan that stops after N+1 rows,
+    not a full count — so the guard stays cheap at the very scales it
+    warns about."""
+    n = emb.limit(GRAPH_RECALL_SAFE_N + 1).count()
     if n > GRAPH_RECALL_SAFE_N:
         import warnings
 
         warnings.warn(
-            f"{caller}: corpus has {n} vectors — beyond the beam "
+            f"{caller}: corpus has >{GRAPH_RECALL_SAFE_N} vectors — beyond the beam "
             f"prototype's recall envelope (~{GRAPH_RECALL_SAFE_N}; "
             "measured recall@3 0.13 at 2k and at 2M vectors). Results "
             "are correctness-checked but NOT recall-adequate; serve "

@@ -749,14 +749,42 @@ def e4_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(decode_binary_stub, schema=DECODED_SCHEMA)
 
 
+def _fixture_docs(spark: SparkSession, sf_dir: str, glob: str) -> DataFrame:
+    """binaryFile scan of the fixture narrowed by ``glob``, with doc_id
+    recovered from the filename — the shared front end of every
+    byte-real e4 op (one file = one row, no shuffle before the kernel)."""
+    fixture = _binaryfile_fixture_dir(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(fixture)
+    )
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+
+
+def _decode_raster(b: bytes):
+    """Magic-byte dispatch over the three raster decoders. Returns
+    (fmt, w, h, logical top-down RGB array)."""
+    if b[:2] == b"P6":
+        return ("ppm", *_parse_ppm(b))
+    if b[:2] == b"BM":
+        return ("bmp", *_parse_bmp(b))
+    return ("png", *_parse_png(b))
+
+
 PIX_TILE = 32  # square patch edge for the byte-real tile stats
 _TILE_BYTES = PIX_TILE * PIX_TILE * 3
 
 
 def _pixel_tiles_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched BYTE-REAL patchification: for each uncompressed
-    raster payload (PPM or BMP), decode the actual pixels
-    (``_parse_ppm``/``_parse_bmp``) and emit one row per 32×32 RGB tile
+    """Arrow-batched BYTE-REAL patchification: for each raster
+    payload (PPM, BMP, or PNG), decode the actual pixels
+    (``_decode_raster``) and emit one row per 32×32 RGB tile
     with statistics computed FROM THE PAYLOAD BYTES (sum/min/max over the
     tile's 3072 channel bytes) — not from header fields. numpy slicing
     per tile; nothing crosses Arrow except the per-tile stat rows."""
@@ -771,13 +799,7 @@ def _pixel_tiles_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             )
         }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            b = bytes(payload)
-            if b[:2] == b"P6":
-                fmt, (w, h, arr) = "ppm", _parse_ppm(b)
-            elif b[:2] == b"BM":
-                fmt, (w, h, arr) = "bmp", _parse_bmp(b)
-            else:
-                fmt, (w, h, arr) = "png", _parse_png(b)
+            fmt, w, h, arr = _decode_raster(bytes(payload))
             a = arr.astype(np.int64)
             for ty in range(h // PIX_TILE):
                 rows = a[ty * PIX_TILE : (ty + 1) * PIX_TILE]
@@ -797,10 +819,12 @@ def _pixel_tiles_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
 def e4_pixel_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BYTE-REAL image patchification (round-10: the multimodal decode no
-    longer stops at headers): scan the fixture's PPM and BMP files with
-    ``binaryFile``, decode the ACTUAL pixel payloads in an Arrow-batched
-    kernel — PPM is raw RGB after the header; BMP requires undoing
-    bottom-up row order, BGR channel order, and 4-byte row padding — and
+    longer stops at headers): scan the fixture's PPM, BMP, and PNG
+    files with ``binaryFile``, decode the ACTUAL pixel payloads in an
+    Arrow-batched kernel — PPM is raw RGB after the header; BMP requires
+    undoing bottom-up row order, BGR channel order, and 4-byte row
+    padding; PNG requires a CRC-checked chunk walk, zlib inflate, and
+    per-row defiltering — and
     emit per-32×32-tile statistics over the decoded bytes. The fixture
     pixels are a deterministic position formula (``_raster_pixels``), so
     the oracle recomputes every tile's sum/min/max exactly in SQL: any
@@ -809,18 +833,7 @@ def e4_pixel_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     content tier the reference reaches in docproc/format_config.py:147-230.
     At 100 TB: one file = one row = one kernel call, stats are
     partition-local, no shuffle before a downstream embedder."""
-    fixture = _binaryfile_fixture_dir(spark, sf_dir)
-    bf = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "doc_*.{ppm,bmp,png}")
-        .load(fixture)
-    )
-    docs = bf.select(
-        F.regexp_extract(F.col("path"), r"doc_(\d+)\.", 1)
-        .cast("long")
-        .alias("doc_id"),
-        F.col("content").alias("payload"),
-    )
+    docs = _fixture_docs(spark, sf_dir, "doc_*.{ppm,bmp,png}")
     tiles = docs.mapInPandas(
         _pixel_tiles_kernel,
         "doc_id long, fmt string, img_w int, img_h int, tile_y int, "
@@ -854,13 +867,7 @@ def _resize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             )
         }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            b = bytes(payload)
-            if b[:2] == b"P6":
-                fmt, (w, h, arr) = "ppm", _parse_ppm(b)
-            elif b[:2] == b"BM":
-                fmt, (w, h, arr) = "bmp", _parse_bmp(b)
-            else:
-                fmt, (w, h, arr) = "png", _parse_png(b)
+            fmt, w, h, arr = _decode_raster(bytes(payload))
             px = arr.reshape(h, w, 3)
             small = px[:: RESIZE_FACTOR, :: RESIZE_FACTOR, :].astype(np.int64)
             out["doc_id"].append(doc_id)
@@ -879,24 +886,13 @@ def e4_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BYTE-REAL image resize (round-10: completes the brief's
     decode / feature-extract / RESIZE / frame-sample quartet without a
     stub): nearest-neighbor 2× downsample of the genuinely decoded
-    PPM/BMP pixels, per-image statistics over the RESIZED bytes. The
+    PPM/BMP/PNG pixels, per-image statistics over the RESIZED bytes. The
     fixture pixel formula (``_raster_pixels``) makes the expected resized
     bytes exactly computable in SQL — out pixel (y,x,c) is in pixel
     (2y,2x,c) — so any stride/axis/channel mistake hash-mismatches.
     Same scale posture as the other binaryFile kernels: one file = one
     row = one kernel call, no shuffle."""
-    fixture = _binaryfile_fixture_dir(spark, sf_dir)
-    bf = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "doc_*.{ppm,bmp,png}")
-        .load(fixture)
-    )
-    docs = bf.select(
-        F.regexp_extract(F.col("path"), r"doc_(\d+)\.", 1)
-        .cast("long")
-        .alias("doc_id"),
-        F.col("content").alias("payload"),
-    )
+    docs = _fixture_docs(spark, sf_dir, "doc_*.{ppm,bmp,png}")
     resized = docs.mapInPandas(
         _resize_kernel,
         "doc_id long, fmt string, img_w int, img_h int, out_w int, "
@@ -998,18 +994,7 @@ def e4_wav_mulaw_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     restating the bit arithmetic per sample in SQL (complement → mantissa
     /exponent split → biased shift → sign fold). Same scale posture: one
     file = one kernel call, no shuffle."""
-    fixture = _binaryfile_fixture_dir(spark, sf_dir)
-    bf = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "doc_*.wav")
-        .load(fixture)
-    )
-    docs = bf.select(
-        F.regexp_extract(F.col("path"), r"doc_(\d+)\.", 1)
-        .cast("long")
-        .alias("doc_id"),
-        F.col("content").alias("payload"),
-    )
+    docs = _fixture_docs(spark, sf_dir, "doc_*.wav")
     return docs.mapInPandas(
         _mulaw_frames_kernel,
         "doc_id long, frame_index int, n_samples int, linear_sum long, "
@@ -1027,18 +1012,7 @@ def e4_wav_pcm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     a mis-sized header skip or frame offset hash-mismatches.
     ``e4_audio_chunks`` remains the coordinate-only plan twin. Same scale
     posture as the tile stats: per-file kernel calls, no shuffle."""
-    fixture = _binaryfile_fixture_dir(spark, sf_dir)
-    bf = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "doc_*.wav")
-        .load(fixture)
-    )
-    docs = bf.select(
-        F.regexp_extract(F.col("path"), r"doc_(\d+)\.", 1)
-        .cast("long")
-        .alias("doc_id"),
-        F.col("content").alias("payload"),
-    )
+    docs = _fixture_docs(spark, sf_dir, "doc_*.wav")
     return docs.mapInPandas(
         _wav_frames_kernel,
         "doc_id long, frame_index int, n_samples int, sample_sum long, "

@@ -403,9 +403,13 @@ def test_mulaw_table_matches_cpython_audioop():
     and the standard against each other."""
     import warnings
 
+    import pytest
+
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", DeprecationWarning)
-        import audioop
+        # removed from the stdlib in 3.13 — the table stays pinned by the
+        # in-repo bit-recipe tests and the SQL oracle there
+        audioop = pytest.importorskip("audioop")
 
     lut = M._mulaw_decode_table()
     ref = np.frombuffer(

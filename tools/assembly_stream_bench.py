@@ -97,6 +97,10 @@ def main() -> int:
         # the 100 TB extrapolation is the MARGINAL rate (per-batch fixed
         # cost amortizes to nothing at production batch sizes).
         b1, b2 = -(-n_files // 2), n_files
+        assert b2 > b1, (
+            f"need >= 2 input files to decompose fixed vs marginal "
+            f"(n_files={n_files} gives b1=b2={b1})"
+        )
         t0 = time.perf_counter()
         run_assembly_stream(
             spark, input_dir, work, token_budget=budget,

@@ -5,6 +5,18 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Execution is measured with the noop sink (full pipeline runs, no driver
 transfer), after a small warmup that pays one-time session/JIT costs.
+
+Drift hardening (round 11): Spark and DuckDB are measured in
+INTERLEAVED passes — (spark pass, duck pass) x N_PASSES — so the
+recorded ratio is computed from time-adjacent samples of the same box
+state, and a box that heats or cools mid-run biases both engines
+symmetrically instead of whichever ran second. The record carries
+per-pass totals and an A/A canary (one pinned query's per-pass spread
+for both engines): if the canary spread is large, the drift was
+environmental and is visible IN the record, not only in a post-hoc
+re-run. Motivation: round 9 -> 10 recorded 1.455x -> 1.902x for
+near-identical code; a same-box A/B showed <=7% code-attributable
+delta — the protocol, not the engine, had the variance.
 """
 
 from __future__ import annotations
@@ -44,6 +56,17 @@ BENCH_QUERIES = [
     "e4_multimodal_join",
 ]
 
+# The A/A control: one pinned pure-SQL query whose per-pass timings are
+# recorded verbatim for BOTH engines. Identical code runs in every pass,
+# so any spread is environment, and the record itself shows how much of
+# the final ratio's margin that environment noise could account for.
+CANARY = "q1_pricing_summary_sql"
+
+# Interleaved (spark, duck) measurement rounds. Each engine's final
+# per-query number is the min across all passes (min of 5 timed runs
+# per pass, 2 adjacent untimed warmups before them).
+N_PASSES = 3
+
 # Per-query degree of parallelism for the serving profile — the decision a
 # cost-based engine makes from estimated shuffle cardinality (DuckDB
 # likewise schedules pipelines on as many threads as the data warrants).
@@ -59,35 +82,77 @@ _DOP: dict[str, int] = {
 _DOP_DEFAULT = 1
 
 
-def duck_suite(sf_dir: str, oracles: dict[str, str]) -> dict[str, float]:
-    """Time the DuckDB oracles for the headliners on the IDENTICAL
-    schedule the Spark suite runs (2 passes of 2 untimed + min-of-5
-    timed, min across passes). Returning per-query seconds; called both
-    by tools/baseline_duck.py and by main() below so every recorded
-    BENCH JSON carries a same-box, same-schedule baseline — the ratio
-    the judge reads is then immune to box-state drift between runs."""
+def _min_timed(run, warmups: int = 2, timed: int = 5) -> float:
+    """2 adjacent untimed runs (JIT/codegen residency) then min of 5
+    timed — the steady-state per-pass sample both engines use."""
+    for _ in range(warmups):
+        run()
+    best = float("inf")
+    for _ in range(timed):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _duck_connect(sf_dir: str):
     import duckdb
 
     con = duckdb.connect()
     con.sql(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    timings: dict[str, float] = {
-        n: float("inf") for n in BENCH_QUERIES if n in oracles
-    }
-    for _ in range(2):
-        for name in list(timings):
-            sql = oracles[name]
-            for _ in range(2):
-                con.sql(sql).fetchall()
-            best = timings[name]
-            for _ in range(5):
-                t0 = time.perf_counter()
-                con.sql(sql).fetchall()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = best
+    return con
+
+
+def duck_pass(con, oracles: dict[str, str]) -> dict[str, float]:
+    """One DuckDB pass over the headliners on the IDENTICAL schedule the
+    Spark pass runs (2 untimed + min-of-5 timed per query)."""
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        out[name] = _min_timed(lambda: con.sql(sql).fetchall())
+    return out
+
+
+def duck_suite(
+    sf_dir: str, oracles: dict[str, str], passes: int = 2
+) -> dict[str, float]:
+    """Standalone DuckDB suite (tools/baseline_duck.py): min across
+    `passes` passes of the shared per-pass schedule."""
+    con = _duck_connect(sf_dir)
+    merged: dict[str, float] = {}
+    for _ in range(passes):
+        for name, sec in duck_pass(con, oracles).items():
+            merged[name] = min(merged.get(name, float("inf")), sec)
     con.close()
-    return {n: round(v, 3) for n, v in timings.items()}
+    return {n: round(v, 3) for n, v in merged.items()}
+
+
+def spark_pass(spark, queries, sf_dir: str, cpus: int) -> dict[str, float]:
+    """One Spark pass: per query, set its serving DOP, 2 adjacent
+    untimed runs, then min of 5 timed noop-sink executions. Timed runs
+    still rebuild the full plan (no DataFrame reuse), so plan
+    construction+analysis stays in the number."""
+    sp_conf = "spark.sql.shuffle.partitions"
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        spark.conf.set(sp_conf, str(min(_DOP.get(name, _DOP_DEFAULT), cpus)))
+        out[name] = _min_timed(
+            lambda: fn(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    return out
+
+
+def _spread_pct(samples: list[float]) -> float:
+    lo = min(samples)
+    return round(100.0 * (max(samples) - lo) / lo, 1) if lo > 0 else 0.0
 
 
 def main() -> int:
@@ -120,61 +185,47 @@ def main() -> int:
     # (MB shuffles, sub-second queries) they are pure overhead. Batch/ETL
     # entry points keep the AQE defaults.
     enable_low_latency(spark, shuffle_partitions=min(4, cpus))
-    sp_conf = "spark.sql.shuffle.partitions"
+    # One untimed full-suite warmup pass: pays whole-stage-codegen
+    # compilation, python-worker spawn, and the first JIT tiers (worth
+    # 2-4x on the HOF-heavy queries) before any timed sample; the cache
+    # materializes here too.
     for t in ("lineitem", "orders", "customer", "events", "documents",
               "embeddings", "part", "supplier", "nation", "region"):
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
-
-    # Two untimed warmup passes over the WHOLE suite, then min of 5 timed
-    # runs per query: warmups pay whole-stage-codegen compilation and the
-    # first JIT tiers (worth 2-4× on the HOF-heavy queries; C2 needs a
-    # few executions), which a long-running engine amortizes to zero.
-    # Full-suite passes (rather than per-query warmups immediately before
-    # each timing) matter because JIT state keeps improving across the
-    # run — otherwise the first-timed queries systematically pay colder
-    # code than the last. The timed min is the steady-state number that
-    # is meaningful at scale. Timed runs still rebuild the full plan (no
-    # DataFrame reuse), so plan construction+analysis stays in the number.
     for name in BENCH_QUERIES:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    # Then per query: 2 more untimed runs IMMEDIATELY before its 5 timed
-    # runs. The adjacency matters (measured, r1→r2 regression): timing a
-    # query whose last warmup was 15 plan shapes ago pays code-cache and
-    # JIT-state eviction — the relational headliners ran 1.3-1.65× slower
-    # under whole-suite-warmup-then-time ordering. With warmups adjacent,
-    # each query's JIT'd codegen and python workers are resident when
-    # timed. The timed min is the steady-state number that is meaningful
-    # at scale. Timed runs still rebuild the full plan (no DataFrame
-    # reuse), so plan construction+analysis stays in the number.
-    # Two timing passes over the suite, each = per query: 2 untimed + 5
-    # timed, keeping the min across both passes (baseline_duck.py runs
-    # the identical schedule — methodology stays symmetric). Two blocks
-    # matter for two reasons: C2 keeps recompiling through ~10
-    # executions of a plan shape (a single 2+5 block measures ~15%
-    # colder than steady state), and a transient stall (GC pause, a
-    # python-worker respawn) that lands on one query's only block would
-    # otherwise poison the whole suite number.
-    timings: dict[str, float] = {n: float("inf") for n in BENCH_QUERIES}
-    for _ in range(2):
-        for name in BENCH_QUERIES:
-            fn = queries[name]
-            spark.conf.set(sp_conf, str(min(_DOP.get(name, _DOP_DEFAULT), cpus)))
-            for _ in range(2):
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = timings[name]
-            for _ in range(5):
-                t0 = time.time()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            timings[name] = best
-    timings = {n: round(v, 3) for n, v in timings.items()}
 
-    total = round(sum(timings.values()), 3)
+    # DuckDB warmup: one untimed sweep so its first interleaved pass is
+    # not paying cold parquet reads the Spark side already amortized.
+    con = _duck_connect(sf_dir)
+    for name in BENCH_QUERIES:
+        if name in oracles:
+            con.sql(oracles[name]).fetchall()
+
+    # INTERLEAVED passes: (spark, duck) x N_PASSES. Per-query final =
+    # min across passes for both engines; per-pass totals and the canary
+    # samples are recorded so drift is visible in the artifact.
+    sp_passes: list[dict[str, float]] = []
+    du_passes: list[dict[str, float]] = []
+    for _ in range(N_PASSES):
+        sp_passes.append(spark_pass(spark, queries, sf_dir, cpus))
+        du_passes.append(duck_pass(con, oracles))
+    con.close()
     spark.stop()
 
-    # Same-box, same-schedule DuckDB baseline in the record itself.
-    duck = duck_suite(sf_dir, oracles)
+    timings = {
+        n: round(min(p[n] for p in sp_passes), 3) for n in BENCH_QUERIES
+    }
+    duck = {
+        n: round(min(p[n] for p in du_passes), 3) for n in du_passes[0]
+    }
+    total = round(sum(timings.values()), 3)
     duck_total = round(sum(duck.values()), 3)
+    sp_totals = [round(sum(p.values()), 3) for p in sp_passes]
+    du_totals = [round(sum(p.values()), 3) for p in du_passes]
+    canary_sp = [round(p[CANARY], 4) for p in sp_passes]
+    canary_du = [round(p[CANARY], 4) for p in du_passes]
+
     print(
         json.dumps(
             {
@@ -185,6 +236,22 @@ def main() -> int:
                 "sf": sf,
                 "duckdb_same_schedule": {"value": duck_total, "queries": duck},
                 "vs_duckdb": round(total / duck_total, 3) if duck_total else None,
+                "protocol": {
+                    "interleaved_passes": N_PASSES,
+                    "spark_pass_totals": sp_totals,
+                    "duckdb_pass_totals": du_totals,
+                    "vs_duckdb_per_pass": [
+                        round(s / d, 3) if d else None
+                        for s, d in zip(sp_totals, du_totals)
+                    ],
+                    "aa_canary": {
+                        "query": CANARY,
+                        "spark_pass_sec": canary_sp,
+                        "duckdb_pass_sec": canary_du,
+                        "spark_spread_pct": _spread_pct(canary_sp),
+                        "duckdb_spread_pct": _spread_pct(canary_du),
+                    },
+                },
             }
         )
     )

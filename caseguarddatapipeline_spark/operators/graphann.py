@@ -254,6 +254,12 @@ def graph_beam_search(
 
 GRAPH_RECALL_SAFE_N = 1_000  # corpus size beyond which recall is degraded
 
+# Plan-only tooling (tools/explain_audit.py) constructs every catalog
+# query just to .explain() it; the guard's bounded count is the one
+# eager job in that path, so audit code flips this off. Data-serving
+# entry points leave it on.
+RECALL_GUARD_ENABLED = True
+
 
 def _warn_if_beyond_recall_envelope(emb: DataFrame, caller: str) -> None:
     """Round-10 guard (verdict: the ≥0.6 recall pin silently passes at
@@ -267,18 +273,25 @@ def _warn_if_beyond_recall_envelope(emb: DataFrame, caller: str) -> None:
     (the GRAPHANN.json decision record). The size check is a bounded
     ``limit(N+1).count()`` — a partial scan that stops after N+1 rows,
     not a full count — so the guard stays cheap at the very scales it
-    warns about."""
+    warns about. Emitted through ``logging`` (round-11 advice): the
+    default ``warnings`` filter deduplicates per call site, so a user
+    querying several oversized corpora in one process would be warned
+    only once — a logger warns on EVERY oversized invocation."""
+    if not RECALL_GUARD_ENABLED:
+        return
     n = emb.limit(GRAPH_RECALL_SAFE_N + 1).count()
     if n > GRAPH_RECALL_SAFE_N:
-        import warnings
+        import logging
 
-        warnings.warn(
-            f"{caller}: corpus has >{GRAPH_RECALL_SAFE_N} vectors — beyond the beam "
-            f"prototype's recall envelope (~{GRAPH_RECALL_SAFE_N}; "
-            "measured recall@3 0.13 at 2k and at 2M vectors). Results "
-            "are correctness-checked but NOT recall-adequate; serve "
-            "with the IVF tier (e2_ivf_search) at this scale.",
-            stacklevel=3,
+        logging.getLogger(__name__).warning(
+            "%s: corpus has >%d vectors — beyond the beam prototype's "
+            "recall envelope (~%d; measured recall@3 0.13 at 2k and at "
+            "2M vectors). Results are correctness-checked but NOT "
+            "recall-adequate; serve with the IVF tier (e2_ivf_search) "
+            "at this scale.",
+            caller,
+            GRAPH_RECALL_SAFE_N,
+            GRAPH_RECALL_SAFE_N,
         )
 
 

@@ -93,20 +93,32 @@ def _decode_one(b: bytes) -> str:
         body = b.split(b"\n", 1)[1] if b"\n" in b else b""
         body = body.removesuffix(b"\n%%EOF")
         return body[:32].decode("utf-8", errors="replace")
-    if b[:8] == b"\x89PNG\r\n\x1a\n":
-        w, h = struct.unpack(">II", b[16:24])
-        return f"PNG {w}x{h}"
-    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-        rate = struct.unpack("<I", b[24:28])[0]
-        n_samples = struct.unpack("<I", b[40:44])[0]
-        return f"WAV {rate}Hz {n_samples}smp"
-    if b[:2] == b"P6":
-        w, h, _, _ = _ppm_header(b)
-        return f"PPM {w}x{h}"
-    if b[:2] == b"BM":
-        w = struct.unpack("<i", b[18:22])[0]
-        h = abs(struct.unpack("<i", b[22:26])[0])
-        return f"BMP {w}x{h}"
+    # A magic prefix alone doesn't prove the format: arbitrary document
+    # text routed through e4_decode_pipeline can start with "P6"/"BM"
+    # (and a truncated binary can pass the signature but not the header).
+    # Malformed-after-magic payloads fall through to the text preview
+    # instead of crashing the whole mapInPandas stage (round-11 advice).
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h = struct.unpack(">II", b[16:24])
+            return f"PNG {w}x{h}"
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and b[12:16] == b"fmt ":
+            rate = struct.unpack("<I", b[24:28])[0]
+            n_samples = struct.unpack("<I", b[40:44])[0]
+            return f"WAV {rate}Hz {n_samples}smp"
+        if b[:2] == b"P6":
+            w, h, _, _ = _ppm_header(b)
+            return f"PPM {w}x{h}"
+        # "BM" + any 24 bytes of text parses to garbage dims — require
+        # the DIB header-size field to name a known header variant
+        if b[:2] == b"BM" and len(b) >= 26 and struct.unpack(
+            "<I", b[14:18]
+        )[0] in (12, 40, 108, 124):
+            w = struct.unpack("<i", b[18:22])[0]
+            h = abs(struct.unpack("<i", b[22:26])[0])
+            return f"BMP {w}x{h}"
+    except (ValueError, struct.error):
+        pass
     return b[:32].decode("utf-8", errors="replace")
 
 
@@ -301,23 +313,41 @@ def _parse_png(b: bytes):
             out[y] = f
         elif ftype == 2:
             out[y] = (f + prior) % 256
-        else:  # Sub/Average/Paeth need the running left neighbor
-            row = out[y]
-            for i in range(w * 3):
-                left = row[i - 3] if i >= 3 else 0
-                up = prior[i]
-                ul = prior[i - 3] if i >= 3 else 0
-                if ftype == 1:
-                    pred = left
-                elif ftype == 3:
-                    pred = (left + up) // 2
-                else:
+        elif ftype == 1:
+            # Sub: out[i] = f[i] + out[i-3] is a per-channel-lane prefix
+            # sum — one cumsum over the (w, 3) view defilters the whole
+            # row (mod at the end ≡ mod per step)
+            out[y] = (np.cumsum(f.reshape(w, 3), axis=0) % 256).reshape(-1)
+        else:
+            # Average/Paeth: the left neighbor is a true serial
+            # dependency, but only across PIXELS — vectorize the 3
+            # channels so the interpreted loop runs w times, not 3·w·h
+            # byte-ops (round-11 advice; the kernel's one-file-per-call
+            # scale posture needs the per-image cost to be numpy-bound)
+            r = f.reshape(w, 3)
+            pr = prior.reshape(w, 3)
+            row = out[y].reshape(w, 3)
+            left = np.zeros(3, dtype=np.int64)
+            if ftype == 3:
+                for x in range(w):
+                    left = (r[x] + (left + pr[x]) // 2) % 256
+                    row[x] = left
+            else:  # Paeth
+                ul = np.zeros(3, dtype=np.int64)
+                for x in range(w):
+                    up = pr[x]
                     p = left + up - ul
-                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
-                    pred = left if pa <= pb and pa <= pc else (
-                        up if pb <= pc else ul
+                    pa = np.abs(p - left)
+                    pb = np.abs(p - up)
+                    pc = np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, up, ul),
                     )
-                row[i] = (f[i] + pred) % 256
+                    left = (r[x] + pred) % 256
+                    row[x] = left
+                    ul = up
     return w, h, out.astype(np.uint8)
 
 

@@ -125,8 +125,12 @@ class ManifestTableFormat(TableFormat):
       as the versioned store's pointer swap, different mechanism);
       a crash before it leaves an orphan data dir that vacuum sweeps.
     - ``vacuum`` drops old manifests FIRST, then their now-unreferenced
-      data dirs and any orphan dir older than the oldest survivor — the
-      current version always survives.
+      data dirs; an UNMANIFESTED dir is only swept once cold (newest
+      mtime older than ``orphan_age_s``), because a slow in-flight
+      writer's version can sort below the surviving manifests — the
+      current version always survives, and commit re-verifies its
+      file list exists so a mis-swept write fails loudly, never
+      commits corrupt.
 
     tests/test_tableformat.py runs this through the identical contract
     suite as ``VersionedStoreFormat`` (one fixture param), which is what
@@ -173,13 +177,36 @@ class ManifestTableFormat(TableFormat):
             "partition_by": list(partition_by or []),
             "files": files,
         }
+        self._commit_manifest(doc)
+        return version
+
+    def _commit_manifest(self, doc: dict) -> None:
+        """Atomically publish a manifest — but FIRST re-verify every
+        referenced file still exists. A concurrent vacuum that raced
+        this writer (mis-classifying its in-flight data dir as an
+        orphan) must fail the COMMIT, not produce a committed version
+        whose manifest points at deleted files. With the age-gated
+        orphan sweep below this should never fire; it is the last line
+        of defense that turns silent corruption into a loud error."""
+        version = doc["version"]
+        missing = [
+            p
+            for p in doc["files"]
+            if not os.path.exists(os.path.join(self._data_dir, p))
+        ]
+        if missing:
+            raise RuntimeError(
+                f"refusing to commit manifest-{version}: {len(missing)} "
+                f"referenced data file(s) vanished before commit (first: "
+                f"{missing[0]}) — a concurrent vacuum likely swept the "
+                "in-flight write; re-run the write"
+            )
         tmp = os.path.join(
             self._manifest_dir, f".manifest-{version}.tmp.{os.getpid()}"
         )
         with open(tmp, "w") as f:
             json.dump(doc, f)
         os.rename(tmp, os.path.join(self._manifest_dir, f"manifest-{version}.json"))
-        return version
 
     def _read_manifest(self, version: int) -> dict:
         path = self._manifests().get(version)
@@ -205,8 +232,22 @@ class ManifestTableFormat(TableFormat):
             raise FileNotFoundError(f"no manifests under {self.base_dir}")
         return max(ms)
 
-    def vacuum(self, keep: int = 2) -> list[int]:
+    def vacuum(self, keep: int = 2, orphan_age_s: float = 86400.0) -> list[int]:
+        """Drop all but the newest ``keep`` manifests, then their
+        now-unreferenced data dirs. A data dir with NO manifest is only
+        a true orphan (crashed write) once it has gone cold: a slow
+        concurrent writer allocates its version number before writing,
+        so while later writers commit higher manifests, an in-flight
+        dir can carry a version BELOW min(survivors) — version order
+        does not prove abandonment. The sweep therefore only removes
+        unmanifested dirs whose newest mtime is older than
+        ``orphan_age_s`` (default 24 h, far above any write duration);
+        anything younger is presumed in-flight and left alone. The
+        commit-time existence check in ``_commit_manifest`` backstops
+        the residual window (a writer stalled longer than the
+        threshold) by failing that commit loudly."""
         import shutil
+        import time
 
         ms = self._manifests()
         if not ms:
@@ -215,20 +256,34 @@ class ManifestTableFormat(TableFormat):
         dropped = [v for v in sorted(ms) if v not in survivors]
         for v in dropped:  # manifests first: readers lose the reference
             os.remove(ms[v])
+        now = time.time()
         if os.path.isdir(self._data_dir):
             for d in os.listdir(self._data_dir):
                 m = re.fullmatch(r"v(\d+)", d)
-                # dropped snapshots, plus orphans from crashed writes
-                # (older than the oldest survivor — never an in-flight
-                # writer, whose version is above the newest manifest)
-                if m and int(m.group(1)) not in survivors and (
-                    int(m.group(1)) in dropped
-                    or int(m.group(1)) < min(survivors)
+                if not m or int(m.group(1)) in survivors:
+                    continue
+                path = os.path.join(self._data_dir, d)
+                if int(m.group(1)) in dropped or (
+                    now - self._newest_mtime(path) > orphan_age_s
                 ):
-                    shutil.rmtree(
-                        os.path.join(self._data_dir, d), ignore_errors=True
-                    )
+                    shutil.rmtree(path, ignore_errors=True)
         return dropped
+
+    @staticmethod
+    def _newest_mtime(path: str) -> float:
+        """Most recent mtime anywhere under ``path`` — an in-flight
+        write keeps touching files, so this stays fresh until the
+        writer finishes or dies."""
+        newest = os.path.getmtime(path)
+        for root, dirs, files in os.walk(path):
+            for name in dirs + files:
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(root, name))
+                    )
+                except OSError:  # raced a concurrent delete/rename
+                    continue
+        return newest
 
 
 class DeltaTableFormat(TableFormat):

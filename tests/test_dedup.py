@@ -239,6 +239,26 @@ def test_decode_stub_magic_byte_dispatch():
     assert struct.unpack(">I", png[29:33])[0] == zlib.crc32(chunk)
 
 
+def test_decode_stub_magic_prefix_text_falls_through():
+    """Round-11 advice: a corpus document whose TEXT merely starts with a
+    format magic ('P6 engines...', 'BMW road test', a truncated RIFF)
+    must degrade to the utf-8 preview, never crash the mapInPandas
+    stage with a header-parse error."""
+    from caseguarddatapipeline_spark.operators import multimodal as M
+
+    cases = [
+        b"P6 engines are the classic flat-six family",
+        b"BM says the quarterly results improved a lot",
+        b"BM",  # too short for any BITMAPINFOHEADER field
+        b"P6 12 notanumber",
+        b"RIFF1234WAVE",  # truncated: no fmt/data chunks
+        b"\x89PNG\r\n\x1a\nshort",  # signature but truncated IHDR
+    ]
+    for payload in cases:
+        out = M._decode_one(payload)
+        assert out == payload[:32].decode("utf-8", errors="replace")
+
+
 def test_span_dedup_counts_match_bruteforce(spark, tmp_path):
     """Span-level dedup: per-doc distinct-span and duplicated-span counts
     must match a brute-force sliding-window computation on a corpus with

@@ -91,28 +91,39 @@ def test_blocked_build_arrow_matches_hof(spark, sf_dir):
     assert sorted(map(tuple, hof)) == sorted(map(tuple, arrow))
 
 
-def test_graph_recall_envelope_warns_beyond_safe_size(spark):
-    """Round-10 guard: at sf0.1 (2 000 vectors — beyond
-    GRAPH_RECALL_SAFE_N) the export faces must WARN that results are
-    correctness-checked but not recall-adequate, and the measured
-    degradation (recall@3 ≈ 0.13 at this size) stays pinned so the
-    decision evidence can't silently drift. Inside the envelope
-    (sf0.001) no warning fires."""
-    import warnings
+def test_graph_recall_envelope_warns_beyond_safe_size(spark, caplog):
+    """Round-10 guard (round-11: via logging, so EVERY oversized
+    invocation warns — the default ``warnings`` filter would dedupe per
+    call site): at sf0.1 (2 000 vectors — beyond GRAPH_RECALL_SAFE_N)
+    the export faces must WARN that results are correctness-checked but
+    not recall-adequate, and the measured degradation (recall@3 ≈ 0.13
+    at this size) stays pinned so the decision evidence can't silently
+    drift. Inside the envelope (sf0.001) no warning fires; with the
+    guard disabled (plan-only audit mode) no eager job or warning
+    happens at all."""
+    import logging
 
-    from caseguarddatapipeline_spark.operators.graphann import (
-        e2_graph_recall,
-    )
+    from caseguarddatapipeline_spark.operators import graphann
 
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always")
-        r = e2_graph_recall(spark, "/root/testdata/sf0.1").collect()[0]
-    assert any("recall envelope" in str(w.message) for w in caught)
+    with caplog.at_level(logging.WARNING, logger=graphann.__name__):
+        r = graphann.e2_graph_recall(spark, "/root/testdata/sf0.1").collect()[0]
+        first = sum("recall envelope" in m for m in caplog.messages)
+        assert first == 1
+        # a SECOND oversized invocation warns again (no per-site dedupe)
+        graphann.e2_graph_recall(spark, "/root/testdata/sf0.1")
+        assert sum("recall envelope" in m for m in caplog.messages) == 2
     assert r.recall < 0.5, (
         "degradation evidence drifted — re-measure GRAPHANN.json and "
         f"re-pin (got {r.recall})"
     )
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always")
-        e2_graph_recall(spark, "/root/testdata/sf0.001").collect()
-    assert not any("recall envelope" in str(w.message) for w in caught)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger=graphann.__name__):
+        graphann.e2_graph_recall(spark, "/root/testdata/sf0.001").collect()
+        assert not any("recall envelope" in m for m in caplog.messages)
+        # audit mode: guard gated out — no warning even oversized
+        graphann.RECALL_GUARD_ENABLED = False
+        try:
+            graphann.e2_graph_recall(spark, "/root/testdata/sf0.1")
+        finally:
+            graphann.RECALL_GUARD_ENABLED = True
+        assert not any("recall envelope" in m for m in caplog.messages)

@@ -110,7 +110,10 @@ def test_delta_adapter_import_guard():
 
 def test_manifest_reader_ignores_uncommitted_data(spark, tmp_path):
     """A data dir without a manifest (crashed write) must be invisible to
-    readers and swept by vacuum once older than the oldest survivor."""
+    readers; vacuum sweeps it only once COLD (age threshold) — a fresh
+    unmanifested dir is indistinguishable from an in-flight writer whose
+    version sorts below the survivors, so version order alone never
+    justifies deletion (round-11 advice fix)."""
     import os
 
     from caseguarddatapipeline_spark.sources.tableformat import (
@@ -127,9 +130,66 @@ def test_manifest_reader_ignores_uncommitted_data(spark, tmp_path):
     assert {r.entity_id for r in fmt.read_latest(spark).collect()} == {1}
     v2 = fmt.write(_df(spark, [(2, "b")]))  # next commit skips past v1
     assert v2 == 2
+    # default vacuum: the orphan is FRESH -> presumed in-flight, kept
     fmt.vacuum(keep=1)
+    assert os.path.isdir(os.path.join(fmt._data_dir, "v1"))
+    # once cold (age threshold elapsed) the crash debris is swept
+    fmt.vacuum(keep=1, orphan_age_s=0.0)
     assert not os.path.isdir(os.path.join(fmt._data_dir, "v1"))
     assert {r.entity_id for r in fmt.read_latest(spark).collect()} == {2}
+
+
+def test_manifest_vacuum_never_sweeps_inflight_writer(spark, tmp_path):
+    """The round-11 advice race: writer A allocates version 1 and is
+    still writing while writers commit v2, v3; vacuum(keep=2) must NOT
+    delete A's in-flight dir even though 1 < min(survivors)={2}. And if
+    a pathological vacuum DID sweep it, A's manifest commit must fail
+    loudly instead of committing a version that references deleted
+    files."""
+    import os
+
+    from caseguarddatapipeline_spark.sources.tableformat import (
+        ManifestTableFormat,
+    )
+
+    fmt = ManifestTableFormat(str(tmp_path / "tbl"))
+    fmt.write(_df(spark, [(0, "v0")]))  # v0
+    # writer A: version 1 pre-allocated, data written, manifest NOT yet
+    # committed (exactly the state between write()'s parquet write and
+    # its _commit_manifest call)
+    a_dir = os.path.join(fmt._data_dir, "v1")
+    _df(spark, [(1, "inflight")]).write.parquet(a_dir)
+    a_files = sorted(
+        os.path.relpath(os.path.join(root, f), fmt._data_dir)
+        for root, _, fs in os.walk(a_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    # faster writers commit v2 and v3; retention runs with defaults
+    assert fmt.write(_df(spark, [(2, "v2")])) == 2
+    assert fmt.write(_df(spark, [(3, "v3")])) == 3
+    dropped = fmt.vacuum(keep=2)
+    assert dropped == [0]
+    assert os.path.isdir(a_dir), "in-flight writer's dir was swept"
+    # A's commit now succeeds and the version reads back intact
+    fmt._commit_manifest({"version": 1, "partition_by": [], "files": a_files})
+    assert {r.val for r in fmt.read_version(spark, 1).collect()} == {"inflight"}
+    # corruption backstop: a commit whose files vanished must raise and
+    # leave no manifest behind
+    import shutil
+
+    b_dir = os.path.join(fmt._data_dir, "v9")
+    _df(spark, [(9, "doomed")]).write.parquet(b_dir)
+    b_files = sorted(
+        os.path.relpath(os.path.join(root, f), fmt._data_dir)
+        for root, _, fs in os.walk(b_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    shutil.rmtree(b_dir)
+    with pytest.raises(RuntimeError, match="vanished before commit"):
+        fmt._commit_manifest({"version": 9, "partition_by": [], "files": b_files})
+    assert 9 not in fmt._manifests()
 
 
 @pytest.mark.parametrize("which", ["versioned", "manifest"])

@@ -19,6 +19,11 @@ from caseguarddatapipeline_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
+    # plan-only run: the graph recall guard's bounded count is the one
+    # eager job query CONSTRUCTION would otherwise trigger here
+    from caseguarddatapipeline_spark.operators import graphann
+
+    graphann.RECALL_GUARD_ENABLED = False
     spark = get_spark("explain-audit")
     queries, _ = build_catalog()
     names = list(bench.BENCH_QUERIES) + [

@@ -1,0 +1,83 @@
+"""Per-key top-k design record (operators/topk.py): the agg-form
+reference must be row-identical to the window form (including the rank
+column), and the window form's plan must keep Spark 4's map-side
+WindowGroupLimit prune — the property the raised window_topk stress
+floor rests on."""
+
+from __future__ import annotations
+
+import pytest
+
+from caseguarddatapipeline_spark.operators.topk import (
+    topk_per_key,
+    topk_per_key_window,
+)
+from caseguarddatapipeline_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_agg_form_is_row_identical_to_window_form(spark):
+    """Same keys, same total order (unique tiebreak), k=3: every column
+    plus the 1-based rank must match row-for-row — on events (timestamp
+    descending order) and on lineitem (double + int order)."""
+    events = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    order = [("ts", True), ("event_id", True)]
+    w = topk_per_key_window(events, ["user_id"], order, 3)
+    a = topk_per_key(events, ["user_id"], order, 3)
+    assert w.columns == a.columns
+    assert _rows(w) == _rows(a)
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_linenumber", "l_quantity"
+    )
+    order = [("l_extendedprice", True), ("l_linenumber", True)]
+    w = topk_per_key_window(li, ["l_orderkey"], order, 2)
+    a = topk_per_key(li, ["l_orderkey"], order, 2)
+    assert _rows(w) == _rows(a)
+
+
+def test_agg_form_ascending_and_k1(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_linenumber"
+    )
+    order = [("l_extendedprice", False), ("l_linenumber", False)]
+    w = topk_per_key_window(li, ["l_orderkey"], order, 1)
+    a = topk_per_key(li, ["l_orderkey"], order, 1)
+    assert _rows(w) == _rows(a)
+    with pytest.raises(ValueError):
+        topk_per_key(li, ["l_orderkey"], order, 0)
+
+
+def test_agg_form_rejects_string_descending(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    with pytest.raises(TypeError, match="topk_per_key_window"):
+        topk_per_key(li, ["l_orderkey"], [("l_returnflag", True)], 2)
+
+
+def test_window_form_plan_keeps_windowgrouplimit_prune(spark):
+    """The design record's load-bearing fact: Spark plans the
+    filtered-row_number form with a PARTIAL WindowGroupLimit BEFORE the
+    exchange (map-side top-k prune, SPARK-37099). If an upgrade or conf
+    change loses this, the window_topk stress floor argument is void —
+    fail here, not in a slow stress run."""
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_linenumber"
+    )
+    df = topk_per_key_window(
+        li, ["l_orderkey"], [("l_extendedprice", True), ("l_linenumber", True)], 2
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    partial_pos = plan.find("WindowGroupLimit") if "Partial" in plan else -1
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:1500]
+    # the Partial prune must sit below (after, in toString order) the
+    # Exchange — i.e. on the map side
+    exchange_pos = plan.find("Exchange hashpartitioning")
+    partial_pos = plan.find("Partial")
+    assert 0 < exchange_pos < partial_pos, plan[:1500]

@@ -300,55 +300,61 @@ def _parse_png(b: bytes):
         pos += 12 + length
     if w is None or not idat:
         raise ValueError("missing IHDR or IDAT")
-    stream = np.frombuffer(
-        zlib.decompress(b"".join(idat)), dtype=np.uint8
-    ).reshape(h, 1 + w * 3)
-    out = np.empty((h, w * 3), dtype=np.int64)
-    zero = np.zeros(w * 3, dtype=np.int64)
+    stream = zlib.decompress(b"".join(idat))
+    n = w * 3
+    stride = 1 + n
+    if len(stream) != h * stride:
+        raise ValueError("PNG pixel stream length mismatch")
+    # Defilter strategy — MEASURED, round 11, on the 160x128 fixture
+    # image (all five filter types cycling):
+    #   per-byte numpy indexing (round 10)   ~35 ms
+    #   3-wide numpy vectors per pixel       ~35 ms (advice suggestion:
+    #     numpy's per-call overhead at 3-element operands eats the
+    #     3x iteration saving)
+    #   plain Python ints over lists          ~4 ms  <- shipped
+    # The Average/Paeth recurrences are serial by spec (each byte needs
+    # the decoded left neighbor), so the constant factor per iteration
+    # is everything; CPython int ops beat tiny-ndarray dispatch ~10x.
+    out = bytearray(h * n)
+    prior = [0] * n
     for y in range(h):
-        ftype = int(stream[y, 0])
-        f = stream[y, 1:].astype(np.int64)
-        prior = out[y - 1] if y > 0 else zero
+        rowoff = y * stride
+        ftype = stream[rowoff]
+        f = stream[rowoff + 1 : rowoff + stride]
         if ftype == 0:
-            out[y] = f
-        elif ftype == 2:
-            out[y] = (f + prior) % 256
-        elif ftype == 1:
-            # Sub: out[i] = f[i] + out[i-3] is a per-channel-lane prefix
-            # sum — one cumsum over the (w, 3) view defilters the whole
-            # row (mod at the end ≡ mod per step)
-            out[y] = (np.cumsum(f.reshape(w, 3), axis=0) % 256).reshape(-1)
+            cur = list(f)
+        elif ftype == 2:  # Up
+            cur = [(a + b_) & 255 for a, b_ in zip(f, prior)]
+        elif ftype == 1:  # Sub
+            cur = list(f)
+            for i in range(3, n):
+                cur[i] = (cur[i] + cur[i - 3]) & 255
+        elif ftype == 3:  # Average
+            cur = [0] * n
+            for i in range(n):
+                left = cur[i - 3] if i >= 3 else 0
+                cur[i] = (f[i] + (left + prior[i]) // 2) & 255
+        elif ftype == 4:  # Paeth
+            cur = [0] * n
+            for i in range(n):
+                left = cur[i - 3] if i >= 3 else 0
+                up = prior[i]
+                ul = prior[i - 3] if i >= 3 else 0
+                p = left + up - ul
+                pa = p - left if p >= left else left - p
+                pb = p - up if p >= up else up - p
+                pc = p - ul if p >= ul else ul - p
+                pred = (
+                    left
+                    if pa <= pb and pa <= pc
+                    else (up if pb <= pc else ul)
+                )
+                cur[i] = (f[i] + pred) & 255
         else:
-            # Average/Paeth: the left neighbor is a true serial
-            # dependency, but only across PIXELS — vectorize the 3
-            # channels so the interpreted loop runs w times, not 3·w·h
-            # byte-ops (round-11 advice; the kernel's one-file-per-call
-            # scale posture needs the per-image cost to be numpy-bound)
-            r = f.reshape(w, 3)
-            pr = prior.reshape(w, 3)
-            row = out[y].reshape(w, 3)
-            left = np.zeros(3, dtype=np.int64)
-            if ftype == 3:
-                for x in range(w):
-                    left = (r[x] + (left + pr[x]) // 2) % 256
-                    row[x] = left
-            else:  # Paeth
-                ul = np.zeros(3, dtype=np.int64)
-                for x in range(w):
-                    up = pr[x]
-                    p = left + up - ul
-                    pa = np.abs(p - left)
-                    pb = np.abs(p - up)
-                    pc = np.abs(p - ul)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc),
-                        left,
-                        np.where(pb <= pc, up, ul),
-                    )
-                    left = (r[x] + pred) % 256
-                    row[x] = left
-                    ul = up
-    return w, h, out.astype(np.uint8)
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y * n : (y + 1) * n] = cur
+        prior = cur
+    return w, h, np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, n)
 
 
 def _parse_wav_pcm(b: bytes):

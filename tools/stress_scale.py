@@ -208,6 +208,38 @@ def main() -> int:
     vec_rows = emb_n.count()
     seeds_ivf, cents_ivf = _ivf1_index(spark, sf_dir)
 
+    # Byte-real multimodal decode corpus (round 11 — E4's first
+    # data-dominated record): the fixture's raster payloads (PPM, BMP,
+    # and fully-filtered PNG — 31 real files) replicated in-memory to
+    # n×8 copies each (50 → 12,400 images) and spread across cores. The
+    # ON-DISK fixture is bounded by design; the decode KERNELS are
+    # corpus-scale (one file = one row = one kernel call), and this
+    # shape measures them against a corpus that dominates the fixed
+    # overhead, exactly like the doc shapes.
+    from caseguarddatapipeline_spark.operators.multimodal import (
+        _BINFIX_N,
+        _fixture_docs,
+        _pixel_tiles_kernel,
+    )
+
+    raster = _fixture_docs(spark, sf_dir, "doc_*.{ppm,bmp,png}")
+    rep_r = n * 8
+    raster_n = (
+        raster.select(
+            "doc_id",
+            "payload",
+            F.explode(F.sequence(F.lit(0), F.lit(rep_r - 1))).alias("rep"),
+        )
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(_BINFIX_N)).alias(
+                "doc_id"
+            ),
+            "payload",
+        )
+        .repartition(par)
+    )
+    img_rows = raster_n.count()
+
     # boilerplate-skewed corpus for the set-similarity joins: every
     # replica gets a SHARED 10-token boilerplate head (so its shingles
     # appear in every document — the posting-list head df-ordering must
@@ -315,6 +347,16 @@ def main() -> int:
         "ivf_search": (lambda: _ivf_candidates(
             emb_n, seeds_ivf, cents_ivf, use_arrow=True
         ).agg(F.count(F.lit(1)), F.sum("cosine")), vec_rows),
+        # byte-real raster decode + patchification (E4): full pixel
+        # decode of every payload — PNG chunk walk + CRC + inflate +
+        # all-five-filter defilter, BMP flip/BGR/pad undo, PPM — then
+        # per-32x32-tile stats, in the production mapInPandas kernel.
+        # rows = IMAGES (so Mrows/s here is Mimages/s).
+        "raster_decode": (lambda: raster_n.mapInPandas(
+            _pixel_tiles_kernel,
+            "doc_id long, fmt string, img_w int, img_h int, tile_y int, "
+            "tile_x int, byte_sum long, byte_min int, byte_max int",
+        ).agg(F.count(F.lit(1)), F.sum("byte_sum")), img_rows),
     }
 
     if only:
@@ -401,6 +443,13 @@ FLOORS = {"agg_scan": 20.0, "join_agg": 2.5, "window_topk": 2.0,
           "lsh_neardup": 0.008, "span_dedup": 0.002,
           "prefix_filter": 0.0015, "containment": 0.0008,
           "ivf_search": 0.6,
+          # raster_decode (round 11): 12,400 images through the full
+          # byte-real decode + tile-stat kernel measured 0.0045
+          # Mimages/s (~4,500 img/s; the PNG defilter rewrite bought
+          # ~7x — see _parse_png). Floor at 40%: trips if the decoder
+          # regresses to tiny-ndarray dispatch or the kernel stops
+          # spreading.
+          "raster_decode": 0.0018,
           # winnow_join: clique-quadratic verified output like
           # prefix_filter (pair volume grows ~n²); floor ~1/3 of the
           # round-8 measurement — trips if the df cap stops pruning the

@@ -222,7 +222,7 @@ def _registered_modules():
         "relational9", "relational10", "sql_twins", "profiling", "timeseries",
         "quality",
         "skew", "sessions", "textops", "dedup", "curation", "similarity", "pq",
-        "vecindex", "graphann", "layout",
+        "vecindex", "graphann", "layout", "topk",
         "multimodal", "incremental", "inference", "rest_fetch", "canonical",
         "soap_fetch",
     ):

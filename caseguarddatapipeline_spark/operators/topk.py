@@ -128,3 +128,39 @@ def topk_per_key_window(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def w2_topk_agg_twin(spark, sf_dir: str):
+    """Catalog face of the design record: W2 (latest 3 events per user)
+    computed through the AGG-form ``topk_per_key`` instead of the
+    window — row-identical to ``w2_recent_events_per_entity`` by
+    construction, and oracle-checked against the SAME row_number SQL,
+    so the driver independently re-proves the two plans' equivalence
+    every round. Production serving stays on the window form (faster —
+    see module docstring); this entry exists so the negative result is
+    externally verified, not just unit-tested."""
+    from ..sources import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = topk_per_key(
+        events, ["user_id"], [("ts", True), ("event_id", True)], 3
+    )
+    return out.select("user_id", "event_id", "event_type", "rn")
+
+
+QUERIES = {"w2_topk_agg_twin": w2_topk_agg_twin}
+
+ORACLES = {
+    # identical to w2_recent_events_per_entity's oracle: the agg form
+    # must reproduce the row_number semantics exactly
+    "w2_topk_agg_twin": """
+        WITH ranked AS (
+            SELECT user_id, event_id, event_type,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        SELECT user_id, event_id, event_type, rn FROM ranked WHERE rn <= 3
+    """,
+}

@@ -214,6 +214,45 @@ def enqueue_jobs_kafka(
     return records.write.format("kafka").options(**opts)
 
 
+def make_batch_handler(
+    queue_dir: str, out_dir: str, dlq_dir: str, fail_predicate=None
+):
+    """The foreachBatch body of the jobs stream, exposed so the
+    crash-recovery test can wrap it (crash AFTER effects, BEFORE the
+    checkpoint commit — the adversarial replay point). Every effect is
+    REPLAY-EXACT: done/dead rows land in their own ``batch_id=N``
+    partition via dynamic overwrite, retries write ONE deterministically
+    named file per batch — a replayed batch overwrites its own outputs
+    byte-for-byte instead of appending duplicates."""
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        processed = process_job_batch(batch, fail_predicate).cache()
+        try:
+            for outcome, sink in (("done", out_dir), ("dead", dlq_dir)):
+                (processed.filter(F.col("outcome") == outcome)
+                    .drop("outcome")
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(sink))
+            retries = (
+                processed.filter(F.col("outcome") == "retry")
+                .drop("outcome")
+                .withColumn("retry_count", F.col("retry_count") + 1)
+            )
+            rows = retries.collect()  # retry sets are small (failed jobs)
+            if rows:
+                path = os.path.join(queue_dir, f"retry-{batch_id:06d}.json")
+                with open(path, "w") as fh:
+                    for r in rows:
+                        fh.write(json.dumps(r.asDict()) + "\n")
+        finally:
+            processed.unpersist()
+
+    return handle_batch
+
+
 def run_jobs_stream(
     spark: SparkSession,
     queue_dir: str,
@@ -246,33 +285,10 @@ def run_jobs_stream(
         max_files_per_trigger=max_files_per_trigger,
     )
 
-    def handle_batch(batch: DataFrame, batch_id: int) -> None:
-        processed = process_job_batch(batch, fail_predicate).cache()
-        try:
-            for outcome, sink in (("done", out_dir), ("dead", dlq_dir)):
-                (processed.filter(F.col("outcome") == outcome)
-                    .drop("outcome")
-                    .withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("batch_id")
-                    .parquet(sink))
-            retries = (
-                processed.filter(F.col("outcome") == "retry")
-                .drop("outcome")
-                .withColumn("retry_count", F.col("retry_count") + 1)
-            )
-            rows = retries.collect()  # retry sets are small (failed jobs)
-            if rows:
-                path = os.path.join(queue_dir, f"retry-{batch_id:06d}.json")
-                with open(path, "w") as fh:
-                    for r in rows:
-                        fh.write(json.dumps(r.asDict()) + "\n")
-        finally:
-            processed.unpersist()
-
     query = (
-        stream.writeStream.foreachBatch(handle_batch)
+        stream.writeStream.foreachBatch(
+            make_batch_handler(queue_dir, out_dir, dlq_dir, fail_predicate)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

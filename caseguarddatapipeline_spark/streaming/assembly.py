@@ -23,8 +23,13 @@ operator's algebra:
    from the persisted per-batch tallies (``budget_state/ingest_batch<N``
    summed — replay-exact, like the drift accumulator), the batch's docs
    are ordered deterministically (doc_id) per source, a running-sum
-   window admits documents while the level stays under the cap, and the
-   batch's per-source consumption lands in its own tally partition;
+   admits documents while the level stays under the cap — computed via
+   the batch side's two-pass bucket decomposition (round 11: the
+   whole-source window was ONE task per source, a straggler at
+   production batch sizes; the scaled form costs ~1 s/batch more FIXED
+   machinery at micro-batch scale — which amortizes — and bounds every
+   window task by batch/NB — stragglers don't). The batch's per-source
+   consumption lands in its own tally partition;
 6. CORPUS WRITE — admitted documents land in ``corpus/batch_id=N``.
 
 All state is parquet partitioned by ingest batch, so the whole pipeline
@@ -237,15 +242,60 @@ def run_assembly_stream(
                     _gopher_pass(n_words, mean_wlen, distinct_ratio)
                 ).withColumn("n_tokens", F.size("toks").cast("long"))
 
-                # -- stage 5: per-source token budget (water level) --
+                # -- stage 5: per-source token budget (water level).
+                # Round 11: the straight whole-source window
+                # (partitionBy source, orderBy doc_id) runs ONE task per
+                # source — at production batch sizes (millions of rows,
+                # a handful of sources) that is exactly the straggler
+                # the batch side's token_budget_sample_scaled removes.
+                # Same two-pass decomposition here, with DETERMINISTIC
+                # per-source doc_id-range buckets (no sampling): bucket
+                # order is admission order within each source for ANY
+                # boundary placement, so offset + bucket-local cumsum
+                # equals the global cumsum and the admitted set is
+                # bucket-boundary-independent. Per-bucket tallies are
+                # metadata-sized (#sources x NB rows) and broadcast
+                # back; every window task is bounded by batch/NB. --
                 spent = _spent_by_source(sess, tally_dir, batch_id)
-                w_src = (
+                nb = sess.sparkContext.defaultParallelism
+                bounds = quality.groupBy("source").agg(
+                    F.min("doc_id").alias("_lo"),
+                    F.max("doc_id").alias("_hi"),
+                )
+                bucketed = quality.join(
+                    F.broadcast(bounds), "source"
+                ).withColumn(
+                    "_bkt",
+                    F.floor(
+                        (F.col("doc_id") - F.col("_lo"))
+                        * nb
+                        / (F.col("_hi") - F.col("_lo") + 1)
+                    ).cast("int"),
+                )
+                tallies = bucketed.groupBy("source", "_bkt").agg(
+                    F.sum("n_tokens").alias("_bt")
+                )
+                w_off = (
                     Window.partitionBy("source")
+                    .orderBy("_bkt")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                )
+                offsets = tallies.select(
+                    "source",
+                    "_bkt",
+                    F.coalesce(F.sum("_bt").over(w_off), F.lit(0)).alias(
+                        "_off"
+                    ),
+                )
+                w_local = (
+                    Window.partitionBy("source", "_bkt")
                     .orderBy("doc_id")
                     .rowsBetween(Window.unboundedPreceding, 0)
                 )
-                leveled = quality.withColumn(
-                    "level", F.sum("n_tokens").over(w_src)
+                leveled = bucketed.join(
+                    F.broadcast(offsets), ["source", "_bkt"]
+                ).withColumn(
+                    "level", F.col("_off") + F.sum("n_tokens").over(w_local)
                 )
                 if spent is not None:
                     leveled = leveled.join(

@@ -110,6 +110,16 @@ def ivf_postings_upsert(
     exactly how serving-path IVF upserts work; drift is handled by
     republishing the quantizer and rebuilding (``publish_ivf_postings``).
 
+    Scale note (round 11): the versioned store commits whole snapshots,
+    so THIS implementation rewrites O(corpus) per batch — fine for the
+    sandbox store, wrong at 100 TB. The upgrade is in place:
+    ``sources.tableformat.ManifestTableFormat.replace_partitions``
+    commits only the TOUCHED cells' files and carries every other
+    cell's files forward by reference (contract-tested incl. the
+    reference-aware vacuum, tests/test_tableformat_replace.py), making
+    the upsert O(cells touched by the batch) — Delta/Iceberg analog:
+    ``replaceWhere`` / INSERT OVERWRITE partitions.
+
     Writer discipline: the version store makes CONCURRENT upserts safe
     (both snapshots land, the pointer stays monotone) but not
     transactional — a racing writer that read the same base loses the

@@ -20,6 +20,11 @@ everything the engine asks of it is the standard open-format contract:
                          database/change_tracking
                          .py:352-394)
     vacuum(keep)         drop old v=N dirs          VACUUM RETAIN
+    replace_partitions   ManifestTableFormat only   INSERT OVERWRITE /
+    (df, partition_by)   (new manifest reuses       option("replaceWhere")
+                         untouched partitions'
+                         files — O(touched
+                         partitions) commits)
 
 Call sites program against ``TableFormat``; swapping the store for Delta
 or Iceberg is constructing a different adapter, not a rewrite — the
@@ -151,7 +156,7 @@ class ManifestTableFormat(TableFormat):
                 out[int(m.group(1))] = os.path.join(self._manifest_dir, f)
         return out
 
-    def write(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+    def _next_version(self) -> int:
         os.makedirs(self._manifest_dir, exist_ok=True)
         taken = set(self._manifests())
         if os.path.isdir(self._data_dir):  # skip orphan dirs from crashes
@@ -160,24 +165,78 @@ class ManifestTableFormat(TableFormat):
                 for d in os.listdir(self._data_dir)
                 if (m := re.fullmatch(r"v(\d+)", d))
             )
-        version = max(taken) + 1 if taken else 0
+        return max(taken) + 1 if taken else 0
+
+    def _write_version_dir(
+        self, df: DataFrame, version: int, partition_by: list[str] | None
+    ) -> list[str]:
+        """Write ``df`` into the (write-once) version dir and return the
+        new leaf files, data-dir-relative."""
         vdir = os.path.join(self._data_dir, f"v{version}")
-        w = df.write.mode("errorifexists")  # version dirs are write-once
+        w = df.write.mode("errorifexists")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(vdir)
-        files = sorted(
+        return sorted(
             os.path.relpath(os.path.join(root, f), self._data_dir)
             for root, _, fs in os.walk(vdir)
             for f in fs
             if f.endswith(".parquet")
         )
-        doc = {
-            "version": version,
-            "partition_by": list(partition_by or []),
-            "files": files,
-        }
-        self._commit_manifest(doc)
+
+    def write(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        version = self._next_version()
+        files = self._write_version_dir(df, version, partition_by)
+        self._commit_manifest(
+            {
+                "version": version,
+                "partition_by": list(partition_by or []),
+                "files": files,
+            }
+        )
+        return version
+
+    @staticmethod
+    def _partition_key(relpath: str) -> tuple[str, ...]:
+        """The k=v directory segments of a data-dir-relative file path —
+        the partition identity shared across versions (the leading
+        ``vN`` segment and the file name are version-local)."""
+        return tuple(p for p in relpath.split("/")[1:-1] if "=" in p)
+
+    def replace_partitions(
+        self, df: DataFrame, partition_by: list[str]
+    ) -> int:
+        """Iceberg-shaped overwrite-by-partition (round 11): commit a new
+        version whose manifest lists NEW files for exactly the
+        partitions present in ``df`` and CARRIES FORWARD the previous
+        manifest's files for every other partition — no untouched byte
+        is rewritten. This is what keeps a cell-partitioned ANN postings
+        upsert at O(touched cells) instead of O(corpus)
+        (operators/vecindex.ivf_postings_upsert docstring). Requires an
+        existing table with the same partition spec. Delta analog:
+        ``option("replaceWhere", ...)``; versioned-store analog: none —
+        its unit of commit is the whole snapshot."""
+        prev = self._read_manifest(self.latest_version())
+        if prev["partition_by"] != list(partition_by):
+            raise ValueError(
+                f"partition spec mismatch: table is partitioned by "
+                f"{prev['partition_by']}, replace asked {list(partition_by)}"
+            )
+        version = self._next_version()
+        fresh = self._write_version_dir(df, version, partition_by)
+        touched = {self._partition_key(f) for f in fresh}
+        carried = [
+            f
+            for f in prev["files"]
+            if self._partition_key(f) not in touched
+        ]
+        self._commit_manifest(
+            {
+                "version": version,
+                "partition_by": list(partition_by),
+                "files": sorted(carried + fresh),
+            }
+        )
         return version
 
     def _commit_manifest(self, doc: dict) -> None:
@@ -218,10 +277,26 @@ class ManifestTableFormat(TableFormat):
             return json.load(f)
 
     def read_version(self, spark: SparkSession, version: int) -> DataFrame:
+        # After replace_partitions a manifest references files from
+        # SEVERAL version dirs; each group reads with its own basePath
+        # (recovering the k=v partition columns) and the groups union.
+        # Partition-pruning filters push into every branch, so the scan
+        # still prunes to the probed partitions.
         doc = self._read_manifest(version)
-        vdir = os.path.join(self._data_dir, f"v{doc['version']}")
-        paths = [os.path.join(self._data_dir, p) for p in doc["files"]]
-        return spark.read.option("basePath", vdir).parquet(*paths)
+        groups: dict[str, list[str]] = {}
+        for p in doc["files"]:
+            groups.setdefault(p.split("/", 1)[0], []).append(p)
+        out = None
+        for vdir, paths in sorted(groups.items()):
+            part = spark.read.option(
+                "basePath", os.path.join(self._data_dir, vdir)
+            ).parquet(*(os.path.join(self._data_dir, p) for p in paths))
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            raise FileNotFoundError(
+                f"manifest-{version} under {self.base_dir} lists no files"
+            )
+        return out
 
     def read_latest(self, spark: SparkSession) -> DataFrame:
         return self.read_version(spark, self.latest_version())
@@ -254,6 +329,12 @@ class ManifestTableFormat(TableFormat):
             return []
         survivors = sorted(ms)[-max(keep, 1) :]
         dropped = [v for v in sorted(ms) if v not in survivors]
+        # files any SURVIVING manifest references stay, wherever they
+        # live: replace_partitions carries old versions' files forward,
+        # so "version dir of a dropped manifest" no longer implies dead
+        referenced = {
+            f for v in survivors for f in self._read_manifest(v)["files"]
+        }
         for v in dropped:  # manifests first: readers lose the reference
             os.remove(ms[v])
         now = time.time()
@@ -263,9 +344,29 @@ class ManifestTableFormat(TableFormat):
                 if not m or int(m.group(1)) in survivors:
                     continue
                 path = os.path.join(self._data_dir, d)
-                if int(m.group(1)) in dropped or (
-                    now - self._newest_mtime(path) > orphan_age_s
+                if int(m.group(1)) not in dropped and (
+                    now - self._newest_mtime(path) <= orphan_age_s
                 ):
+                    continue  # fresh unmanifested dir: presumed in-flight
+                kept_any = False
+                for root, _, fs in os.walk(path, topdown=False):
+                    for name in fs:
+                        rel = os.path.relpath(
+                            os.path.join(root, name), self._data_dir
+                        )
+                        if rel in referenced:
+                            kept_any = True
+                        else:
+                            try:
+                                os.remove(os.path.join(root, name))
+                            except OSError:
+                                pass
+                    if not kept_any:
+                        try:  # prune now-empty partition dirs bottom-up
+                            os.rmdir(root)
+                        except OSError:
+                            pass
+                if not kept_any:
                     shutil.rmtree(path, ignore_errors=True)
         return dropped
 

@@ -1,0 +1,97 @@
+"""Streaming multimodal ingestion (round 11 — the E4 x streaming cell):
+drain a DIRECTORY OF RASTER FILES through the byte-real decode +
+patchification kernel as one Structured Streaming query.
+
+The reference ingests binary documents one SOAP fetch at a time and
+pushes each through its format handlers (soap_downloader.py:101-161,
+docproc/format_config.py:147-230). Spark-first, arriving files ARE the
+stream: ``readStream.format("binaryFile")`` lists new files per
+micro-batch (the same source the batch-side ``e4_binaryfile_scan``
+uses, streaming face), ``maxFilesPerTrigger`` is the rate limit, and
+each micro-batch runs the production ``_pixel_tiles_kernel``
+(multimodal.py — full PNG/BMP/PPM pixel decode, per-32x32-tile stats)
+with the tile rows landing in the batch's OWN ``ingest_batch=N``
+partition directory: replay-exact exactly like the assembly sinks — a
+replayed batch overwrites its own directory byte-for-byte.
+
+At 100 TB: one file = one row = one kernel call; tile stats are
+partition-local (no shuffle before a downstream embedder); the output
+is a lake table partitioned by ingest batch that ``maintain_index``-
+style compaction can fold, and the checkpoint carries the seen-files
+log so restart never re-decodes completed batches
+(tests/test_binary_ingest.py drives drain, incremental pickup of
+late-arriving files, and checkpointed restart de-duplication).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.multimodal import _pixel_tiles_kernel
+
+TILE_SCHEMA = (
+    "doc_id long, fmt string, img_w int, img_h int, tile_y int, "
+    "tile_x int, byte_sum long, byte_min int, byte_max int"
+)
+
+
+def raster_tiles_from_files(files: DataFrame) -> DataFrame:
+    """binaryFile rows (path, content, ...) → per-tile stats through the
+    byte-real decode kernel. Shared by the stream below and any batch
+    caller; doc_id recovers from the file name (the fixture's
+    ``doc_<id>.<ext>`` convention, multimodal._fixture_docs)."""
+    docs = files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return docs.mapInPandas(_pixel_tiles_kernel, TILE_SCHEMA)
+
+
+def run_raster_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    glob: str = "*.{ppm,bmp,png}",
+    max_files_per_trigger: int = 16,
+    files_per_batch_dir: int = 1,
+):
+    """Drain every raster file currently in ``input_dir`` (availableNow)
+    through the decode kernel into ``out_dir/ingest_batch=N`` parquet.
+    Returns the finished StreamingQuery. Re-running with the same
+    checkpoint picks up only files that arrived since the last drain."""
+    os.makedirs(out_dir, exist_ok=True)
+    stream = (
+        spark.readStream.format("binaryFile")
+        # the source's FIXED schema — streaming sources don't infer
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(input_dir)
+    )
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        (
+            raster_tiles_from_files(batch)
+            .coalesce(files_per_batch_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"ingest_batch={batch_id}"))
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -61,6 +61,37 @@ def test_agg_form_rejects_string_descending(spark):
         topk_per_key(li, ["l_orderkey"], [("l_returnflag", True)], 2)
 
 
+def test_agg_form_identity_holds_under_adversarial_data(spark):
+    """Property-style identity sweep without per-example Spark jobs
+    (hypothesis + a session fixture would re-plan per draw): one frame
+    packing the adversarial shapes — heavy ties on the order column
+    (broken by the unique tiebreak), negative values (the negation
+    encoding must stay monotone), singleton keys, keys with exactly k
+    rows, empty-after-filter keys absent, and a skewed key holding half
+    the rows."""
+    rows = []
+    rid = 0
+    # skewed key 0: 200 rows, every value duplicated 4x (tie stress)
+    for i in range(200):
+        rows.append((0, float((i // 4) - 25), rid, f"p{rid}"))
+        rid += 1
+    # keys 1..40: 1..5 rows each, values in {-1.5, 0.0, 2.25}
+    vals = [-1.5, 0.0, 2.25]
+    for k in range(1, 41):
+        for j in range(1 + k % 5):
+            rows.append((k, vals[(k + j) % 3], rid, f"p{rid}"))
+            rid += 1
+    df = spark.createDataFrame(
+        rows, "key long, score double, uid long, payload string"
+    )
+    for k in (1, 2, 3, 7):
+        for desc in (True, False):
+            order = [("score", desc), ("uid", True)]
+            w = topk_per_key_window(df, ["key"], order, k)
+            a = topk_per_key(df, ["key"], order, k)
+            assert _rows(w) == _rows(a), (k, desc)
+
+
 def test_window_form_plan_keeps_windowgrouplimit_prune(spark):
     """The design record's load-bearing fact: Spark plans the
     filtered-row_number form with a PARTIAL WindowGroupLimit BEFORE the

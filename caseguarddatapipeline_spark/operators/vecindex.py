@@ -112,13 +112,11 @@ def ivf_postings_upsert(
 
     Scale note (round 11): the versioned store commits whole snapshots,
     so THIS implementation rewrites O(corpus) per batch — fine for the
-    sandbox store, wrong at 100 TB. The upgrade is in place:
-    ``sources.tableformat.ManifestTableFormat.replace_partitions``
-    commits only the TOUCHED cells' files and carries every other
-    cell's files forward by reference (contract-tested incl. the
-    reference-aware vacuum, tests/test_tableformat_replace.py), making
-    the upsert O(cells touched by the batch) — Delta/Iceberg analog:
-    ``replaceWhere`` / INSERT OVERWRITE partitions.
+    sandbox store, wrong at 100 TB. The O(touched cells) form is
+    ``ivf_postings_upsert_partitioned`` below (ManifestTableFormat
+    ``replace_partitions`` — Delta/Iceberg analog: ``replaceWhere`` /
+    INSERT OVERWRITE partitions), pinned row-identical to this one by
+    tests/test_vecindex_partitioned.py.
 
     Writer discipline: the version store makes CONCURRENT upserts safe
     (both snapshots land, the pointer stays monotone) but not
@@ -139,6 +137,74 @@ def ivf_postings_upsert(
         .unionByName(fresh)
     )
     return base, write_version(merged, base, partition_by=["cell"])
+
+
+def publish_ivf_postings_partitioned(
+    spark: SparkSession, sf_dir: str, base_dir: str
+) -> int:
+    """Full-corpus postings build over ``ManifestTableFormat`` — the
+    store whose commits can later be PARTIAL (``replace_partitions``).
+    Same assignment algebra as ``publish_ivf_postings``."""
+    from ..sources.tableformat import ManifestTableFormat
+
+    _, cents = _ivf1_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ManifestTableFormat(base_dir).write(
+        _assign(emb, cents), partition_by=["cell"]
+    )
+
+
+def ivf_postings_upsert_partitioned(
+    spark: SparkSession,
+    sf_dir: str,
+    vectors: DataFrame,
+    base_dir: str,
+) -> int:
+    """The O(touched cells) form of ``ivf_postings_upsert`` (round 11):
+    identical merge semantics — new ids inserted, existing ids replaced,
+    quantizer not retrained — but committed through
+    ``ManifestTableFormat.replace_partitions``, so only the cells the
+    batch's vectors land in are rewritten; every other cell's files are
+    carried forward by reference in the new manifest. At 100 TB a batch
+    touches ~|batch| cells out of k, so the commit cost is bounded by
+    the batch, not the corpus (this is FAISS ``add()`` over a lake
+    table / Delta ``replaceWhere``). Twin-identity with the O(corpus)
+    versioned-store form is pinned by tests/test_vecindex_partitioned.py
+    — same inputs, byte-identical logical table.
+
+    One subtlety the twin test also covers: a REPLACED id may move
+    cells (its new embedding lands elsewhere), so the touched set must
+    include the id's OLD cell too or a stale posting would survive —
+    handled by probing the current table for the batch ids' home cells
+    and folding those into the replaced partition set."""
+    from ..sources.tableformat import ManifestTableFormat
+
+    fmt = ManifestTableFormat(base_dir)
+    _, cents = _ivf1_index(spark, sf_dir)
+    fresh = _assign(vectors, cents)
+    current = fmt.read_latest(spark)
+    # touched = cells the new vectors land in + the batch ids' current
+    # home cells (an updated embedding can migrate cells; its old
+    # posting must be rewritten away). Bounded metadata: <= 2x batch.
+    touched = {
+        int(r["cell"])
+        for r in fresh.select("cell").distinct().collect()
+    } | {
+        int(r["cell"])
+        for r in current.join(
+            fresh.select("vec_id"), "vec_id", "left_semi"
+        )
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    replaced = (
+        current.filter(F.col("cell").isin(sorted(touched)))
+        .select("vec_id", "emb", F.col("cell").cast("int").alias("cell"))
+        .join(fresh.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(fresh)
+    )
+    return fmt.replace_partitions(replaced, partition_by=["cell"])
 
 
 def ivf_postings_delete(

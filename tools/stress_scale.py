@@ -224,21 +224,39 @@ def main() -> int:
 
     raster = _fixture_docs(spark, sf_dir, "doc_*.{ppm,bmp,png}")
     rep_r = n * 8
-    raster_n = (
-        raster.select(
-            "doc_id",
-            "payload",
-            F.explode(F.sequence(F.lit(0), F.lit(rep_r - 1))).alias("rep"),
+
+    def _replicate_payloads(base, reps):
+        return (
+            base.select(
+                "doc_id",
+                "payload",
+                F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias(
+                    "rep"
+                ),
+            )
+            .select(
+                (F.col("doc_id") + F.col("rep") * F.lit(_BINFIX_N)).alias(
+                    "doc_id"
+                ),
+                "payload",
+            )
+            .repartition(par)
         )
-        .select(
-            (F.col("doc_id") + F.col("rep") * F.lit(_BINFIX_N)).alias(
-                "doc_id"
-            ),
-            "payload",
-        )
-        .repartition(par)
-    )
+
+    raster_n = _replicate_payloads(raster, rep_r)
     img_rows = raster_n.count()
+    # audio twin: the fixture's WAV clips through the G.711 mu-law
+    # expand + 10 ms framing kernel (the heavier of the two audio
+    # kernels — the PCM framer skips the table expansion). Clips are
+    # short (~60-100 samples), so replicate harder to keep the shape
+    # data-dominated.
+    from caseguarddatapipeline_spark.operators.multimodal import (
+        _mulaw_frames_kernel,
+    )
+
+    wav = _fixture_docs(spark, sf_dir, "doc_*.wav")
+    wav_n = _replicate_payloads(wav, n * 80)
+    wav_rows = wav_n.count()
 
     # boilerplate-skewed corpus for the set-similarity joins: every
     # replica gets a SHARED 10-token boilerplate head (so its shingles
@@ -357,6 +375,13 @@ def main() -> int:
             "doc_id long, fmt string, img_w int, img_h int, tile_y int, "
             "tile_x int, byte_sum long, byte_min int, byte_max int",
         ).agg(F.count(F.lit(1)), F.sum("byte_sum")), img_rows),
+        # byte-real audio decode (E4): WAV container parse + G.711
+        # mu-law table expansion + 10 ms framing per clip. rows = CLIPS.
+        "audio_decode": (lambda: wav_n.mapInPandas(
+            _mulaw_frames_kernel,
+            "doc_id long, frame_index int, n_samples int, "
+            "linear_sum long, linear_min int, linear_max int",
+        ).agg(F.count(F.lit(1)), F.sum("linear_sum")), wav_rows),
     }
 
     if only:
@@ -450,6 +475,10 @@ FLOORS = {"agg_scan": 20.0, "join_agg": 2.5, "window_topk": 2.0,
           # regresses to tiny-ndarray dispatch or the kernel stops
           # spreading.
           "raster_decode": 0.0018,
+          # audio_decode (round 11): 44,000 WAV clips through container
+          # parse + mu-law table expand + framing measured 0.0478
+          # Mclips/s (~48k clips/s). Floor at 40%.
+          "audio_decode": 0.019,
           # winnow_join: clique-quadratic verified output like
           # prefix_filter (pair volume grows ~n²); floor ~1/3 of the
           # round-8 measurement — trips if the df cap stops pruning the

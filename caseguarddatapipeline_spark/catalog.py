@@ -163,8 +163,15 @@ _PRIORITY = [
     # CPython's C audioop (displaces e5_sequence_pack, green r4-r9 —
     # packing stays pinned by the composed assembly records)
     "e4_wav_mulaw_frames",
+    # New in round 11 (zero-debt policy): the agg-form per-key top-k
+    # twin backing the operators/topk.py design record — oracle-checked
+    # against the SAME row_number SQL as W2, so the window-vs-aggregate
+    # equivalence claim is driver-verified the round it ships
+    # (displaces e2_ivfpq_search_1round, green r4-r10, seven rounds;
+    # the PQ family keeps its residual form + both recall companions in
+    # the window and the full parity sweep still covers it)
+    "w2_topk_agg_twin",
     # Round-4 E2 continuity
-    "e2_ivfpq_search_1round",
     "e2_pq_recall",
     "e5_dataset_card",
     # Never-driver-verified: round-4 temporal / misc additions

@@ -69,6 +69,10 @@ def run_raster_ingest(
     os.makedirs(out_dir, exist_ok=True)
     stream = (
         spark.readStream.format("binaryFile")
+        # (ownership of out_dir vs a FRESH checkpoint is guarded per
+        # batch below, same hazard the assembly corpus guards: batch ids
+        # restart at 0 under a new checkpoint, and stale high-numbered
+        # partitions from a previous run would silently mix into reads)
         # the source's FIXED schema — streaming sources don't infer
         .schema(
             "path string, modificationTime timestamp, "
@@ -80,6 +84,19 @@ def run_raster_ingest(
     )
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        ahead = sorted(
+            b
+            for d in os.listdir(out_dir)
+            if d.startswith("ingest_batch=")
+            and (b := int(d.split("=", 1)[1])) > batch_id
+        )
+        if ahead:
+            raise RuntimeError(
+                f"raster ingest output {out_dir} already holds batch "
+                f"partitions {ahead} ahead of batch {batch_id}: this "
+                "checkpoint does not own this output — point at an empty "
+                "dir or restore the matching checkpoint"
+            )
         (
             raster_tiles_from_files(batch)
             .coalesce(files_per_batch_dir)

@@ -81,3 +81,24 @@ def test_stream_drains_decodes_and_restarts_exactly_once(spark, tmp_path):
     # idle re-run: nothing new arrived -> no new rows
     run_raster_ingest(spark, in_dir, out_dir, ckpt)
     assert spark.read.parquet(out_dir).count() == got2.count()
+
+
+def test_fresh_checkpoint_on_existing_output_fails_fast(spark, tmp_path):
+    """Batch ids restart at 0 under a fresh checkpoint; pointing one at
+    an output dir holding higher-numbered partitions must fail instead
+    of silently mixing stale partitions into reads."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    fixture = _binaryfile_fixture_dir(spark, SF_DIR)
+    raster = next(
+        f for f in sorted(os.listdir(fixture))
+        if f.rsplit(".", 1)[-1] in ("ppm", "bmp", "png")
+    )
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    shutil.copy(os.path.join(fixture, raster), in_dir)
+    os.makedirs(os.path.join(out_dir, "ingest_batch=7"))
+    with pytest.raises(StreamingQueryException, match="does not own"):
+        run_raster_ingest(spark, in_dir, out_dir, str(tmp_path / "ck2"))

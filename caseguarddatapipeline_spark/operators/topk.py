@@ -70,30 +70,44 @@ def topk_per_key(
     # struct order realizes the caller's order. Types that can't be
     # negated (strings) would need a different encoding — the window
     # form handles those; this reference implementation stays narrow.
-    def _sort_key(col: str, desc: bool) -> Column:
+    # NULL / NaN parity with the window form (round-11 review): F.desc
+    # is NULLS LAST, but a negated NULL is NULL and struct-asc sorts
+    # nulls FIRST — so every desc key carries a leading is-null flag and
+    # a coalesced value. NaN is the LARGEST double under Spark ordering
+    # (first under desc), but -NaN is still NaN (last ascending) — so
+    # float/double desc keys map NaN to -Infinity. Ascending keys match
+    # natively (nulls first, NaN last — same as F.asc).
+    def _sort_key(col: str, desc: bool) -> list[Column]:
         c = df.schema[col].dataType.typeName()
         if not desc:
-            return F.col(col).alias(f"__o_{col}")
-        if c in ("byte", "short", "integer", "long", "float", "double", "decimal"):
-            return (-F.col(col)).alias(f"__o_{col}")
+            return [F.col(col).alias(f"__o_{col}")]
+        nulls_last = F.col(col).isNull().cast("int").alias(f"__n_{col}")
+        if c in ("float", "double"):
+            val = F.when(
+                F.isnan(F.col(col)), F.lit(float("-inf"))
+            ).otherwise(-F.col(col))
+            return [nulls_last, F.coalesce(val, F.lit(0.0)).alias(f"__o_{col}")]
+        if c in ("byte", "short", "integer", "long", "decimal"):
+            return [
+                nulls_last,
+                F.coalesce(-F.col(col), F.lit(0)).alias(f"__o_{col}"),
+            ]
         if c in ("timestamp", "timestamp_ntz"):
             # negate epoch seconds (ntz must route through timestamp —
             # a direct double cast is a type error); ties are broken by
             # the caller's unique tiebreak exactly as in the window form
-            return (
-                -F.col(col).cast("timestamp").cast("double")
-            ).alias(f"__o_{col}")
+            val = -F.col(col).cast("timestamp").cast("double")
+            return [nulls_last, F.coalesce(val, F.lit(0.0)).alias(f"__o_{col}")]
         if c == "date":
-            return (-F.datediff(F.col(col), F.lit("1970-01-01"))).alias(
-                f"__o_{col}"
-            )
+            val = -F.datediff(F.col(col), F.lit("1970-01-01"))
+            return [nulls_last, F.coalesce(val, F.lit(0)).alias(f"__o_{col}")]
         raise TypeError(
             f"descending top-k on non-negatable type {c} ({col}) — "
             "use topk_per_key_window"
         )
 
     entry = F.struct(
-        *[_sort_key(c, d) for c, d in order],
+        *[k for c, d in order for k in _sort_key(c, d)],
         F.struct(*[F.col(c) for c in payload_cols]).alias("__payload"),
     )
     top = (

@@ -204,7 +204,15 @@ def ivf_postings_upsert_partitioned(
         .join(fresh.select("vec_id"), "vec_id", "left_anti")
         .unionByName(fresh)
     )
-    return fmt.replace_partitions(replaced, partition_by=["cell"])
+    # the touched set is passed EXPLICITLY: a migrated id can leave its
+    # old cell empty, and an empty partition writes no files — without
+    # the declaration the old cell's files would be carried forward and
+    # the stale posting would survive (round-11 review finding)
+    return fmt.replace_partitions(
+        replaced,
+        partition_by=["cell"],
+        touched={(f"cell={c}",) for c in touched},
+    )
 
 
 def ivf_postings_delete(

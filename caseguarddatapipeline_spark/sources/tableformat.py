@@ -204,18 +204,29 @@ class ManifestTableFormat(TableFormat):
         return tuple(p for p in relpath.split("/")[1:-1] if "=" in p)
 
     def replace_partitions(
-        self, df: DataFrame, partition_by: list[str]
+        self,
+        df: DataFrame,
+        partition_by: list[str],
+        touched: set[tuple[str, ...]] | None = None,
     ) -> int:
         """Iceberg-shaped overwrite-by-partition (round 11): commit a new
-        version whose manifest lists NEW files for exactly the
-        partitions present in ``df`` and CARRIES FORWARD the previous
-        manifest's files for every other partition — no untouched byte
-        is rewritten. This is what keeps a cell-partitioned ANN postings
-        upsert at O(touched cells) instead of O(corpus)
+        version whose manifest lists NEW files for exactly the replaced
+        partitions and CARRIES FORWARD the previous manifest's files for
+        every other partition — no untouched byte is rewritten. This is
+        what keeps a cell-partitioned ANN postings upsert at O(touched
+        cells) instead of O(corpus)
         (operators/vecindex.ivf_postings_upsert docstring). Requires an
         existing table with the same partition spec. Delta analog:
         ``option("replaceWhere", ...)``; versioned-store analog: none —
-        its unit of commit is the whole snapshot."""
+        its unit of commit is the whole snapshot.
+
+        ``touched`` is the set of replaced partition identities as
+        ``("col=value", ...)`` tuples. Default: the partitions ``df``
+        actually wrote — WRONG whenever a replaced partition ends up
+        EMPTY (an empty frame writes no files, so the old partition's
+        files would be carried forward instead of deleted; the
+        vecindex cell-migration case). Callers that can empty a
+        partition must pass the touched set explicitly."""
         prev = self._read_manifest(self.latest_version())
         if prev["partition_by"] != list(partition_by):
             raise ValueError(
@@ -224,7 +235,14 @@ class ManifestTableFormat(TableFormat):
             )
         version = self._next_version()
         fresh = self._write_version_dir(df, version, partition_by)
-        touched = {self._partition_key(f) for f in fresh}
+        written = {self._partition_key(f) for f in fresh}
+        if touched is None:
+            touched = written
+        elif not written <= touched:
+            raise ValueError(
+                f"df wrote partitions outside the declared touched set: "
+                f"{sorted(written - touched)}"
+            )
         carried = [
             f
             for f in prev["files"]
@@ -361,11 +379,15 @@ class ManifestTableFormat(TableFormat):
                                 os.remove(os.path.join(root, name))
                             except OSError:
                                 pass
-                    if not kept_any:
-                        try:  # prune now-empty partition dirs bottom-up
-                            os.rmdir(root)
-                        except OSError:
-                            pass
+                    # prune this subtree if nothing in it survived —
+                    # rmdir refuses non-empty dirs, so a subtree holding
+                    # any referenced file (or non-empty child) stays;
+                    # per-root (not per-version-dir) so emptied sibling
+                    # partition dirs don't accumulate (round-11 review)
+                    try:
+                        os.rmdir(root)
+                    except OSError:
+                        pass
                 if not kept_any:
                     shutil.rmtree(path, ignore_errors=True)
         return dropped

@@ -262,14 +262,20 @@ def run_assembly_stream(
                     F.min("doc_id").alias("_lo"),
                     F.max("doc_id").alias("_hi"),
                 )
+                # divide BEFORE multiplying (double math): doc_id is a
+                # caller-supplied long, and (doc_id - lo) * nb overflows
+                # int64 for snowflake-style sparse ids, silently breaking
+                # the monotone-bucket invariant; (x/R) in [0,1) then *nb
+                # is overflow-free and stays monotone (round-11 review)
+                dbl = lambda c: F.col(c).cast("double")  # noqa: E731
                 bucketed = quality.join(
                     F.broadcast(bounds), "source"
                 ).withColumn(
                     "_bkt",
                     F.floor(
-                        (F.col("doc_id") - F.col("_lo"))
+                        (dbl("doc_id") - dbl("_lo"))
+                        / (dbl("_hi") - dbl("_lo") + 1)
                         * nb
-                        / (F.col("_hi") - F.col("_lo") + 1)
                     ).cast("int"),
                 )
                 tallies = bucketed.groupBy("source", "_bkt").agg(

@@ -43,9 +43,23 @@ def raster_tiles_from_files(files: DataFrame) -> DataFrame:
     byte-real decode kernel. Shared by the stream below and any batch
     caller; doc_id recovers from the file name (the fixture's
     ``doc_<id>.<ext>`` convention, multimodal._fixture_docs)."""
+    extracted = F.regexp_extract(F.col("path"), r"doc_(\d+)\.", 1)
     docs = files.select(
-        F.regexp_extract(F.col("path"), r"doc_(\d+)\.", 1)
-        .cast("long")
+        # a glob-matching file OUTSIDE the naming convention would get a
+        # silently-NULL doc_id (regexp_extract returns '' -> null cast),
+        # collapsing identities in the output — fail loudly instead
+        # (round-11 review)
+        F.when(
+            extracted == "",
+            F.raise_error(
+                F.concat(
+                    F.lit("raster ingest: file name does not carry a "
+                          "doc_<id> identity: "),
+                    F.col("path"),
+                )
+            ),
+        )
+        .otherwise(extracted.cast("long"))
         .alias("doc_id"),
         F.col("content").alias("payload"),
     )

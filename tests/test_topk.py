@@ -18,7 +18,15 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    def norm(v):
+        # nan != nan would fail tuple equality on genuinely equal rows
+        if isinstance(v, float) and v != v:
+            return "NaN"
+        return v
+
+    return sorted(
+        (tuple(norm(v) for v in r) for r in df.collect()), key=repr
+    )
 
 
 def test_agg_form_is_row_identical_to_window_form(spark):
@@ -81,6 +89,13 @@ def test_agg_form_identity_holds_under_adversarial_data(spark):
         for j in range(1 + k % 5):
             rows.append((k, vals[(k + j) % 3], rid, f"p{rid}"))
             rid += 1
+    # NULL and NaN order values (round-11 review: desc must stay NULLS
+    # LAST / NaN-first like F.desc) mixed into several keys
+    for k in (0, 1, 5, 40):
+        rows.append((k, None, rid, f"p{rid}"))
+        rid += 1
+        rows.append((k, float("nan"), rid, f"p{rid}"))
+        rid += 1
     df = spark.createDataFrame(
         rows, "key long, score double, uid long, payload string"
     )
@@ -105,10 +120,16 @@ def test_window_form_plan_keeps_windowgrouplimit_prune(spark):
         li, ["l_orderkey"], [("l_extendedprice", True), ("l_linenumber", True)], 2
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    partial_pos = plan.find("WindowGroupLimit") if "Partial" in plan else -1
-    assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:1500]
-    # the Partial prune must sit below (after, in toString order) the
-    # Exchange — i.e. on the map side
+    # the PARTIAL WindowGroupLimit must sit below (after, in toString
+    # order) the Exchange — i.e. on the map side
+    partial = next(
+        (
+            ln
+            for ln in plan.splitlines()
+            if "WindowGroupLimit" in ln and "Partial" in ln
+        ),
+        None,
+    )
+    assert partial is not None, plan[:1500]
     exchange_pos = plan.find("Exchange hashpartitioning")
-    partial_pos = plan.find("Partial")
-    assert 0 < exchange_pos < partial_pos, plan[:1500]
+    assert 0 < exchange_pos < plan.find(partial), plan[:1500]

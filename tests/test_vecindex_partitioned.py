@@ -94,3 +94,48 @@ def test_partitioned_upsert_is_twin_identical_and_partial(spark, tmp_path):
     ivf_postings_upsert(spark, SF_DIR, batch2, a_dir)
     ivf_postings_upsert_partitioned(spark, SF_DIR, batch2, b_dir)
     assert _table(read_latest(spark, a_dir)) == _table(fmt.read_latest(spark))
+
+
+def test_migration_out_of_singleton_cell_leaves_no_stale_posting(
+    spark, tmp_path
+):
+    """Round-11 review finding: when a replaced id MIGRATES out of a cell
+    that then becomes EMPTY, the empty partition writes no files — so the
+    touched set must be declared explicitly or the old cell's files get
+    carried forward and the stale posting survives. Construct a store
+    where vec_id 999 is the ONLY member of its (stale) home cell, then
+    re-embed it so it lands in its true cell."""
+    from caseguarddatapipeline_spark.operators.similarity import _ivf1_index
+    from caseguarddatapipeline_spark.operators.vecindex import _assign
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    _, cents = _ivf1_index(spark, SF_DIR)
+    v0 = emb.filter(F.col("vec_id") == 0).select("vec_id", "embedding")
+    true_cell = int(_assign(v0, cents).collect()[0]["cell"])
+    stale_cell = (true_cell + 1) % len(cents)
+
+    b_dir = str(tmp_path / "b")
+    fmt = ManifestTableFormat(b_dir)
+    v0_emb = [float(x) for x in v0.collect()[0]["embedding"]]
+    # initial table: 999 alone in the stale cell + one anchor row in the
+    # true cell so both partitions exist
+    fmt.write(
+        spark.createDataFrame(
+            [(999, v0_emb, stale_cell), (7, v0_emb, true_cell)],
+            "vec_id long, emb array<double>, cell int",
+        ),
+        partition_by=["cell"],
+    )
+    v1 = ivf_postings_upsert_partitioned(
+        spark, SF_DIR, v0.select(F.lit(999).alias("vec_id"), "embedding"),
+        b_dir,
+    )
+    rows = {
+        (int(r.vec_id), int(r.cell)) for r in fmt.read_latest(spark).collect()
+    }
+    assert rows == {(999, true_cell), (7, true_cell)}, (
+        "stale posting survived the cell migration"
+    )
+    assert not any(
+        f"/cell={stale_cell}/" in f for f in fmt._read_manifest(v1)["files"]
+    )

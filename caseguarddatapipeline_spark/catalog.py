@@ -171,9 +171,13 @@ _PRIORITY = [
     # the PQ family keeps its residual form + both recall companions in
     # the window and the full parity sweep still covers it)
     "w2_topk_agg_twin",
+    # ... and the SQ8 refine tier (FAISS IndexRefineFlat: quantized
+    # candidates re-ranked by exact cosine — displaces e5_dataset_card,
+    # green r4-r10, seven rounds; the E5 family keeps five newer
+    # representatives in the window)
+    "e2_sq8_refine_search",
     # Round-4 E2 continuity
     "e2_pq_recall",
-    "e5_dataset_card",
     # Never-driver-verified: round-4 temporal / misc additions
     "t13_incremental_rollup",
     "t14_interpolate_gaps",

@@ -544,6 +544,13 @@ def e2_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Quantization is round-half-up on identically-associated double
     arithmetic and all fold sums run in index order, so the oracle is
     IEEE-exact."""
+    return _sq8_ranked(spark, sf_dir, TOPK)
+
+
+def _sq8_ranked(spark: SparkSession, sf_dir: str, topn: int) -> DataFrame:
+    """The SQ8 ADC ranking at parametric depth — ``e2_sq8_search`` takes
+    the top ``TOPK``; the refine tier widens to ``REFINE_CAND``
+    candidates before the exact re-rank."""
     corpus = _corpus(spark, sf_dir)
     dims = corpus.select(F.posexplode("emb").alias("j", "v"))
     bounds = (
@@ -597,6 +604,48 @@ def e2_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(queries), F.col("vec_id") != F.col("query_id")
         )
         .select("query_id", "vec_id", adist.alias("adist"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= topn)
+    )
+
+
+REFINE_CAND = 10  # approximate candidates fed to the exact re-rank
+
+
+def e2_sq8_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage refine search — FAISS ``IndexRefineFlat`` over the SQ8
+    tier: the quantized index proposes ``REFINE_CAND`` candidates per
+    query by approximate (dequantized-L2) distance, then the candidates
+    ALONE are re-scored by EXACT cosine against the raw vectors and the
+    final top-``TOPK`` is ranked on the exact score. This is the
+    standard serving recipe when the index must stay small (int8 codes)
+    but the returned neighbors must carry true similarities: the exact
+    arithmetic runs on |queries| x REFINE_CAND rows instead of the
+    corpus. Plan: the SQ8 ranking's shape, then the candidate set (a
+    few dozen rows) joins raw embeddings by vec_id — at 100 TB that
+    refine join is a point-lookup per candidate against the bucketed
+    corpus table, never a scan. Reference analog: Pinecone queries
+    return approximate matches that process_case.py re-reads at full
+    precision (etl/flows/process_case.py:292-318)."""
+    from .similarity import _dot, _norm
+
+    cand = _sq8_ranked(spark, sf_dir, REFINE_CAND).select(
+        "query_id", "vec_id", "adist"
+    )
+    corpus = _corpus(spark, sf_dir)
+    queries = _pq_queries(corpus)
+    cosine = F.round(
+        _dot(F.col("emb"), F.col("q_emb"))
+        / (_norm(F.col("emb")) * _norm(F.col("q_emb"))),
+        4,
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        cand.join(corpus, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "vec_id", "adist", cosine.alias("cosine"))
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= TOPK)
     )
@@ -729,6 +778,7 @@ def e2_ivfsq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "e2_pq_search_1round": e2_pq_search_1round,
     "e2_sq8_search": e2_sq8_search,
+    "e2_sq8_refine_search": e2_sq8_refine_search,
     "e2_sq8_recall": e2_sq8_recall,
     "e2_ivfsq8_search_1round": e2_ivfsq8_search_1round,
     "e2_ivfsq8_recall": e2_ivfsq8_recall,
@@ -803,9 +853,10 @@ def _pq_ctes(src: str) -> str:
 
 _PQ_CTES = _pq_ctes("corpus")
 
-ORACLES = {
-    "e2_sq8_search": """
-    WITH corpus AS (
+# SQ8 CTE chain (corpus -> per-dim bounds -> int8 encode -> queries ->
+# ADC-scored pairs), shared by the flat SQ8 oracle and the refine tier
+# so both cross-engine checks pin the SAME quantizer arithmetic.
+_SQ8_CTES = """corpus AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         FROM embeddings
     ), dim_bounds AS (
@@ -836,12 +887,42 @@ ORACLES = {
                    AS adist
         FROM encoded c CROSS JOIN bounds b
         JOIN queries q ON c.vec_id <> q.query_id
-    )
+    )"""
+
+ORACLES = {
+    "e2_sq8_search": f"""
+    WITH {_SQ8_CTES}
     SELECT query_id, vec_id, adist,
            CAST(row_number() OVER (PARTITION BY query_id
                                    ORDER BY adist ASC, vec_id ASC)
                 AS INT) AS rank
-    FROM scored QUALIFY rank <= 3
+    FROM scored QUALIFY rank <= {TOPK}
+    """,
+    # FAISS IndexRefineFlat over the SQ8 tier: approximate top-10 by
+    # dequantized L2, exact-cosine re-rank of those candidates only
+    "e2_sq8_refine_search": f"""
+    WITH {_SQ8_CTES},
+    cand AS (
+        SELECT query_id, vec_id, adist,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adist ASC, vec_id ASC)
+                    AS INT) AS arank
+        FROM scored QUALIFY arank <= 10
+    ), refined AS (
+        SELECT c.query_id, c.vec_id, c.adist,
+               round(list_dot_product(ce.emb, q.q_emb)
+                     / (sqrt(list_dot_product(ce.emb, ce.emb))
+                        * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4)
+                   AS cosine
+        FROM cand c
+        JOIN corpus ce ON ce.vec_id = c.vec_id
+        JOIN queries q ON q.query_id = c.query_id
+    )
+    SELECT query_id, vec_id, adist, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC)
+                AS INT) AS rank
+    FROM refined QUALIFY rank <= {TOPK}
     """,
     "e2_pq_search_1round": f"""
     WITH corpus AS (

@@ -158,6 +158,10 @@ BNLJ_BOUNDED = {
     "e3_bpe_encode": "the two learned merges ride a 1-row broadcast into "
     "the per-document encode projection (e3_vocab_induction_2round's "
     "winner-broadcast shape)",
+    "e2_sq8_refine_search": "per-dimension bounds row (1-row broadcast) + "
+    "fixed 5-vector query set broadcast, same shape as e2_sq8_search; the "
+    "refine stage's exact re-rank joins candidate vec_ids back by equi-key "
+    "point-lookup, so the only BNLJ sides are the two bounded broadcasts",
 }
 
 

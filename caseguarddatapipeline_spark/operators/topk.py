@@ -75,18 +75,31 @@ def topk_per_key(
     # nulls FIRST — so every desc key carries a leading is-null flag and
     # a coalesced value. NaN is the LARGEST double under Spark ordering
     # (first under desc), but -NaN is still NaN (last ascending) — so
-    # float/double desc keys map NaN to -Infinity. Ascending keys match
-    # natively (nulls first, NaN last — same as F.asc).
+    # float/double desc keys carry a second not-NaN flag (0 for NaN,
+    # 1 otherwise) rather than folding NaN into -Infinity, which would
+    # collide with genuine +Infinity data (whose negation is also
+    # -Infinity) and leave NaN-vs-+inf order to the tiebreak
+    # (round-12 review). Ascending keys match natively (nulls first,
+    # NaN last — same as F.asc).
     def _sort_key(col: str, desc: bool) -> list[Column]:
         c = df.schema[col].dataType.typeName()
         if not desc:
             return [F.col(col).alias(f"__o_{col}")]
         nulls_last = F.col(col).isNull().cast("int").alias(f"__n_{col}")
         if c in ("float", "double"):
-            val = F.when(
-                F.isnan(F.col(col)), F.lit(float("-inf"))
-            ).otherwise(-F.col(col))
-            return [nulls_last, F.coalesce(val, F.lit(0.0)).alias(f"__o_{col}")]
+            # isnan(NULL) is NULL → otherwise() → 1; harmless, the
+            # leading null flag already orders null rows last
+            not_nan = (
+                F.when(F.isnan(F.col(col)), F.lit(0)).otherwise(F.lit(1))
+            ).alias(f"__m_{col}")
+            val = F.when(F.isnan(F.col(col)), F.lit(0.0)).otherwise(
+                -F.col(col)
+            )
+            return [
+                nulls_last,
+                not_nan,
+                F.coalesce(val, F.lit(0.0)).alias(f"__o_{col}"),
+            ]
         if c in ("byte", "short", "integer", "long", "decimal"):
             return [
                 nulls_last,

@@ -397,7 +397,13 @@ class ManifestTableFormat(TableFormat):
         """Most recent mtime anywhere under ``path`` — an in-flight
         write keeps touching files, so this stays fresh until the
         writer finishes or dies."""
-        newest = os.path.getmtime(path)
+        try:
+            newest = os.path.getmtime(path)
+        except OSError:
+            # a concurrent writer/vacuum deleted the dir between
+            # listdir and here — report it as maximally fresh so the
+            # caller skips it instead of aborting the sweep mid-way
+            return float("inf")
         for root, dirs, files in os.walk(path):
             for name in dirs + files:
                 try:

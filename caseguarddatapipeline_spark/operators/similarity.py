@@ -323,7 +323,12 @@ def e2_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic corpus (asserted against the brute-force baseline in
     tests/test_similarity.py).
 
-    Rows-only oracle: the iterative quantizer isn't SQL-expressible."""
+    NOT a catalog entry (retired round 12 — was rows-only since r2):
+    the iterative quantizer isn't SQL-expressible, so the catalog
+    carries the exact-oracle e2_ivf_search_1round/_2round twins
+    instead (same algebra, iteration count pinned). This form remains
+    the production-shaped entry point and keeps its recall@3 ≥ 0.9
+    assertion in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     k_cells, nprobe, n_iters = 16, 4, 3
     corpus = emb.select("vec_id", _dbl(F.col("embedding")).alias("emb"))
@@ -1017,7 +1022,11 @@ QUERIES = {
     "e2_index_stats": e2_index_stats,
     "e2_embedding_norms": e2_embedding_norms,
     "e2_lsh_buckets": e2_lsh_buckets,
-    "e2_ivf_search": e2_ivf_search,
+    # e2_ivf_search itself is RETIRED from the catalog (round 12,
+    # verdict item 8): rows-only since r2, fully superseded by the
+    # exact-oracle _1round/_2round twins below (identical algebra,
+    # iteration count pinned); the Lloyd-iterated form stays callable
+    # and its recall@3 >= 0.9 stays asserted in tests/test_similarity.py
     "e2_ivf_search_1round": e2_ivf_search_1round,
     "e2_ivf_search_2round": e2_ivf_search_2round,
     "e2_ivf_range_search": e2_ivf_range_search,

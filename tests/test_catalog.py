@@ -53,3 +53,32 @@ def test_driver_window_all_oracle_backed():
     assert len(window) == 50
     missing = [n for n in window if n not in ORACLES]
     assert not missing, f"window slots without oracles: {missing}"
+
+
+def test_window_rotation_is_stalest_first():
+    """Round-12 rotation guarantee: after the pinned entries, the window
+    holds the stalest oracle-backed queries by (last hash-green round,
+    name) — so every query re-enters the window within
+    ceil(N / (50 - pins)) rounds. A regression that re-introduces a
+    hand-ordered window (or forgets to regenerate _window_state after a
+    round) shows up as a fresher-than-necessary slot here."""
+    from caseguarddatapipeline_spark._window_state import LAST_GREEN
+    from caseguarddatapipeline_spark.catalog import _PINNED
+
+    window = list(QUERIES)[:50]
+    assert window[: len(_PINNED)] == _PINNED
+    rotation = window[len(_PINNED) :]
+    keys = [(LAST_GREEN.get(n, 0), n) for n in rotation]
+    assert keys == sorted(keys), "rotation slots are not stalest-first"
+    # nothing OUTSIDE the window may be staler than anything inside it
+    outside = [
+        n
+        for n in list(QUERIES)[50:]
+        if n in ORACLES and n not in _PINNED
+    ]
+    if outside and rotation:
+        min_outside = min((LAST_GREEN.get(n, 0), n) for n in outside)
+        assert keys[-1] <= min_outside, (
+            "a staler query was left outside the window: "
+            f"{min_outside} vs newest inside {keys[-1]}"
+        )

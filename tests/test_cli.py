@@ -14,4 +14,5 @@ def test_list_and_oracle(capsys):
     assert "FROM orders" in capsys.readouterr().out
 
     assert main(["oracle", "nope"]) == 2
-    assert main(["oracle", "e2_ivf_search"]) == 1  # rows-only: no oracle
+    # rows-only: no oracle (the one remaining policy entry, a16)
+    assert main(["oracle", "a16_approx_distinct_users"]) == 1

@@ -217,13 +217,18 @@ def main() -> int:
     # shape measures them against a corpus that dominates the fixed
     # overhead, exactly like the doc shapes.
     from caseguarddatapipeline_spark.operators.multimodal import (
+        _BINFIX_JPG_N,
         _BINFIX_N,
         _fixture_docs,
         _pixel_tiles_kernel,
     )
 
-    raster = _fixture_docs(spark, sf_dir, "doc_*.{ppm,bmp,png}")
+    # round 12: baseline JPEG joins the raster mix (verdict item 3) —
+    # 63 real files per replica (31 ppm/bmp/png + 32 jfif), the jpg
+    # tier paying Huffman entropy decode + dequant + IDCT per file
+    raster = _fixture_docs(spark, sf_dir, "doc_*.{ppm,bmp,png,jpg}")
     rep_r = n * 8
+    id_span = _BINFIX_N + _BINFIX_JPG_N
 
     def _replicate_payloads(base, reps):
         return (
@@ -235,7 +240,7 @@ def main() -> int:
                 ),
             )
             .select(
-                (F.col("doc_id") + F.col("rep") * F.lit(_BINFIX_N)).alias(
+                (F.col("doc_id") + F.col("rep") * F.lit(id_span)).alias(
                     "doc_id"
                 ),
                 "payload",
@@ -464,26 +469,34 @@ def main() -> int:
 # ~52 Mrows/s, join_agg ~6, window_topk ~10 (was 0.89 — the plan was
 # always right, Spark 4's WindowGroupLimit pre-prunes map-side; the
 # sort just ran 3-wide).
-FLOORS = {"agg_scan": 20.0, "join_agg": 2.5, "window_topk": 2.0,
-          "lsh_neardup": 0.008, "span_dedup": 0.002,
-          "prefix_filter": 0.0015, "containment": 0.0008,
-          "ivf_search": 0.6,
-          # raster_decode (round 11): 12,400 images through the full
-          # byte-real decode + tile-stat kernel measured 0.0045
-          # Mimages/s (~4,500 img/s; the PNG defilter rewrite bought
-          # ~7x — see _parse_png). Floor at 40%: trips if the decoder
-          # regresses to tiny-ndarray dispatch or the kernel stops
-          # spreading.
-          "raster_decode": 0.0018,
+          # Round 12 (verdict item 6): floors raised to ~70% of the
+          # round-11 counterbalanced measurements (they sat at 40-50%,
+          # where a full 2x regression — e.g. the single-split harness
+          # artifact recurring — would still pass CI). Measured: agg
+          # 37.8, join 4.53, window 4.67, lsh 0.0173, span 0.0085,
+          # prefix 0.0045, containment 0.0025, ivf 2.07, winnow 0.0024,
+          # audio 0.0478.
+FLOORS = {"agg_scan": 26.0, "join_agg": 3.2, "window_topk": 3.3,
+          "lsh_neardup": 0.012, "span_dedup": 0.006,
+          "prefix_filter": 0.003, "containment": 0.0017,
+          "ivf_search": 1.4,
+          # raster_decode (round 12): the shape now includes the
+          # baseline-JPEG class (Huffman entropy decode + vectorized
+          # numpy IDCT per file); 25,200 mixed images measured 0.0064
+          # Mimg/s in the 50x merge run (the fixture's DC-only entropy
+          # streams are short, so jpg decode is IDCT-bound, not
+          # bit-loop-bound). Floor at ~70%.
+          "raster_decode": 0.0045,
           # audio_decode (round 11): 44,000 WAV clips through container
           # parse + mu-law table expand + framing measured 0.0478
-          # Mclips/s (~48k clips/s). Floor at 40%.
-          "audio_decode": 0.019,
+          # Mclips/s (~48k clips/s). Floor at 70% (round 12).
+          "audio_decode": 0.033,
           # winnow_join: clique-quadratic verified output like
-          # prefix_filter (pair volume grows ~n²); floor ~1/3 of the
-          # round-8 measurement — trips if the df cap stops pruning the
-          # boilerplate head or the one-pass bucket form regresses
-          "winnow_join": 0.0008}
+          # prefix_filter (pair volume grows ~n²); floor at ~70% of the
+          # round-11 0.0024 (round 12) — trips if the df cap stops
+          # pruning the boilerplate head or the one-pass bucket form
+          # regresses
+          "winnow_join": 0.0016}
 
 
 if __name__ == "__main__":

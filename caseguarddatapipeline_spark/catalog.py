@@ -47,6 +47,7 @@ _PINNED = [
     # round-12 additions + reworks (byte-real PDF; baseline-JPEG class
     # joins the tile-stats mix; binaryfile fixture v6 + glob pin)
     "e4_pdf_text",
+    "e4_docx_text",
     "e4_pixel_tile_stats",
     "e4_binaryfile_scan",
 ]
@@ -99,8 +100,8 @@ def _registered_modules():
         "quality",
         "skew", "sessions", "textops", "dedup", "curation", "similarity", "pq",
         "vecindex", "graphann", "layout", "topk",
-        "multimodal", "pdfops", "incremental", "inference", "rest_fetch",
-        "canonical",
+        "multimodal", "pdfops", "docxops", "incremental", "inference",
+        "rest_fetch", "canonical",
         "soap_fetch",
     ):
         mod = __import__(

@@ -123,6 +123,10 @@ def _decode_one(b: bytes) -> str:
 
             w, h, _, _ = decode_jpeg(b)
             return f"JPEG {w}x{h}"
+        if b[:4] == b"PK\x03\x04":
+            from .docxops import extract_docx_text
+
+            return str(extract_docx_text(b)["text"])[:32]
         # "BM" + any 24 bytes of text parses to garbage dims — require
         # the DIB header-size field to name a known header variant
         # (CORE 12, OS22X 16/64, INFO 40, V2 52, V3 56, V4 108, V5 124)
@@ -604,7 +608,8 @@ def e4_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BINFIX_N = 64  # docs materialized as real files (bounded fixture, not data-sized)
 _BINFIX_JPG_N = 32  # doc_ids [64, 96): baseline JFIF class (round 12)
-_BINFIX_VERSION = 6  # bump when payload formats change: invalidates old fixtures
+_BINFIX_DOCX_N = 32  # doc_ids [96, 128): OOXML/ZIP class (round 12)
+_BINFIX_VERSION = 7  # bump when payload formats change: invalidates old fixtures
 
 
 def _format_ext(doc_id: int) -> str:
@@ -612,8 +617,11 @@ def _format_ext(doc_id: int) -> str:
     below _BINFIX_N (the doc_id%3==2 class splits by %6 into wav and
     the %12∈{5,11} raster pair, so every format the decoders handle
     appears in the fixture); ids [_BINFIX_N, _BINFIX_N+_BINFIX_JPG_N)
-    are the round-12 baseline-JPEG class — a disjoint id range so every
+    are the round-12 baseline-JPEG class and [_BINFIX_N+_BINFIX_JPG_N,
+    +_BINFIX_DOCX_N) the OOXML class — disjoint id ranges so every
     pre-existing oracle's ``doc_id < 64`` scope is untouched."""
+    if doc_id >= _BINFIX_N + _BINFIX_JPG_N:
+        return "docx"
     if doc_id >= _BINFIX_N:
         return "jpg"
     m = doc_id % 3
@@ -682,6 +690,13 @@ def _format_payload(doc_id: int, text: str) -> bytes:
 
     body = text.encode()
     ext = _format_ext(doc_id)
+    if ext == "docx":
+        # complete OOXML archive: real deflate ZIP entries with correct
+        # CRCs and central directory (docxops.build_docx) — CPython's
+        # zipfile validates the fixture files in tests/test_docxops.py
+        from .docxops import build_docx
+
+        return build_docx(text)
     if ext == "jpg":
         # complete baseline JFIF, flat 8×8 blocks at gray level
         # (doc_id*3 + block_index) % 256 — a DC-only block decodes to
@@ -765,7 +780,9 @@ def _binaryfile_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         return out
     rows = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < _BINFIX_N + _BINFIX_JPG_N)
+        .filter(
+            F.col("doc_id") < _BINFIX_N + _BINFIX_JPG_N + _BINFIX_DOCX_N
+        )
         .select("doc_id", "text")
         .collect()
     )

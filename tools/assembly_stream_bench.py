@@ -34,7 +34,13 @@ from caseguarddatapipeline_spark.streaming.assembly import (  # noqa: E402
     run_assembly_stream,
 )
 
-FLOORS = {"docs_per_sec": 2_000.0, "marginal_docs_per_sec": 4_000.0}
+# Round 12: the quality-lineage persist (streaming/assembly.py — the
+# three budget consumers re-ran the near-dup probe + quality filter
+# per batch) took the solo-box record to 3,681 docs/s overall /
+# 12,982 marginal, past the round-10 "done" bar of 8,000. Floors at
+# ~70% of overall and at the 8,000 bar for the (noisier,
+# run-difference-derived) marginal.
+FLOORS = {"docs_per_sec": 2_500.0, "marginal_docs_per_sec": 8_000.0}
 
 
 def planted_docs(spark, n_docs: int):

@@ -64,11 +64,15 @@ BENCH_QUERIES_R11 = [
 # water-filling token budget, and SQ8 quantized search — under the same
 # interleaved+canary protocol. The r11 16-query subtotal is reported
 # alongside for cross-round continuity.
+# Like most of the r11 headliners these are the one-parse SQL serving
+# twins (sql_twins.py — same physical plans as the DataFrame forms,
+# ~10x cheaper plan construction; measured 0.09-0.24 s of py4j build
+# per query on the DataFrame forms, 40% of their serving latency).
 BENCH_QUERIES_R12 = [
-    "e1_span_dedup",
-    "e3_bpe_encode",
-    "e5_global_token_budget",
-    "e2_sq8_search",
+    "e1_span_dedup_sql",
+    "e3_bpe_encode_sql",
+    "e5_global_token_budget_sql",
+    "e2_sq8_search_sql",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R11 + BENCH_QUERIES_R12
@@ -95,6 +99,13 @@ N_PASSES = 3
 _DOP: dict[str, int] = {
     "q18_large_orders_sql": 8,
     "e1_minhash_lsh_vectorized": 4,
+    # round-12 additions, measured at sf0.1 (min of 3 after warmup):
+    # span dedup 0.64/0.35/0.37 s at DOP 1/4/8 — the (doc,hash) window
+    # + pair shuffle wants width; bpe/sq8 nearly flat (map-side
+    # projection / bounded broadcasts), budget flat (metadata-sized
+    # tallies) — the sub-MB-exchange rule keeps those at 1.
+    "e1_span_dedup_sql": 4,
+    "e2_sq8_search_sql": 4,
 }
 _DOP_DEFAULT = 1
 

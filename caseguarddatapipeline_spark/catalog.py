@@ -50,6 +50,15 @@ _PINNED = [
     "e4_docx_text",
     "e4_pixel_tile_stats",
     "e4_binaryfile_scan",
+    # ... and the four one-parse SQL serving twins that joined the bench
+    # headline schedule (sql_twins.py round-12 block), plus the REWORKED
+    # water-filling allocator (its zero/feasible agg pair folded into
+    # one aggregation — quality.py)
+    "e1_span_dedup_sql",
+    "e3_bpe_encode_sql",
+    "e5_global_token_budget_sql",
+    "e2_sq8_search_sql",
+    "e5_global_token_budget",
 ]
 
 

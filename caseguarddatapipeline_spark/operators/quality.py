@@ -592,39 +592,34 @@ def e5_global_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     # source must overflow the implied level — t_next·(n−i) > B − cum_i.
     # i = 0 (cap everyone) is feasible iff t_1·n > B. The chosen split is
     # the FIRST feasible prefix; if none is (B ≥ Σt) every source keeps
-    # everything and the level is the max total.
-    zero = sorted_t.agg(
-        F.min(F.when(F.col("i") == 1, F.col("t"))).alias("t1"),
-        F.max("n").alias("n"),
-        F.max("cum").alias("grand"),
-        F.max("t").alias("t_max"),
-    ).select(
-        F.when(
-            F.col("t1") * F.col("n") > F.lit(B),
-            F.expr(f"CAST({B} AS BIGINT) div n"),
-        ).alias("level0"),
-        "grand",
-        "t_max",
-    )
-    feasible = sorted_t.filter(
+    # everything and the level is the max total. ONE aggregation over
+    # the totals table computes all three candidates (round 12: the
+    # earlier zero/feasible agg pair evaluated the scan→totals→window
+    # lineage twice — min_by over when()-masked columns folds the
+    # feasible-prefix search into the same ObjectHashAggregate; null
+    # keys are skipped by min_by, so infeasible rows never win).
+    feas = (
         (F.col("t_next").isNotNull())
         & (F.col("t_next") * (F.col("n") - F.col("i")) > F.lit(B) - F.col("cum"))
         & (F.col("cum") <= F.lit(B))
-    ).agg(
-        F.min_by(
-            F.expr(f"(CAST({B} AS BIGINT) - cum) div (n - i)"),
-            F.col("i"),
-        ).alias("level_i")
     )
-    level = (
-        zero.crossJoin(F.broadcast(feasible))
-        .select(
-            F.coalesce(
-                F.col("level0"),
-                F.col("level_i"),
-                F.col("t_max"),  # B >= grand total: everyone fully kept
-            ).alias("level")
-        )
+    level = sorted_t.agg(
+        F.min(F.when(F.col("i") == 1, F.col("t"))).alias("t1"),
+        F.max("n").alias("n"),
+        F.max("t").alias("t_max"),
+        F.min_by(
+            F.when(feas, F.expr(f"(CAST({B} AS BIGINT) - cum) div (n - i)")),
+            F.when(feas, F.col("i")),
+        ).alias("level_i"),
+    ).select(
+        F.coalesce(
+            F.when(
+                F.col("t1") * F.col("n") > F.lit(B),
+                F.expr(f"CAST({B} AS BIGINT) div n"),
+            ),
+            F.col("level_i"),
+            F.col("t_max"),  # B >= grand total: everyone fully kept
+        ).alias("level")
     )
     caps = totals.crossJoin(F.broadcast(level)).select(
         "source", "t", F.least(F.col("t"), F.col("level")).alias("cap")

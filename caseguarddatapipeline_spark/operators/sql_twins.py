@@ -144,9 +144,253 @@ def _spark_fn(name: str):
     return run
 
 
+# ---------------------------------------------------------------------------
+# Round 12: Spark-DIALECT serving twins of the four operators that joined
+# the bench headline schedule. Unlike _TEMPLATES (one common-dialect text
+# for both engines), these operators lean on array higher-order functions
+# whose names differ per dialect (filter/transform/aggregate vs
+# list_filter/list_transform/list_reduce), so the Spark text below pairs
+# with the ORIGINAL DuckDB oracle imported from each operator's module —
+# the driver still hash-compares the two. Purpose is the same as the
+# other twins: ONE spark.sql parse instead of a DataFrame method chain
+# (measured: 0.09-0.24 s of py4j plan construction per build on these
+# four — 40% of their serving latency), with an identical physical plan.
+# ---------------------------------------------------------------------------
+
+_SPARK_ONLY_TEMPLATES: dict[str, str] = {
+    # e1_span_dedup twin: same single span stream + count-over-hash
+    # window (NO posting self-join — the join form re-derives span
+    # generation per side, measured 2.3x slower; dedup.py docstring)
+    "e1_span_dedup_sql": """
+        WITH spans AS (
+            SELECT doc_id,
+                   explode(array_distinct(transform(
+                       sequence(1, size(toks) - 7),
+                       i -> md5(concat_ws(' ', slice(toks, i, 8)))))) AS h
+            FROM (SELECT doc_id,
+                         filter(split(text, ' '), t -> t != '') AS toks
+                  FROM {documents})
+            WHERE size(toks) >= 8
+        ), tagged AS (
+            SELECT doc_id, count(*) OVER (PARTITION BY h) AS n_docs
+            FROM spans
+        )
+        SELECT doc_id,
+               count(*) AS n_spans,
+               count(CASE WHEN n_docs >= 2 THEN 1 END) AS n_dup_spans,
+               round(CAST(count(CASE WHEN n_docs >= 2 THEN 1 END) AS DOUBLE)
+                     / count(*), 6) AS dup_span_fraction
+        FROM tagged GROUP BY doc_id
+    """,
+    # e3_bpe_encode twin: vocab-bounded merge learning (two pair aggs +
+    # 1-row broadcasts) + one map-side encode projection
+    "e3_bpe_encode_sql": """
+        WITH words AS (
+            SELECT word, count(*) AS n
+            FROM (SELECT explode(filter(split(text, ' '), x -> x != ''))
+                      AS word
+                  FROM {documents})
+            GROUP BY word
+        ), p1 AS (
+            SELECT substring(word, i, 2) AS pair, sum(n) AS c
+            FROM (SELECT word, n,
+                         explode(sequence(1, length(word) - 1)) AS i
+                  FROM words WHERE length(word) >= 2)
+            GROUP BY substring(word, i, 2)
+        ), winner AS (
+            SELECT pair AS merge1 FROM p1 ORDER BY c DESC, pair ASC LIMIT 1
+        ), seg AS (
+            SELECT /*+ BROADCAST(winner) */ n, merge1,
+                   replace(word, merge1, char(1)) AS w
+            FROM words CROSS JOIN winner
+        ), p2 AS (
+            SELECT merge1, substring(w, i, 2) AS pair2, sum(n) AS c
+            FROM (SELECT n, merge1, w,
+                         explode(sequence(1, length(w) - 1)) AS i
+                  FROM seg WHERE length(w) >= 2)
+            GROUP BY merge1, substring(w, i, 2)
+        ), winner2 AS (
+            SELECT merge1, pair2 AS merge2
+            FROM p2 ORDER BY c DESC, pair2 ASC LIMIT 1
+        ), counts AS (
+            SELECT /*+ BROADCAST(winner2) */ doc_id,
+                   aggregate(toks, CAST(0 AS BIGINT),
+                             (a, w) -> a + length(w)) AS n_sym_raw,
+                   aggregate(toks, CAST(0 AS BIGINT),
+                             (a, w) -> a + length(
+                                 replace(replace(w, merge1, char(1)),
+                                         merge2, char(2)))) AS n_sym_bpe
+            FROM (SELECT doc_id,
+                         filter(split(text, ' '), x -> x != '') AS toks
+                  FROM {documents})
+            CROSS JOIN winner2
+        )
+        SELECT doc_id, n_sym_raw, n_sym_bpe,
+               round(CAST(n_sym_bpe AS DOUBLE)
+                     / CAST(greatest(n_sym_raw, CAST(1 AS BIGINT))
+                            AS DOUBLE), 6) AS compression
+        FROM counts
+    """,
+    # e5_global_token_budget twin: water-filling level from ONE agg over
+    # the #sources-row totals (quality.py round-12 form), then the
+    # per-source prefix admission
+    "e5_global_token_budget_sql": """
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   aggregate(split(text, ''), CAST(0 AS BIGINT),
+                             (acc, c) -> (acc * 131 + ascii(c))
+                                         % 2147483647) % 1000000 AS h,
+                   size(filter(split(text, ' '), t -> t != ''))
+                       AS n_tokens
+            FROM {documents}
+        ), totals AS (
+            SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t
+            FROM ranked GROUP BY source
+        ), sorted_t AS (
+            SELECT source, t,
+                   CAST(row_number() OVER w AS BIGINT) AS i,
+                   CAST(sum(t) OVER w AS BIGINT) AS cum,
+                   lead(t) OVER w AS t_next,
+                   CAST(count(*) OVER () AS BIGINT) AS n
+            FROM totals WINDOW w AS (ORDER BY t ASC, source ASC)
+        ), lvl AS (
+            SELECT coalesce(
+                       CASE WHEN t1 * n > 6000
+                            THEN CAST(6000 div n AS BIGINT) END,
+                       level_i, t_max) AS level
+            FROM (SELECT min(CASE WHEN i = 1 THEN t END) AS t1,
+                         max(n) AS n, max(t) AS t_max,
+                         min_by(
+                             CASE WHEN t_next IS NOT NULL
+                                   AND t_next * (n - i) > 6000 - cum
+                                   AND cum <= 6000
+                                  THEN CAST((6000 - cum) div (n - i)
+                                            AS BIGINT) END,
+                             CASE WHEN t_next IS NOT NULL
+                                   AND t_next * (n - i) > 6000 - cum
+                                   AND cum <= 6000
+                                  THEN i END) AS level_i
+                  FROM sorted_t)
+        ), caps AS (
+            SELECT /*+ BROADCAST(lvl) */ source, t,
+                   least(t, level) AS cap
+            FROM totals CROSS JOIN lvl
+        ), fit AS (
+            SELECT source, count(*) AS n_docs_kept,
+                   CAST(max(cum_tokens) AS BIGINT) AS tokens_used
+            FROM (SELECT /*+ BROADCAST(caps) */ r.source, r.cum_tokens
+                  FROM (SELECT source, doc_id, n_tokens,
+                               CAST(sum(n_tokens) OVER (
+                                   PARTITION BY source
+                                   ORDER BY h ASC, doc_id ASC)
+                                   AS BIGINT) AS cum_tokens
+                        FROM ranked) r
+                  JOIN caps ON r.source = caps.source
+                  WHERE r.cum_tokens <= caps.cap)
+            GROUP BY source
+        )
+        SELECT c.source,
+               c.t AS total_tokens,
+               CAST(c.cap AS BIGINT) AS cap,
+               c.t <= c.cap AS fully_kept,
+               coalesce(f.n_docs_kept, 0) AS n_docs_kept,
+               CAST(coalesce(f.tokens_used, 0) AS BIGINT) AS tokens_used
+        FROM caps c LEFT JOIN fit f ON c.source = f.source
+        ORDER BY c.source
+    """,
+    # e2_sq8_search twin: per-dimension bounds agg (two array literals,
+    # 1-row broadcast), scan-local encode, fold ADC distance vs the
+    # fixed 5-query broadcast, per-query top-3
+    "e2_sq8_search_sql": """
+        WITH corpus AS (
+            SELECT vec_id,
+                   transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM {embeddings}
+        ), bounds AS (
+            SELECT transform(array_sort(collect_list(struct(j, lo))),
+                             s -> s.lo) AS lo,
+                   transform(array_sort(collect_list(struct(j, hi))),
+                             s -> s.hi) AS hi
+            FROM (SELECT j, min(v) AS lo, max(v) AS hi
+                  FROM (SELECT posexplode(emb) AS (j, v) FROM corpus)
+                  GROUP BY j)
+        ), encoded AS (
+            SELECT /*+ BROADCAST(bounds) */ vec_id, lo, hi,
+                   transform(sequence(1, 64), j ->
+                       CASE WHEN element_at(hi, j) = element_at(lo, j)
+                            THEN 0
+                            ELSE CAST(round((element_at(emb, j)
+                                             - element_at(lo, j))
+                                            / (element_at(hi, j)
+                                               - element_at(lo, j))
+                                            * 255.0, 0) AS INT)
+                       END) AS codes
+            FROM corpus CROSS JOIN bounds
+        ), scored AS (
+            SELECT /*+ BROADCAST(q) */ q.query_id, c.vec_id,
+                   round(aggregate(
+                       transform(sequence(1, 64), j ->
+                           (element_at(q.q_emb, j)
+                            - (element_at(c.lo, j)
+                               + CAST(element_at(c.codes, j) AS DOUBLE)
+                                 * (element_at(c.hi, j)
+                                    - element_at(c.lo, j)) / 255.0))
+                           * (element_at(q.q_emb, j)
+                              - (element_at(c.lo, j)
+                                 + CAST(element_at(c.codes, j) AS DOUBLE)
+                                   * (element_at(c.hi, j)
+                                      - element_at(c.lo, j)) / 255.0))),
+                       CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 4)
+                       AS adist
+            FROM encoded c
+            JOIN (SELECT vec_id AS query_id, emb AS q_emb
+                  FROM corpus WHERE vec_id < 5) q
+              ON c.vec_id != q.query_id
+        )
+        SELECT query_id, vec_id, adist, rank
+        FROM (SELECT query_id, vec_id, adist,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY adist ASC, vec_id ASC)
+                         AS rank
+              FROM scored)
+        WHERE rank <= 3
+    """,
+}
+
+
+def _spark_only_fn(name: str):
+    template = _SPARK_ONLY_TEMPLATES[name]
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return spark.sql(template.format(**scoped_views(spark, sf_dir)))
+
+    run.__name__ = name
+    return run
+
+
+def _spark_only_oracles() -> dict[str, str]:
+    # the DuckDB side of each twin is the ORIGINAL operator's oracle —
+    # identical output contract, dialect-appropriate text
+    from . import dedup, quality, textops
+    from . import pq as pqmod
+
+    return {
+        "e1_span_dedup_sql": dedup.ORACLES["e1_span_dedup"],
+        "e3_bpe_encode_sql": textops.ORACLES["e3_bpe_encode"],
+        "e5_global_token_budget_sql": quality.ORACLES[
+            "e5_global_token_budget"
+        ],
+        "e2_sq8_search_sql": pqmod.ORACLES["e2_sq8_search"],
+    }
+
+
 QUERIES = {name: _spark_fn(name) for name in _TEMPLATES}
+QUERIES.update(
+    {name: _spark_only_fn(name) for name in _SPARK_ONLY_TEMPLATES}
+)
 
 ORACLES = {
     name: template.format(**{t: t for t in TABLES})
     for name, template in _TEMPLATES.items()
 }
+ORACLES.update(_spark_only_oracles())

@@ -162,6 +162,16 @@ BNLJ_BOUNDED = {
     "fixed 5-vector query set broadcast, same shape as e2_sq8_search; the "
     "refine stage's exact re-rank joins candidate vec_ids back by equi-key "
     "point-lookup, so the only BNLJ sides are the two bounded broadcasts",
+    # round-12 one-parse SQL serving twins: same bounded-broadcast shapes
+    # as their adjudicated DataFrame originals (Catalyst does not care
+    # which front end built the logical plan)
+    "e3_bpe_encode_sql": "the learned merges ride 1-row broadcasts into "
+    "the per-document encode projection (e3_bpe_encode's shape)",
+    "e5_global_token_budget_sql": "water-level scalar from the "
+    "#sources-row totals table (1-row broadcasts; "
+    "e5_global_token_budget's shape)",
+    "e2_sq8_search_sql": "per-dimension bounds row (1-row broadcast) + "
+    "fixed 5-vector query set broadcast (e2_sq8_search's shape)",
 }
 
 

@@ -117,7 +117,16 @@ def main() -> int:
         "e4_wav_mulaw_frames",
         "e4_image_resize",
         "e3_bpe_encode_nround",
+        # round-12 additions: byte-real PDF and DOCX extraction — each a
+        # binaryFile scan feeding ONE MapInPandas stage, no shuffle
+        # before or after the kernel (e4_pixel_tile_stats above now also
+        # drains the baseline-JPEG class through the same shape)
+        "e4_pdf_text",
+        "e4_docx_text",
     ]
+    # the bench schedule itself now contains four of the explicit
+    # entries above (round-12 refresh) — print each plan once
+    names = list(dict.fromkeys(names))
     print("# PLANS — formatted physical plans of the headline queries")
     print()
     print("Generated by `python tools/explain_audit.py > PLANS.md` at sf0.001")

@@ -138,12 +138,24 @@ def _dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
 
 
-def encode_blocks(coeffs: np.ndarray, w: int, h: int) -> bytes:
-    """Quantized coefficient blocks (nby, nbx, 64 — NATURAL order) →
-    complete grayscale baseline JFIF bytes with a unit quant table.
-    ``w, h`` must equal ``8*nbx, 8*nby`` (multiple-of-8 images; the
-    fixture's are multiples of 32)."""
-    nby, nbx, _ = coeffs.shape
+def encode_blocks(
+    coeffs: np.ndarray, w: int, h: int, *, restart_interval: int = 0
+) -> bytes:
+    """Quantized coefficient blocks → complete baseline JFIF bytes with
+    a unit quant table. ``coeffs`` is (nby, nbx, 64) for grayscale or
+    (3, nby, nbx, 64) for 3-component 1x1-sampled YCbCr — NATURAL
+    coefficient order either way. ``w, h`` must equal ``8*nbx, 8*nby``
+    (multiple-of-8 images; the fixture's are multiples of 32).
+    ``restart_interval`` > 0 writes a DRI segment and RSTn markers
+    every that many MCUs (DC predictors reset, the error-resilience
+    feature a long scan carries)."""
+    if coeffs.ndim == 3:
+        comps = coeffs[None, ...]
+    else:
+        comps = coeffs
+    nc, nby, nbx, _ = comps.shape
+    if nc not in (1, 3):
+        raise ValueError("1 or 3 components")
     if (w, h) != (nbx * 8, nby * 8):
         raise ValueError("dims must match block grid")
     out = bytearray()
@@ -153,46 +165,58 @@ def encode_blocks(coeffs: np.ndarray, w: int, h: int) -> bytes:
         + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     )
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
-    out += (
-        b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
-        + b"\x01\x11\x00"  # component 1, 1x1 sampling, quant table 0
-    )
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for cid in range(1, nc + 1):
+        out += bytes([cid, 0x11, 0])  # 1x1 sampling, quant table 0
     out += _dht(0, 0, _DC_BITS, _DC_VALS)
     out += _dht(1, 0, _AC_BITS, _AC_VALS)
-    out += b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for cid in range(1, nc + 1):
+        out += bytes([cid, 0x00])  # DC table 0, AC table 0
+    out += b"\x00\x3f\x00"
     bw = _BitWriter()
-    prev_dc = 0
+    prev_dc = [0] * nc
+    mcu = 0
+    rst = 0
     for by in range(nby):
         for bx in range(nbx):
-            blk = coeffs[by, bx]
-            zz = blk[ZIGZAG]
-            s, amp = _magnitude(int(zz[0]) - prev_dc)
-            prev_dc = int(zz[0])
-            code, length = _DC_CODE[s]
-            bw.put(code, length)
-            if s:
-                bw.put(amp, s)
-            run = 0
-            last_nz = max(
-                (i for i in range(1, 64) if zz[i] != 0), default=0
-            )
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c, ln = _AC_CODE[0xF0]  # ZRL
-                    bw.put(c, ln)
-                    run -= 16
-                s, amp = _magnitude(v)
-                c, ln = _AC_CODE[(run << 4) | s]
-                bw.put(c, ln)
-                bw.put(amp, s)
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                prev_dc = [0] * nc
+            for ci in range(nc):
+                zz = comps[ci, by, bx][ZIGZAG]
+                s, amp = _magnitude(int(zz[0]) - prev_dc[ci])
+                prev_dc[ci] = int(zz[0])
+                code, length = _DC_CODE[s]
+                bw.put(code, length)
+                if s:
+                    bw.put(amp, s)
                 run = 0
-            if last_nz < 63:
-                c, ln = _AC_CODE[0x00]  # EOB
-                bw.put(c, ln)
+                last_nz = max(
+                    (i for i in range(1, 64) if zz[i] != 0), default=0
+                )
+                for i in range(1, last_nz + 1):
+                    v = int(zz[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = _AC_CODE[0xF0]  # ZRL
+                        bw.put(c, ln)
+                        run -= 16
+                    s, amp = _magnitude(v)
+                    c, ln = _AC_CODE[(run << 4) | s]
+                    bw.put(c, ln)
+                    bw.put(amp, s)
+                    run = 0
+                if last_nz < 63:
+                    c, ln = _AC_CODE[0x00]  # EOB
+                    bw.put(c, ln)
+            mcu += 1
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI

@@ -88,6 +88,7 @@ def _decode_one(b: bytes) -> str:
     - anything else: utf-8 text preview (the plain-text path).
     """
     import struct
+    import zlib
 
     if b[:5] == b"%PDF-":
         # REAL extraction (round 12): xref walk + FlateDecode + text
@@ -136,7 +137,9 @@ def _decode_one(b: bytes) -> str:
             w = struct.unpack("<i", b[18:22])[0]
             h = abs(struct.unpack("<i", b[22:26])[0])
             return f"BMP {w}x{h}"
-    except (ValueError, struct.error):
+    except (ValueError, struct.error, zlib.error, KeyError, IndexError):
+        # zlib.error: a PK/JPEG-magic payload whose compressed member is
+        # corrupt raises out of inflate, not the parser's own ValueError
         pass
     return b[:32].decode("utf-8", errors="replace")
 

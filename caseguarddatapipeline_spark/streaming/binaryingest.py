@@ -9,7 +9,8 @@ stream: ``readStream.format("binaryFile")`` lists new files per
 micro-batch (the same source the batch-side ``e4_binaryfile_scan``
 uses, streaming face), ``maxFilesPerTrigger`` is the rate limit, and
 each micro-batch runs the production ``_pixel_tiles_kernel``
-(multimodal.py — full PNG/BMP/PPM pixel decode, per-32x32-tile stats)
+(multimodal.py — full PNG/BMP/PPM/baseline-JPEG pixel decode,
+per-32x32-tile stats)
 with the tile rows landing in the batch's OWN ``ingest_batch=N``
 partition directory: replay-exact exactly like the assembly sinks — a
 replayed batch overwrites its own directory byte-for-byte.
@@ -72,7 +73,7 @@ def run_raster_ingest(
     out_dir: str,
     checkpoint_dir: str,
     *,
-    glob: str = "*.{ppm,bmp,png}",
+    glob: str = "*.{ppm,bmp,png,jpg,jpeg}",
     max_files_per_trigger: int = 16,
     files_per_batch_dir: int = 1,
 ):

@@ -89,6 +89,55 @@ def test_zrl_eob_and_stuffing_paths():
     assert (w, h) == (24, 16)
 
 
+@given(
+    nby=st.integers(1, 4),
+    nbx=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+    restart=st.sampled_from([0, 1, 2, 5]),
+)
+@settings(**_SETTINGS)
+def test_restart_markers_roundtrip(nby, nbx, seed, restart):
+    """DRI/RSTn path: byte-aligned restarts with DC predictor resets
+    must decode identically to the marker-free stream."""
+    levels = np.random.RandomState(seed).randint(0, 256, (nby, nbx))
+    coeffs = np.zeros((nby, nbx, 64), dtype=np.int32)
+    coeffs[:, :, 0] = levels * 8 - 1024
+    b = encode_blocks(coeffs, nbx * 8, nby * 8, restart_interval=restart)
+    if restart:
+        assert b"\xff\xdd" in b  # DRI present
+    w, h, nc, img = decode_jpeg(b)
+    assert np.array_equal(img, np.repeat(np.repeat(levels, 8, 0), 8, 1))
+
+
+@given(
+    nby=st.integers(1, 3),
+    nbx=st.integers(1, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_color_ycbcr_decode(nby, nbx, seed):
+    """3-component 1x1 YCbCr: flat DC-only planes decode through the
+    color matrix to the exact per-block RGB the JFIF equations give."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randint(0, 256, (3, nby, nbx))
+    coeffs = np.zeros((3, nby, nbx, 64), dtype=np.int32)
+    coeffs[:, :, :, 0] = planes * 8 - 1024
+    w, h, nc, img = decode_jpeg(encode_blocks(coeffs, nbx * 8, nby * 8))
+    assert (nc, img.shape) == (3, (nby * 8, nbx * 8, 3))
+    y, cb, cr = (planes[i].astype(float) for i in range(3))
+    ref = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=-1,
+    )
+    ref = np.clip(np.round(ref), 0, 255)
+    expect = np.repeat(np.repeat(ref, 8, 0), 8, 1)
+    assert np.array_equal(img.astype(float), expect)
+
+
 def test_decoder_rejects_non_baseline():
     flat = encode_flat_blocks(np.full((1, 1), 100, dtype=np.uint8))
     progressive = flat.replace(b"\xff\xc0", b"\xff\xc2", 1)

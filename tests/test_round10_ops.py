@@ -142,7 +142,9 @@ def test_wav_frames_kernel_matches_bruteforce():
 
 
 def _fixture_dims(doc_id: int) -> tuple[int, int]:
-    if doc_id % 3 == 1:  # png class uses its own height modulus
+    if doc_id < M._BINFIX_N and doc_id % 3 == 1:
+        # png class uses its own height modulus; jpg ids (>= 64) use
+        # _raster_dims regardless of their %3 residue
         return 64 + (doc_id % 5) * 32, 64 + (doc_id % 4) * 32
     return M._raster_dims(doc_id)
 
@@ -151,7 +153,8 @@ def test_pixel_tile_stats_query_runs(spark, sf_dir):
     out = M.e4_pixel_tile_stats(spark, sf_dir)
     rows = out.collect()
     assert rows
-    # 31 raster fixture docs (5 ppm + 5 bmp + 21 png), every tile counted
+    # 31 raster fixture docs (5 ppm + 5 bmp + 21 png) + the 32 round-12
+    # baseline-JPEG docs (ids 64-95), every tile counted
     per_doc = {}
     fmts = set()
     for r in rows:
@@ -160,8 +163,8 @@ def test_pixel_tile_stats_query_runs(spark, sf_dir):
         fmts.add(r.fmt)
         assert 0 <= r.byte_min <= r.byte_max <= 255
         assert r.byte_mean == round(r.byte_sum / 3072.0, 4)
-    assert len(per_doc) == 31
-    assert fmts == {"ppm", "bmp", "png"}
+    assert len(per_doc) == 31 + M._BINFIX_JPG_N
+    assert fmts == {"ppm", "bmp", "png", "jpg"}
     for did, n in per_doc.items():
         w, h = _fixture_dims(did)
         assert n == (w // 32) * (h // 32)

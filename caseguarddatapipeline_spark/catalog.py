@@ -59,6 +59,10 @@ _PINNED = [
     "e5_global_token_budget_sql",
     "e2_sq8_search_sql",
     "e5_global_token_budget",
+    # ... and U3's dispatch over real bytes (the last binary→text
+    # stand-in replaced: per-batch extension dispatch into the pdfops/
+    # docxops parsers)
+    "u3_binary_dispatch",
 ]
 
 

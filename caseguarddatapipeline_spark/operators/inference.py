@@ -304,6 +304,63 @@ def u3_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(extract, schema=U3_DISPATCH_SCHEMA)
 
 
+def u3_binary_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 dispatch over REAL BYTES (round 12 — the last stand-in in the
+    binary→text path): scan the fixture's genuine on-disk .pdf and
+    .docx files, dispatch each Arrow batch by extension exactly like
+    ``u3_format_dispatch`` dispatches by format code, and run the REAL
+    parser per group — pdfops.extract_pdf_text (xref walk + FlateDecode
+    + text operators) and docxops.extract_docx_text (ZIP central
+    directory + OOXML runs). Both recover the generating document text
+    verbatim, so the whole dispatch pipeline keeps an exact SQL oracle
+    while every byte it touches is a real container. Reference parity:
+    this IS docproc/format_config.py:147-230's dispatch (priority
+    classes from :44-48, both formats "high"), with the LlamaParse call
+    replaced by in-repo parsers instead of string arithmetic.
+    Scale: one file = one row = one kernel call; the per-batch groupby
+    dispatches once per (batch, extension), not per row."""
+    from .docxops import extract_docx_text
+    from .multimodal import _fixture_docs
+    from .pdfops import extract_pdf_text
+
+    files = _fixture_docs(spark, sf_dir, "doc_*.{pdf,docx}").select(
+        "doc_id",
+        F.element_at(F.split(F.input_file_name(), r"\."), -1).alias("ext"),
+        "payload",
+    )
+
+    _PARSERS = {
+        "pdf": ("high", "pdf_xref_flate", extract_pdf_text),
+        "docx": ("high", "docx_zip_ooxml", extract_docx_text),
+    }
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for ext, idx in pdf.groupby("ext").groups.items():
+                cls, name, fn = _PARSERS[ext]
+                texts = pdf["payload"].loc[idx].map(
+                    lambda b: str(fn(bytes(b))["text"])
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": pdf["doc_id"].loc[idx],
+                            "doc_format": ext,
+                            "priority_class": cls,
+                            "extractor": name,
+                            "extracted_text": texts,
+                            "n_chars_out": texts.str.len().astype("int64"),
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                columns=[f.name for f in U3_DISPATCH_SCHEMA.fields]
+            )
+
+    return files.mapInPandas(extract, schema=U3_DISPATCH_SCHEMA)
+
+
 def u5_urgency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Urgency heuristic (enricher.py:313-355) — pure column expressions,
     no UDF needed (SURVEY.md §2.8 U5): recency + magnitude blend."""
@@ -424,6 +481,7 @@ QUERIES = {
     "u2_hash_embedding": u2_hash_embedding,
     "u3_text_extraction": u3_text_extraction,
     "u3_format_dispatch": u3_format_dispatch,
+    "u3_binary_dispatch": u3_binary_dispatch,
     "u5_urgency_score": u5_urgency_score,
     "u7_embedding_chunks": u7_embedding_chunks,
 }
@@ -454,6 +512,21 @@ ORACLES = {
                round(1.0 / (1.0 + exp(-z)), 6) AS p_quality,
                1.0 / (1.0 + exp(-z)) >= 0.5 AS accepted
         FROM z
+    """,
+    # the real-bytes dispatch: pdf class ids are %3==0 under 64, docx
+    # ids are 96-127; both parsers round-trip the document text exactly
+    "u3_binary_dispatch": """
+        SELECT doc_id,
+               CASE WHEN doc_id < 64 THEN 'pdf' ELSE 'docx' END
+                   AS doc_format,
+               'high' AS priority_class,
+               CASE WHEN doc_id < 64 THEN 'pdf_xref_flate'
+                    ELSE 'docx_zip_ooxml' END AS extractor,
+               text AS extracted_text,
+               CAST(length(text) AS BIGINT) AS n_chars_out
+        FROM documents
+        WHERE (doc_id < 64 AND doc_id % 3 = 0)
+           OR (doc_id >= 96 AND doc_id < 128)
     """,
     "u3_format_dispatch": """
         WITH m AS (

@@ -35,6 +35,7 @@ for a C-backed parser behind the same (payload → text) seam.
 from __future__ import annotations
 
 import re
+import struct
 import zlib
 from collections.abc import Iterator
 from typing import Callable
@@ -184,6 +185,103 @@ def pdf_n_bytes(text: str) -> int:
     return xref_off + _K_XREF + len(str(xref_off))
 
 
+def build_pdf_modern(
+    text: str, *, wrap: int = 0, predictor: bool = False
+) -> bytes:
+    """A PDF 1.5-style file exercising the MODERN container features:
+    the catalog / page tree / font dictionaries live inside a
+    FlateDecode OBJECT STREAM (/Type /ObjStm) and the cross-reference
+    is an XREF STREAM (/Type /XRef, W=[1 3 1] binary rows, optionally
+    PNG-Up-predicted like real generators emit) — no classic table, no
+    trailer keyword. Text content round-trips exactly like build_pdf;
+    used by the property tests to prove the parser handles what
+    today's PDF writers actually produce."""
+    if wrap > 0:
+        words = text.split(" ")
+        lines = [
+            " ".join(words[i : i + wrap]) for i in range(0, len(words), wrap)
+        ]
+        shows = b"0 -14 Td\n".join(
+            b"(" + _escape(ln) + b") Tj\n" for ln in lines
+        )
+        content = b"BT\n/F1 12 Tf\n72 720 Td\n" + shows + b"ET\n"
+    else:
+        q = len(text) // 4
+        segs = [text[:q], text[q : 2 * q], text[2 * q : 3 * q], text[3 * q :]]
+        e = [_escape(s) for s in segs]
+        content = (
+            _CS_PARTS[0] + e[0] + _CS_PARTS[1] + e[1] + _CS_PARTS[2]
+            + e[2] + _CS_PARTS[3] + e[3] + _CS_PARTS[4]
+        )
+    z1 = zlib.compress(content)
+    obj1 = (
+        b"1 0 obj\n<< /Length " + str(len(z1)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + z1
+        + b"\nendstream\nendobj\n"
+    )
+    members = [
+        (3, b"<< /Type /Catalog /Pages 4 0 R >>"),
+        (4, b"<< /Type /Pages /Kids [5 0 R] /Count 1 >>"),
+        (
+            5,
+            b"<< /Type /Page /Parent 4 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 6 0 R >> >> /Contents 1 0 R >>",
+        ),
+        (6, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    header = []
+    payload = b""
+    for num, obj in members:
+        header.append(b"%d %d" % (num, len(payload)))
+        payload += obj + b" "
+    head = b" ".join(header) + b" "
+    z2 = zlib.compress(head + payload)
+    obj2 = (
+        b"2 0 obj\n<< /Type /ObjStm /N 4 /First " + str(len(head)).encode()
+        + b" /Length " + str(len(z2)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + z2
+        + b"\nendstream\nendobj\n"
+    )
+    out = bytearray(b"%PDF-1.5\n")
+    off1 = len(out)
+    out += obj1
+    off2 = len(out)
+    out += obj2
+    off7 = len(out)
+    # xref rows for objects 0..7, W=[1 3 1]
+    rows = [struct.pack(">B3sB", 0, (0).to_bytes(3, "big"), 255)]
+    rows.append(struct.pack(">B3sB", 1, off1.to_bytes(3, "big"), 0))
+    rows.append(struct.pack(">B3sB", 1, off2.to_bytes(3, "big"), 0))
+    for k in range(4):  # objects 3-6 live in ObjStm 2 at slots 0-3
+        rows.append(struct.pack(">B3sB", 2, (2).to_bytes(3, "big"), k))
+    rows.append(struct.pack(">B3sB", 1, off7.to_bytes(3, "big"), 0))
+    table = b"".join(rows)
+    parms = b""
+    if predictor:
+        # PNG Up filter per 5-byte row, like real generators
+        stride = 5
+        pred_rows = []
+        prev = bytes(stride)
+        for r in range(0, len(table), stride):
+            row = table[r : r + stride]
+            pred_rows.append(
+                bytes([2]) + bytes((row[j] - prev[j]) & 0xFF for j in range(stride))
+            )
+            prev = row
+        table = b"".join(pred_rows)
+        parms = b" /DecodeParms << /Predictor 12 /Columns 5 >>"
+    z3 = zlib.compress(table)
+    xref_obj = (
+        b"7 0 obj\n<< /Type /XRef /W [1 3 1] /Size 8 /Root 3 0 R"
+        + parms + b" /Length " + str(len(z3)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + z3
+        + b"\nendstream\nendobj\n"
+    )
+    out += xref_obj
+    out += b"startxref\n" + str(off7).encode() + _EOF
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # Parser
 # ---------------------------------------------------------------------------
@@ -195,17 +293,28 @@ class PdfParseError(ValueError):
     pass
 
 
-def _read_xref(data: bytes) -> tuple[dict[int, int], int]:
-    """startxref → classic xref table → ({obj → byte offset}, root obj)."""
+def _read_xref(data: bytes) -> tuple[dict[int, object], int]:
+    """startxref → xref → ({obj → location}, root obj). Handles BOTH
+    the classic ``xref`` table (PDF 1.0-1.4) and the PDF 1.5+ CROSS-
+    REFERENCE STREAM (/Type /XRef: FlateDecode'd fixed-width rows,
+    optional PNG predictor) — what real-world generators emit today. A
+    location is either a direct byte offset (int) or a ``(objstm_num,
+    index)`` tuple for an object living inside an object stream."""
     tail = data[-2048:]
     i = tail.rfind(b"startxref")
     if i < 0:
         raise PdfParseError("no startxref")
     xref_off = int(tail[i + 9 :].split()[0])
-    if data[xref_off : xref_off + 4] != b"xref":
-        raise PdfParseError("startxref does not point at an xref table")
+    if data[xref_off : xref_off + 4] == b"xref":
+        return _read_xref_table(data, xref_off)
+    if re.match(rb"\d+\s+\d+\s+obj", data[xref_off : xref_off + 32]):
+        return _read_xref_stream(data, xref_off)
+    raise PdfParseError("startxref points at neither a table nor a stream")
+
+
+def _read_xref_table(data: bytes, xref_off: int) -> tuple[dict[int, object], int]:
     pos = xref_off + 4
-    offsets: dict[int, int] = {}
+    offsets: dict[int, object] = {}
     while True:
         m = re.match(rb"\s*(\d+)\s+(\d+)\s*\n", data[pos : pos + 64])
         if not m:
@@ -228,10 +337,102 @@ def _read_xref(data: bytes) -> tuple[dict[int, int], int]:
     return offsets, int(m.group(1))
 
 
-def _obj_slice(data: bytes, offsets: dict[int, int], num: int) -> bytes:
-    off = offsets.get(num)
-    if off is None:
+def _png_unpredict(raw: bytes, columns: int) -> bytes:
+    """Undo PNG row prediction on an xref stream (Predictor ≥ 10): each
+    row is 1 filter byte + ``columns`` data bytes, bpp = 1. Real
+    generators emit Up (2) almost exclusively, but all five spec
+    filters decode."""
+    stride = columns + 1
+    if len(raw) % stride:
+        raise PdfParseError("predictor row misalignment")
+    out = bytearray()
+    prev = bytearray(columns)
+    for r in range(0, len(raw), stride):
+        ft = raw[r]
+        row = bytearray(raw[r + 1 : r + stride])
+        for j in range(columns):
+            left = row[j - 1] if j else 0
+            up = prev[j]
+            if ft == 0:
+                pass
+            elif ft == 1:
+                row[j] = (row[j] + left) & 0xFF
+            elif ft == 2:
+                row[j] = (row[j] + up) & 0xFF
+            elif ft == 3:
+                row[j] = (row[j] + (left + up) // 2) & 0xFF
+            elif ft == 4:
+                ul = prev[j - 1] if j else 0
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = (
+                    left if pa <= pb and pa <= pc else up if pb <= pc else ul
+                )
+                row[j] = (row[j] + pred) & 0xFF
+            else:
+                raise PdfParseError(f"unknown predictor filter {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _read_xref_stream(data: bytes, off: int) -> tuple[dict[int, object], int]:
+    end = data.find(b"endobj", off)
+    body = data[off : end if end > 0 else len(data)]
+    if not re.search(rb"/Type\s*/XRef", body):
+        raise PdfParseError("startxref object is not an XRef stream")
+    wm = re.search(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]", body)
+    sm = re.search(rb"/Size\s+(\d+)", body)
+    rm = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", body)
+    if not (wm and sm and rm):
+        raise PdfParseError("XRef stream missing /W, /Size or /Root")
+    w = [int(wm.group(k)) for k in (1, 2, 3)]
+    size = int(sm.group(1))
+    raw = _stream_bytes(body)
+    pm = re.search(rb"/Predictor\s+(\d+)", body)
+    if pm and int(pm.group(1)) >= 10:
+        cm = re.search(rb"/Columns\s+(\d+)", body)
+        raw = _png_unpredict(raw, int(cm.group(1)) if cm else sum(w))
+    im = re.search(rb"/Index\s*\[([^\]]*)\]", body)
+    if im:
+        nums = [int(x) for x in im.group(1).split()]
+        index = list(zip(nums[::2], nums[1::2]))
+    else:
+        index = [(0, size)]
+    rw = sum(w)
+    offsets: dict[int, object] = {}
+    pos = 0
+
+    def field(width: int, default: int) -> int:
+        nonlocal pos
+        if width == 0:
+            return default
+        v = int.from_bytes(raw[pos : pos + width], "big")
+        pos += width
+        return v
+
+    for start, count in index:
+        for k in range(count):
+            if pos + rw > len(raw):
+                raise PdfParseError("truncated XRef stream")
+            typ = field(w[0], 1)  # type defaults to 1 when W[0] == 0
+            f2 = field(w[1], 0)
+            f3 = field(w[2], 0)
+            if typ == 1:
+                offsets[start + k] = f2
+            elif typ == 2:
+                offsets[start + k] = (f2, f3)  # (objstm number, index)
+            # type 0 = free: skipped
+    return offsets, int(rm.group(1))
+
+
+def _obj_slice(data: bytes, offsets: dict[int, object], num: int) -> bytes:
+    loc = offsets.get(num)
+    if loc is None:
         raise PdfParseError(f"object {num} not in xref")
+    if isinstance(loc, tuple):  # lives inside an object stream
+        return _objstm_member(data, offsets, loc[0], loc[1], num)
+    off = loc
     m = re.match(rb"(\d+)\s+\d+\s+obj", data[off : off + 32])
     if not m or int(m.group(1)) != num:
         raise PdfParseError(f"xref offset for object {num} is wrong")
@@ -239,6 +440,44 @@ def _obj_slice(data: bytes, offsets: dict[int, int], num: int) -> bytes:
     if end < 0:
         raise PdfParseError(f"object {num} has no endobj")
     return data[off + m.end() : end]
+
+
+def _objstm_member(
+    data: bytes,
+    offsets: dict[int, object],
+    stm_num: int,
+    idx: int,
+    want: int,
+) -> bytes:
+    """PDF 1.5 object stream (/Type /ObjStm): inflated payload opens
+    with /N (objnum, offset) integer pairs; member ``idx``'s bytes run
+    from /First + its offset to the next member (or stream end). Dict
+    objects inside carry no obj/endobj wrappers."""
+    loc = offsets.get(stm_num)
+    if not isinstance(loc, int):
+        raise PdfParseError(f"object stream {stm_num} not at a direct offset")
+    body = _obj_slice(data, offsets, stm_num)
+    if not re.search(rb"/Type\s*/ObjStm", body):
+        raise PdfParseError(f"object {stm_num} is not an ObjStm")
+    nm = re.search(rb"/N\s+(\d+)", body)
+    fm = re.search(rb"/First\s+(\d+)", body)
+    if not (nm and fm):
+        raise PdfParseError("ObjStm missing /N or /First")
+    n, first = int(nm.group(1)), int(fm.group(1))
+    payload = _stream_bytes(body)
+    header = payload[:first].split()
+    if len(header) < 2 * n:
+        raise PdfParseError("ObjStm header shorter than /N pairs")
+    pairs = [
+        (int(header[2 * k]), int(header[2 * k + 1])) for k in range(n)
+    ]
+    if idx >= n or pairs[idx][0] != want:
+        raise PdfParseError(
+            f"ObjStm {stm_num} slot {idx} does not hold object {want}"
+        )
+    start = first + pairs[idx][1]
+    stop = first + pairs[idx + 1][1] if idx + 1 < n else len(payload)
+    return payload[start:stop]
 
 
 def _ref(body: bytes, key: bytes) -> int:

@@ -18,6 +18,7 @@ from hypothesis import strategies as st
 from caseguarddatapipeline_spark.operators.pdfops import (
     PdfParseError,
     build_pdf,
+    build_pdf_modern,
     extract_pdf_text,
     pdf_n_bytes,
 )
@@ -125,6 +126,32 @@ def test_pdf_parser_handles_spec_constructs():
         "nested (parens) literaloctal ABCHI!\x00splitline\nnext\nquoted"
     )
     assert out["n_text_ops"] == 6
+
+
+@given(text=_text, predictor=st.booleans())
+@settings(**_SETTINGS)
+def test_pdf_modern_xref_stream_roundtrip(text, predictor):
+    """PDF 1.5 container features — the dictionaries live in a
+    /Type /ObjStm object stream and the cross-reference is a binary
+    /Type /XRef stream (W=[1 3 1] rows, optionally PNG-Up-predicted the
+    way real generators write them): the same parser must recover the
+    text through type-2 indirection."""
+    b = build_pdf_modern(text, predictor=predictor)
+    assert b"/XRef" in b and b"/ObjStm" in b and b"trailer" not in b
+    out = extract_pdf_text(b)
+    assert out["text"] == text
+    assert out["n_pages"] == 1 and out["n_text_ops"] == 3
+
+
+def test_pdf_modern_wrap_and_truncation():
+    t = "alpha beta gamma delta"
+    out = extract_pdf_text(build_pdf_modern(t, wrap=2, predictor=True))
+    assert out["text"] == "alpha beta\ngamma delta"
+    # a truncated xref stream must fail loudly, not misparse
+    b = build_pdf_modern("hello")
+    broken = b.replace(b"/Size 8", b"/Size 9")
+    with pytest.raises((PdfParseError, ValueError)):
+        extract_pdf_text(broken)
 
 
 def test_pdf_parser_rejects_legacy_and_garbage():

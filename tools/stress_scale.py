@@ -11,8 +11,9 @@ data, as a real larger corpus would); no synthetic files are written.
 Usage: python tools/stress_scale.py [replicas] [sf_dir]
 Prints one JSON line: rows, seconds and Mrows/s per shape.
 
-Curve mode: ``python tools/stress_scale.py curve`` runs the 16 bench
-headliners at sf0.001/0.01/0.1 under the serving profile and prints,
+Curve mode: ``python tools/stress_scale.py curve`` runs the bench
+headliner schedule (bench.BENCH_QUERIES — 20 since round 12) at
+sf0.001/0.01/0.1 under the serving profile and prints,
 per query, the runtime at each scale factor plus the derived split into
 FIXED overhead (the sf0.001 runtime — data is negligible there) and
 MARGINAL sec/GB (Δruntime / Δbytes between sf0.001 and sf0.1). This is

@@ -63,6 +63,8 @@ _PINNED = [
     # stand-in replaced: per-batch extension dispatch into the pdfops/
     # docxops parsers)
     "u3_binary_dispatch",
+    # ... and temperature-scaled mixture sampling (α=1/2, sqrt-exact)
+    "e5_temperature_mixture",
 ]
 
 

@@ -725,6 +725,64 @@ def e5_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_BUDGET = 6000  # tokens drawn under the temperature-scaled mixture
+
+
+def e5_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-scaled mixture sampling — the multilingual-LM
+    rebalancing trick (mBERT/XLM-R: sample source s with probability
+    ∝ n_s^α, α < 1): exponentiating the raw size distribution flattens
+    it, up-weighting small domains without drowning large ones — the
+    standard middle ground between proportional sampling (α=1, crawls
+    dominate) and uniform (α=0, small sources over-repeat). α is pinned
+    at 1/2 so the power is ``sqrt`` — correctly rounded IEEE double in
+    BOTH engines, keeping the oracle hash-exact where a general
+    ``pow(x, 0.7)`` could drift in the last ulp across libm
+    implementations.
+
+    Emits the sampler's decision table: raw share, temperature share,
+    the token draw from a global budget, and the implied up/down
+    sampling factor per source. Shape: one map-side-combinable token
+    groupBy to |sources| rows + a 1-row broadcast of the sqrt-mass
+    total — the e5_domain_mixture two-stage shape; at 100 TB the plan
+    reduces the corpus scan before any mixture math."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    per_source = docs.groupBy("source").agg(
+        F.sum(toks).cast("long").alias("n_tokens")
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("sqrt_mass"),
+    )
+    draw = F.round(
+        F.lit(float(TEMP_BUDGET))
+        * F.sqrt(F.col("n_tokens").cast("double"))
+        / F.col("sqrt_mass"),
+        0,
+    ).cast("bigint")
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("total_tokens"), 6
+            ).alias("raw_share"),
+            F.round(
+                F.sqrt(F.col("n_tokens").cast("double"))
+                / F.col("sqrt_mass"),
+                6,
+            ).alias("temp_share"),
+            draw.alias("drawn_tokens"),
+            F.round(
+                draw.cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("sampling_factor"),
+        )
+        .orderBy("source")
+    )
+
+
 def e5_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The duplication datasheet across ALL FIVE dedup granularities the
     engine implements — the one-table answer to "which dedup tier flags
@@ -812,6 +870,7 @@ def e5_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "e5_dataset_card": e5_dataset_card,
     "e5_mixture_epochs": e5_mixture_epochs,
+    "e5_temperature_mixture": e5_temperature_mixture,
     "e5_dedup_report": e5_dedup_report,
     "e5_corpus_curation": e5_corpus_curation,
     "e5_curation_funnel": e5_curation_funnel,
@@ -926,6 +985,34 @@ ORACLES = {
                CAST(greatest(allotted_tokens - available_tokens * epochs, 0)
                     AS BIGINT) AS shortfall_tokens
         FROM ep
+    """,
+    # α = 1/2 → sqrt: correctly-rounded IEEE in both engines (a general
+    # pow could drift in the last ulp across libm implementations)
+    "e5_temperature_mixture": f"""
+        WITH per_source AS (
+            SELECT source,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source
+        ), totals AS (
+            SELECT sum(n_tokens) AS total_tokens,
+                   sum(sqrt(CAST(n_tokens AS DOUBLE))) AS sqrt_mass
+            FROM per_source
+        )
+        SELECT source, n_tokens,
+               round(CAST(n_tokens AS DOUBLE) / total_tokens, 6)
+                   AS raw_share,
+               round(sqrt(CAST(n_tokens AS DOUBLE)) / sqrt_mass, 6)
+                   AS temp_share,
+               CAST(round({TEMP_BUDGET}.0
+                          * sqrt(CAST(n_tokens AS DOUBLE)) / sqrt_mass, 0)
+                    AS BIGINT) AS drawn_tokens,
+               round(CAST(round({TEMP_BUDGET}.0
+                                * sqrt(CAST(n_tokens AS DOUBLE))
+                                / sqrt_mass, 0) AS DOUBLE)
+                     / CAST(n_tokens AS DOUBLE), 6) AS sampling_factor
+        FROM per_source CROSS JOIN totals
+        ORDER BY source
     """,
     "e5_dataset_card": """
         WITH feat AS (

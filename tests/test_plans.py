@@ -172,6 +172,8 @@ BNLJ_BOUNDED = {
     "e5_global_token_budget's shape)",
     "e2_sq8_search_sql": "per-dimension bounds row (1-row broadcast) + "
     "fixed 5-vector query set broadcast (e2_sq8_search's shape)",
+    "e5_temperature_mixture": "corpus (total, sqrt-mass) scalar "
+    "(1-row broadcast, e5_domain_mixture's shape)",
 }
 
 

@@ -13,11 +13,13 @@ item 5): the window is ``_PINNED`` (the flagship + every entry NEW this
 round, so the zero-debt policy stays structural) followed by the
 STALEST oracle-backed queries — ascending (latest driver hash-green
 round, name), from the generated ``_window_state.LAST_GREEN``
-(tools/rotation.py scans CORRECTNESS_r*.json). With ~48 rotation slots
-per round and 239 oracle-backed queries, every query re-enters the
-window at least every ceil(239/48) = 5 rounds, mechanically — no
-cohort can go stale the way the round-1-5 cohorts did under the manual
-list (rounds 1-11's swap history is in git: this file @ d49cd42).
+(tools/rotation.py scans CORRECTNESS_r*.json). Re-entry bound =
+ceil(N_oracle_backed / (50 − |pins|)) rounds, mechanically: a typical
+round pins 3-5 additions (≈45 rotation slots → every query re-proven
+within ~6 rounds); round 12's unusually wide surface pins 15, still
+bounding re-entry at ~7. No cohort can go stale the way the
+round-1-5 cohorts did under the manual list (rounds 1-11's swap
+history is in git: this file @ d49cd42).
 Rows-only entries can never turn a slot green, so they are permanently
 outside the window; each carries its exact evidence elsewhere
 (a16_approx_distinct_users: pytest-pinned ±rel-sd vs exact distinct by
@@ -65,6 +67,10 @@ _PINNED = [
     "u3_binary_dispatch",
     # ... and temperature-scaled mixture sampling (α=1/2, sqrt-exact)
     "e5_temperature_mixture",
+    # ... and the binary (1-bit) quantization tier + its measured recall
+    # companion, completing the float→SQ8→PQ→binary ladder
+    "e2_binary_search",
+    "e2_binary_recall",
 ]
 
 

@@ -651,6 +651,110 @@ def e2_sq8_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _binary_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, emb, w_lo, w_hi): every vector sign-quantized to ONE BIT
+    per dimension against the per-dimension [min,max] MIDPOINT (a
+    training-free threshold that is ORDER-INDEPENDENT and so
+    cross-engine exact — a per-dim mean would inherit float summation
+    order), packed into two 32-bit words. 64x smaller than float32."""
+    corpus = _corpus(spark, sf_dir)
+    dims = corpus.select(F.posexplode("emb").alias("j", "v"))
+    mids = (
+        dims.groupBy("j")
+        .agg(((F.min("v") + F.max("v")) / 2.0).alias("mid"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "mid"))),
+                lambda s: s["mid"],
+            ).alias("mid")
+        )
+    )
+    word = (
+        "aggregate(sequence({a}, {b}), 0L, (acc, j) -> acc + "
+        "IF(element_at(emb, j) > element_at(mid, j), "
+        "shiftleft(1L, j - {a}), 0L))"
+    )
+    return corpus.crossJoin(F.broadcast(mids)).selectExpr(
+        "vec_id",
+        "emb",
+        word.format(a=1, b=32) + " AS w_lo",
+        word.format(a=33, b=64) + " AS w_hi",
+    )
+
+
+def e2_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY (1-bit) quantization search — the bottom rung of the
+    quantization ladder (FAISS ``IndexBinaryFlat``): each dimension
+    collapses to its sign against the per-dim range midpoint, 64 dims
+    pack into two integer words, and search ranks candidates by HAMMING
+    distance — ``bit_count(xor())`` over the packed words, the cheapest
+    distance a vector index can compute (two instructions per 32 dims).
+    Completes the family: float (exact) → SQ8 (8-bit) → PQ (4-bit/
+    subspace) → binary (1-bit); ``e2_binary_recall`` measures what the
+    64x compression costs. At 100 TB the packed words are two BIGINT
+    columns on the corpus table — Hamming search is a pure columnar
+    scan with no array access at all, the same reason real systems
+    (FAISS binary indexes, Weaviate BQ) serve first-pass retrieval from
+    binary codes and refine the survivors at full precision
+    (e2_sq8_refine_search's recipe)."""
+    coded = _binary_coded(spark, sf_dir)
+    qcodes = coded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w_lo").alias("q_lo"),
+        F.col("w_hi").alias("q_hi"),
+    )
+    hamming = (
+        F.bit_count(F.expr("w_lo ^ q_lo")) + F.bit_count(F.expr("w_hi ^ q_hi"))
+    ).cast("int")
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("vec_id")
+    )
+    return (
+        coded.join(F.broadcast(qcodes), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", hamming.alias("hamming"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOPK)
+    )
+
+
+def e2_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured binary-quantization quality: per-query recall@3 of the
+    Hamming search vs the exact L2 top-3 (e2_sq8_recall's companion at
+    the 64x compression point). Binary recall is EXPECTED to trail SQ8
+    badly — measured mean 0.33 at sf0.001 / 0.13 at sf0.01 on this
+    synthetic corpus, vs ~0.006 for random top-3 — and that gap is the
+    recorded justification for the refine recipe (binary as first-pass
+    candidate generator, exact re-rank on survivors,
+    e2_sq8_refine_search's shape) over serving raw Hamming ranks. The
+    pytest pin (tests/test_similarity.py) guards the
+    binarizer/packing seam: a sign-flip or word-packing regression
+    collapses recall to the random baseline."""
+    approx = e2_binary_search(spark, sf_dir).select("query_id", "vec_id")
+    corpus = _corpus(spark, sf_dir)
+    queries = _pq_queries(corpus)
+    dist = F.round(_l2sq(F.col("emb"), F.col("q_emb")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    exact = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dist.alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return queries.select("query_id").join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        F.round(
+            F.coalesce(F.col("n_overlap"), F.lit(0)) / float(TOPK), 4
+        ).alias("recall_at_3"),
+    )
+
+
 def e2_ivfsq8_search_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-routed SQ8 ANN (FAISS ``IndexIVFScalarQuantizer`` as a
     relational plan) — the round-8 family-symmetry closer: flat SQ8
@@ -779,6 +883,8 @@ QUERIES = {
     "e2_pq_search_1round": e2_pq_search_1round,
     "e2_sq8_search": e2_sq8_search,
     "e2_sq8_refine_search": e2_sq8_refine_search,
+    "e2_binary_search": e2_binary_search,
+    "e2_binary_recall": e2_binary_recall,
     "e2_sq8_recall": e2_sq8_recall,
     "e2_ivfsq8_search_1round": e2_ivfsq8_search_1round,
     "e2_ivfsq8_recall": e2_ivfsq8_recall,
@@ -1179,6 +1285,87 @@ ORACLES["e2_ivfsq8_recall"] = f"""
 ORACLES["e2_sq8_recall"] = f"""
     WITH approx AS (
         SELECT query_id, vec_id FROM ({ORACLES["e2_sq8_search"]})
+    ), corpus AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ), queries AS (
+        SELECT vec_id AS query_id, emb AS q_emb FROM corpus
+        WHERE vec_id < {N_QUERIES}
+    ), exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dist ASC, vec_id ASC) AS rank
+            FROM (
+                SELECT q.query_id, c.vec_id,
+                       round(list_sum(list_transform(range(1, 65),
+                             j -> (c.emb[j] - q.q_emb[j])
+                                  * (c.emb[j] - q.q_emb[j]))), 6) AS dist
+                FROM corpus c JOIN queries q ON c.vec_id <> q.query_id))
+        WHERE rank <= {TOPK}
+    ), hits AS (
+        SELECT e.query_id, count(*) AS n_overlap
+        FROM exact e JOIN approx a
+          ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        GROUP BY e.query_id
+    )
+    SELECT q.query_id,
+           CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(coalesce(h.n_overlap, 0) / CAST({TOPK} AS DOUBLE), 4)
+               AS recall_at_3
+    FROM queries q LEFT JOIN hits h ON h.query_id = q.query_id
+"""
+
+
+# Binary quantization: the [min,max]/2 midpoint threshold is
+# order-independent (a per-dim MEAN would inherit float summation
+# order and drift across engines/partitionings); DuckDB's ^ operator
+# is exponentiation, so xor() by name.
+_BINARY_CODED_SQL = f"""
+    corpus AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ), mids AS (
+        SELECT list(mid ORDER BY j) AS mid
+        FROM (SELECT jj.j AS j,
+                     (min(emb[jj.j]) + max(emb[jj.j])) / 2.0 AS mid
+              FROM corpus CROSS JOIN (SELECT unnest(range(1, 65)) AS j) jj
+              GROUP BY jj.j)
+    ), coded AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(range(1, 33),
+                   j -> CASE WHEN emb[j] > mid[j]
+                             THEN (CAST(1 AS BIGINT) << (j - 1))
+                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w_lo,
+               CAST(list_sum(list_transform(range(33, 65),
+                   j -> CASE WHEN emb[j] > mid[j]
+                             THEN (CAST(1 AS BIGINT) << (j - 33))
+                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w_hi
+        FROM corpus CROSS JOIN mids
+    ), q AS (
+        SELECT vec_id AS query_id, w_lo AS q_lo, w_hi AS q_hi
+        FROM coded WHERE vec_id < {N_QUERIES}
+    )
+"""
+
+ORACLES["e2_binary_search"] = f"""
+    WITH {_BINARY_CODED_SQL}
+    SELECT query_id, vec_id, hamming, CAST(rank AS INT) AS rank FROM (
+        SELECT q.query_id, c.vec_id,
+               CAST(bit_count(xor(c.w_lo, q.q_lo))
+                    + bit_count(xor(c.w_hi, q.q_hi)) AS INT) AS hamming,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY bit_count(xor(c.w_lo, q.q_lo))
+                            + bit_count(xor(c.w_hi, q.q_hi)) ASC,
+                            c.vec_id ASC) AS rank
+        FROM coded c JOIN q ON c.vec_id <> q.query_id)
+    WHERE rank <= {TOPK}
+"""
+
+ORACLES["e2_binary_recall"] = f"""
+    WITH approx AS (
+        SELECT query_id, vec_id FROM ({ORACLES["e2_binary_search"]})
     ), corpus AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         FROM embeddings

@@ -174,6 +174,12 @@ BNLJ_BOUNDED = {
     "fixed 5-vector query set broadcast (e2_sq8_search's shape)",
     "e5_temperature_mixture": "corpus (total, sqrt-mass) scalar "
     "(1-row broadcast, e5_domain_mixture's shape)",
+    "e2_binary_search": "per-dimension midpoint row (1-row broadcast) + "
+    "fixed 5-query packed-code broadcast (e2_sq8_search's shape at "
+    "1-bit resolution)",
+    "e2_binary_recall": "exact-side ground truth vs fixed 5-vector "
+    "query set broadcast + the composed e2_binary_search (same shape "
+    "as e2_sq8_recall)",
 }
 
 

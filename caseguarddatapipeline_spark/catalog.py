@@ -71,6 +71,8 @@ _PINNED = [
     # companion, completing the float→SQ8→PQ→binary ladder
     "e2_binary_search",
     "e2_binary_recall",
+    # ... and CCNet's head/middle/tail LM-score terciles
+    "e3_ccnet_buckets",
 ]
 
 

@@ -15,7 +15,7 @@ the E3 operators extend them to corpus-level analytics per the build brief.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources import load_table
 
@@ -950,6 +950,49 @@ def e3_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e3_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per source,
+    documents are ranked by their LM score (e3_ngram_lm_score — the
+    bigram stand-in for KenLM perplexity) and cut into TERCILES;
+    downstream consumers keep "head" (most fluent third), sample
+    "middle", and usually drop "tail". This is the selection step CCNet
+    runs per language bucket; ``source`` plays the language role on
+    this corpus. Deterministic total order (score desc, doc_id asc) so
+    ntile is engine-exact; docs with < 2 tokens carry no bigrams and —
+    exactly like the LM scorer — fall outside the ranked population.
+
+    Scale: ntile needs the per-source population in one task, the same
+    caveat e3_zscore_by_source documents; the skew-proof rewrite is the
+    histogram-CDF + bucketed-positions decomposition already coded in
+    e5_curriculum_order_scaled (quartiles there, terciles here — the
+    identical algebra), so the straggler-free form exists and this
+    entry keeps the literal CCNet shape."""
+    scored = e3_ngram_lm_score(spark, sf_dir).select(
+        "doc_id", "avg_logp_micro"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("avg_logp_micro"), F.asc("doc_id")
+    )
+    tercile = F.ntile(3).over(w)
+    return (
+        scored.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "avg_logp_micro",
+            tercile.alias("tercile"),
+        )
+        .withColumn(
+            "bucket",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.col("tercile"),
+            ),
+        )
+    )
+
+
 def e3_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document unigram Shannon entropy — the lexical-diversity
     quality signal (low entropy ≈ repetitive/boilerplate text, the same
@@ -1066,6 +1109,7 @@ QUERIES = {
     "e3_trigram_familiarity": e3_trigram_familiarity,
     "e3_winnow_fingerprints": e3_winnow_fingerprints,
     "e3_ngram_lm_score": e3_ngram_lm_score,
+    "e3_ccnet_buckets": e3_ccnet_buckets,
 }
 
 # Winnowing postings as a reusable oracle CTE (k=3 token k-grams keyed by
@@ -1567,3 +1611,18 @@ ORACLES = {
         FROM scored GROUP BY doc_id
     """,
 }
+
+
+ORACLES["e3_ccnet_buckets"] = f"""
+    WITH scored AS ({ORACLES["e3_ngram_lm_score"]})
+    SELECT doc_id, source, avg_logp_micro,
+           CAST(tercile AS INT) AS tercile,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM (
+        SELECT s.doc_id, d.source, s.avg_logp_micro,
+               ntile(3) OVER (PARTITION BY d.source
+                              ORDER BY s.avg_logp_micro DESC,
+                                       s.doc_id ASC) AS tercile
+        FROM scored s JOIN documents d ON s.doc_id = d.doc_id)
+"""

@@ -67,28 +67,28 @@ def raster_tiles_from_files(files: DataFrame) -> DataFrame:
     return docs.mapInPandas(_pixel_tiles_kernel, TILE_SCHEMA)
 
 
-def run_raster_ingest(
+def _run_file_ingest(
     spark: SparkSession,
     input_dir: str,
     out_dir: str,
     checkpoint_dir: str,
-    *,
-    glob: str = "*.{ppm,bmp,png,jpg,jpeg}",
-    max_files_per_trigger: int = 16,
-    files_per_batch_dir: int = 1,
+    glob: str,
+    transform,
+    max_files_per_trigger: int,
+    files_per_batch_dir: int,
+    what: str,
 ):
-    """Drain every raster file currently in ``input_dir`` (availableNow)
-    through the decode kernel into ``out_dir/ingest_batch=N`` parquet.
-    Returns the finished StreamingQuery. Re-running with the same
-    checkpoint picks up only files that arrived since the last drain."""
+    """Shared machinery of the file-modality ingest streams: binaryFile
+    readStream (fixed schema — streaming sources don't infer) →
+    per-micro-batch ``transform`` kernel → the batch's OWN
+    ``ingest_batch=N`` parquet partition, availableNow + checkpoint.
+    Ownership of out_dir vs a FRESH checkpoint is guarded per batch
+    (same hazard the assembly corpus guards: batch ids restart at 0
+    under a new checkpoint, and stale high-numbered partitions from a
+    previous run would silently mix into reads)."""
     os.makedirs(out_dir, exist_ok=True)
     stream = (
         spark.readStream.format("binaryFile")
-        # (ownership of out_dir vs a FRESH checkpoint is guarded per
-        # batch below, same hazard the assembly corpus guards: batch ids
-        # restart at 0 under a new checkpoint, and stale high-numbered
-        # partitions from a previous run would silently mix into reads)
-        # the source's FIXED schema — streaming sources don't infer
         .schema(
             "path string, modificationTime timestamp, "
             "length long, content binary"
@@ -107,17 +107,17 @@ def run_raster_ingest(
         )
         if ahead:
             raise RuntimeError(
-                f"raster ingest output {out_dir} already holds batch "
+                f"{what} ingest output {out_dir} already holds batch "
                 f"partitions {ahead} ahead of batch {batch_id}: this "
                 "checkpoint does not own this output — point at an empty "
                 "dir or restore the matching checkpoint"
             )
         (
-            raster_tiles_from_files(batch)
+            transform(batch)
             # repartition, NOT coalesce: coalesce is a narrow dependency,
             # so it would collapse the upstream decode kernel itself to
             # files_per_batch_dir tasks (serial decode per trigger). The
-            # exchange here moves only the small per-tile stat rows; the
+            # exchange here moves only the small kernel-output rows; the
             # byte-heavy decode keeps one task per input split.
             .repartition(files_per_batch_dir)
             .write.mode("overwrite")
@@ -132,3 +132,110 @@ def run_raster_ingest(
     )
     query.awaitTermination()
     return query
+
+
+def run_raster_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    glob: str = "*.{ppm,bmp,png,jpg,jpeg}",
+    max_files_per_trigger: int = 16,
+    files_per_batch_dir: int = 1,
+):
+    """Drain every raster file currently in ``input_dir`` (availableNow)
+    through the decode kernel into ``out_dir/ingest_batch=N`` parquet.
+    Returns the finished StreamingQuery. Re-running with the same
+    checkpoint picks up only files that arrived since the last drain."""
+    return _run_file_ingest(
+        spark, input_dir, out_dir, checkpoint_dir, glob,
+        raster_tiles_from_files, max_files_per_trigger,
+        files_per_batch_dir, "raster",
+    )
+
+
+DOC_TEXT_SCHEMA = (
+    "doc_id long, doc_format string, extracted_text string, n_chars long"
+)
+
+
+def doc_text_from_files(files: DataFrame) -> DataFrame:
+    """binaryFile rows → extracted text through the REAL document
+    parsers (pdfops xref/FlateDecode walk, docxops ZIP/OOXML walk),
+    dispatched per Arrow batch by extension — the streaming face of
+    ``u3_binary_dispatch``. doc_id recovers from the ``doc_<id>.<ext>``
+    naming convention like the raster twin."""
+    import pandas as pd
+
+    from ..operators.docxops import extract_docx_text
+    from ..operators.pdfops import extract_pdf_text
+
+    extracted = F.regexp_extract(F.col("path"), r"doc_(\d+)\.", 1)
+    ext = F.element_at(F.split(F.col("path"), r"\."), -1)
+    docs = files.select(
+        F.when(
+            extracted == "",
+            F.raise_error(
+                F.concat(
+                    F.lit("document ingest: file name does not carry a "
+                          "doc_<id> identity: "),
+                    F.col("path"),
+                )
+            ),
+        )
+        .otherwise(extracted.cast("long"))
+        .alias("doc_id"),
+        ext.alias("ext"),
+        F.col("content").alias("payload"),
+    )
+    parsers = {"pdf": extract_pdf_text, "docx": extract_docx_text}
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for e, idx in pdf.groupby("ext").groups.items():
+                fn = parsers[e]
+                texts = pdf["payload"].loc[idx].map(
+                    lambda b: str(fn(bytes(b))["text"])
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": pdf["doc_id"].loc[idx],
+                            "doc_format": e,
+                            "extracted_text": texts,
+                            "n_chars": texts.str.len().astype("int64"),
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                columns=["doc_id", "doc_format", "extracted_text", "n_chars"]
+            )
+
+    return docs.mapInPandas(kernel, DOC_TEXT_SCHEMA)
+
+
+def run_document_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    glob: str = "*.{pdf,docx}",
+    max_files_per_trigger: int = 16,
+    files_per_batch_dir: int = 1,
+):
+    """The reference's actual ingestion loop as ONE streaming query —
+    soap_downloader.py:101-161 fetches case documents to disk and
+    docproc/format_config.py:147-230 parses them; here arriving
+    .pdf/.docx files ARE the stream and each micro-batch runs the real
+    in-repo parsers (xref/FlateDecode, ZIP/OOXML), landing extracted
+    text in replay-exact ``ingest_batch=N`` partitions. Same checkpoint
+    / late-arrival / restart semantics as ``run_raster_ingest``
+    (tests/test_binary_ingest.py drives both)."""
+    return _run_file_ingest(
+        spark, input_dir, out_dir, checkpoint_dir, glob,
+        doc_text_from_files, max_files_per_trigger,
+        files_per_batch_dir, "document",
+    )

@@ -102,3 +102,58 @@ def test_fresh_checkpoint_on_existing_output_fails_fast(spark, tmp_path):
     os.makedirs(os.path.join(out_dir, "ingest_batch=7"))
     with pytest.raises(StreamingQueryException, match="does not own"):
         run_raster_ingest(spark, in_dir, out_dir, str(tmp_path / "ck2"))
+
+
+def test_document_ingest_extracts_real_text_and_restarts(spark, tmp_path):
+    """The document-modality twin (run_document_ingest): .pdf/.docx
+    files drain through the REAL parsers into replay-exact batch
+    partitions; extracted text must equal the generating document text
+    (the parsers round-trip), and a checkpointed restart re-decodes
+    nothing."""
+    import duckdb
+
+    from caseguarddatapipeline_spark.streaming.binaryingest import (
+        run_document_ingest,
+    )
+
+    fixture = _binaryfile_fixture_dir(spark, SF_DIR)
+    docs = sorted(
+        f for f in os.listdir(fixture)
+        if f.rsplit(".", 1)[-1] in ("pdf", "docx")
+    )
+    assert len(docs) >= 8
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+    first, late = docs[:6], docs[6:10]
+    for f in first:
+        shutil.copy(os.path.join(fixture, f), in_dir)
+    run_document_ingest(spark, in_dir, out_dir, ckpt, max_files_per_trigger=3)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == len(first)
+
+    # late arrivals: only the new files decode on the next drain
+    for f in late:
+        shutil.copy(os.path.join(fixture, f), in_dir)
+    run_document_ingest(spark, in_dir, out_dir, ckpt, max_files_per_trigger=3)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == len(first) + len(late)
+    ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    want = {int(f.split(".")[0].split("_")[1]) for f in first + late}
+    assert ids == want
+
+    # value identity: extracted text == the generating documents.text
+    expected = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    }
+    for r in got.select("doc_id", "doc_format", "extracted_text").collect():
+        assert r["extracted_text"] == expected[r["doc_id"]], r["doc_id"]
+        assert r["doc_format"] == ("pdf" if r["doc_id"] < 64 else "docx")
+
+    # replay-exact: a third drain with nothing new adds nothing
+    run_document_ingest(spark, in_dir, out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == len(first) + len(late)

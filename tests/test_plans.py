@@ -180,6 +180,8 @@ BNLJ_BOUNDED = {
     "e2_binary_recall": "exact-side ground truth vs fixed 5-vector "
     "query set broadcast + the composed e2_binary_search (same shape "
     "as e2_sq8_recall)",
+    "e3_ccnet_buckets": "the composed e3_ngram_lm_score's "
+    "vocabulary-size scalar (1-row broadcast)",
 }
 
 

@@ -220,11 +220,12 @@ def u3_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text). Priority classes follow P4's admission config
 # (docproc/format_config.py:44-53 processing_priority: pdf/doc high,
 # eml/msg/txt medium; formats outside the config fall back to low); the
-# decode bodies stand in for the per-format parser fan-out that
-# format_config.py:147-230 funnels into LlamaParse — each is
-# deterministic string arithmetic so the whole dispatch pipeline has an
-# exact SQL twin. A real deployment swaps fn bodies for pypdf /
-# html2text / extract_msg keyed on the same map.
+# decode bodies here are deterministic string arithmetic over TEXT
+# payloads so this dispatch pipeline keeps a pure-SQL twin — the
+# REAL-BYTES form of the same fan-out is u3_binary_dispatch below,
+# whose pdf/docx branches run the in-repo container parsers
+# (operators/pdfops.py, operators/docxops.py) instead of the
+# LlamaParse call format_config.py:147-230 makes.
 _U3_DISPATCH: dict[str, tuple[str, str, object]] = {
     "ACROBAT-PDF": (
         "high",

@@ -664,30 +664,63 @@ def _content_text(ops: bytes) -> tuple[str, int]:
     return "\n".join(lines), n_show
 
 
+def _leaf_pages(
+    data: bytes, offsets: dict[int, object], node: int, depth: int = 0
+) -> list[bytes]:
+    """Walk the page TREE (real PDFs nest /Pages intermediate nodes;
+    the spec allows arbitrary depth) and return leaf /Page object
+    bodies in document order."""
+    if depth > 32:
+        raise PdfParseError("page tree deeper than 32 levels (cycle?)")
+    body = _obj_slice(data, offsets, node)
+    if re.search(rb"/Type\s*/Pages", body):
+        kids_m = re.search(rb"/Kids\s*\[([^\]]*)\]", body)
+        if not kids_m:
+            raise PdfParseError("no /Kids")
+        out: list[bytes] = []
+        for g in re.findall(rb"(\d+)\s+\d+\s+R", kids_m.group(1)):
+            out += _leaf_pages(data, offsets, int(g), depth + 1)
+        return out
+    return [body]
+
+
+def _page_content(data: bytes, offsets: dict[int, object], page: bytes) -> bytes:
+    """A page's operator bytes. /Contents may be ONE stream reference
+    or an ARRAY of them (common in real files — incremental writers
+    append streams); per spec the array's streams concatenate into a
+    single content stream, so a newline joins them (tokens may not
+    span parts)."""
+    arr = re.search(rb"/Contents\s*\[([^\]]*)\]", page)
+    if arr:
+        nums = [int(g) for g in re.findall(rb"(\d+)\s+\d+\s+R", arr.group(1))]
+        if not nums:
+            raise PdfParseError("empty /Contents array")
+        return b"\n".join(
+            _stream_bytes(_obj_slice(data, offsets, n)) for n in nums
+        )
+    return _stream_bytes(_obj_slice(data, offsets, _ref(page, b"Contents")))
+
+
 def extract_pdf_text(data: bytes) -> dict[str, object]:
-    """Full container walk: xref → /Root catalog → /Pages → /Kids →
-    per-page /Contents → inflate → text operators. Returns
-    ``{"text", "n_pages", "n_objects", "n_text_ops"}``; raises
-    PdfParseError on anything that is not a well-formed classic-xref
-    PDF (callers with mixed corpora catch and fall back)."""
+    """Full container walk: xref (classic table OR 1.5+ xref stream) →
+    /Root catalog → page TREE (nested /Pages nodes walked in document
+    order) → per-page /Contents (single stream or array) → inflate →
+    text operators. Returns ``{"text", "n_pages", "n_objects",
+    "n_text_ops"}``; raises PdfParseError on anything that is not a
+    well-formed PDF (callers with mixed corpora catch and fall
+    back)."""
     offsets, root = _read_xref(data)
     catalog = _obj_slice(data, offsets, root)
-    pages_obj = _obj_slice(data, offsets, _ref(catalog, b"Pages"))
-    kids_m = re.search(rb"/Kids\s*\[([^\]]*)\]", pages_obj)
-    if not kids_m:
-        raise PdfParseError("no /Kids")
-    kid_nums = [int(g) for g in re.findall(rb"(\d+)\s+\d+\s+R", kids_m.group(1))]
+    pages = _leaf_pages(data, offsets, _ref(catalog, b"Pages"))
     page_texts: list[str] = []
     n_show = 0
-    for kid in kid_nums:
-        page = _obj_slice(data, offsets, kid)
-        content = _obj_slice(data, offsets, _ref(page, b"Contents"))
-        txt, shows = _content_text(_stream_bytes(content))
+    for page in pages:
+        txt, shows = _content_text(_page_content(data, offsets, page))
         page_texts.append(txt)
         n_show += shows
     return {
         "text": "\n".join(page_texts),
-        "n_pages": len(kid_nums),
+        "n_pages": len(pages),
         "n_objects": len(offsets),
         "n_text_ops": n_show,
     }

@@ -175,3 +175,60 @@ def test_fixture_payload_is_real_pdf_and_preview_matches():
     assert out["text"] == text
     # the decode stub's preview rides the real extraction now
     assert M._decode_one(pdf) == text[:32]
+
+
+def test_pdf_nested_page_tree_and_contents_array():
+    """Real-world container shapes the fixture never produces: an
+    INTERMEDIATE /Pages node in the page tree (the spec allows
+    arbitrary nesting; generators balance wide documents) and a page
+    whose /Contents is an ARRAY of streams (incremental writers append
+    content parts) — the array's streams concatenate per spec."""
+    import zlib
+
+    from caseguarddatapipeline_spark.operators import pdfops as P
+
+    def obj(n, body):
+        return (b"%d 0 obj\n" % n) + body + b"\nendobj\n"
+
+    def stream_obj(n, content):
+        z = zlib.compress(content)
+        return obj(
+            n,
+            b"<< /Length " + str(len(z)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + z + b"\nendstream",
+        )
+
+    objs = {
+        1: obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        2: obj(2, b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>"),
+        3: obj(3, b"<< /Type /Pages /Parent 2 0 R /Kids [5 0 R] /Count 1 >>"),
+        4: obj(4, b"<< /Type /Page /Parent 2 0 R /Contents [8 0 R 9 0 R] >>"),
+        5: obj(5, b"<< /Type /Page /Parent 3 0 R /Contents 7 0 R >>"),
+        7: stream_obj(7, b"BT 72 720 Td (page one) Tj ET"),
+        8: stream_obj(8, b"BT 72 720 Td (part a/) Tj"),
+        9: stream_obj(9, b"(part b) Tj ET"),
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for n in sorted(objs):
+        offs[n] = len(out)
+        out += objs[n]
+    xref_off = len(out)
+    maxn = max(objs) + 1
+    out += b"xref\n0 %d\n" % maxn + b"0000000000 65535 f \n"
+    for n in range(1, maxn):
+        out += (
+            b"%010d 00000 n \n" % offs[n]
+            if n in offs
+            else b"0000000000 65535 f \n"
+        )
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (maxn, xref_off)
+    )
+    got = P.extract_pdf_text(bytes(out))
+    # tree order: node 3's leaf (page one) before leaf 4; the array
+    # page's two parts concatenate within one text line
+    assert got["text"] == "page one\npart a/part b"
+    assert got["n_pages"] == 2
+    assert got["n_text_ops"] == 3

@@ -196,6 +196,7 @@ def main() -> int:
     deadline = time.time() + 180
     while time.time() < deadline and os.getloadavg()[0] > 1.5:
         time.sleep(5)
+    load_at_start = round(os.getloadavg()[0], 2)
     spark = get_spark("bench")
     queries, oracles = build_catalog()
 
@@ -273,6 +274,11 @@ def main() -> int:
                 },
                 "protocol": {
                     "interleaved_passes": N_PASSES,
+                    # box state in the artifact: the A/A canary shows
+                    # HOW MUCH drift, these show WHY (a settle-wait that
+                    # timed out still > 1.5 means contended numbers)
+                    "loadavg_1m_start": load_at_start,
+                    "loadavg_1m_end": round(os.getloadavg()[0], 2),
                     "spark_pass_totals": sp_totals,
                     "duckdb_pass_totals": du_totals,
                     "vs_duckdb_per_pass": [

@@ -264,6 +264,41 @@ def main() -> int:
     wav_n = _replicate_payloads(wav, n * 80)
     wav_rows = wav_n.count()
 
+    # document-extraction twin (round 12): the fixture's real PDF and
+    # DOCX containers through the full parsers — xref/FlateDecode/text
+    # operators and ZIP/OOXML walk — dispatched per payload by magic
+    # bytes, the E4 document tier's measured docs/s record.
+    docsf = _fixture_docs(spark, sf_dir, "doc_*.{pdf,docx}")
+    docs_bin_n = _replicate_payloads(docsf, n * 8)
+    docbin_rows = docs_bin_n.count()
+
+    def _doc_text_kernel(batches):
+        import pandas as pd
+
+        from caseguarddatapipeline_spark.operators.docxops import (
+            extract_docx_text,
+        )
+        from caseguarddatapipeline_spark.operators.pdfops import (
+            extract_pdf_text,
+        )
+
+        for pdf in batches:
+            texts = pdf["payload"].map(
+                lambda b: str(
+                    (
+                        extract_pdf_text
+                        if bytes(b)[:5] == b"%PDF-"
+                        else extract_docx_text
+                    )(bytes(b))["text"]
+                )
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_chars": texts.str.len().astype("int64"),
+                }
+            )
+
     # boilerplate-skewed corpus for the set-similarity joins: every
     # replica gets a SHARED 10-token boilerplate head (so its shingles
     # appear in every document — the posting-list head df-ordering must
@@ -388,6 +423,12 @@ def main() -> int:
             "doc_id long, frame_index int, n_samples int, "
             "linear_sum long, linear_min int, linear_max int",
         ).agg(F.count(F.lit(1)), F.sum("linear_sum")), wav_rows),
+        # byte-real document text extraction (E4 x U3): full PDF
+        # (xref walk + inflate + text operators) / DOCX (central
+        # directory + inflate + OOXML runs) parse per file. rows = DOCS.
+        "doc_decode": (lambda: docs_bin_n.mapInPandas(
+            _doc_text_kernel, "doc_id long, n_chars long"
+        ).agg(F.count(F.lit(1)), F.sum("n_chars")), docbin_rows),
     }
 
     if only:
@@ -497,7 +538,13 @@ FLOORS = {"agg_scan": 26.0, "join_agg": 3.2, "window_topk": 3.3,
           # round-11 0.0024 (round 12) — trips if the df cap stops
           # pruning the boilerplate head or the one-pass bucket form
           # regresses
-          "winnow_join": 0.0016}
+          "winnow_join": 0.0016,
+          # doc_decode (round 12): 21,600 real PDF/DOCX containers
+          # through the full text-extraction parsers measured 0.0286
+          # Mdocs/s (~28,600 docs/s) in the 50x merge run; floor at
+          # ~70% — trips if the container walk regresses to quadratic
+          # scanning or the per-batch dispatch collapses.
+          "doc_decode": 0.02}
 
 
 if __name__ == "__main__":

@@ -651,15 +651,13 @@ def e2_sq8_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _binary_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, emb, w_lo, w_hi): every vector sign-quantized to ONE BIT
-    per dimension against the per-dimension [min,max] MIDPOINT (a
-    training-free threshold that is ORDER-INDEPENDENT and so
-    cross-engine exact — a per-dim mean would inherit float summation
-    order), packed into two 32-bit words. 64x smaller than float32."""
-    corpus = _corpus(spark, sf_dir)
+def _binary_mids(corpus: DataFrame) -> DataFrame:
+    """1-row (mid: array<double>) of per-dimension [min,max] MIDPOINTS —
+    the training-free binarization threshold. Order-independent and so
+    cross-engine exact (a per-dim mean would inherit float summation
+    order)."""
     dims = corpus.select(F.posexplode("emb").alias("j", "v"))
-    mids = (
+    return (
         dims.groupBy("j")
         .agg(((F.min("v") + F.max("v")) / 2.0).alias("mid"))
         .agg(
@@ -669,6 +667,12 @@ def _binary_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mid")
         )
     )
+
+
+def _binary_encode(corpus: DataFrame, mids: DataFrame) -> DataFrame:
+    """(vec_id, emb, w_lo, w_hi): every vector sign-quantized to ONE BIT
+    per dimension against the broadcast midpoints, packed into two
+    32-bit words. 64x smaller than float32."""
     word = (
         "aggregate(sequence({a}, {b}), 0L, (acc, j) -> acc + "
         "IF(element_at(emb, j) > element_at(mid, j), "
@@ -679,6 +683,35 @@ def _binary_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "emb",
         word.format(a=1, b=32) + " AS w_lo",
         word.format(a=33, b=64) + " AS w_hi",
+    )
+
+
+def binary_topk(
+    corpus: DataFrame, mids: DataFrame | None = None, topn: int = TOPK
+) -> DataFrame:
+    """Reusable binary-search body over an arbitrary (vec_id, emb)
+    corpus — shared by the catalog entry and the scale-stress probe
+    (which precomputes ``mids`` outside the timed section, the
+    serving posture: thresholds live in the index snapshot)."""
+    coded = _binary_encode(
+        corpus, mids if mids is not None else _binary_mids(corpus)
+    )
+    qcodes = coded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w_lo").alias("q_lo"),
+        F.col("w_hi").alias("q_hi"),
+    )
+    hamming = (
+        F.bit_count(F.expr("w_lo ^ q_lo")) + F.bit_count(F.expr("w_hi ^ q_hi"))
+    ).cast("int")
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("vec_id")
+    )
+    return (
+        coded.join(F.broadcast(qcodes), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", hamming.alias("hamming"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= topn)
     )
 
 
@@ -696,25 +729,9 @@ def e2_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan with no array access at all, the same reason real systems
     (FAISS binary indexes, Weaviate BQ) serve first-pass retrieval from
     binary codes and refine the survivors at full precision
-    (e2_sq8_refine_search's recipe)."""
-    coded = _binary_coded(spark, sf_dir)
-    qcodes = coded.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("w_lo").alias("q_lo"),
-        F.col("w_hi").alias("q_hi"),
-    )
-    hamming = (
-        F.bit_count(F.expr("w_lo ^ q_lo")) + F.bit_count(F.expr("w_hi ^ q_hi"))
-    ).cast("int")
-    w_rank = Window.partitionBy("query_id").orderBy(
-        F.asc("hamming"), F.asc("vec_id")
-    )
-    return (
-        coded.join(F.broadcast(qcodes), F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", hamming.alias("hamming"))
-        .withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= TOPK)
-    )
+    (e2_sq8_refine_search's recipe). The measured form of the scan
+    claim is STRESS.json's ``binary_search`` shape (2 M vectors)."""
+    return binary_topk(_corpus(spark, sf_dir))
 
 
 def e2_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,7 +30,7 @@ def test_stress_record_shape():
     assert set(doc["shapes"]) == {
         "agg_scan", "join_agg", "window_topk", "lsh_neardup", "span_dedup",
         "prefix_filter", "containment", "ivf_search", "winnow_join",
-        "raster_decode", "audio_decode", "doc_decode",
+        "raster_decode", "audio_decode", "doc_decode", "binary_search",
     }
 
 

@@ -73,6 +73,10 @@ _PINNED = [
     "e2_binary_recall",
     # ... and CCNet's head/middle/tail LM-score terciles
     "e3_ccnet_buckets",
+    # ... and the round-12 format-matrix completion: spreadsheet OOXML
+    # cells, archive manifests, baseline TIFF joining the tile stats
+    "e4_xlsx_cells",
+    "e4_zip_manifest",
 ]
 
 
@@ -123,8 +127,8 @@ def _registered_modules():
         "quality",
         "skew", "sessions", "textops", "dedup", "curation", "similarity", "pq",
         "vecindex", "graphann", "layout", "topk",
-        "multimodal", "pdfops", "docxops", "incremental", "inference",
-        "rest_fetch", "canonical",
+        "multimodal", "pdfops", "docxops", "xlsxops", "incremental",
+        "inference", "rest_fetch", "canonical",
         "soap_fetch",
     ):
         mod = __import__(

@@ -284,11 +284,110 @@ def e4_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_docx_text_kernel, schema=DOCX_TEXT_SCHEMA)
 
 
+def zip_manifest(data: bytes) -> list[tuple[str, int, int]]:
+    """Central-directory listing: [(member name, compression method,
+    uncompressed size)] in directory order — the archive-inspection
+    step the reference's 'archive' priority class runs before deciding
+    what to expand (format_config.py:44-53)."""
+    import struct
+
+    eocd = data.rfind(b"PK\x05\x06")
+    if eocd < 0:
+        raise DocxParseError("no end-of-central-directory record")
+    n_entries, cd_size, cd_off = struct.unpack(
+        "<HII", data[eocd + 10 : eocd + 20]
+    )
+    out: list[tuple[str, int, int]] = []
+    pos = cd_off
+    for _ in range(n_entries):
+        if data[pos : pos + 4] != b"PK\x01\x02":
+            raise DocxParseError("malformed central directory")
+        (method, usize, nlen, elen, clen) = struct.unpack(
+            "<H12xIHHH", data[pos + 10 : pos + 34]
+        )
+        name = data[pos + 46 : pos + 46 + nlen].decode()
+        out.append((name, method, usize))
+        pos += 46 + nlen + elen + clen
+    return out
+
+
+ZIP_MANIFEST_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("member", StringType()),
+        StructField("method", IntegerType()),
+        StructField("usize", LongType()),
+    ]
+)
+
+
+def _zip_manifest_kernel(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, names, methods, usizes = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for name, method, usize in zip_manifest(bytes(payload)):
+                ids.append(doc_id)
+                names.append(name)
+                methods.append(method)
+                usizes.append(usize)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "member": names,
+                "method": pd.Series(methods, dtype="int32"),
+                "usize": pd.Series(usizes, dtype="int64"),
+            }
+        )
+
+
+def e4_zip_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARCHIVE inspection over real ZIP containers (the reference's
+    'archive' priority class, format_config.py:44-53): central-
+    directory manifest of every fixture .docx — member names, methods,
+    uncompressed sizes — without inflating anything (the cheap pass a
+    pipeline runs before deciding per-member expansion). The oracle is
+    exact: the three OPC members' names are fixed, methods are all
+    deflate, and every uncompressed size is a closed formula of the
+    document text (word/document.xml = 233 + the XML-escaped text
+    length; the two metadata parts are constants)."""
+    from .multimodal import _fixture_docs
+
+    docs = _fixture_docs(spark, sf_dir, "doc_*.docx")
+    return docs.mapInPandas(_zip_manifest_kernel, schema=ZIP_MANIFEST_SCHEMA)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_docx_text": e4_docx_text,
+    "e4_zip_manifest": e4_zip_manifest,
 }
 
 ORACLES: dict[str, str] = {
+    # the three OPC members in central-directory (= write) order; the
+    # document part's size is 233 scaffold bytes + the XML-escaped text
+    # (& -> +4, < and > -> +3 each)
+    "e4_zip_manifest": """
+        WITH d AS (
+            SELECT doc_id,
+                   length(text)
+                   + 4 * (length(text) - length(replace(text, '&', '')))
+                   + 3 * (length(text) - length(replace(text, '<', '')))
+                   + 3 * (length(text) - length(replace(text, '>', '')))
+                       AS esc_len
+            FROM documents WHERE doc_id >= 96 AND doc_id < 128
+        )
+        SELECT doc_id, member,
+               CAST(8 AS INT) AS method,
+               CAST(usize AS BIGINT) AS usize
+        FROM (
+            SELECT doc_id, '[Content_Types].xml' AS member, 429 AS usize
+            FROM d
+            UNION ALL SELECT doc_id, '_rels/.rels', 297 FROM d
+            UNION ALL SELECT doc_id, 'word/document.xml', 233 + esc_len
+            FROM d
+        )
+    """,
     # one paragraph, one w:t run; extraction returns the text verbatim
     "e4_docx_text": """
         SELECT doc_id,

@@ -124,10 +124,19 @@ def _decode_one(b: bytes) -> str:
 
             w, h, _, _ = decode_jpeg(b)
             return f"JPEG {w}x{h}"
+        if b[:4] == b"II\x2a\x00":
+            w, h, _ = _parse_tiff(b)
+            return f"TIFF {w}x{h}"
         if b[:4] == b"PK\x03\x04":
+            # OOXML family: try wordprocessing then spreadsheet
             from .docxops import extract_docx_text
 
-            return str(extract_docx_text(b)["text"])[:32]
+            try:
+                return str(extract_docx_text(b)["text"])[:32]
+            except ValueError:
+                from .xlsxops import extract_xlsx
+
+                return str(extract_xlsx(b)["text"])[:32]
         # "BM" + any 24 bytes of text parses to garbage dims — require
         # the DIB header-size field to name a known header variant
         # (CORE 12, OS22X 16/64, INFO 40, V2 52, V3 56, V4 108, V5 124)
@@ -170,6 +179,93 @@ def _parse_ppm(b: bytes):
         raise ValueError(f"unsupported PPM maxval {maxval}")
     need = w * h * 3
     arr = np.frombuffer(b, dtype=np.uint8, count=need, offset=off)
+    return w, h, arr.reshape(h, w * 3)
+
+
+def _build_tiff(px) -> bytes:
+    """A complete little-endian baseline TIFF (round 12): header, one
+    IFD with the nine baseline tags a reader needs (dims, 8-bit RGB,
+    Compression=1 none, Photometric=2 RGB, single strip), the
+    BitsPerSample triple at an offset (3 SHORTs don't fit the 4-byte
+    value slot — the quirk every real TIFF writer handles), then the
+    raw strip. ``px`` is the (h, w, 3) uint8 logical image."""
+    import struct
+
+    h, w = px.shape[0], px.shape[1]
+    n_entries = 9
+    ifd_off = 8
+    bps_off = ifd_off + 2 + n_entries * 12 + 4  # after entry table + next-IFD
+    strip_off = bps_off + 6
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    ifd = struct.pack("<H", n_entries)
+    ifd += entry(256, 4, 1, w)  # ImageWidth LONG
+    ifd += entry(257, 4, 1, h)  # ImageLength LONG
+    ifd += entry(258, 3, 3, bps_off)  # BitsPerSample 3x SHORT at offset
+    ifd += entry(259, 3, 1, 1)  # Compression: none
+    ifd += entry(262, 3, 1, 2)  # Photometric: RGB
+    ifd += entry(273, 4, 1, strip_off)  # StripOffsets
+    ifd += entry(277, 3, 1, 3)  # SamplesPerPixel
+    ifd += entry(278, 4, 1, h)  # RowsPerStrip: single strip
+    ifd += entry(279, 4, 1, w * h * 3)  # StripByteCounts
+    ifd += struct.pack("<I", 0)  # next IFD
+    return (
+        b"II\x2a\x00" + struct.pack("<I", ifd_off)
+        + ifd + struct.pack("<HHH", 8, 8, 8) + px.tobytes()
+    )
+
+
+def _parse_tiff(b: bytes):
+    """BYTE-REAL baseline TIFF decode (II little-endian, uncompressed
+    8-bit RGB or grayscale, multi-strip): header → IFD entry walk
+    (inline vs offset values resolved per type size — the classic TIFF
+    reader quirk), strip gather in row order, grayscale replicated to
+    RGB. Returns (w, h, arr) in the shared (h, w*3) top-down layout."""
+    import struct
+
+    import numpy as np
+
+    if b[:4] != b"II\x2a\x00":
+        raise ValueError("not a little-endian baseline TIFF")
+    ifd_off = struct.unpack("<I", b[4:8])[0]
+    n = struct.unpack("<H", b[ifd_off : ifd_off + 2])[0]
+    _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    for k in range(n):
+        e = ifd_off + 2 + k * 12
+        tag, typ, count = struct.unpack("<HHI", b[e : e + 8])
+        if typ not in _TYPE_SIZE:
+            continue  # RATIONAL etc. — not needed by the baseline tags
+        size = _TYPE_SIZE[typ] * count
+        off = e + 8 if size <= 4 else struct.unpack("<I", b[e + 8 : e + 12])[0]
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(
+            struct.unpack(f"<{count}{fmt}", b[off : off + size])
+        )
+    try:
+        w, h = tags[256][0], tags[257][0]
+        comp = tags.get(259, [1])[0]
+        photo = tags[262][0]
+        spp = tags.get(277, [1])[0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing baseline tag {e}")
+    if comp != 1:
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if photo not in (0, 1, 2) or spp not in (1, 3):
+        raise ValueError("only 8-bit gray/RGB TIFF supported")
+    if any(v != 8 for v in tags.get(258, [8])):
+        raise ValueError("only 8 bits per sample supported")
+    raw = b"".join(b[o : o + c] for o, c in zip(offsets, counts))
+    arr = np.frombuffer(raw, dtype=np.uint8, count=w * h * spp)
+    if spp == 1:
+        if photo == 0:  # WhiteIsZero inverts
+            arr = 255 - arr
+        arr = np.repeat(arr.reshape(h, w, 1), 3, axis=2)
+        return w, h, arr.reshape(h, w * 3)
     return w, h, arr.reshape(h, w * 3)
 
 
@@ -612,7 +708,13 @@ def e4_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BINFIX_N = 64  # docs materialized as real files (bounded fixture, not data-sized)
 _BINFIX_JPG_N = 32  # doc_ids [64, 96): baseline JFIF class (round 12)
 _BINFIX_DOCX_N = 32  # doc_ids [96, 128): OOXML/ZIP class (round 12)
-_BINFIX_VERSION = 7  # bump when payload formats change: invalidates old fixtures
+_BINFIX_XLSX_N = 32  # doc_ids [128, 160): spreadsheet OOXML class (round 12)
+_BINFIX_TIFF_N = 32  # doc_ids [160, 192): baseline TIFF class (round 12)
+_BINFIX_TOTAL = (
+    _BINFIX_N + _BINFIX_JPG_N + _BINFIX_DOCX_N + _BINFIX_XLSX_N
+    + _BINFIX_TIFF_N
+)
+_BINFIX_VERSION = 9  # bump when payload formats change: invalidates old fixtures
 
 
 def _format_ext(doc_id: int) -> str:
@@ -620,9 +722,14 @@ def _format_ext(doc_id: int) -> str:
     below _BINFIX_N (the doc_id%3==2 class splits by %6 into wav and
     the %12∈{5,11} raster pair, so every format the decoders handle
     appears in the fixture); ids [_BINFIX_N, _BINFIX_N+_BINFIX_JPG_N)
-    are the round-12 baseline-JPEG class and [_BINFIX_N+_BINFIX_JPG_N,
-    +_BINFIX_DOCX_N) the OOXML class — disjoint id ranges so every
-    pre-existing oracle's ``doc_id < 64`` scope is untouched."""
+    are the round-12 baseline-JPEG class; [96,128) wordprocessing OOXML,
+    [128,160) spreadsheet OOXML, [160,192) baseline TIFF — disjoint id
+    ranges so every pre-existing oracle's ``doc_id < 64`` scope is
+    untouched."""
+    if doc_id >= 160:
+        return "tiff"
+    if doc_id >= 128:
+        return "xlsx"
     if doc_id >= _BINFIX_N + _BINFIX_JPG_N:
         return "docx"
     if doc_id >= _BINFIX_N:
@@ -693,6 +800,18 @@ def _format_payload(doc_id: int, text: str) -> bytes:
 
     body = text.encode()
     ext = _format_ext(doc_id)
+    if ext == "tiff":
+        # complete baseline TIFF (header, 9-tag IFD, offset-resolved
+        # BitsPerSample, raw strip) of the SAME logical image formula
+        # as the ppm/bmp/png classes — decode is SQL-exact
+        w, h = _raster_dims(doc_id)
+        return _build_tiff(_raster_pixels(doc_id, w, h))
+    if ext == "xlsx":
+        # complete SpreadsheetML archive: the doc's words as a
+        # sharedStrings-referenced column (xlsxops.build_xlsx)
+        from .xlsxops import build_xlsx
+
+        return build_xlsx(text)
     if ext == "docx":
         # complete OOXML archive: real deflate ZIP entries with correct
         # CRCs and central directory (docxops.build_docx) — CPython's
@@ -783,9 +902,7 @@ def _binaryfile_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         return out
     rows = (
         load_table(spark, sf_dir, "documents")
-        .filter(
-            F.col("doc_id") < _BINFIX_N + _BINFIX_JPG_N + _BINFIX_DOCX_N
-        )
+        .filter(F.col("doc_id") < _BINFIX_TOTAL)
         .select("doc_id", "text")
         .collect()
     )
@@ -888,6 +1005,8 @@ def _decode_raster(b: bytes):
         if nc == 1:
             img = np.repeat(img[:, :, None], 3, axis=2)
         return ("jpg", w, h, img.reshape(h, w * 3))
+    if b[:4] == b"II\x2a\x00":
+        return ("tiff", *_parse_tiff(b))
     return ("png", *_parse_png(b))
 
 
@@ -949,9 +1068,12 @@ def e4_pixel_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode, dequantize, zigzag, IDCT; jpegops.decode_jpeg): `.jpg/.jpeg`
     are reference-admitted extensions (format_config.py:16-19) and the
     fixture's DC-only blocks make even the lossy format's decoded bytes
-    exact in SQL. At 100 TB: one file = one row = one kernel call,
-    stats are partition-local, no shuffle before a downstream embedder."""
-    docs = _fixture_docs(spark, sf_dir, "doc_*.{ppm,bmp,png,jpg}")
+    exact in SQL; ids ≥ 160 add baseline TIFF (IFD walk, offset-resolved
+    tags, strip gather — the fifth raster format, same logical-image
+    formula as ppm/bmp). At 100 TB: one file = one row = one kernel
+    call, stats are partition-local, no shuffle before a downstream
+    embedder."""
+    docs = _fixture_docs(spark, sf_dir, "doc_*.{ppm,bmp,png,jpg,tiff}")
     tiles = docs.mapInPandas(
         _pixel_tiles_kernel,
         "doc_id long, fmt string, img_w int, img_h int, tile_y int, "
@@ -1231,18 +1353,23 @@ ORACLES = {
     # j = (ty*32+dy)*w*3 + tx*96 + dx.
     "e4_pixel_tile_stats": """
         WITH imgs AS (
+            -- ids < 64: the ppm/bmp/png classes; ids 160-191: baseline
+            -- TIFF of the SAME logical-image formula (round 12)
             SELECT doc_id,
-                   CASE WHEN doc_id % 12 = 5 THEN 'ppm'
+                   CASE WHEN doc_id >= 160 THEN 'tiff'
+                        WHEN doc_id % 12 = 5 THEN 'ppm'
                         WHEN doc_id % 12 = 11 THEN 'bmp'
                         ELSE 'png' END AS fmt,
                    CAST(64 + (doc_id % 5) * 32 AS INT) AS img_w,
-                   CAST(CASE WHEN doc_id % 3 = 1
+                   CAST(CASE WHEN doc_id < 64 AND doc_id % 3 = 1
                              THEN 64 + (doc_id % 4) * 32
                              ELSE 64 + (doc_id % 7 % 4) * 32 END AS INT)
                        AS img_h
             FROM documents
-            WHERE doc_id < 64
-              AND (doc_id % 12 = 5 OR doc_id % 12 = 11 OR doc_id % 3 = 1)
+            WHERE (doc_id < 64
+                   AND (doc_id % 12 = 5 OR doc_id % 12 = 11
+                        OR doc_id % 3 = 1))
+               OR (doc_id >= 160 AND doc_id < 192)
         ), tiles AS (
             SELECT doc_id, fmt, img_w, img_h,
                    ty.v AS tile_y, tx.v AS tile_x

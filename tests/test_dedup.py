@@ -202,7 +202,7 @@ def test_binaryfile_fixture_idempotent(spark, sf_dir):
     assert d1 == d2
     assert os.path.getmtime(os.path.join(d2, "_FIXTURE_COMPLETE")) == mtime
     n_files = len([f for f in os.listdir(d1) if f.startswith("doc_")])
-    assert n_files == M._BINFIX_N + M._BINFIX_JPG_N + M._BINFIX_DOCX_N
+    assert n_files == M._BINFIX_TOTAL
     # the scan's glob is pinned to the five original classes; the jpg
     # class (ids >= 64) is covered by e4_pixel_tile_stats' jpg branch
     out = M.e4_binaryfile_scan(spark, sf_dir)

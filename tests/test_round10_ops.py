@@ -163,8 +163,8 @@ def test_pixel_tile_stats_query_runs(spark, sf_dir):
         fmts.add(r.fmt)
         assert 0 <= r.byte_min <= r.byte_max <= 255
         assert r.byte_mean == round(r.byte_sum / 3072.0, 4)
-    assert len(per_doc) == 31 + M._BINFIX_JPG_N
-    assert fmts == {"ppm", "bmp", "png", "jpg"}
+    assert len(per_doc) == 31 + M._BINFIX_JPG_N + M._BINFIX_TIFF_N
+    assert fmts == {"ppm", "bmp", "png", "jpg", "tiff"}
     for did, n in per_doc.items():
         w, h = _fixture_dims(did)
         assert n == (w // 32) * (h // 32)

@@ -1,0 +1,153 @@
+"""Round-12 format-matrix completion: XLSX cell extraction, baseline
+TIFF decode, ZIP central-directory manifests — the remaining admitted
+extensions of the reference's format config made byte-real."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from caseguarddatapipeline_spark.operators.xlsxops import (
+    build_xlsx,
+    extract_xlsx,
+)
+
+_SETTINGS = dict(
+    deadline=None,
+    max_examples=30,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_words = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=500),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(words=_words)
+@settings(**_SETTINGS)
+def test_xlsx_roundtrip_property(words):
+    text = " ".join(words)
+    # the builder's column-A encoding assumes single-space-joined words
+    words = text.split(" ")
+    b = build_xlsx(text)
+    out = extract_xlsx(b)
+    assert out["text"] == text
+    assert out["n_cells"] == len(words)
+    assert out["n_shared"] == len(set(words))
+    zf = zipfile.ZipFile(io.BytesIO(b))
+    assert zf.testzip() is None
+    assert "xl/sharedStrings.xml" in zf.namelist()
+
+
+def test_xlsx_inline_and_numeric_cells():
+    from caseguarddatapipeline_spark.operators import docxops as D
+
+    sheet = (
+        "<worksheet><sheetData>"
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>hi &amp; bye</t></is></c>'
+        '<c r="B1"><v>42.5</v></c><c r="C1" s="1"/></row>'
+        "</sheetData></worksheet>"
+    )
+    b = D._zip([("xl/worksheets/sheet1.xml", sheet.encode())])
+    out = extract_xlsx(b)
+    assert out["values"] == ["hi & bye", "42.5"]
+    assert out["n_shared"] == 0  # no sharedStrings part: inline-only
+
+
+def test_tiff_roundtrip_and_quirks():
+    from caseguarddatapipeline_spark.operators import multimodal as M
+
+    # builder round-trip on the fixture formula
+    for did in (160, 161, 191):
+        w, h = M._raster_dims(did)
+        px = M._raster_pixels(did, w, h)
+        w2, h2, arr = M._parse_tiff(M._build_tiff(px))
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(arr, px.reshape(h, w * 3))
+    # the fixture payload really is a TIFF and routes through dispatch
+    payload = M._format_payload(160, "unused")
+    assert payload[:4] == b"II\x2a\x00"
+    fmt, w, h, arr = M._decode_raster(payload)
+    assert fmt == "tiff" and (w, h) == M._raster_dims(160)
+    assert M._decode_one(payload) == f"TIFF {w}x{h}"
+    # non-baseline features fail loudly
+    lzw = bytearray(payload)
+    # Compression tag (259) value: flip 1 -> 5 (LZW) in the IFD entry
+    idx = payload.find(b"\x03\x01\x03\x00\x01\x00\x00\x00\x01\x00")
+    assert idx > 0
+    lzw[idx + 8] = 5
+    with pytest.raises(ValueError):
+        M._parse_tiff(bytes(lzw))
+    with pytest.raises(ValueError):
+        M._parse_tiff(b"MM\x00\x2a garbage")  # big-endian unsupported
+
+
+def test_tiff_multistrip_grayscale_whitezero():
+    import struct
+
+    from caseguarddatapipeline_spark.operators.multimodal import _parse_tiff
+
+    h, w = 4, 6
+    gray = (np.arange(h * w) % 256).astype(np.uint8).reshape(h, w)
+
+    def entry(tag, typ, count, value):
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    n = 9
+    ifd_off = 8
+    so_off = ifd_off + 2 + n * 12 + 4
+    strips = [gray[i : i + 2].tobytes() for i in range(0, h, 2)]
+    counts = [len(s) for s in strips]
+    offs = []
+    pos = so_off + 8 * len(strips)
+    for c in counts:
+        offs.append(pos)
+        pos += c
+    for photo, expect_gray in ((1, gray), (0, 255 - gray)):
+        ifd = struct.pack("<H", n)
+        ifd += entry(256, 4, 1, w) + entry(257, 4, 1, h)
+        ifd += entry(258, 3, 1, 8) + entry(259, 3, 1, 1)
+        ifd += entry(262, 3, 1, photo)
+        ifd += entry(273, 4, len(strips), so_off)
+        ifd += entry(277, 3, 1, 1) + entry(278, 4, 1, 2)
+        ifd += entry(279, 4, len(strips), so_off + 4 * len(strips))
+        ifd += struct.pack("<I", 0)
+        b = (
+            b"II\x2a\x00" + struct.pack("<I", ifd_off) + ifd
+            + struct.pack(f"<{len(offs)}I", *offs)
+            + struct.pack(f"<{len(counts)}I", *counts)
+            + b"".join(strips)
+        )
+        w2, h2, arr = _parse_tiff(b)
+        want = np.repeat(expect_gray.reshape(h, w, 1), 3, axis=2)
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(arr, want.reshape(h, w * 3))
+
+
+def test_zip_manifest_matches_archive():
+    from caseguarddatapipeline_spark.operators import multimodal as M
+    from caseguarddatapipeline_spark.operators.docxops import zip_manifest
+
+    payload = M._format_payload(96, "some docx body text here")
+    got = zip_manifest(payload)
+    zf = zipfile.ZipFile(io.BytesIO(payload))
+    want = [
+        (i.filename, i.compress_type, i.file_size) for i in zf.infolist()
+    ]
+    assert got == want
+    assert [g[0] for g in got] == [
+        "[Content_Types].xml",
+        "_rels/.rels",
+        "word/document.xml",
+    ]

@@ -74,9 +74,13 @@ _PINNED = [
     # ... and CCNet's head/middle/tail LM-score terciles
     "e3_ccnet_buckets",
     # ... and the round-12 format-matrix completion: spreadsheet OOXML
-    # cells, archive manifests, baseline TIFF joining the tile stats
+    # cells, archive manifests, baseline TIFF joining the tile stats,
+    # presentation OOXML, RFC 5322 mail, RTF
     "e4_xlsx_cells",
     "e4_zip_manifest",
+    "e4_pptx_text",
+    "e4_eml_text",
+    "e4_rtf_text",
 ]
 
 
@@ -127,8 +131,8 @@ def _registered_modules():
         "quality",
         "skew", "sessions", "textops", "dedup", "curation", "similarity", "pq",
         "vecindex", "graphann", "layout", "topk",
-        "multimodal", "pdfops", "docxops", "xlsxops", "incremental",
-        "inference", "rest_fetch", "canonical",
+        "multimodal", "pdfops", "docxops", "xlsxops", "mailops", "rtfops",
+        "incremental", "inference", "rest_fetch", "canonical",
         "soap_fetch",
     ):
         mod = __import__(

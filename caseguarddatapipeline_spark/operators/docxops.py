@@ -284,6 +284,157 @@ def e4_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_docx_text_kernel, schema=DOCX_TEXT_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# PPTX (round 12): the presentation half of OOXML — same OPC/ZIP
+# container, slide text lives in DrawingML <a:t> runs inside <a:p>
+# paragraphs (ppt/slides/slideN.xml)
+# ---------------------------------------------------------------------------
+
+_PPTX_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.'
+    'openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/ppt/presentation.xml" ContentType="application/'
+    'vnd.openxmlformats-officedocument.presentationml.presentation.main'
+    '+xml"/>'
+    '<Override PartName="/ppt/slides/slide1.xml" ContentType="application/'
+    'vnd.openxmlformats-officedocument.presentationml.slide+xml"/>'
+    "</Types>"
+)
+_PPTX_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+    '2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+    'officeDocument/2006/relationships/officeDocument" '
+    'Target="ppt/presentation.xml"/></Relationships>'
+)
+_PPTX_PRES_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+    '2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+    'officeDocument/2006/relationships/slide" '
+    'Target="slides/slide1.xml"/></Relationships>'
+)
+_P_NS = "http://schemas.openxmlformats.org/presentationml/2006/main"
+_A_NS = "http://schemas.openxmlformats.org/drawingml/2006/main"
+_PPTX_PRESENTATION = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    f'<p:presentation xmlns:p="{_P_NS}" xmlns:r="http://schemas.'
+    'openxmlformats.org/officeDocument/2006/relationships">'
+    '<p:sldIdLst><p:sldId id="256" r:id="rId1"/></p:sldIdLst>'
+    "</p:presentation>"
+)
+
+
+def build_pptx(text: str, *, wrap: int = 0) -> bytes:
+    """A complete minimal .pptx whose single slide's text body is
+    ``text`` — one DrawingML paragraph (``wrap=N``: N-word paragraphs,
+    extraction joins with newlines)."""
+    if wrap > 0:
+        words = text.split(" ")
+        paras = [
+            " ".join(words[i : i + wrap]) for i in range(0, len(words), wrap)
+        ]
+    else:
+        paras = [text]
+    body = "".join(
+        f"<a:p><a:r><a:t>{_xml_escape(p)}</a:t></a:r></a:p>" for p in paras
+    )
+    slide = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<p:sld xmlns:p="{_P_NS}" xmlns:a="{_A_NS}"><p:cSld><p:spTree>'
+        f"<p:sp><p:txBody><a:bodyPr/>{body}</p:txBody></p:sp>"
+        "</p:spTree></p:cSld></p:sld>"
+    )
+    return _zip(
+        [
+            ("[Content_Types].xml", _PPTX_CONTENT_TYPES.encode()),
+            ("_rels/.rels", _PPTX_RELS.encode()),
+            ("ppt/presentation.xml", _PPTX_PRESENTATION.encode()),
+            ("ppt/_rels/presentation.xml.rels", _PPTX_PRES_RELS.encode()),
+            ("ppt/slides/slide1.xml", slide.encode()),
+        ]
+    )
+
+
+def extract_pptx_text(data: bytes) -> dict[str, object]:
+    """Slide walk: ``ppt/slides/slide1.xml`` → ``<a:t>`` runs
+    concatenated within each ``<a:p>`` paragraph, paragraphs joined
+    with newlines, ``<a:br/>`` as newline — the DrawingML mirror of the
+    DOCX run scan. Returns {"text", "n_paragraphs", "n_runs"}."""
+    xml = _zip_member(data, "ppt/slides/slide1.xml").decode("utf-8")
+    paras: list[str] = []
+    n_runs = 0
+    for pm in re.finditer(r"<a:p[ >].*?</a:p>|<a:p/>", xml, re.DOTALL):
+        seg = pm.group(0)
+        parts: list[str] = []
+        for tm in re.finditer(
+            r"<a:t(?:\s[^>]*)?>(.*?)</a:t>|<a:t(?:\s[^>]*)?/>|<a:br/>",
+            seg,
+            re.DOTALL,
+        ):
+            if tm.group(0) == "<a:br/>":
+                parts.append("\n")
+            else:
+                n_runs += 1
+                parts.append(_xml_unescape(tm.group(1) or ""))
+        paras.append("".join(parts))
+    return {
+        "text": "\n".join(paras),
+        "n_paragraphs": len(paras),
+        "n_runs": n_runs,
+    }
+
+
+def _pptx_text_kernel(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        parsed = [extract_pptx_text(bytes(b)) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_paragraphs": pd.Series(
+                    [p["n_paragraphs"] for p in parsed], dtype="int32"
+                ),
+                "n_runs": pd.Series(
+                    [p["n_runs"] for p in parsed], dtype="int32"
+                ),
+                "slide_text": [p["text"] for p in parsed],
+                "n_chars": pd.Series(
+                    [len(p["text"]) for p in parsed], dtype="int64"
+                ),
+            }
+        )
+
+
+PPTX_TEXT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_paragraphs", IntegerType()),
+        StructField("n_runs", IntegerType()),
+        StructField("slide_text", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def e4_pptx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-REAL PPTX text extraction over genuine on-disk .pptx files
+    (fixture ids 192-223): ZIP walk → slide part → DrawingML a:t/a:p
+    run scan. Same exactness contract as e4_docx_text; .ppt/.pptx is
+    the reference's 'low' priority class (format_config.py:44-53)."""
+    from .multimodal import _fixture_docs
+
+    docs = _fixture_docs(spark, sf_dir, "doc_*.pptx")
+    return docs.mapInPandas(_pptx_text_kernel, schema=PPTX_TEXT_SCHEMA)
+
+
 def zip_manifest(data: bytes) -> list[tuple[str, int, int]]:
     """Central-directory listing: [(member name, compression method,
     uncompressed size)] in directory order — the archive-inspection
@@ -361,6 +512,7 @@ def e4_zip_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_docx_text": e4_docx_text,
     "e4_zip_manifest": e4_zip_manifest,
+    "e4_pptx_text": e4_pptx_text,
 }
 
 ORACLES: dict[str, str] = {
@@ -387,6 +539,16 @@ ORACLES: dict[str, str] = {
             UNION ALL SELECT doc_id, 'word/document.xml', 233 + esc_len
             FROM d
         )
+    """,
+    # one slide, one paragraph, one a:t run; text verbatim
+    "e4_pptx_text": """
+        SELECT doc_id,
+               CAST(1 AS INT) AS n_paragraphs,
+               CAST(1 AS INT) AS n_runs,
+               text AS slide_text,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        WHERE doc_id >= 192 AND doc_id < 224
     """,
     # one paragraph, one w:t run; extraction returns the text verbatim
     "e4_docx_text": """

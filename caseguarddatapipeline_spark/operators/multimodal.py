@@ -128,15 +128,24 @@ def _decode_one(b: bytes) -> str:
             w, h, _ = _parse_tiff(b)
             return f"TIFF {w}x{h}"
         if b[:4] == b"PK\x03\x04":
-            # OOXML family: try wordprocessing then spreadsheet
-            from .docxops import extract_docx_text
+            # OOXML family: wordprocessing, spreadsheet, presentation
+            from .docxops import extract_docx_text, extract_pptx_text
+            from .xlsxops import extract_xlsx
 
-            try:
-                return str(extract_docx_text(b)["text"])[:32]
-            except ValueError:
-                from .xlsxops import extract_xlsx
+            for fn in (extract_docx_text, extract_xlsx, extract_pptx_text):
+                try:
+                    return str(fn(b)["text"])[:32]
+                except ValueError:
+                    continue
+            raise ValueError("unrecognized OOXML package")
+        if b[:5] == b"{\\rtf":
+            from .rtfops import extract_rtf
 
-                return str(extract_xlsx(b)["text"])[:32]
+            return str(extract_rtf(b)["text"])[:32]
+        if b[:6] == b"From: ":
+            from .mailops import extract_eml
+
+            return str(extract_eml(b)["text"])[:32]
         # "BM" + any 24 bytes of text parses to garbage dims — require
         # the DIB header-size field to name a known header variant
         # (CORE 12, OS22X 16/64, INFO 40, V2 52, V3 56, V4 108, V5 124)
@@ -710,11 +719,14 @@ _BINFIX_JPG_N = 32  # doc_ids [64, 96): baseline JFIF class (round 12)
 _BINFIX_DOCX_N = 32  # doc_ids [96, 128): OOXML/ZIP class (round 12)
 _BINFIX_XLSX_N = 32  # doc_ids [128, 160): spreadsheet OOXML class (round 12)
 _BINFIX_TIFF_N = 32  # doc_ids [160, 192): baseline TIFF class (round 12)
+_BINFIX_PPTX_N = 32  # doc_ids [192, 224): presentation OOXML class (round 12)
+_BINFIX_EML_N = 32  # doc_ids [224, 256): RFC 5322 message class (round 12)
+_BINFIX_RTF_N = 32  # doc_ids [256, 288): RTF class (round 12)
 _BINFIX_TOTAL = (
     _BINFIX_N + _BINFIX_JPG_N + _BINFIX_DOCX_N + _BINFIX_XLSX_N
-    + _BINFIX_TIFF_N
+    + _BINFIX_TIFF_N + _BINFIX_PPTX_N + _BINFIX_EML_N + _BINFIX_RTF_N
 )
-_BINFIX_VERSION = 9  # bump when payload formats change: invalidates old fixtures
+_BINFIX_VERSION = 10  # bump when payload formats change: invalidates old fixtures
 
 
 def _format_ext(doc_id: int) -> str:
@@ -723,9 +735,16 @@ def _format_ext(doc_id: int) -> str:
     the %12∈{5,11} raster pair, so every format the decoders handle
     appears in the fixture); ids [_BINFIX_N, _BINFIX_N+_BINFIX_JPG_N)
     are the round-12 baseline-JPEG class; [96,128) wordprocessing OOXML,
-    [128,160) spreadsheet OOXML, [160,192) baseline TIFF — disjoint id
-    ranges so every pre-existing oracle's ``doc_id < 64`` scope is
-    untouched."""
+    [128,160) spreadsheet OOXML, [160,192) baseline TIFF, [192,224)
+    presentation OOXML, [224,256) RFC 5322 messages, [256,288) RTF —
+    disjoint id ranges so every pre-existing oracle's ``doc_id < 64``
+    scope is untouched."""
+    if doc_id >= 256:
+        return "rtf"
+    if doc_id >= 224:
+        return "eml"
+    if doc_id >= 192:
+        return "pptx"
     if doc_id >= 160:
         return "tiff"
     if doc_id >= 128:
@@ -800,6 +819,18 @@ def _format_payload(doc_id: int, text: str) -> bytes:
 
     body = text.encode()
     ext = _format_ext(doc_id)
+    if ext == "rtf":
+        from .rtfops import build_rtf
+
+        return build_rtf(text)
+    if ext == "eml":
+        from .mailops import build_eml
+
+        return build_eml(text, f"case document {doc_id}")
+    if ext == "pptx":
+        from .docxops import build_pptx
+
+        return build_pptx(text)
     if ext == "tiff":
         # complete baseline TIFF (header, 9-tag IFD, offset-resolved
         # BitsPerSample, raw strip) of the SAME logical image formula

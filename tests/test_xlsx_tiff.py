@@ -151,3 +151,115 @@ def test_zip_manifest_matches_archive():
         "_rels/.rels",
         "word/document.xml",
     ]
+
+
+_printable = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    max_size=500,
+)
+
+
+@given(text=_printable, enc=st.sampled_from(
+    ["quoted-printable", "base64", "7bit"]))
+@settings(**_SETTINGS)
+def test_eml_roundtrip_property(text, enc):
+    from caseguarddatapipeline_spark.operators.mailops import (
+        build_eml,
+        extract_eml,
+    )
+
+    out = extract_eml(build_eml(text, "subject here", encoding=enc))
+    assert out["text"] == text
+    assert out["encoding"] == enc
+    assert out["n_headers"] == 7
+
+
+@given(
+    text=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=600),
+        max_size=300,
+    )
+)
+@settings(**_SETTINGS)
+def test_eml_qp_unicode_and_equals(text):
+    # quoted-printable must survive '=' signs, trailing spaces, and
+    # non-ASCII (UTF-8 bytes hex-escaped)
+    from caseguarddatapipeline_spark.operators.mailops import (
+        build_eml,
+        extract_eml,
+    )
+
+    assert extract_eml(build_eml(text, "s"))["text"] == text
+
+
+@given(
+    text=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=600),
+        max_size=300,
+    )
+)
+@settings(**_SETTINGS)
+def test_rtf_roundtrip_property(text):
+    from caseguarddatapipeline_spark.operators.rtfops import (
+        build_rtf,
+        extract_rtf,
+    )
+
+    assert extract_rtf(build_rtf(text))["text"] == text
+
+
+def test_rtf_destination_skipping_and_unicode_fallback():
+    from caseguarddatapipeline_spark.operators.rtfops import extract_rtf
+
+    # \*-marked and named destinations are metadata, not text; \uN
+    # consumes its fallback char per \uc
+    raw = (
+        b"{\\rtf1\\ansi{\\fonttbl{\\f0 X;}}{\\*\\generator Acme 1.0;}"
+        b"{\\info{\\author nobody}}\\uc1 A\\u8364?B \\'e9 end}"
+    )
+    out = extract_rtf(raw)
+    assert out["text"] == "A€B é end"
+    with pytest.raises(ValueError):
+        extract_rtf(b"{\\rtf1 unbalanced")
+    with pytest.raises(ValueError):
+        extract_rtf(b"not rtf at all")
+
+
+@given(text=_printable)
+@settings(**_SETTINGS)
+def test_pptx_roundtrip_property(text):
+    from caseguarddatapipeline_spark.operators.docxops import (
+        build_pptx,
+        extract_pptx_text,
+    )
+
+    b = build_pptx(text)
+    out = extract_pptx_text(b)
+    assert out["text"] == text
+    assert out["n_paragraphs"] == 1 and out["n_runs"] == 1
+    zf = zipfile.ZipFile(io.BytesIO(b))
+    assert zf.testzip() is None
+    assert "ppt/slides/slide1.xml" in zf.namelist()
+
+
+def test_fixture_pptx_eml_rtf_payloads_are_real():
+    from caseguarddatapipeline_spark.operators import multimodal as M
+    from caseguarddatapipeline_spark.operators.docxops import (
+        extract_pptx_text,
+    )
+    from caseguarddatapipeline_spark.operators.mailops import extract_eml
+    from caseguarddatapipeline_spark.operators.rtfops import extract_rtf
+
+    text = "some corpus body words here"
+    p = M._format_payload(192, text)
+    assert extract_pptx_text(p)["text"] == text
+    assert M._decode_one(p) == text[:32]
+    e = M._format_payload(224, text)
+    assert e.startswith(b"From: ")
+    got = extract_eml(e)
+    assert got["text"] == text and got["subject"] == "case document 224"
+    assert M._decode_one(e) == text[:32]
+    r = M._format_payload(256, text)
+    assert r.startswith(b"{\\rtf1")
+    assert extract_rtf(r)["text"] == text
+    assert M._decode_one(r) == text[:32]

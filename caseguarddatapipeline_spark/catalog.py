@@ -81,6 +81,7 @@ _PINNED = [
     "e4_pptx_text",
     "e4_eml_text",
     "e4_rtf_text",
+    "e4_msg_text",
 ]
 
 
@@ -132,7 +133,7 @@ def _registered_modules():
         "skew", "sessions", "textops", "dedup", "curation", "similarity", "pq",
         "vecindex", "graphann", "layout", "topk",
         "multimodal", "pdfops", "docxops", "xlsxops", "mailops", "rtfops",
-        "incremental", "inference", "rest_fetch", "canonical",
+        "cfbops", "incremental", "inference", "rest_fetch", "canonical",
         "soap_fetch",
     ):
         mod = __import__(

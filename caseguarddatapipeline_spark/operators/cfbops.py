@@ -1,0 +1,333 @@
+"""Byte-real OLE2 / Compound File Binary container + MSG extraction
+(round 12 — the last admitted format family).
+
+``.msg`` (and the containers of ``.doc/.xls``) are OLE2 compound files
+(the public [MS-CFB] spec): a FAT-based single-file filesystem — 512-
+byte sectors, a DIFAT-rooted FAT, a directory of 128-byte entries in a
+red-black tree, and a MINI stream (64-byte sectors with their own
+miniFAT) holding every stream under the 4096-byte cutoff. Outlook MSG
+([MS-OXMSG], also public) stores each property as a stream named
+``__substg1.0_<tag><type>`` — subject is tag 0037, body 1000, type
+001F = UTF-16LE.
+
+``build_msg`` writes a complete compound file — header with correct
+DIFAT/FAT/directory/miniFAT bookkeeping, a valid directory tree
+(root's child balanced over the name-ordered siblings), the property
+streams in the mini stream — and ``extract_msg`` walks it the way a
+real reader must: header → DIFAT → FAT chains → directory → root's
+mini stream → miniFAT chains for sub-cutoff streams. ``cfb_manifest``
+lists the directory (the .doc/.xls container-inspection step: those
+formats' INNER streams — WordDocument piece tables, Workbook BIFF —
+remain the documented parser boundary; the container is now real).
+
+Scale: one file = one binaryFile row = one Arrow-batched kernel call.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_SIG = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+_FREESECT = 0xFFFFFFFF
+_ENDOFCHAIN = 0xFFFFFFFE
+_FATSECT = 0xFFFFFFFD
+_NOSTREAM = 0xFFFFFFFF
+_CUTOFF = 4096
+_SUBJECT_STREAM = "__substg1.0_0037001F"
+_BODY_STREAM = "__substg1.0_1000001F"
+_PROPS_STREAM = "__properties_version1.0"
+
+
+class CfbParseError(ValueError):
+    pass
+
+
+def _dir_entry(
+    name: str, typ: int, start: int, size: int,
+    left: int = _NOSTREAM, right: int = _NOSTREAM, child: int = _NOSTREAM,
+) -> bytes:
+    nb = name.encode("utf-16-le") + b"\x00\x00"
+    if len(nb) > 64:
+        raise ValueError("directory name too long")
+    return (
+        nb.ljust(64, b"\x00")
+        + struct.pack("<HBB", len(nb), typ, 1)  # name len, type, black
+        + struct.pack("<III", left, right, child)
+        + b"\x00" * 16  # CLSID
+        + b"\x00" * 4  # state bits
+        + b"\x00" * 16  # timestamps
+        + struct.pack("<IQ", start, size)
+    )
+
+
+def build_msg(subject: str, body: str) -> bytes:
+    """A complete OLE2 compound file carrying the two MSG property
+    streams (UTF-16LE subject + body, [MS-OXMSG] naming) plus the
+    fixed-property stream, all in the MINI stream with correct miniFAT
+    chains and a valid directory tree."""
+    streams = [
+        (_SUBJECT_STREAM, subject.encode("utf-16-le")),
+        (_BODY_STREAM, body.encode("utf-16-le")),
+        # minimal fixed-property stream: 32-byte header + one 16-byte
+        # row per variable-length property (tag, flags, size+2 per
+        # [MS-OXMSG] §2.4; readers of the substg streams don't need it,
+        # but a real MSG always carries it)
+        (
+            _PROPS_STREAM,
+            b"\x00" * 8
+            + struct.pack("<IIII", 0, 0, 0, 0)
+            + b"\x00" * 16
+            + struct.pack("<IIII", 0x0037001F, 6,
+                          len(subject.encode("utf-16-le")) + 2, 0)
+            + struct.pack("<IIII", 0x1000001F, 6,
+                          len(body.encode("utf-16-le")) + 2, 0),
+        ),
+    ]
+    if any(len(d) >= _CUTOFF for _, d in streams):
+        raise ValueError("fixture streams must stay under the mini cutoff")
+
+    # mini stream: 64-byte-aligned concatenation + miniFAT chains
+    mini = bytearray()
+    minifat: list[int] = []
+    starts: list[int] = []
+    for _, data in streams:
+        n_mini = max(1, (len(data) + 63) // 64)
+        first = len(minifat)
+        starts.append(first)
+        for k in range(n_mini):
+            minifat.append(first + k + 1 if k < n_mini - 1 else _ENDOFCHAIN)
+        mini += data.ljust(n_mini * 64, b"\x00")
+    while len(minifat) % 128:
+        minifat.append(_FREESECT)
+
+    n_mini_sectors = (len(mini) + 511) // 512
+    mini += b"\x00" * (n_mini_sectors * 512 - len(mini))
+
+    # sectors: 0 = FAT, 1 = directory, 2 = miniFAT, 3.. = mini stream
+    dir_sector = 1
+    minifat_sector = 2
+    mini_first = 3
+    # directory: root (child = middle sibling by CFB name order:
+    # subject < body < properties), then the three streams
+    root = _dir_entry(
+        "Root Entry", 5, mini_first, len(mini), child=2
+    )
+    entries = [
+        root,
+        _dir_entry(streams[0][0], 2, starts[0], len(streams[0][1])),
+        _dir_entry(
+            streams[1][0], 2, starts[1], len(streams[1][1]),
+            left=1, right=3,
+        ),
+        _dir_entry(streams[2][0], 2, starts[2], len(streams[2][1])),
+    ]
+    directory = b"".join(entries).ljust(512, b"\x00")
+
+    fat = [_FATSECT, _ENDOFCHAIN, _ENDOFCHAIN]  # s0 FAT, s1 dir, s2 miniFAT
+    for k in range(n_mini_sectors):
+        fat.append(
+            mini_first + k + 1 if k < n_mini_sectors - 1 else _ENDOFCHAIN
+        )
+    while len(fat) % 128:
+        fat.append(_FREESECT)
+    if len(fat) > 128:
+        raise ValueError("fixture exceeds one FAT sector")
+
+    difat = [0] + [_FREESECT] * 108
+    header = (
+        _SIG
+        + b"\x00" * 16  # CLSID
+        + struct.pack("<HH", 0x003E, 0x0003)  # minor, major 3
+        + struct.pack("<H", 0xFFFE)  # little-endian
+        + struct.pack("<HH", 9, 6)  # sector 512, mini 64
+        + b"\x00" * 6
+        + struct.pack("<I", 0)  # directory sector count (v3: 0)
+        + struct.pack("<I", 1)  # FAT sector count
+        + struct.pack("<I", dir_sector)
+        + struct.pack("<I", 0)  # transaction signature
+        + struct.pack("<I", _CUTOFF)
+        + struct.pack("<II", minifat_sector, 1)  # miniFAT start/count
+        + struct.pack("<II", _ENDOFCHAIN, 0)  # DIFAT start/count
+        + struct.pack("<109I", *difat)
+    )
+    assert len(header) == 512
+    return (
+        header
+        + struct.pack("<128I", *fat)
+        + directory
+        + struct.pack("<128I", *minifat)
+        + bytes(mini)
+    )
+
+
+def _read_cfb(data: bytes):
+    """header → FAT → directory → (entries, stream-reader fn)."""
+    if data[:8] != _SIG:
+        raise CfbParseError("not an OLE2 compound file")
+    major = struct.unpack("<H", data[26:28])[0]
+    ssz = 1 << struct.unpack("<H", data[30:32])[0]
+    msz = 1 << struct.unpack("<H", data[32:34])[0]
+    n_fat = struct.unpack("<I", data[44:48])[0]
+    dir_start = struct.unpack("<I", data[48:52])[0]
+    cutoff = struct.unpack("<I", data[56:60])[0]
+    minifat_start, n_minifat = struct.unpack("<II", data[60:68])
+    difat_start, n_difat = struct.unpack("<II", data[68:76])
+    if major not in (3, 4):
+        raise CfbParseError(f"unsupported CFB major version {major}")
+
+    def sector(n: int) -> bytes:
+        off = 512 + n * ssz if major == 3 else (n + 1) * ssz
+        return data[off : off + ssz]
+
+    difat = list(struct.unpack("<109I", data[76:512]))
+    nxt = difat_start
+    for _ in range(n_difat):  # DIFAT overflow sectors (big files)
+        s = sector(nxt)
+        vals = struct.unpack(f"<{ssz // 4}I", s)
+        difat += vals[:-1]
+        nxt = vals[-1]
+    fat: list[int] = []
+    for k in range(n_fat):
+        fat += struct.unpack(f"<{ssz // 4}I", sector(difat[k]))
+
+    def chain(start: int, limit: int = 1 << 20) -> bytes:
+        out = bytearray()
+        s = start
+        seen = 0
+        while s != _ENDOFCHAIN:
+            if s >= len(fat) or seen > limit:
+                raise CfbParseError("broken FAT chain")
+            out += sector(s)
+            s = fat[s]
+            seen += 1
+        return bytes(out)
+
+    directory = chain(dir_start)
+    entries = []
+    for off in range(0, len(directory), 128):
+        e = directory[off : off + 128]
+        if len(e) < 128:
+            break
+        nlen = struct.unpack("<H", e[64:66])[0]
+        typ = e[66]
+        if typ == 0 or nlen < 2:
+            continue
+        name = e[: nlen - 2].decode("utf-16-le")
+        start, size = struct.unpack("<IQ", e[116:128])
+        entries.append((name, typ, start, size))
+    root = next((e for e in entries if e[1] == 5), None)
+    if root is None:
+        raise CfbParseError("no root entry")
+    ministream = chain(root[2])[: root[3]] if root[3] else b""
+    minifat: list[int] = []
+    if n_minifat:
+        mf = chain(minifat_start)
+        minifat = list(struct.unpack(f"<{len(mf) // 4}I", mf))
+
+    def read_stream(name: str) -> bytes:
+        for ename, typ, start, size in entries:
+            if ename != name or typ != 2:
+                continue
+            if size < cutoff:
+                out = bytearray()
+                s = start
+                while s != _ENDOFCHAIN:
+                    if s >= len(minifat):
+                        raise CfbParseError("broken miniFAT chain")
+                    out += ministream[s * msz : (s + 1) * msz]
+                    s = minifat[s]
+                return bytes(out[:size])
+            return chain(start)[:size]
+        raise CfbParseError(f"stream {name} not found")
+
+    return entries, read_stream
+
+
+def cfb_manifest(data: bytes) -> list[tuple[str, int, int]]:
+    """Directory listing: [(stream/storage name, type, size)] — the
+    container-inspection step for the OLE2 family (.msg/.doc/.xls)."""
+    entries, _ = _read_cfb(data)
+    return [(n, t, int(s)) for n, t, _, s in entries]
+
+
+def extract_msg(data: bytes) -> dict[str, object]:
+    """MSG property extraction: the UTF-16LE subject (tag 0037) and
+    body (tag 1000) streams via the full FAT/miniFAT walk."""
+    entries, read_stream = _read_cfb(data)
+    return {
+        "subject": read_stream(_SUBJECT_STREAM).decode("utf-16-le"),
+        "text": read_stream(_BODY_STREAM).decode("utf-16-le"),
+        "n_streams": sum(1 for e in entries if e[1] == 2),
+    }
+
+
+MSG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("subject", StringType()),
+        StructField("n_streams", IntegerType()),
+        StructField("body_text", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def _msg_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        parsed = [extract_msg(bytes(b)) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "subject": [p["subject"] for p in parsed],
+                "n_streams": pd.Series(
+                    [p["n_streams"] for p in parsed], dtype="int32"
+                ),
+                "body_text": [p["text"] for p in parsed],
+                "n_chars": pd.Series(
+                    [len(p["text"]) for p in parsed], dtype="int64"
+                ),
+            }
+        )
+
+
+def e4_msg_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-REAL Outlook-MSG extraction over genuine on-disk compound
+    files (fixture ids 288-319): OLE2 header → DIFAT → FAT → directory
+    → mini-stream/miniFAT walk → UTF-16 property streams, per file in
+    one Arrow-batched stage. Subject and body round-trip exactly; the
+    .msg class completes the reference's correspondence pair
+    (format_config.py:44-53 medium priority)."""
+    from .multimodal import _fixture_docs
+
+    docs = _fixture_docs(spark, sf_dir, "doc_*.msg")
+    return docs.mapInPandas(_msg_kernel, schema=MSG_SCHEMA)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "e4_msg_text": e4_msg_text,
+}
+
+ORACLES: dict[str, str] = {
+    "e4_msg_text": """
+        SELECT doc_id,
+               'case document ' || CAST(doc_id AS VARCHAR) AS subject,
+               CAST(3 AS INT) AS n_streams,
+               text AS body_text,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        WHERE doc_id >= 288 AND doc_id < 320
+    """,
+}

@@ -138,6 +138,10 @@ def _decode_one(b: bytes) -> str:
                 except ValueError:
                     continue
             raise ValueError("unrecognized OOXML package")
+        if b[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+            from .cfbops import extract_msg
+
+            return str(extract_msg(b)["text"])[:32]
         if b[:5] == b"{\\rtf":
             from .rtfops import extract_rtf
 
@@ -722,11 +726,13 @@ _BINFIX_TIFF_N = 32  # doc_ids [160, 192): baseline TIFF class (round 12)
 _BINFIX_PPTX_N = 32  # doc_ids [192, 224): presentation OOXML class (round 12)
 _BINFIX_EML_N = 32  # doc_ids [224, 256): RFC 5322 message class (round 12)
 _BINFIX_RTF_N = 32  # doc_ids [256, 288): RTF class (round 12)
+_BINFIX_MSG_N = 32  # doc_ids [288, 320): OLE2/MSG compound class (round 12)
 _BINFIX_TOTAL = (
     _BINFIX_N + _BINFIX_JPG_N + _BINFIX_DOCX_N + _BINFIX_XLSX_N
     + _BINFIX_TIFF_N + _BINFIX_PPTX_N + _BINFIX_EML_N + _BINFIX_RTF_N
+    + _BINFIX_MSG_N
 )
-_BINFIX_VERSION = 10  # bump when payload formats change: invalidates old fixtures
+_BINFIX_VERSION = 11  # bump when payload formats change: invalidates old fixtures
 
 
 def _format_ext(doc_id: int) -> str:
@@ -739,6 +745,8 @@ def _format_ext(doc_id: int) -> str:
     presentation OOXML, [224,256) RFC 5322 messages, [256,288) RTF —
     disjoint id ranges so every pre-existing oracle's ``doc_id < 64``
     scope is untouched."""
+    if doc_id >= 288:
+        return "msg"
     if doc_id >= 256:
         return "rtf"
     if doc_id >= 224:
@@ -819,6 +827,10 @@ def _format_payload(doc_id: int, text: str) -> bytes:
 
     body = text.encode()
     ext = _format_ext(doc_id)
+    if ext == "msg":
+        from .cfbops import build_msg
+
+        return build_msg(f"case document {doc_id}", text)
     if ext == "rtf":
         from .rtfops import build_rtf
 

@@ -263,3 +263,50 @@ def test_fixture_pptx_eml_rtf_payloads_are_real():
     assert r.startswith(b"{\\rtf1")
     assert extract_rtf(r)["text"] == text
     assert M._decode_one(r) == text[:32]
+
+
+@given(
+    subject=_printable,
+    body=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=600),
+        max_size=2000,
+    ),
+)
+@settings(**_SETTINGS)
+def test_msg_cfb_roundtrip_property(subject, body):
+    """OLE2 compound container: header -> DIFAT -> FAT -> directory ->
+    mini-stream/miniFAT walk must recover the UTF-16 property streams
+    exactly, across mini-sector and sector boundaries."""
+    from caseguarddatapipeline_spark.operators.cfbops import (
+        build_msg,
+        extract_msg,
+    )
+
+    out = extract_msg(build_msg(subject, body))
+    assert out["subject"] == subject
+    assert out["text"] == body
+    assert out["n_streams"] == 3
+
+
+def test_cfb_manifest_and_rejects():
+    from caseguarddatapipeline_spark.operators import multimodal as M
+    from caseguarddatapipeline_spark.operators.cfbops import (
+        CfbParseError,
+        cfb_manifest,
+        extract_msg,
+    )
+
+    payload = M._format_payload(288, "corpus body here")
+    names = [n for n, t, s in cfb_manifest(payload)]
+    assert names == [
+        "Root Entry",
+        "__substg1.0_0037001F",
+        "__substg1.0_1000001F",
+        "__properties_version1.0",
+    ]
+    assert extract_msg(payload)["subject"] == "case document 288"
+    assert M._decode_one(payload) == "corpus body here"[:32]
+    with pytest.raises((CfbParseError, ValueError)):
+        extract_msg(b"\xd0\xcf\x11\xe0 not really")
+    with pytest.raises((CfbParseError, ValueError)):
+        extract_msg(b"plain text")

@@ -282,34 +282,53 @@ def main() -> int:
     wav_n = _replicate_payloads(wav, n * 80)
     wav_rows = wav_n.count()
 
-    # document-extraction twin (round 12): the fixture's real PDF and
-    # DOCX containers through the full parsers — xref/FlateDecode/text
-    # operators and ZIP/OOXML walk — dispatched per payload by magic
-    # bytes, the E4 document tier's measured docs/s record.
-    docsf = _fixture_docs(spark, sf_dir, "doc_*.{pdf,docx}")
+    # document-extraction twin (round 12): ALL SEVEN text-bearing
+    # container classes through their full parsers — PDF xref/Flate/
+    # text operators; DOCX/XLSX/PPTX ZIP + OOXML walks; EML header
+    # unfold + MIME decode; RTF group tokenizer; MSG OLE2 FAT/miniFAT
+    # walk — dispatched per payload by magic/shape, the E4 document
+    # tier's measured docs/s record.
+    docsf = _fixture_docs(
+        spark, sf_dir, "doc_*.{pdf,docx,xlsx,pptx,eml,rtf,msg}"
+    )
     docs_bin_n = _replicate_payloads(docsf, n * 8)
     docbin_rows = docs_bin_n.count()
 
     def _doc_text_kernel(batches):
         import pandas as pd
 
+        from caseguarddatapipeline_spark.operators.cfbops import extract_msg
         from caseguarddatapipeline_spark.operators.docxops import (
             extract_docx_text,
+            extract_pptx_text,
         )
+        from caseguarddatapipeline_spark.operators.mailops import extract_eml
         from caseguarddatapipeline_spark.operators.pdfops import (
             extract_pdf_text,
         )
+        from caseguarddatapipeline_spark.operators.rtfops import extract_rtf
+        from caseguarddatapipeline_spark.operators.xlsxops import (
+            extract_xlsx,
+        )
+
+        def one(raw: bytes) -> str:
+            if raw[:5] == b"%PDF-":
+                return str(extract_pdf_text(raw)["text"])
+            if raw[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+                return str(extract_msg(raw)["text"])
+            if raw[:5] == b"{\\rtf":
+                return str(extract_rtf(raw)["text"])
+            if raw[:6] == b"From: ":
+                return str(extract_eml(raw)["text"])
+            for fn in (extract_docx_text, extract_xlsx, extract_pptx_text):
+                try:
+                    return str(fn(raw)["text"])
+                except ValueError:
+                    continue
+            raise ValueError("undispatchable document payload")
 
         for pdf in batches:
-            texts = pdf["payload"].map(
-                lambda b: str(
-                    (
-                        extract_pdf_text
-                        if bytes(b)[:5] == b"%PDF-"
-                        else extract_docx_text
-                    )(bytes(b))["text"]
-                )
-            )
+            texts = pdf["payload"].map(lambda b: one(bytes(b)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -565,12 +584,13 @@ FLOORS = {"agg_scan": 26.0, "join_agg": 3.2, "window_topk": 3.3,
           # pruning the boilerplate head or the one-pass bucket form
           # regresses
           "winnow_join": 0.0016,
-          # doc_decode (round 12): 21,600 real PDF/DOCX containers
-          # through the full text-extraction parsers measured 0.0286
-          # Mdocs/s (~28,600 docs/s) in the 50x merge run; floor at
-          # ~70% — trips if the container walk regresses to quadratic
-          # scanning or the per-batch dispatch collapses.
-          "doc_decode": 0.02,
+          # doc_decode (round 12): 85,600 real containers across all
+          # seven text-bearing classes (pdf/docx/xlsx/pptx/eml/rtf/msg)
+          # through their full parsers measured 0.0796 Mdocs/s
+          # (~80k docs/s) in the 50x merge run; floor at ~70% — trips
+          # if any container walk regresses to quadratic scanning or
+          # the per-batch dispatch collapses.
+          "doc_decode": 0.055,
           # binary_search (round 12): 1-bit encode + Hamming top-k over
           # 2M vectors measured 1.148 Mvec/s in the 50x merge run
           # (sign-encode fold + bit_count(xor) scan + WindowGroupLimit

@@ -45,43 +45,14 @@ _WINDOW_SLOTS = 50
 # policy: new queries are driver-verified the round they ship); the
 # remaining ~48 slots fill stalest-first from LAST_GREEN.
 _PINNED = [
-    "a1_reconciliation_summary",  # flagship continuity pin (r1-r11)
-    # round-12 additions + reworks (byte-real PDF; baseline-JPEG class
-    # joins the tile-stats mix; binaryfile fixture v6 + glob pin)
-    "e4_pdf_text",
-    "e4_docx_text",
-    "e4_pixel_tile_stats",
-    "e4_binaryfile_scan",
-    # ... and the four one-parse SQL serving twins that joined the bench
-    # headline schedule (sql_twins.py round-12 block), plus the REWORKED
-    # water-filling allocator (its zero/feasible agg pair folded into
-    # one aggregation — quality.py)
-    "e1_span_dedup_sql",
-    "e3_bpe_encode_sql",
-    "e5_global_token_budget_sql",
-    "e2_sq8_search_sql",
-    "e5_global_token_budget",
-    # ... and U3's dispatch over real bytes (the last binary→text
-    # stand-in replaced: per-batch extension dispatch into the pdfops/
-    # docxops parsers)
+    "a1_reconciliation_summary",  # flagship continuity pin (r1-)
+    # round-13 additions: legacy binary Office joins the byte-real
+    # format matrix (Word 97 piece table, BIFF8 cell records — both
+    # over the round-12 CFB walker), and U3's dispatch widened from
+    # pdf/docx to the full admitted container matrix.
+    "e4_doc_text",
+    "e4_xls_cells",
     "u3_binary_dispatch",
-    # ... and temperature-scaled mixture sampling (α=1/2, sqrt-exact)
-    "e5_temperature_mixture",
-    # ... and the binary (1-bit) quantization tier + its measured recall
-    # companion, completing the float→SQ8→PQ→binary ladder
-    "e2_binary_search",
-    "e2_binary_recall",
-    # ... and CCNet's head/middle/tail LM-score terciles
-    "e3_ccnet_buckets",
-    # ... and the round-12 format-matrix completion: spreadsheet OOXML
-    # cells, archive manifests, baseline TIFF joining the tile stats,
-    # presentation OOXML, RFC 5322 mail, RTF
-    "e4_xlsx_cells",
-    "e4_zip_manifest",
-    "e4_pptx_text",
-    "e4_eml_text",
-    "e4_rtf_text",
-    "e4_msg_text",
 ]
 
 

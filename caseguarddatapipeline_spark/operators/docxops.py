@@ -156,6 +156,10 @@ def _zip_member(data: bytes, want: str) -> bytes:
     n_entries, cd_size, cd_off = struct.unpack(
         "<HII", data[eocd + 10 : eocd + 20]
     )
+    if n_entries == 0xFFFF or cd_size == 0xFFFFFFFF or cd_off == 0xFFFFFFFF:
+        raise DocxParseError("ZIP64 unsupported")
+    if cd_off + cd_size > len(data):
+        raise DocxParseError("central directory out of bounds")
     pos = cd_off
     for _ in range(n_entries):
         if data[pos : pos + 4] != b"PK\x01\x02":

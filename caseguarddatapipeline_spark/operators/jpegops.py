@@ -339,8 +339,15 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
         if data[pos] != 0xFF:
             raise JpegParseError("expected marker")
         marker = data[pos + 1]
+        if marker == 0xFF:  # legal fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI before SOS
             raise JpegParseError("no scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone — no length segment follows
+            pos += 2
+            continue
         seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
         seg = data[pos + 4 : pos + 2 + seg_len]
         pos += 2 + seg_len

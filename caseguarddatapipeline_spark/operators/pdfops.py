@@ -491,7 +491,10 @@ def _stream_bytes(body: bytes) -> bytes:
     """Content-stream object body → inflated operator bytes. /Length
     must be direct (the builder always writes it direct; indirect
     lengths raise rather than misparse)."""
-    m = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", body)
+    # (?!\d) anchors the digits so '/Length 10 0 R' cannot backtrack to
+    # a partial match ('1' followed by '0 0 R' passes the indirect-ref
+    # lookahead); indirect lengths must fail the match and raise.
+    m = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", body)
     if not m:
         raise PdfParseError("stream /Length missing or indirect")
     s = re.search(rb"stream(\r\n|\n)", body)

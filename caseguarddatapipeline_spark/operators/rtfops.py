@@ -112,7 +112,13 @@ def extract_rtf(data: bytes) -> dict[str, object]:
                 elif word == b"u" and param is not None:
                     cp = int(param)
                     out.append(chr(cp + 65536 if cp < 0 else cp))
-                    i += uc_skip  # eat the ANSI fallback char(s)
+                    # eat uc_skip fallback TOKENS (not bytes): each is
+                    # either a 4-byte \'hh escape or one plain byte
+                    for _ in range(uc_skip):
+                        if data[i : i + 2] == b"\\'":
+                            i += 4
+                        else:
+                            i += 1
                 # formatting words (\f0 \fs24 \b ...) contribute no text
                 continue
             sym = data[i + 1 : i + 2]

@@ -104,7 +104,8 @@ def _registered_modules():
         "skew", "sessions", "textops", "dedup", "curation", "similarity", "pq",
         "vecindex", "graphann", "layout", "topk",
         "multimodal", "pdfops", "docxops", "xlsxops", "mailops", "rtfops",
-        "cfbops", "incremental", "inference", "rest_fetch", "canonical",
+        "cfbops", "wordops", "biffops",
+        "incremental", "inference", "rest_fetch", "canonical",
         "soap_fetch",
     ):
         mod = __import__(

@@ -73,80 +73,115 @@ def _dir_entry(
     )
 
 
-def build_msg(subject: str, body: str) -> bytes:
-    """A complete OLE2 compound file carrying the two MSG property
-    streams (UTF-16LE subject + body, [MS-OXMSG] naming) plus the
-    fixed-property stream, all in the MINI stream with correct miniFAT
-    chains and a valid directory tree."""
-    streams = [
-        (_SUBJECT_STREAM, subject.encode("utf-16-le")),
-        (_BODY_STREAM, body.encode("utf-16-le")),
-        # minimal fixed-property stream: 32-byte header + one 16-byte
-        # row per variable-length property (tag, flags, size+2 per
-        # [MS-OXMSG] §2.4; readers of the substg streams don't need it,
-        # but a real MSG always carries it)
-        (
-            _PROPS_STREAM,
-            b"\x00" * 8
-            + struct.pack("<IIII", 0, 0, 0, 0)
-            + b"\x00" * 16
-            + struct.pack("<IIII", 0x0037001F, 6,
-                          len(subject.encode("utf-16-le")) + 2, 0)
-            + struct.pack("<IIII", 0x1000001F, 6,
-                          len(body.encode("utf-16-le")) + 2, 0),
-        ),
-    ]
-    if any(len(d) >= _CUTOFF for _, d in streams):
-        raise ValueError("fixture streams must stay under the mini cutoff")
+def _cfb_name_key(name: str) -> tuple[int, str]:
+    """[MS-CFB] §2.6.4 sibling order: UTF-16 length first, then
+    case-insensitive (uppercased) comparison."""
+    return (len(name.encode("utf-16-le")), name.upper())
+
+
+def build_cfb(streams: list[tuple[str, bytes]]) -> bytes:
+    """A complete OLE2 compound file holding ``streams`` — correct
+    header/DIFAT/FAT bookkeeping, a balanced name-ordered directory
+    tree, sub-cutoff streams in the mini stream with miniFAT chains and
+    >= 4096-byte streams in regular FAT sectors — the shared container
+    writer for the .msg/.doc/.xls fixture classes."""
+    if len({n for n, _ in streams}) != len(streams):
+        raise ValueError("duplicate stream names")
 
     # mini stream: 64-byte-aligned concatenation + miniFAT chains
     mini = bytearray()
     minifat: list[int] = []
-    starts: list[int] = []
-    for _, data in streams:
-        n_mini = max(1, (len(data) + 63) // 64)
+    mini_starts: dict[str, int] = {}
+    for name, data in streams:
+        if not 0 < len(data) < _CUTOFF:
+            continue
+        n_mini = (len(data) + 63) // 64
         first = len(minifat)
-        starts.append(first)
+        mini_starts[name] = first
         for k in range(n_mini):
             minifat.append(first + k + 1 if k < n_mini - 1 else _ENDOFCHAIN)
         mini += data.ljust(n_mini * 64, b"\x00")
     while len(minifat) % 128:
         minifat.append(_FREESECT)
+    mini_size = len(mini)  # root entry size: the UNpadded mini bytes
+    mini += b"\x00" * (-len(mini) % 512)
 
-    n_mini_sectors = (len(mini) + 511) // 512
-    mini += b"\x00" * (n_mini_sectors * 512 - len(mini))
+    regs = [(n, d) for n, d in streams if len(d) >= _CUTOFF]
+    reg_nsec = [(len(d) + 511) // 512 for _, d in regs]
+    n_dir = (128 * (1 + len(streams)) + 511) // 512
+    n_minifat = len(minifat) // 128
+    n_mini = len(mini) // 512
 
-    # sectors: 0 = FAT, 1 = directory, 2 = miniFAT, 3.. = mini stream
-    dir_sector = 1
-    minifat_sector = 2
-    mini_first = 3
-    # directory: root (child = middle sibling by CFB name order:
-    # subject < body < properties), then the three streams
-    root = _dir_entry(
-        "Root Entry", 5, mini_first, len(mini), child=2
-    )
+    # FAT sizing is a fixed point: the FAT must also map its own sectors
+    n_fat = 1
+    while True:
+        total = n_fat + n_dir + n_minifat + n_mini + sum(reg_nsec)
+        need = (total + 127) // 128
+        if need <= n_fat:
+            break
+        n_fat = need
+    if n_fat > 109:
+        raise ValueError("stream set exceeds header DIFAT capacity")
+
+    # layout: [FAT][directory][miniFAT][mini stream][regular streams]
+    dir_first = n_fat
+    minifat_first = dir_first + n_dir
+    mini_first = minifat_first + n_minifat
+    reg_first = mini_first + n_mini
+
+    fat = [_FATSECT] * n_fat
+
+    def chain_sectors(first: int, count: int) -> None:
+        for k in range(count):
+            fat.append(first + k + 1 if k < count - 1 else _ENDOFCHAIN)
+
+    chain_sectors(dir_first, n_dir)
+    chain_sectors(minifat_first, n_minifat)
+    chain_sectors(mini_first, n_mini)
+    reg_starts: dict[str, int] = {}
+    cur = reg_first
+    for (name, _), ns in zip(regs, reg_nsec):
+        reg_starts[name] = cur
+        chain_sectors(cur, ns)
+        cur += ns
+    fat += [_FREESECT] * (-len(fat) % 128)
+    assert len(fat) == n_fat * 128
+
+    # directory: root + streams; siblings form a balanced BST in CFB
+    # name order (entry indices are 1-based after the root at 0)
+    order = sorted(range(len(streams)), key=lambda i: _cfb_name_key(streams[i][0]))
+    left = [_NOSTREAM] * len(streams)
+    right = [_NOSTREAM] * len(streams)
+
+    def bst(lo: int, hi: int) -> int:
+        if lo >= hi:
+            return _NOSTREAM
+        mid = (lo + hi) // 2
+        left[order[mid]] = bst(lo, mid)
+        right[order[mid]] = bst(mid + 1, hi)
+        return order[mid] + 1
+
+    root_child = bst(0, len(streams)) if streams else _NOSTREAM
     entries = [
-        root,
-        _dir_entry(streams[0][0], 2, starts[0], len(streams[0][1])),
         _dir_entry(
-            streams[1][0], 2, starts[1], len(streams[1][1]),
-            left=1, right=3,
-        ),
-        _dir_entry(streams[2][0], 2, starts[2], len(streams[2][1])),
-    ]
-    directory = b"".join(entries).ljust(512, b"\x00")
-
-    fat = [_FATSECT, _ENDOFCHAIN, _ENDOFCHAIN]  # s0 FAT, s1 dir, s2 miniFAT
-    for k in range(n_mini_sectors):
-        fat.append(
-            mini_first + k + 1 if k < n_mini_sectors - 1 else _ENDOFCHAIN
+            "Root Entry", 5,
+            mini_first if mini_size else _ENDOFCHAIN, mini_size,
+            child=root_child,
         )
-    while len(fat) % 128:
-        fat.append(_FREESECT)
-    if len(fat) > 128:
-        raise ValueError("fixture exceeds one FAT sector")
+    ]
+    for i, (name, data) in enumerate(streams):
+        if len(data) >= _CUTOFF:
+            start = reg_starts[name]
+        elif len(data) == 0:
+            start = _ENDOFCHAIN
+        else:
+            start = mini_starts[name]
+        entries.append(
+            _dir_entry(name, 2, start, len(data), left=left[i], right=right[i])
+        )
+    directory = b"".join(entries).ljust(n_dir * 512, b"\x00")
 
-    difat = [0] + [_FREESECT] * 108
+    difat = list(range(n_fat)) + [_FREESECT] * (109 - n_fat)
     header = (
         _SIG
         + b"\x00" * 16  # CLSID
@@ -155,21 +190,52 @@ def build_msg(subject: str, body: str) -> bytes:
         + struct.pack("<HH", 9, 6)  # sector 512, mini 64
         + b"\x00" * 6
         + struct.pack("<I", 0)  # directory sector count (v3: 0)
-        + struct.pack("<I", 1)  # FAT sector count
-        + struct.pack("<I", dir_sector)
+        + struct.pack("<I", n_fat)
+        + struct.pack("<I", dir_first)
         + struct.pack("<I", 0)  # transaction signature
         + struct.pack("<I", _CUTOFF)
-        + struct.pack("<II", minifat_sector, 1)  # miniFAT start/count
-        + struct.pack("<II", _ENDOFCHAIN, 0)  # DIFAT start/count
+        + struct.pack(
+            "<II", minifat_first if n_minifat else _ENDOFCHAIN, n_minifat
+        )
+        + struct.pack("<II", _ENDOFCHAIN, 0)  # DIFAT overflow: none
         + struct.pack("<109I", *difat)
     )
     assert len(header) == 512
-    return (
-        header
-        + struct.pack("<128I", *fat)
-        + directory
-        + struct.pack("<128I", *minifat)
-        + bytes(mini)
+    out = bytearray(header)
+    for k in range(n_fat):
+        out += struct.pack("<128I", *fat[k * 128 : (k + 1) * 128])
+    out += directory
+    for k in range(n_minifat):
+        out += struct.pack("<128I", *minifat[k * 128 : (k + 1) * 128])
+    out += mini
+    for _, data in regs:
+        out += data.ljust((len(data) + 511) // 512 * 512, b"\x00")
+    return bytes(out)
+
+
+def build_msg(subject: str, body: str) -> bytes:
+    """A complete OLE2 compound file carrying the two MSG property
+    streams (UTF-16LE subject + body, [MS-OXMSG] naming) plus the
+    fixed-property stream, via the shared ``build_cfb`` writer."""
+    return build_cfb(
+        [
+            (_SUBJECT_STREAM, subject.encode("utf-16-le")),
+            (_BODY_STREAM, body.encode("utf-16-le")),
+            # minimal fixed-property stream: 32-byte header + one
+            # 16-byte row per variable-length property (tag, flags,
+            # size+2 per [MS-OXMSG] §2.4; readers of the substg streams
+            # don't need it, but a real MSG always carries it)
+            (
+                _PROPS_STREAM,
+                b"\x00" * 8
+                + struct.pack("<IIII", 0, 0, 0, 0)
+                + b"\x00" * 16
+                + struct.pack("<IIII", 0x0037001F, 6,
+                              len(subject.encode("utf-16-le")) + 2, 0)
+                + struct.pack("<IIII", 0x1000001F, 6,
+                              len(body.encode("utf-16-le")) + 2, 0),
+            ),
+        ]
     )
 
 

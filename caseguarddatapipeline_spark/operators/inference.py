@@ -306,25 +306,36 @@ def u3_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def u3_binary_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U3 dispatch over REAL BYTES (round 12 — the last stand-in in the
-    binary→text path): scan the fixture's genuine on-disk .pdf and
-    .docx files, dispatch each Arrow batch by extension exactly like
-    ``u3_format_dispatch`` dispatches by format code, and run the REAL
-    parser per group — pdfops.extract_pdf_text (xref walk + FlateDecode
-    + text operators) and docxops.extract_docx_text (ZIP central
-    directory + OOXML runs). Both recover the generating document text
-    verbatim, so the whole dispatch pipeline keeps an exact SQL oracle
-    while every byte it touches is a real container. Reference parity:
-    this IS docproc/format_config.py:147-230's dispatch (priority
-    classes from :44-48, both formats "high"), with the LlamaParse call
-    replaced by in-repo parsers instead of string arithmetic.
+    """U3 dispatch over REAL BYTES, widened in round 13 from pdf/docx
+    to the reference's FULL admitted text-bearing container matrix:
+    scan the fixture's genuine on-disk files, dispatch each Arrow batch
+    by extension exactly like ``u3_format_dispatch`` dispatches by
+    format code, and run the REAL in-repo parser per group — PDF xref/
+    FlateDecode, OOXML (word/spreadsheet/presentation) ZIP walks, RFC
+    5322 mail, the RTF tokenizer, and the OLE2 family (MSG property
+    streams, Word 97 piece table, BIFF8 cell records). Every parser
+    recovers the generating document text verbatim, so the whole
+    dispatch pipeline keeps an exact SQL oracle while every byte it
+    touches is a real container. Reference parity: this IS
+    docproc/format_config.py:147-230's dispatch — the same nine
+    admitted extensions, priority classes from :44-53 (pdf/doc high,
+    eml/msg medium, spreadsheet/presentation/rtf low) — with the
+    LlamaParse call replaced by in-repo parsers.
     Scale: one file = one row = one kernel call; the per-batch groupby
     dispatches once per (batch, extension), not per row."""
-    from .docxops import extract_docx_text
+    from .biffops import extract_xls
+    from .cfbops import extract_msg
+    from .docxops import extract_docx_text, extract_pptx_text
+    from .mailops import extract_eml
     from .multimodal import _fixture_docs
     from .pdfops import extract_pdf_text
+    from .rtfops import extract_rtf
+    from .wordops import extract_doc
+    from .xlsxops import extract_xlsx
 
-    files = _fixture_docs(spark, sf_dir, "doc_*.{pdf,docx}").select(
+    files = _fixture_docs(
+        spark, sf_dir, "doc_*.{pdf,docx,xlsx,pptx,eml,rtf,msg,doc,xls}"
+    ).select(
         "doc_id",
         F.element_at(F.split(F.input_file_name(), r"\."), -1).alias("ext"),
         "payload",
@@ -332,7 +343,14 @@ def u3_binary_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _PARSERS = {
         "pdf": ("high", "pdf_xref_flate", extract_pdf_text),
+        "doc": ("high", "doc_fib_pieces", extract_doc),
         "docx": ("high", "docx_zip_ooxml", extract_docx_text),
+        "eml": ("medium", "eml_rfc5322", extract_eml),
+        "msg": ("medium", "msg_cfb_props", extract_msg),
+        "xlsx": ("low", "xlsx_zip_sst", extract_xlsx),
+        "xls": ("low", "xls_biff8_sst", extract_xls),
+        "pptx": ("low", "pptx_drawingml", extract_pptx_text),
+        "rtf": ("low", "rtf_tokenizer", extract_rtf),
     }
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -514,20 +532,45 @@ ORACLES = {
                1.0 / (1.0 + exp(-z)) >= 0.5 AS accepted
         FROM z
     """,
-    # the real-bytes dispatch: pdf class ids are %3==0 under 64, docx
-    # ids are 96-127; both parsers round-trip the document text exactly
+    # the real-bytes dispatch over all nine admitted text-bearing
+    # container classes (disjoint fixture id ranges per class; every
+    # parser round-trips the document text exactly)
     "u3_binary_dispatch": """
-        SELECT doc_id,
-               CASE WHEN doc_id < 64 THEN 'pdf' ELSE 'docx' END
-                   AS doc_format,
-               'high' AS priority_class,
-               CASE WHEN doc_id < 64 THEN 'pdf_xref_flate'
-                    ELSE 'docx_zip_ooxml' END AS extractor,
+        WITH f AS (
+            SELECT doc_id, text,
+                   CASE
+                       WHEN doc_id < 64 AND doc_id % 3 = 0 THEN 'pdf'
+                       WHEN doc_id >= 96 AND doc_id < 128 THEN 'docx'
+                       WHEN doc_id >= 128 AND doc_id < 160 THEN 'xlsx'
+                       WHEN doc_id >= 192 AND doc_id < 224 THEN 'pptx'
+                       WHEN doc_id >= 224 AND doc_id < 256 THEN 'eml'
+                       WHEN doc_id >= 256 AND doc_id < 288 THEN 'rtf'
+                       WHEN doc_id >= 288 AND doc_id < 320 THEN 'msg'
+                       WHEN doc_id >= 320 AND doc_id < 352 THEN 'doc'
+                       WHEN doc_id >= 352 AND doc_id < 384 THEN 'xls'
+                   END AS doc_format
+            FROM documents
+        )
+        SELECT doc_id, doc_format,
+               CASE doc_format
+                   WHEN 'pdf' THEN 'high' WHEN 'doc' THEN 'high'
+                   WHEN 'docx' THEN 'high'
+                   WHEN 'eml' THEN 'medium' WHEN 'msg' THEN 'medium'
+                   ELSE 'low' END AS priority_class,
+               CASE doc_format
+                   WHEN 'pdf' THEN 'pdf_xref_flate'
+                   WHEN 'doc' THEN 'doc_fib_pieces'
+                   WHEN 'docx' THEN 'docx_zip_ooxml'
+                   WHEN 'eml' THEN 'eml_rfc5322'
+                   WHEN 'msg' THEN 'msg_cfb_props'
+                   WHEN 'xlsx' THEN 'xlsx_zip_sst'
+                   WHEN 'xls' THEN 'xls_biff8_sst'
+                   WHEN 'pptx' THEN 'pptx_drawingml'
+                   ELSE 'rtf_tokenizer' END AS extractor,
                text AS extracted_text,
                CAST(length(text) AS BIGINT) AS n_chars_out
-        FROM documents
-        WHERE (doc_id < 64 AND doc_id % 3 = 0)
-           OR (doc_id >= 96 AND doc_id < 128)
+        FROM f
+        WHERE doc_format IS NOT NULL
     """,
     "u3_format_dispatch": """
         WITH m AS (

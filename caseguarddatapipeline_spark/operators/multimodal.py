@@ -139,9 +139,19 @@ def _decode_one(b: bytes) -> str:
                     continue
             raise ValueError("unrecognized OOXML package")
         if b[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+            # OLE2 family: MSG, Word 97, Excel 97 share the container
+            # magic — dispatch on which well-known stream the directory
+            # actually holds
+            from .biffops import extract_xls
             from .cfbops import extract_msg
+            from .wordops import extract_doc
 
-            return str(extract_msg(b)["text"])[:32]
+            for fn in (extract_msg, extract_doc, extract_xls):
+                try:
+                    return str(fn(b)["text"])[:32]
+                except ValueError:
+                    continue
+            raise ValueError("unrecognized OLE2 compound document")
         if b[:5] == b"{\\rtf":
             from .rtfops import extract_rtf
 
@@ -727,12 +737,14 @@ _BINFIX_PPTX_N = 32  # doc_ids [192, 224): presentation OOXML class (round 12)
 _BINFIX_EML_N = 32  # doc_ids [224, 256): RFC 5322 message class (round 12)
 _BINFIX_RTF_N = 32  # doc_ids [256, 288): RTF class (round 12)
 _BINFIX_MSG_N = 32  # doc_ids [288, 320): OLE2/MSG compound class (round 12)
+_BINFIX_DOC_N = 32  # doc_ids [320, 352): Word 97 binary class (round 13)
+_BINFIX_XLS_N = 32  # doc_ids [352, 384): Excel 97 BIFF8 class (round 13)
 _BINFIX_TOTAL = (
     _BINFIX_N + _BINFIX_JPG_N + _BINFIX_DOCX_N + _BINFIX_XLSX_N
     + _BINFIX_TIFF_N + _BINFIX_PPTX_N + _BINFIX_EML_N + _BINFIX_RTF_N
-    + _BINFIX_MSG_N
+    + _BINFIX_MSG_N + _BINFIX_DOC_N + _BINFIX_XLS_N
 )
-_BINFIX_VERSION = 11  # bump when payload formats change: invalidates old fixtures
+_BINFIX_VERSION = 12  # bump when payload formats change: invalidates old fixtures
 
 
 def _format_ext(doc_id: int) -> str:
@@ -742,9 +754,14 @@ def _format_ext(doc_id: int) -> str:
     appears in the fixture); ids [_BINFIX_N, _BINFIX_N+_BINFIX_JPG_N)
     are the round-12 baseline-JPEG class; [96,128) wordprocessing OOXML,
     [128,160) spreadsheet OOXML, [160,192) baseline TIFF, [192,224)
-    presentation OOXML, [224,256) RFC 5322 messages, [256,288) RTF —
-    disjoint id ranges so every pre-existing oracle's ``doc_id < 64``
-    scope is untouched."""
+    presentation OOXML, [224,256) RFC 5322 messages, [256,288) RTF,
+    [288,320) OLE2/MSG, [320,352) Word 97 binary, [352,384) Excel 97
+    BIFF8 — disjoint id ranges so every pre-existing oracle's
+    ``doc_id < 64`` scope is untouched."""
+    if doc_id >= 352:
+        return "xls"
+    if doc_id >= 320:
+        return "doc"
     if doc_id >= 288:
         return "msg"
     if doc_id >= 256:
@@ -827,6 +844,14 @@ def _format_payload(doc_id: int, text: str) -> bytes:
 
     body = text.encode()
     ext = _format_ext(doc_id)
+    if ext == "xls":
+        from .biffops import build_xls
+
+        return build_xls(text)
+    if ext == "doc":
+        from .wordops import build_doc
+
+        return build_doc(text)
     if ext == "msg":
         from .cfbops import build_msg
 

@@ -85,8 +85,12 @@ CANARY = "q1_pricing_summary_sql"
 
 # Interleaved (spark, duck) measurement rounds. Each engine's final
 # per-query number is the min across all passes (min of 5 timed runs
-# per pass, 2 adjacent untimed warmups before them).
-N_PASSES = 3
+# per pass, 2 adjacent untimed warmups before them). Round 13: 3 → 5
+# passes — the round-12 record's A/A canary showed 54% Spark-side
+# spread under box load; more interleaved passes give min() more
+# chances to land each query on a quiet scheduler window for BOTH
+# engines symmetrically.
+N_PASSES = 5
 
 # Per-query degree of parallelism for the serving profile — the decision a
 # cost-based engine makes from estimated shuffle cardinality (DuckDB

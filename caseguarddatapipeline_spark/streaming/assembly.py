@@ -75,6 +75,14 @@ from .neardup import (
 
 DEFAULT_TOKEN_BUDGET = 1_000_000  # per-source cap, overridable per run
 
+# Budget-stage decomposition switch: batches at or below this row count
+# take the single cumulative window (one shuffle on source; a sort this
+# size is single-task-trivial), larger ones take the two-pass bucketed
+# form whose per-task bound is what matters at production batch sizes.
+# Measured (round 13, tiny-batch attribution drain): the bucketed
+# machinery alone costs ~1.9 s/batch FIXED — dominating micro-batches.
+_BUCKETED_MIN_ROWS = 250_000
+
 
 def _gopher_pass(n_words, mean_wlen, distinct_ratio):
     """The battery's conjunction (minus the stopword rule, which the
@@ -136,8 +144,58 @@ def run_assembly_stream(
     for d in (hash_index, sig_index, tally_dir):
         os.makedirs(d, exist_ok=True)
 
+    # -- round 13 (fixed-cost attack, measured): the 2.4 s/batch FIXED
+    # cost was NOT the state reads — an isolated A/B (root-dir
+    # partition-discovery read vs a union of per-batch leaf scans, 8
+    # batches of bench-shaped state) measured 0.255 s vs 0.29 s per
+    # probe, a wash — and caching the contributions instead is actively
+    # wrong (persisted frames chain each batch's full lineage into the
+    # next plan: the explain tree grows combinatorially and OOMed the
+    # driver by ~batch 14 in the first attempt). A tiny-batch
+    # attribution drain (200 docs/batch, marginal ≈ 0) located the
+    # fixed cost instead: ~1.9 s/batch in the BUDGET stage's two-pass
+    # bucket machinery (two aggs, two broadcasts, two windows and their
+    # shuffles — straggler insurance that only pays for itself on large
+    # batches) and ~0.25 s/batch re-reading + re-aggregating the token
+    # tallies. Fixes: the budget decomposition is now ADAPTIVE (single
+    # per-source cumulative window under _BUCKETED_MIN_ROWS, the
+    # bucketed form above — see the stage-5 comment) and ``spent_hot``
+    # keeps the per-source tallies as a plain driver dict
+    # (metadata-sized by construction), updated only after the batch's
+    # sinks all commit so a replayed/retried batch finds the dict keyed
+    # to its own id, while a fresh process (crash recovery) misses and
+    # falls back to the exact same _spent_by_source disk path.
+    spent_hot: dict[str, object] = {"upto": None, "by_source": {}}
+    # Adaptive shuffle width (round 13, measured): AQE is unavailable
+    # inside streaming micro-batches, so every exchange runs at the
+    # session's static width — 32 tasks per tiny shuffle, and the
+    # tiny-batch drain spent ~0.4 s/batch on task launch alone
+    # (8-tiny-batch A/B: width 32 → 2.16 s/batch, width 4 → 1.76).
+    # The width for each batch is sized from the PREVIOUS batch's
+    # post-quality row count (~4k rows per shuffle task, floor 4,
+    # ceiling = the session default) — batch sizes in a stream are
+    # sticky, and a one-batch lag only ever costs one suboptimal batch.
+    _width_state: dict[str, int | None] = {"default": None, "prev_rows": None}
+
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
+        if _width_state["default"] is None:
+            _width_state["default"] = int(
+                sess.conf.get("spark.sql.shuffle.partitions")
+            )
+        if _width_state["prev_rows"] is not None:
+            sess.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(
+                    max(
+                        4,
+                        min(
+                            _width_state["default"],
+                            -(-_width_state["prev_rows"] // 4000),
+                        ),
+                    )
+                ),
+            )
         for d, label in (
             (hash_index, "assembly hash index"),
             (sig_index, "assembly signature index"),
@@ -263,54 +321,95 @@ def run_assembly_stream(
                 # equals the global cumsum and the admitted set is
                 # bucket-boundary-independent. Per-bucket tallies are
                 # metadata-sized (#sources x NB rows) and broadcast
-                # back; every window task is bounded by batch/NB. --
-                spent = _spent_by_source(sess, tally_dir, batch_id)
-                nb = sess.sparkContext.defaultParallelism
-                bounds = quality.groupBy("source").agg(
-                    F.min("doc_id").alias("_lo"),
-                    F.max("doc_id").alias("_hi"),
-                )
-                # divide BEFORE multiplying (double math): doc_id is a
-                # caller-supplied long, and (doc_id - lo) * nb overflows
-                # int64 for snowflake-style sparse ids, silently breaking
-                # the monotone-bucket invariant; (x/R) in [0,1) then *nb
-                # is overflow-free and stays monotone (round-11 review)
-                dbl = lambda c: F.col(c).cast("double")  # noqa: E731
-                bucketed = quality.join(
-                    F.broadcast(bounds), "source"
-                ).withColumn(
-                    "_bkt",
-                    F.floor(
-                        (dbl("doc_id") - dbl("_lo"))
-                        / (dbl("_hi") - dbl("_lo") + 1)
-                        * nb
-                    ).cast("int"),
-                )
-                tallies = bucketed.groupBy("source", "_bkt").agg(
-                    F.sum("n_tokens").alias("_bt")
-                )
-                w_off = (
-                    Window.partitionBy("source")
-                    .orderBy("_bkt")
-                    .rowsBetween(Window.unboundedPreceding, -1)
-                )
-                offsets = tallies.select(
-                    "source",
-                    "_bkt",
-                    F.coalesce(F.sum("_bt").over(w_off), F.lit(0)).alias(
-                        "_off"
-                    ),
-                )
-                w_local = (
-                    Window.partitionBy("source", "_bkt")
-                    .orderBy("doc_id")
-                    .rowsBetween(Window.unboundedPreceding, 0)
-                )
-                leveled = bucketed.join(
-                    F.broadcast(offsets), ["source", "_bkt"]
-                ).withColumn(
-                    "level", F.col("_off") + F.sum("n_tokens").over(w_local)
-                )
+                # back; every window task is bounded by batch/NB.
+                # Round 13: the decomposition is ADAPTIVE. A tiny-batch
+                # attribution drain measured the two-pass machinery (two
+                # aggs + two broadcasts + two windowed shuffles) at
+                # ~1.9 s/batch of FIXED cost — straggler insurance that
+                # a micro-batch never needs: below _BUCKETED_MIN_ROWS a
+                # single-task-per-source cumulative sort is sub-ms work,
+                # so the straight window wins outright. Both forms
+                # compute the identical level (the bucketed form's
+                # defining invariant), so which one ran is unobservable
+                # in the output. The row count is free: quality is
+                # persisted and every downstream consumer needs it
+                # materialized anyway. --
+                if spent_hot["upto"] == batch_id:
+                    by_src = spent_hot["by_source"]
+                    spent = (
+                        sess.createDataFrame(
+                            list(by_src.items()), "source bigint, spent bigint"
+                        )
+                        if by_src
+                        else None
+                    )
+                else:
+                    spent = _spent_by_source(sess, tally_dir, batch_id)
+                    spent_hot["by_source"] = (
+                        {r["source"]: r["spent"] for r in spent.collect()}
+                        if spent is not None
+                        else {}
+                    )
+                    spent_hot["upto"] = batch_id
+                n_quality = quality.count()
+                _width_state["prev_rows"] = n_quality
+                if n_quality <= _BUCKETED_MIN_ROWS:
+                    w_full = (
+                        Window.partitionBy("source")
+                        .orderBy("doc_id")
+                        .rowsBetween(Window.unboundedPreceding, 0)
+                    )
+                    leveled = quality.withColumn(
+                        "level", F.sum("n_tokens").over(w_full)
+                    )
+                else:
+                    nb = sess.sparkContext.defaultParallelism
+                    bounds = quality.groupBy("source").agg(
+                        F.min("doc_id").alias("_lo"),
+                        F.max("doc_id").alias("_hi"),
+                    )
+                    # divide BEFORE multiplying (double math): doc_id is a
+                    # caller-supplied long, and (doc_id - lo) * nb overflows
+                    # int64 for snowflake-style sparse ids, silently breaking
+                    # the monotone-bucket invariant; (x/R) in [0,1) then *nb
+                    # is overflow-free and stays monotone (round-11 review)
+                    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+                    bucketed = quality.join(
+                        F.broadcast(bounds), "source"
+                    ).withColumn(
+                        "_bkt",
+                        F.floor(
+                            (dbl("doc_id") - dbl("_lo"))
+                            / (dbl("_hi") - dbl("_lo") + 1)
+                            * nb
+                        ).cast("int"),
+                    )
+                    tallies = bucketed.groupBy("source", "_bkt").agg(
+                        F.sum("n_tokens").alias("_bt")
+                    )
+                    w_off = (
+                        Window.partitionBy("source")
+                        .orderBy("_bkt")
+                        .rowsBetween(Window.unboundedPreceding, -1)
+                    )
+                    offsets = tallies.select(
+                        "source",
+                        "_bkt",
+                        F.coalesce(F.sum("_bt").over(w_off), F.lit(0)).alias(
+                            "_off"
+                        ),
+                    )
+                    w_local = (
+                        Window.partitionBy("source", "_bkt")
+                        .orderBy("doc_id")
+                        .rowsBetween(Window.unboundedPreceding, 0)
+                    )
+                    leveled = bucketed.join(
+                        F.broadcast(offsets), ["source", "_bkt"]
+                    ).withColumn(
+                        "level",
+                        F.col("_off") + F.sum("n_tokens").over(w_local),
+                    ).drop("_lo", "_hi", "_bkt", "_off")
                 if spent is not None:
                     leveled = leveled.join(
                         F.broadcast(spent), "source", "left"
@@ -379,6 +478,16 @@ def run_assembly_stream(
                         # surface the first failure (list() re-raises)
                         list(pool.map(lambda s: _write(*s), sinks))
                     _lap("state_writes")
+                    by_src = spent_hot["by_source"]
+                    for r in (
+                        admitted.groupBy("source")
+                        .agg(F.sum("n_tokens").alias("tokens"))
+                        .collect()
+                    ):
+                        by_src[r["source"]] = (
+                            by_src.get(r["source"], 0) + r["tokens"]
+                        )
+                    spent_hot["upto"] = batch_id + 1
                     if timing is not None:
                         stage_timings.append(timing)
                 finally:

@@ -289,7 +289,7 @@ def main() -> int:
     # walk — dispatched per payload by magic/shape, the E4 document
     # tier's measured docs/s record.
     docsf = _fixture_docs(
-        spark, sf_dir, "doc_*.{pdf,docx,xlsx,pptx,eml,rtf,msg}"
+        spark, sf_dir, "doc_*.{pdf,docx,xlsx,pptx,eml,rtf,msg,doc,xls}"
     )
     docs_bin_n = _replicate_payloads(docsf, n * 8)
     docbin_rows = docs_bin_n.count()
@@ -297,11 +297,13 @@ def main() -> int:
     def _doc_text_kernel(batches):
         import pandas as pd
 
+        from caseguarddatapipeline_spark.operators.biffops import extract_xls
         from caseguarddatapipeline_spark.operators.cfbops import extract_msg
         from caseguarddatapipeline_spark.operators.docxops import (
             extract_docx_text,
             extract_pptx_text,
         )
+        from caseguarddatapipeline_spark.operators.wordops import extract_doc
         from caseguarddatapipeline_spark.operators.mailops import extract_eml
         from caseguarddatapipeline_spark.operators.pdfops import (
             extract_pdf_text,
@@ -315,7 +317,12 @@ def main() -> int:
             if raw[:5] == b"%PDF-":
                 return str(extract_pdf_text(raw)["text"])
             if raw[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
-                return str(extract_msg(raw)["text"])
+                for fn in (extract_msg, extract_doc, extract_xls):
+                    try:
+                        return str(fn(raw)["text"])
+                    except ValueError:
+                        continue
+                raise ValueError("unrecognized OLE2 compound document")
             if raw[:5] == b"{\\rtf":
                 return str(extract_rtf(raw)["text"])
             if raw[:6] == b"From: ":

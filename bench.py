@@ -235,6 +235,16 @@ def main() -> int:
         if name in oracles:
             con.sql(oracles[name]).fetchall()
 
+    # Pass 0, discarded (round 13): the single-execution warmup above
+    # leaves the first timed pass systematically slow — C2 JIT tiers
+    # only land after the repeated executions a full pass performs
+    # (measured: pass totals declined 3.62 -> 3.06 s monotonically, 43%
+    # A/A canary spread that was warm-in drift, not noise). One full
+    # (spark, duck) pass through the identical measurement machinery,
+    # thrown away, so every RECORDED pass runs steady-state.
+    spark_pass(spark, queries, sf_dir, cpus)
+    duck_pass(con, oracles)
+
     # INTERLEAVED passes: (spark, duck) x N_PASSES. Per-query final =
     # min across passes for both engines; per-pass totals and the canary
     # samples are recorded so drift is visible in the artifact.

@@ -52,6 +52,7 @@ _PINNED = [
     # pdf/docx to the full admitted container matrix.
     "e4_doc_text",
     "e4_xls_cells",
+    "e4_ppt_text",
     "u3_binary_dispatch",
 ]
 
@@ -104,7 +105,7 @@ def _registered_modules():
         "skew", "sessions", "textops", "dedup", "curation", "similarity", "pq",
         "vecindex", "graphann", "layout", "topk",
         "multimodal", "pdfops", "docxops", "xlsxops", "mailops", "rtfops",
-        "cfbops", "wordops", "biffops",
+        "cfbops", "wordops", "biffops", "pptops",
         "incremental", "inference", "rest_fetch", "canonical",
         "soap_fetch",
     ):

@@ -329,12 +329,13 @@ def u3_binary_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .mailops import extract_eml
     from .multimodal import _fixture_docs
     from .pdfops import extract_pdf_text
+    from .pptops import extract_ppt
     from .rtfops import extract_rtf
     from .wordops import extract_doc
     from .xlsxops import extract_xlsx
 
     files = _fixture_docs(
-        spark, sf_dir, "doc_*.{pdf,docx,xlsx,pptx,eml,rtf,msg,doc,xls}"
+        spark, sf_dir, "doc_*.{pdf,docx,xlsx,pptx,eml,rtf,msg,doc,xls,ppt}"
     ).select(
         "doc_id",
         F.element_at(F.split(F.input_file_name(), r"\."), -1).alias("ext"),
@@ -350,6 +351,7 @@ def u3_binary_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "xlsx": ("low", "xlsx_zip_sst", extract_xlsx),
         "xls": ("low", "xls_biff8_sst", extract_xls),
         "pptx": ("low", "pptx_drawingml", extract_pptx_text),
+        "ppt": ("low", "ppt_record_tree", extract_ppt),
         "rtf": ("low", "rtf_tokenizer", extract_rtf),
     }
 
@@ -548,6 +550,7 @@ ORACLES = {
                        WHEN doc_id >= 288 AND doc_id < 320 THEN 'msg'
                        WHEN doc_id >= 320 AND doc_id < 352 THEN 'doc'
                        WHEN doc_id >= 352 AND doc_id < 384 THEN 'xls'
+                       WHEN doc_id >= 384 AND doc_id < 416 THEN 'ppt'
                    END AS doc_format
             FROM documents
         )
@@ -566,6 +569,7 @@ ORACLES = {
                    WHEN 'xlsx' THEN 'xlsx_zip_sst'
                    WHEN 'xls' THEN 'xls_biff8_sst'
                    WHEN 'pptx' THEN 'pptx_drawingml'
+                   WHEN 'ppt' THEN 'ppt_record_tree'
                    ELSE 'rtf_tokenizer' END AS extractor,
                text AS extracted_text,
                CAST(length(text) AS BIGINT) AS n_chars_out

@@ -144,9 +144,10 @@ def _decode_one(b: bytes) -> str:
             # actually holds
             from .biffops import extract_xls
             from .cfbops import extract_msg
+            from .pptops import extract_ppt
             from .wordops import extract_doc
 
-            for fn in (extract_msg, extract_doc, extract_xls):
+            for fn in (extract_msg, extract_doc, extract_xls, extract_ppt):
                 try:
                     return str(fn(b)["text"])[:32]
                 except ValueError:
@@ -739,12 +740,13 @@ _BINFIX_RTF_N = 32  # doc_ids [256, 288): RTF class (round 12)
 _BINFIX_MSG_N = 32  # doc_ids [288, 320): OLE2/MSG compound class (round 12)
 _BINFIX_DOC_N = 32  # doc_ids [320, 352): Word 97 binary class (round 13)
 _BINFIX_XLS_N = 32  # doc_ids [352, 384): Excel 97 BIFF8 class (round 13)
+_BINFIX_PPT_N = 32  # doc_ids [384, 416): PowerPoint 97 class (round 13)
 _BINFIX_TOTAL = (
     _BINFIX_N + _BINFIX_JPG_N + _BINFIX_DOCX_N + _BINFIX_XLSX_N
     + _BINFIX_TIFF_N + _BINFIX_PPTX_N + _BINFIX_EML_N + _BINFIX_RTF_N
-    + _BINFIX_MSG_N + _BINFIX_DOC_N + _BINFIX_XLS_N
+    + _BINFIX_MSG_N + _BINFIX_DOC_N + _BINFIX_XLS_N + _BINFIX_PPT_N
 )
-_BINFIX_VERSION = 12  # bump when payload formats change: invalidates old fixtures
+_BINFIX_VERSION = 13  # bump when payload formats change: invalidates old fixtures
 
 
 def _format_ext(doc_id: int) -> str:
@@ -756,8 +758,10 @@ def _format_ext(doc_id: int) -> str:
     [128,160) spreadsheet OOXML, [160,192) baseline TIFF, [192,224)
     presentation OOXML, [224,256) RFC 5322 messages, [256,288) RTF,
     [288,320) OLE2/MSG, [320,352) Word 97 binary, [352,384) Excel 97
-    BIFF8 — disjoint id ranges so every pre-existing oracle's
-    ``doc_id < 64`` scope is untouched."""
+    BIFF8, [384,416) PowerPoint 97 — disjoint id ranges so every
+    pre-existing oracle's ``doc_id < 64`` scope is untouched."""
+    if doc_id >= 384:
+        return "ppt"
     if doc_id >= 352:
         return "xls"
     if doc_id >= 320:
@@ -844,6 +848,10 @@ def _format_payload(doc_id: int, text: str) -> bytes:
 
     body = text.encode()
     ext = _format_ext(doc_id)
+    if ext == "ppt":
+        from .pptops import build_ppt
+
+        return build_ppt(text)
     if ext == "xls":
         from .biffops import build_xls
 

@@ -164,3 +164,64 @@ def test_fixture_payloads_are_real_doc_xls():
     # magic-byte dispatch resolves the OLE2 family member
     assert M._decode_one(doc) == text[:32]
     assert M._decode_one(xls) == text[:32]
+
+
+# ---------------------------------------------------------------------------
+# PowerPoint 97 (pptops) — same build → parse discipline
+# ---------------------------------------------------------------------------
+
+from caseguarddatapipeline_spark.operators.pptops import (  # noqa: E402
+    PptParseError,
+    build_ppt,
+    extract_ppt,
+)
+
+
+@given(text=_text)
+@settings(**_SETTINGS)
+def test_ppt_roundtrip_property(text):
+    out = extract_ppt(build_ppt(text))
+    assert out["text"] == text
+    assert out["n_atoms"] == -(-len(text.replace("\n", "\r")) // 120)
+
+
+def test_ppt_atom_structure_and_rejects():
+    out = extract_ppt(build_ppt("y" * 500))
+    assert out["n_atoms"] == 5 and out["n_unicode"] == 2
+    # non-cp1252 char in an even (bytes-slot) atom forces UTF-16
+    out2 = extract_ppt(build_ppt("Ω" + "y" * 499))
+    assert out2["n_unicode"] == 3
+
+    with pytest.raises((PptParseError, ValueError)):
+        extract_ppt(build_cfb([("Current User", b"\x00" * 32)]))
+    # encrypted header token -> explicit reject
+    doc = build_ppt("hello")
+    _, rd = _read_cfb(doc)
+    cu = bytearray(rd("Current User"))
+    struct.pack_into("<I", cu, 12, 0xF3D1C4DF)  # encrypted token
+    enc = build_cfb(
+        [("Current User", bytes(cu)),
+         ("PowerPoint Document", rd("PowerPoint Document"))]
+    )
+    with pytest.raises(PptParseError, match="encrypted"):
+        extract_ppt(enc)
+    # record overrunning its container must raise, not misparse
+    pp = bytearray(rd("PowerPoint Document"))
+    struct.pack_into("<I", pp, 4, 1 << 30)  # UserEditAtom len -> bogus
+    with pytest.raises(PptParseError):
+        extract_ppt(
+            build_cfb(
+                [("Current User", rd("Current User")),
+                 ("PowerPoint Document", bytes(pp))]
+            )
+        )
+
+
+def test_ppt_fixture_payload_and_dispatch():
+    from caseguarddatapipeline_spark.operators import multimodal as M
+
+    text = "legacy presentation body"
+    ppt = M._format_payload(384, text)
+    assert ppt[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    assert extract_ppt(ppt)["text"] == text
+    assert M._decode_one(ppt) == text[:32]

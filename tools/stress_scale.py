@@ -289,7 +289,7 @@ def main() -> int:
     # walk — dispatched per payload by magic/shape, the E4 document
     # tier's measured docs/s record.
     docsf = _fixture_docs(
-        spark, sf_dir, "doc_*.{pdf,docx,xlsx,pptx,eml,rtf,msg,doc,xls}"
+        spark, sf_dir, "doc_*.{pdf,docx,xlsx,pptx,eml,rtf,msg,doc,xls,ppt}"
     )
     docs_bin_n = _replicate_payloads(docsf, n * 8)
     docbin_rows = docs_bin_n.count()
@@ -303,6 +303,7 @@ def main() -> int:
             extract_docx_text,
             extract_pptx_text,
         )
+        from caseguarddatapipeline_spark.operators.pptops import extract_ppt
         from caseguarddatapipeline_spark.operators.wordops import extract_doc
         from caseguarddatapipeline_spark.operators.mailops import extract_eml
         from caseguarddatapipeline_spark.operators.pdfops import (
@@ -317,7 +318,7 @@ def main() -> int:
             if raw[:5] == b"%PDF-":
                 return str(extract_pdf_text(raw)["text"])
             if raw[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
-                for fn in (extract_msg, extract_doc, extract_xls):
+                for fn in (extract_msg, extract_doc, extract_xls, extract_ppt):
                     try:
                         return str(fn(raw)["text"])
                     except ValueError:

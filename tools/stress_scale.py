@@ -592,13 +592,14 @@ FLOORS = {"agg_scan": 26.0, "join_agg": 3.2, "window_topk": 3.3,
           # pruning the boilerplate head or the one-pass bucket form
           # regresses
           "winnow_join": 0.0016,
-          # doc_decode (round 13): 111,200 real containers across all
-          # NINE text-bearing classes (pdf/docx/xlsx/pptx/eml/rtf/msg
-          # + Word 97 piece tables and BIFF8 workbooks over the CFB
-          # walker) through their full parsers measured 0.0868 Mdocs/s
-          # (~87k docs/s) in the 50x merge run; floor at ~70% — trips
-          # if any container walk regresses to quadratic scanning or
-          # the per-batch dispatch collapses.
+          # doc_decode (round 13): 124,000 real containers across all
+          # TEN text-bearing classes (pdf/docx/xlsx/pptx/eml/rtf/msg +
+          # the Word 97 piece-table, BIFF8 workbook and PowerPoint 97
+          # record-tree walks over the CFB container) through their
+          # full parsers measured 0.0897 Mdocs/s (~90k docs/s) in the
+          # 50x merge run; floor at ~70% — trips if any container walk
+          # regresses to quadratic scanning or the per-batch dispatch
+          # collapses.
           "doc_decode": 0.06,
           # binary_search (round 12): 1-bit encode + Hamming top-k over
           # 2M vectors measured 1.148 Mvec/s in the 50x merge run

@@ -10,6 +10,7 @@ import sys
 from pathlib import Path
 
 import pyspark.sql.functions as F
+import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
@@ -199,8 +200,14 @@ def test_stream_assembly_decomposition_recorded():
         f"marginal {d['marginal_docs_per_sec']} docs/s below the "
         f"{FLOORS['marginal_docs_per_sec']} floor"
     )
-    # consistency: fixed + marginal reconstruct the measured drain
-    recon = d["fixed_sec_per_batch"] * doc["batches"] + doc["docs_in"] / d[
-        "marginal_docs_per_sec"
-    ]
-    assert abs(recon - doc["elapsed_sec"]) <= 0.05 * doc["elapsed_sec"] + 0.1
+    # consistency (round 13 model): anchored at the measured
+    # single-batch drain, e(b) = slope*(b-1) + e_single must
+    # reconstruct the multi-batch drain
+    e_single = doc["single_batch"]["elapsed_sec"]
+    recon = d["fixed_sec_per_batch"] * (doc["batches"] - 1) + e_single
+    assert abs(recon - doc["elapsed_sec"]) <= 0.15 * doc["elapsed_sec"] + 0.3
+    # the single-batch rate IS the recorded marginal (a direct
+    # measurement, lower-bounding true marginal throughput)
+    assert d["marginal_docs_per_sec"] == pytest.approx(
+        doc["docs_in"] / e_single, rel=0.01
+    )

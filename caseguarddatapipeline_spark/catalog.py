@@ -53,6 +53,7 @@ _PINNED = [
     "e4_doc_text",
     "e4_xls_cells",
     "e4_ppt_text",
+    "e4_zip_expand",
     "u3_binary_dispatch",
 ]
 
@@ -105,7 +106,7 @@ def _registered_modules():
         "skew", "sessions", "textops", "dedup", "curation", "similarity", "pq",
         "vecindex", "graphann", "layout", "topk",
         "multimodal", "pdfops", "docxops", "xlsxops", "mailops", "rtfops",
-        "cfbops", "wordops", "biffops", "pptops",
+        "cfbops", "wordops", "biffops", "pptops", "archiveops",
         "incremental", "inference", "rest_fetch", "canonical",
         "soap_fetch",
     ):

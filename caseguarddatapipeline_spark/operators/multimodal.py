@@ -741,12 +741,14 @@ _BINFIX_MSG_N = 32  # doc_ids [288, 320): OLE2/MSG compound class (round 12)
 _BINFIX_DOC_N = 32  # doc_ids [320, 352): Word 97 binary class (round 13)
 _BINFIX_XLS_N = 32  # doc_ids [352, 384): Excel 97 BIFF8 class (round 13)
 _BINFIX_PPT_N = 32  # doc_ids [384, 416): PowerPoint 97 class (round 13)
+_BINFIX_ZIP_N = 32  # doc_ids [416, 448): multi-member archive bundles (round 13)
 _BINFIX_TOTAL = (
     _BINFIX_N + _BINFIX_JPG_N + _BINFIX_DOCX_N + _BINFIX_XLSX_N
     + _BINFIX_TIFF_N + _BINFIX_PPTX_N + _BINFIX_EML_N + _BINFIX_RTF_N
     + _BINFIX_MSG_N + _BINFIX_DOC_N + _BINFIX_XLS_N + _BINFIX_PPT_N
+    + _BINFIX_ZIP_N
 )
-_BINFIX_VERSION = 13  # bump when payload formats change: invalidates old fixtures
+_BINFIX_VERSION = 14  # bump when payload formats change: invalidates old fixtures
 
 
 def _format_ext(doc_id: int) -> str:
@@ -758,8 +760,11 @@ def _format_ext(doc_id: int) -> str:
     [128,160) spreadsheet OOXML, [160,192) baseline TIFF, [192,224)
     presentation OOXML, [224,256) RFC 5322 messages, [256,288) RTF,
     [288,320) OLE2/MSG, [320,352) Word 97 binary, [352,384) Excel 97
-    BIFF8, [384,416) PowerPoint 97 — disjoint id ranges so every
-    pre-existing oracle's ``doc_id < 64`` scope is untouched."""
+    BIFF8, [384,416) PowerPoint 97, [416,448) multi-member archive
+    bundles — disjoint id ranges so every pre-existing oracle's
+    ``doc_id < 64`` scope is untouched."""
+    if doc_id >= 416:
+        return "zip"
     if doc_id >= 384:
         return "ppt"
     if doc_id >= 352:
@@ -848,6 +853,10 @@ def _format_payload(doc_id: int, text: str) -> bytes:
 
     body = text.encode()
     ext = _format_ext(doc_id)
+    if ext == "zip":
+        from .archiveops import build_case_bundle
+
+        return build_case_bundle(text)
     if ext == "ppt":
         from .pptops import build_ppt
 

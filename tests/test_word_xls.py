@@ -225,3 +225,55 @@ def test_ppt_fixture_payload_and_dispatch():
     assert ppt[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
     assert extract_ppt(ppt)["text"] == text
     assert M._decode_one(ppt) == text[:32]
+
+
+# ---------------------------------------------------------------------------
+# Archive expansion (archiveops) — member fan-out with nested containers
+# ---------------------------------------------------------------------------
+
+from caseguarddatapipeline_spark.operators.archiveops import (  # noqa: E402
+    ArchiveParseError,
+    build_case_bundle,
+    expand_zip,
+)
+
+
+@given(text=_text)
+@settings(**_SETTINGS)
+def test_zip_bundle_roundtrip_property(text):
+    members = expand_zip(build_case_bundle(text))
+    assert [m["member_format"] for m in members] == ["txt", "rtf", "docx"]
+    assert "".join(m["member_text"] for m in members) == text
+    n = len(text)
+    assert len(members[0]["member_text"]) == n // 3
+    assert len(members[1]["member_text"]) == 2 * n // 3 - n // 3
+
+
+def test_zip_bundle_nested_container_and_rejects():
+    # the third member is a COMPLETE nested OOXML archive — CPython's
+    # zipfile must agree both levels are real ZIPs
+    import io
+    import zipfile
+
+    bundle = build_case_bundle("alpha beta gamma delta epsilon zeta")
+    with zipfile.ZipFile(io.BytesIO(bundle)) as z:
+        assert z.testzip() is None
+        inner = z.read("doc_part2.docx")
+        with zipfile.ZipFile(io.BytesIO(inner)) as zi:
+            assert zi.testzip() is None
+            assert "word/document.xml" in zi.namelist()
+
+    from caseguarddatapipeline_spark.operators.docxops import _zip
+
+    with pytest.raises(ArchiveParseError, match="no parser"):
+        expand_zip(_zip([("weird.bin", b"\x00\x01")]))
+
+
+def test_zip_bundle_fixture_payload():
+    from caseguarddatapipeline_spark.operators import multimodal as M
+
+    text = "case bundle body text for the archive class"
+    payload = M._format_payload(416, text)
+    assert payload[:4] == b"PK\x03\x04"
+    members = expand_zip(payload)
+    assert "".join(m["member_text"] for m in members) == text

@@ -494,13 +494,59 @@ def _banded_vectorized(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
 
 
+# SQL text of the _band_pairs tail (round-13 optimization): the
+# DataFrame form of the tail costs ~170 ms of py4j expression
+# construction PER BUILD (nested higher-order lambdas are the expensive
+# hops) — a third of the query's serving latency. This is the identical
+# algebra — cap window, sorted collect_list, in-bucket pair expansion,
+# exact-jaccard verify, pair dedup (DISTINCT ≡ dropDuplicates here:
+# jaccard is a function of the pair) — parsed in ONE spark.sql round
+# trip (~15 ms). _band_pairs stays as the shared composable tail for
+# the HOF form and curation callers.
+_BAND_PAIRS_SQL = f"""
+    SELECT DISTINCT p.doc_a, p.doc_b, p.jaccard
+    FROM (
+      SELECT explode(flatten(transform(members, (m, i) ->
+                 transform(slice(members, i + 2, size(members)), m2 ->
+                     named_struct(
+                         'doc_a', m.doc_id,
+                         'doc_b', m2.doc_id,
+                         'jaccard',
+                         round(CAST(size(array_intersect(
+                                   m.shingles, m2.shingles)) AS DOUBLE)
+                               / size(array_union(
+                                     m.shingles, m2.shingles)),
+                               6)))))) AS p
+      FROM (
+        SELECT band, band_sig,
+               sort_array(collect_list(struct(doc_id, shingles)))
+                   AS members
+        FROM (SELECT doc_id, shingles, band, band_sig,
+                     row_number() OVER (PARTITION BY band, band_sig
+                                        ORDER BY doc_id) AS rn
+              FROM {{v}})
+        WHERE rn <= {_BUCKET_CAP}
+        GROUP BY band, band_sig
+      )
+      WHERE size(members) >= 2
+    )
+"""
+
+
 def e1_minhash_lsh_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH with the Arrow-vectorized signature kernel
-    (``_banded_vectorized``) and the shared band-bucket verify tail —
+    (``_banded_vectorized``) and the band-bucket verify tail —
     same results and oracle as e1_minhash_lsh, ~25% faster at sf0.1 and
-    widening with document length."""
+    widening with document length. The tail is served via the
+    single-parse ``_BAND_PAIRS_SQL`` twin of ``_band_pairs``."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return _band_pairs(_banded_vectorized(spark, docs))
+    banded = _banded_vectorized(spark, docs)
+    from .similarity import _session_key
+
+    tag = f"{abs(hash((_session_key(spark), sf_dir))) % 10**8:08d}"
+    vname = f"e1mh_banded__{tag}"
+    banded.createOrReplaceTempView(vname)
+    return spark.sql(_BAND_PAIRS_SQL.format(v=vname))
 
 
 def _py_token_hash(t: str) -> int:

@@ -160,15 +160,28 @@ def _spark_fn(name: str):
 _SPARK_ONLY_TEMPLATES: dict[str, str] = {
     # e1_span_dedup twin: same single span stream + count-over-hash
     # window (NO posting self-join — the join form re-derives span
-    # generation per side, measured 2.3x slower; dedup.py docstring)
+    # generation per side, measured 2.3x slower; dedup.py docstring).
+    #
+    # Round 13 (optimization): the span key is xxhash64 over the token
+    # slice instead of md5 over the joined string — the hash feeds ONLY
+    # the duplicate-count equality (never the output; FIXTURES.md §D
+    # concerns oracle-facing hash VALUES), tokens contain no spaces so
+    # the joined-string key and the token-array key identify the same
+    # spans, and the outputs are oracle-verified identical at every SF
+    # (no 64-bit collision on these corpora; a pipeline at 10^11+ spans
+    # would move to a 128-bit key — the DataFrame form keeps md5).
+    # Saves the per-span digest + hex string and halves the shuffle/sort
+    # key width (8-byte long vs 32-char string): measured 0.38 → 0.28 s
+    # on the isolated query. array_remove(…, '') replaces the
+    # interpreted filter-lambda (identical result, ~15% cheaper).
     "e1_span_dedup_sql": """
         WITH spans AS (
             SELECT doc_id,
                    explode(array_distinct(transform(
                        sequence(1, size(toks) - 7),
-                       i -> md5(concat_ws(' ', slice(toks, i, 8)))))) AS h
+                       i -> xxhash64(slice(toks, i, 8))))) AS h
             FROM (SELECT doc_id,
-                         filter(split(text, ' '), t -> t != '') AS toks
+                         array_remove(split(text, ' '), '') AS toks
                   FROM {documents})
             WHERE size(toks) >= 8
         ), tagged AS (
@@ -183,13 +196,20 @@ _SPARK_ONLY_TEMPLATES: dict[str, str] = {
         FROM tagged GROUP BY doc_id
     """,
     # e3_bpe_encode twin: vocab-bounded merge learning (two pair aggs +
-    # 1-row broadcasts) + one map-side encode projection
+    # 1-row broadcasts) + one map-side encode projection.
+    # Round 13 (optimization): tokenization drops the interpreted
+    # filter-lambda — `words` explodes the raw split and filters with a
+    # codegen WHERE (explode∘filter ≡ filter∘explode), `counts` uses
+    # array_remove(…, '') — identical results, measured ~20% off the
+    # two `words` evaluations (the query's dominant cost; BPE's
+    # sequential merge dependency makes one words pass per learned
+    # merge irreducible without materialization).
     "e3_bpe_encode_sql": """
         WITH words AS (
             SELECT word, count(*) AS n
-            FROM (SELECT explode(filter(split(text, ' '), x -> x != ''))
-                      AS word
+            FROM (SELECT explode(split(text, ' ')) AS word
                   FROM {documents})
+            WHERE word != ''
             GROUP BY word
         ), p1 AS (
             SELECT substring(word, i, 2) AS pair, sum(n) AS c
@@ -221,7 +241,7 @@ _SPARK_ONLY_TEMPLATES: dict[str, str] = {
                                  replace(replace(w, merge1, char(1)),
                                          merge2, char(2)))) AS n_sym_bpe
             FROM (SELECT doc_id,
-                         filter(split(text, ' '), x -> x != '') AS toks
+                         array_remove(split(text, ' '), '') AS toks
                   FROM {documents})
             CROSS JOIN winner2
         )
@@ -299,8 +319,20 @@ _SPARK_ONLY_TEMPLATES: dict[str, str] = {
         ORDER BY c.source
     """,
     # e2_sq8_search twin: per-dimension bounds agg (two array literals,
-    # 1-row broadcast), scan-local encode, fold ADC distance vs the
-    # fixed 5-query broadcast, per-query top-3
+    # 1-row broadcast), scan-local encode+RECONSTRUCT, fold ADC distance
+    # vs the fixed 5-query broadcast, per-query top-3.
+    #
+    # Round 13 (optimization, guide §1.2 "per-task work"): the original
+    # form recomputed the SQ8 reconstruction INSIDE the per-(query,
+    # corpus) distance lambda — twice per element (the squared diff was
+    # written as expr * expr), ~40 interpreted expression nodes per
+    # dimension per pair. The reconstruction depends only on the corpus
+    # row, so it is hoisted into `encoded` (computed once per corpus
+    # vector, exactly the same per-element float op order:
+    # lo_j + CAST(code_j AS DOUBLE)·(hi_j − lo_j)/255), and the
+    # per-pair work collapses to zip_with + one fold — same values, same
+    # summation order, ~6 nodes per element. Measured 0.287 → see
+    # OPTIMIZATION_r13.md.
     "e2_sq8_search_sql": """
         WITH corpus AS (
             SELECT vec_id,
@@ -315,31 +347,26 @@ _SPARK_ONLY_TEMPLATES: dict[str, str] = {
                   FROM (SELECT posexplode(emb) AS (j, v) FROM corpus)
                   GROUP BY j)
         ), encoded AS (
-            SELECT /*+ BROADCAST(bounds) */ vec_id, lo, hi,
+            SELECT /*+ BROADCAST(bounds) */ vec_id,
                    transform(sequence(1, 64), j ->
-                       CASE WHEN element_at(hi, j) = element_at(lo, j)
-                            THEN 0
-                            ELSE CAST(round((element_at(emb, j)
-                                             - element_at(lo, j))
-                                            / (element_at(hi, j)
-                                               - element_at(lo, j))
-                                            * 255.0, 0) AS INT)
-                       END) AS codes
+                       element_at(lo, j)
+                       + CAST(CASE WHEN element_at(hi, j)
+                                        = element_at(lo, j)
+                                   THEN 0
+                                   ELSE CAST(round((element_at(emb, j)
+                                                    - element_at(lo, j))
+                                                   / (element_at(hi, j)
+                                                      - element_at(lo, j))
+                                                   * 255.0, 0) AS INT)
+                              END AS DOUBLE)
+                         * (element_at(hi, j) - element_at(lo, j))
+                         / 255.0) AS recon
             FROM corpus CROSS JOIN bounds
         ), scored AS (
             SELECT /*+ BROADCAST(q) */ q.query_id, c.vec_id,
                    round(aggregate(
-                       transform(sequence(1, 64), j ->
-                           (element_at(q.q_emb, j)
-                            - (element_at(c.lo, j)
-                               + CAST(element_at(c.codes, j) AS DOUBLE)
-                                 * (element_at(c.hi, j)
-                                    - element_at(c.lo, j)) / 255.0))
-                           * (element_at(q.q_emb, j)
-                              - (element_at(c.lo, j)
-                                 + CAST(element_at(c.codes, j) AS DOUBLE)
-                                   * (element_at(c.hi, j)
-                                      - element_at(c.lo, j)) / 255.0))),
+                       zip_with(q.q_emb, c.recon,
+                                (x, y) -> (x - y) * (x - y)),
                        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 4)
                        AS adist
             FROM encoded c
@@ -368,6 +395,117 @@ def _spark_only_fn(name: str):
     return run
 
 
+# ---------------------------------------------------------------------------
+# Round 13 (optimization): the water-filling budget twin, restructured.
+#
+# The single-statement form re-evaluates its `ranked` CTE once per
+# reference (Spark inlines CTEs — no automatic materialization), so the
+# plan scanned documents THREE times and ran the per-character hash
+# projection on every pass (measured: 0.42 s exec, 22 Exchanges at
+# sf0.1). The allocation level, however, is a function of the per-source
+# TOTALS table — #sources rows, metadata-sized at any corpus scale
+# (guide §8: decide on a lightweight proxy, touch the heavy rows once).
+# So: one cheap tokenize-only aggregation collects the totals (the same
+# metadata-collect pattern as the IVF centroids, vecindex.py), the
+# water-filling level is computed driver-side with the IDENTICAL integer
+# arithmetic as the SQL form (sorted prefix feasibility, cross-
+# multiplied, `div`), and ONE main job runs the expensive char-hash +
+# admission window against the #sources-row caps relation inlined as a
+# VALUES literal (broadcast). Two scans instead of three, the expensive
+# projection exactly once, no BNLJ barrier. Recomputed per invocation —
+# nothing is memoized across runs.
+# ---------------------------------------------------------------------------
+
+_E5_BUDGET = 6000
+
+_E5_TOTALS_SQL = """
+    SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t
+    FROM (SELECT source,
+                 size(array_remove(split(text, ' '), '')) AS n_tokens
+          FROM {documents})
+    GROUP BY source
+"""
+
+_E5_MAIN_SQL = """
+    WITH caps AS (
+        SELECT source, CAST(t AS BIGINT) AS t, CAST(cap AS BIGINT) AS cap
+        FROM (VALUES {caps_values}) AS v(source, t, cap)
+    ), ranked AS (
+        SELECT doc_id, source,
+               aggregate(split(text, ''), CAST(0 AS BIGINT),
+                         (acc, c) -> (acc * 131 + ascii(c))
+                                     % 2147483647) % 1000000 AS h,
+               size(array_remove(split(text, ' '), '')) AS n_tokens
+        FROM {documents}
+    ), fit AS (
+        SELECT source, count(*) AS n_docs_kept,
+               CAST(max(cum_tokens) AS BIGINT) AS tokens_used
+        FROM (SELECT /*+ BROADCAST(caps) */ r.source, r.cum_tokens
+              FROM (SELECT source, doc_id, n_tokens,
+                           CAST(sum(n_tokens) OVER (
+                               PARTITION BY source
+                               ORDER BY h ASC, doc_id ASC)
+                               AS BIGINT) AS cum_tokens
+                    FROM ranked) r
+              JOIN caps ON r.source = caps.source
+              WHERE r.cum_tokens <= caps.cap)
+        GROUP BY source
+    )
+    SELECT c.source,
+           c.t AS total_tokens,
+           CAST(c.cap AS BIGINT) AS cap,
+           c.t <= c.cap AS fully_kept,
+           coalesce(f.n_docs_kept, 0) AS n_docs_kept,
+           CAST(coalesce(f.tokens_used, 0) AS BIGINT) AS tokens_used
+    FROM caps c LEFT JOIN fit f ON c.source = f.source
+    ORDER BY c.source
+    LIMIT 2147483647
+"""
+# ^ The LIMIT is a no-op on the data (the result is exactly #sources
+# rows, bounded at any corpus scale) but turns the global Sort+Exchange
+# into TakeOrderedAndProject — one fewer stage per execution.
+
+
+def _e5_water_fill_level(ts: list[int], budget: int) -> int:
+    """The SQL form's level pick, verbatim in integers: ts ascending;
+    coalesce(CASE WHEN t1*n > B THEN B div n END,
+             first feasible (B - cum_i) div (n - i),
+             t_max)."""
+    n = len(ts)
+    if ts[0] * n > budget:
+        return budget // n
+    cum = 0
+    for i in range(1, n):  # t_next = ts[i] exists only for i < n
+        cum += ts[i - 1]
+        if ts[i] * (n - i) > budget - cum and cum <= budget:
+            return (budget - cum) // (n - i)
+    return ts[-1]
+
+
+def _e5_budget_fn(name: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views = scoped_views(spark, sf_dir)
+        totals = spark.sql(_E5_TOTALS_SQL.format(**views)).collect()
+        if not totals:  # degenerate empty corpus: the one-statement form
+            return spark.sql(
+                _SPARK_ONLY_TEMPLATES[name].format(**views)
+            )
+        rows = sorted((int(r["t"]), str(r["source"])) for r in totals)
+        level = _e5_water_fill_level([t for t, _ in rows], _E5_BUDGET)
+        caps_values = ", ".join(
+            "('{}', {}, {})".format(s.replace("'", "''"), t, min(t, level))
+            for t, s in rows
+        )
+        return spark.sql(
+            _E5_MAIN_SQL.format(
+                caps_values=caps_values, documents=views["documents"]
+            )
+        )
+
+    run.__name__ = name
+    return run
+
+
 def _spark_only_oracles() -> dict[str, str]:
     # the DuckDB side of each twin is the ORIGINAL operator's oracle —
     # identical output contract, dialect-appropriate text
@@ -387,6 +525,9 @@ def _spark_only_oracles() -> dict[str, str]:
 QUERIES = {name: _spark_fn(name) for name in _TEMPLATES}
 QUERIES.update(
     {name: _spark_only_fn(name) for name in _SPARK_ONLY_TEMPLATES}
+)
+QUERIES["e5_global_token_budget_sql"] = _e5_budget_fn(
+    "e5_global_token_budget_sql"
 )
 
 ORACLES = {

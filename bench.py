@@ -108,7 +108,9 @@ _DOP: dict[str, int] = {
     # + pair shuffle wants width; bpe/sq8 nearly flat (map-side
     # projection / bounded broadcasts), budget flat (metadata-sized
     # tallies) — the sub-MB-exchange rule keeps those at 1.
-    "e1_span_dedup_sql": 4,
+    # round 13: re-tuned after the twin restructures — the span shuffle
+    # key narrowed to a long (DOP sweep: 393/287/255 ms at 2/4/8)
+    "e1_span_dedup_sql": 8,
     "e2_sq8_search_sql": 4,
 }
 _DOP_DEFAULT = 1

@@ -68,16 +68,18 @@ def _shingles(toks_col, n: int = 3):
 
 def e1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content key: keep min doc_id per distinct text.
-    Emits one row per distinct content with its copy count."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", F.sha2(F.col("text"), 256).alias("content_key"))
-        .groupBy("content_key")
-        .agg(
-            F.min("doc_id").alias("keeper_doc_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-        )
-    )
+    Emits one row per distinct content with its copy count. One
+    spark.sql parse (round-13 serving optimization), same plan."""
+    from ..sources.tables import scoped_views
+
+    v = scoped_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT content_key, min(doc_id) AS keeper_doc_id,
+               count(1) AS n_copies
+        FROM (SELECT doc_id, sha2(text, 256) AS content_key
+              FROM {v['documents']})
+        GROUP BY content_key
+    """)
 
 
 def e1_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -548,28 +548,28 @@ def e4_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ⋈ embeddings: text + vector modalities in one row, with
     per-modality stats. Equi-join on the shared id — at scale both tables
     are bucketed on it, making this join shuffle-free."""
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
-    toks = F.split(F.col("text"), " ")
-    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    norm = F.sqrt(
-        F.aggregate(
-            F.zip_with(dbl, dbl, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    return (
-        docs.join(emb, docs.doc_id == emb.vec_id)
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            F.size(toks).alias("n_tokens"),
-            "label",
-            F.round(norm, 4).alias("embedding_norm"),
-        )
-    )
+    # One spark.sql parse (round-13 serving optimization). The double-
+    # cast embedding is materialized as a projected column so the
+    # zip_with lambda references it instead of re-running the transform
+    # per argument (no CSE inside HOF lambdas) — same values.
+    from ..sources.tables import scoped_views
+
+    v = scoped_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT d.doc_id, d.lang, d.source,
+               size(split(d.text, ' ')) AS n_tokens,
+               e.label,
+               round(sqrt(aggregate(zip_with(e.emb, e.emb,
+                                             (x, y) -> x * y),
+                                    CAST(0.0 AS DOUBLE),
+                                    (acc, v) -> acc + v)), 4)
+                   AS embedding_norm
+        FROM {v['documents']} d
+        JOIN (SELECT vec_id, label,
+                     transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+              FROM {v['embeddings']}) e
+          ON d.doc_id = e.vec_id
+    """)
 
 
 def e4_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -141,19 +141,20 @@ def j5_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The reference builds Python dict lookups; here the small dimension
     (part) is broadcast so the fact scan streams through a broadcast hash
-    join with zero shuffle of lineitem."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-        .groupBy("p_brand")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
+    join with zero shuffle of lineitem. Served as one spark.sql parse
+    (round-13 optimization: the method-chain build cost ~34 ms of py4j
+    hops per execution); same plan — part is under the auto-broadcast
+    threshold, and the BROADCAST hint pins it."""
+    from ..sources.tables import scoped_views
+
+    v = scoped_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT /*+ BROADCAST(p) */ p_brand,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(1) AS n_items
+        FROM {v['lineitem']} JOIN {v['part']} p ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """)
 
 
 def j7_region_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,33 +269,38 @@ def a4_change_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a5_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-agg GROUP BY status,priority (dashboard.py:250-261):
     count/avg/max/min — partial+final hash agg, no extra shuffle beyond the
-    group keys."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
-        F.round(F.min("o_totalprice"), 2).alias("min_price"),
-    )
+    group keys. One spark.sql parse (round-13 serving optimization)."""
+    from ..sources.tables import scoped_views
+
+    v = scoped_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(1) AS n_orders,
+               round(avg(o_totalprice), 4) AS avg_price,
+               round(max(o_totalprice), 2) AS max_price,
+               round(min(o_totalprice), 2) AS min_price
+        FROM {v['orders']}
+        GROUP BY o_orderstatus, o_orderpriority
+    """)
 
 
 def a6_hourly_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly throughput (dashboard.py:264-273): date_trunc('hour') GROUP
     BY hour × event_type. Hour emitted as a string for cross-engine-stable
     hashing of the ns-precision events clock."""
-    events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy(
-            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias(
-                "hour"
-            ),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
-        )
-    )
+    from ..sources.tables import scoped_views
+
+    v = scoped_views(spark, sf_dir)  # views go through load_table (ns→µs)
+    return spark.sql(f"""
+        SELECT date_format(date_trunc('hour', ts),
+                           'yyyy-MM-dd HH:00:00') AS hour,
+               event_type,
+               count(1) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM {v['events']}
+        GROUP BY date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:00:00'),
+                 event_type
+    """)
 
 
 def a7_top_error_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,13 +370,18 @@ def w1_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w2_recent_events_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-N history per case (embedder.py:122-130): latest 3 events per
     entity via a row_number window (one shuffle on the entity key)."""
-    events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        events.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("user_id", "event_id", "event_type", "rn")
-    )
+    from ..sources.tables import scoped_views
+
+    v = scoped_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT user_id, event_id, event_type, rn
+        FROM (SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC)
+                         AS rn
+              FROM {v['events']})
+        WHERE rn <= 3
+    """)
 
 
 def w5_batch_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -181,18 +181,24 @@ def f11_json_decode_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-JSON decode + validation (ai/enricher.py:175-246): parse the
     events.props JSON, pull a typed field, clamp a derived score to [0,1]
     with least/greatest, fall back when the field is missing."""
-    events = load_table(spark, sf_dir, "events")
     # try_cast: a malformed LLM payload like {"k": "high"} must degrade to
-    # the fallback, not abort the query with an ANSI cast error
-    k = F.get_json_object(F.col("props"), "$.k").try_cast("int")
-    score = F.least(
-        F.greatest(k.cast("double") / F.lit(100.0), F.lit(0.0)), F.lit(1.0)
-    )
-    return events.select(
-        "event_id",
-        F.coalesce(k, F.lit(-1)).alias("k_value"),
-        F.round(F.coalesce(score, F.lit(0.0)), 6).alias("clamped_score"),
-    )
+    # the fallback, not abort the query with an ANSI cast error.
+    # One spark.sql parse (round-13 serving optimization); the D-suffixed
+    # literals keep the arithmetic in DOUBLE exactly like the F.lit forms
+    # (a bare 100.0 would parse as DECIMAL and change the division).
+    from ..sources.tables import scoped_views
+
+    v = scoped_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT event_id,
+               coalesce(k, -1) AS k_value,
+               round(coalesce(least(greatest(CAST(k AS DOUBLE) / 100.0D,
+                                             0.0D), 1.0D), 0.0D), 6)
+                   AS clamped_score
+        FROM (SELECT event_id,
+                     try_cast(get_json_object(props, '$.k') AS INT) AS k
+              FROM {v['events']})
+    """)
 
 
 def f12_weighted_priority_score(spark: SparkSession, sf_dir: str) -> DataFrame:

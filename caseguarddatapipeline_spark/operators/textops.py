@@ -64,27 +64,34 @@ def e3_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def e3_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality: length, stopword ratio, avg token length
-    → weighted score in [0,1]. The training-data-pipeline quality filter."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    stop_ratio = n_stop.cast("double") / n_tokens
-    # Single-space tokenization ⇒ avg token length is arithmetic on lengths,
-    # no per-token loop needed.
-    avg_tok_len = (F.length("text") - (n_tokens - 1)).cast("double") / n_tokens
-    score = (
-        F.lit(0.5) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
-        + F.lit(0.2) * F.least(avg_tok_len / F.lit(10.0), F.lit(1.0))
+    → weighted score in [0,1]. The training-data-pipeline quality filter.
+
+    One spark.sql parse (round-13 serving optimization — this was the
+    most expensive plan BUILD of the non-SQL headliners, ~66 ms of py4j
+    expression hops). D-suffixed literals keep every term in DOUBLE,
+    exactly like the F.lit forms; single-space tokenization ⇒ avg token
+    length is arithmetic on lengths, no per-token loop needed."""
+    from ..sources.tables import scoped_views
+
+    v = scoped_views(spark, sf_dir)
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stop_ratio = (
+        f"CAST(size(filter(toks, t -> t IN ({stop_list}))) AS DOUBLE)"
+        " / size(toks)"
     )
-    return docs.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(avg_tok_len, 6).alias("avg_token_len"),
-        F.round(score, 6).alias("quality_score"),
-    )
+    avg_tok = "CAST(length(text) - (size(toks) - 1) AS DOUBLE) / size(toks)"
+    return spark.sql(f"""
+        SELECT doc_id,
+               size(toks) AS n_tokens,
+               round({stop_ratio}, 6) AS stopword_ratio,
+               round({avg_tok}, 6) AS avg_token_len,
+               round(0.5D * least(size(toks) / 100.0D, 1.0D)
+                     + 0.3D * (1.0D - {stop_ratio})
+                     + 0.2D * least(({avg_tok}) / 10.0D, 1.0D),
+                     6) AS quality_score
+        FROM (SELECT doc_id, text, split(text, ' ') AS toks
+              FROM {v['documents']})
+    """)
 
 
 def e3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:

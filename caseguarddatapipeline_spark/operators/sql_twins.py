@@ -459,11 +459,14 @@ _E5_MAIN_SQL = """
            CAST(coalesce(f.tokens_used, 0) AS BIGINT) AS tokens_used
     FROM caps c LEFT JOIN fit f ON c.source = f.source
     ORDER BY c.source
-    LIMIT 2147483647
+    LIMIT {n_sources}
 """
-# ^ The LIMIT is a no-op on the data (the result is exactly #sources
-# rows, bounded at any corpus scale) but turns the global Sort+Exchange
-# into TakeOrderedAndProject — one fewer stage per execution.
+# ^ The LIMIT equals the exact output row count (one row per source,
+# known at build time from the collected totals), so it is a no-op on
+# the data at any scale but lets the final ORDER BY plan as
+# TakeOrderedAndProject instead of a global Sort+Exchange — one fewer
+# stage per execution (falls back to the sort automatically if a corpus
+# ever exceeded the topK threshold).
 
 
 def _e5_water_fill_level(ts: list[int], budget: int) -> int:
@@ -498,7 +501,9 @@ def _e5_budget_fn(name: str):
         )
         return spark.sql(
             _E5_MAIN_SQL.format(
-                caps_values=caps_values, documents=views["documents"]
+                caps_values=caps_values,
+                documents=views["documents"],
+                n_sources=len(rows),
             )
         )
 

@@ -353,8 +353,11 @@ def e2_ivfpq_search_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _seed_matrix_lit(seeds: list[list[float]]):
     """16×64 literal array-of-arrays of the coarse seed vectors — index
-    metadata embedded in the plan, same posture as _cell_cosines."""
-    return F.array(*[F.array(*[F.lit(v) for v in s]) for s in seeds])
+    metadata embedded in the plan, same posture as _cell_cosines (and
+    built the same way: one JVM-parsed SQL text, not k×dim py4j lits)."""
+    from .similarity import _cent_literal
+
+    return _cent_literal(seeds)
 
 
 def e2_ivfpq_residual_1round(spark: SparkSession, sf_dir: str) -> DataFrame:

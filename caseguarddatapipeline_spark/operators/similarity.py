@@ -273,7 +273,13 @@ def e2_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = 64
 
     def plane_bit(i: int):
-        coeffs = F.array(*[F.lit(_plane_coeff(i, j)) for j in range(dim)])
+        # one parsed SQL literal per plane (not dim F.lit py4j calls) —
+        # same plan-build economics as _cent_literal
+        coeffs = F.expr(
+            "array("
+            + ",".join(f"{float(_plane_coeff(i, j))!r}D" for j in range(dim))
+            + ")"
+        )
         proj = _dot(_dbl(F.col("embedding")), coeffs)
         return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
 
@@ -294,14 +300,55 @@ def e2_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cent_literal(cents: list[list[float]]):
     """Centroid set as a literal array<array<double>> column (index metadata
     — k×dim floats — lives driver-side exactly like a real IVF index's
-    coarse quantizer; it is NOT a data-sized collect)."""
-    return F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents])
+    coarse quantizer; it is NOT a data-sized collect). Built as ONE SQL
+    text parsed in the JVM rather than k×dim F.lit() py4j round-trips:
+    the nested-F.array form cost ~660 ms of plan-build per 16×64 matrix
+    and the IVF/PQ searches embed 2-3 matrices per build (measured round
+    13 — construction, not execution, dominated the family). repr() is
+    shortest-roundtrip and the D-suffix literal parses to the identical
+    double bits (bit-equality asserted in tests)."""
+    rows = ",".join(
+        "array(" + ",".join(f"{float(v)!r}D" for v in c) + ")" for c in cents
+    )
+    return F.expr(f"array({rows})")
 
 
-def _cell_cosines(cents: list[list[float]], emb_col):
+def _py_norm(vec: list[float]) -> float:
+    """Driver-side replica of ``_norm``'s fold: left-to-right
+    acc + x*x over IEEE doubles, then a correctly-rounded sqrt — Python
+    float ops and Java double ops are the same IEEE-754 operations, so
+    the value is bit-identical to evaluating the Spark expression on the
+    same literals (pinned by tests/test_similarity.py)."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _cell_cosines(cents: list[list[float]], emb_col, vec_norm=None):
+    """Per-cell cosines of ``emb_col`` against the centroid matrix.
+
+    Round-13 shape: the centroid norms are constants of the index, so
+    they are computed ONCE driver-side (bit-identical fold, see
+    ``_py_norm``) and embedded as a k-element literal instead of being
+    re-folded per row per cell (HOF lambdas evaluate interpreted, with
+    no common-subexpression elimination — the norm folds were 2/3 of the
+    assignment stage's per-row work). Callers that already project the
+    row's norm pass it as ``vec_norm`` to hoist the third fold too; the
+    division keeps the exact original operand order
+    dot / (cnorm * vnorm), so every cosine is bit-identical to the
+    unhoisted form."""
     cent_arr = _cent_literal(cents)
+    cn_arr = F.expr(
+        "array(" + ",".join(f"{_py_norm(c)!r}D" for c in cents) + ")"
+    )
+    vnorm = _norm(emb_col) if vec_norm is None else vec_norm
     return F.transform(
-        cent_arr, lambda c: _dot(c, emb_col) / (_norm(c) * _norm(emb_col))
+        cent_arr,
+        lambda c, i: _dot(c, emb_col)
+        / (F.element_at(cn_arr, i + 1) * vnorm),
     )
 
 
@@ -806,19 +853,35 @@ def _coarse_cells(
     oracle's row_number(ORDER BY cos6 DESC, cell ASC) produces). The ONE
     definition of the coarse stage, shared by the IVF searches here and
     every PQ variant (pq.py) — a tie-break or rounding change in a single
-    copy would silently desynchronize them from IVF1_CENTS_SQL."""
-    cos6 = F.transform(_cell_cosines(cents, F.col("emb")), lambda c: F.round(c, 6))
+    copy would silently desynchronize them from IVF1_CENTS_SQL. The row
+    norm is projected once and passed into the cosine transform (16
+    interpreted folds per row → 1; values bit-identical)."""
+    with_n = corpus.select(
+        "vec_id",
+        *(["emb"] if keep_emb else []),
+        F.col("emb").alias("_e"),
+        _norm(F.col("emb")).alias("_n"),
+    )
+    cos6 = F.transform(
+        _cell_cosines(cents, F.col("_e"), vec_norm=F.col("_n")),
+        lambda c: F.round(c, 6),
+    )
     cell = (F.array_position(cos6, F.array_max(cos6)) - 1).cast("int").alias("cell")
-    return corpus.select("vec_id", *(["emb"] if keep_emb else []), cell)
+    return with_n.select("vec_id", *(["emb"] if keep_emb else []), cell)
 
 
-def _nearest_cells_arr(vec_col: Column, cents: list[list[float]], n: int) -> Column:
+def _nearest_cells_arr(
+    vec_col: Column, cents: list[list[float]], n: int, vec_norm=None
+) -> Column:
     """array of the ``n`` nearest cells of ``cents`` to ``vec_col`` by
     6dp-rounded cosine, ties to the LOWER cell id (sorting (cos, -idx)
     structs keeps the order identical in both engines). The one
     definition of ranked cell selection — query probe lists here and in
-    pq.py, and the top-2 multi-assignment in dedup's IVF router."""
-    cos6 = F.transform(_cell_cosines(cents, vec_col), lambda c: F.round(c, 6))
+    pq.py, and the top-2 multi-assignment in dedup's IVF router.
+    ``vec_norm``: optional pre-projected row norm (see _cell_cosines)."""
+    cos6 = F.transform(
+        _cell_cosines(cents, vec_col, vec_norm=vec_norm), lambda c: F.round(c, 6)
+    )
     cos_idx = F.transform(
         cos6, lambda c, i: F.struct(c.alias("cos"), (-i).alias("neg_idx"))
     )
@@ -832,9 +895,15 @@ def _probe_list(
 ) -> DataFrame:
     """queries(query_id, q_emb) → (query_id, q_emb, probe_cell): each
     query's ``nprobe`` nearest of ``probe_cents``. Shared probe-selection
-    stage of the multi-probe searches here and in pq.py."""
-    probes_arr = _nearest_cells_arr(F.col("q_emb"), probe_cents, nprobe)
-    return queries.select(
+    stage of the multi-probe searches here and in pq.py. The query norm
+    is projected once and passed through (see _cell_cosines)."""
+    with_n = queries.select(
+        "query_id", "q_emb", _norm(F.col("q_emb")).alias("_qn")
+    )
+    probes_arr = _nearest_cells_arr(
+        F.col("q_emb"), probe_cents, nprobe, vec_norm=F.col("_qn")
+    )
+    return with_n.select(
         "query_id", "q_emb", F.explode(probes_arr).alias("probe_cell")
     ).withColumn("probe_cell", F.col("probe_cell").cast("int"))
 

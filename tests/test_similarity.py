@@ -382,3 +382,57 @@ def test_binary_search_recall_beats_random_and_is_consistent(spark, sf_dir):
     rec = [r["recall_at_3"] for r in e2_binary_recall(spark, sf_dir).collect()]
     assert len(rec) == N_QUERIES
     assert sum(rec) / len(rec) >= 0.1, rec
+
+
+def test_cent_literal_sql_text_is_bit_identical_to_lit_form(spark):
+    """_cent_literal builds the centroid matrix as one JVM-parsed SQL
+    text (round-13 plan-build optimization); the parsed doubles must be
+    bit-identical to the F.lit() form for every representable value the
+    shortest-roundtrip repr can produce."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from caseguarddatapipeline_spark.operators.similarity import _cent_literal
+
+    cents = [
+        [1e-17, -3.0, 0.1 + 0.2, 2.5e300, 1.0, -0.0],
+        [4.9e-324, 1.7976931348623157e308, -1.2345678901234567, 0.5, 2.0, 7.0],
+    ]
+    lit_form = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
+    )
+    df = spark.range(1)
+    a = df.select(lit_form.alias("x")).collect()[0]["x"]
+    b = df.select(_cent_literal(cents).alias("x")).collect()[0]["x"]
+    for r1, r2 in zip(a, b):
+        for p, q in zip(r1, r2):
+            assert struct.pack("<d", p) == struct.pack("<d", q)
+
+
+def test_py_norm_is_bit_identical_to_spark_fold(spark, sf_dir):
+    """The driver-side centroid norms embedded by _cell_cosines must be
+    bit-identical to evaluating _norm's fold on the same literals — on
+    the REAL persisted index centroids, not synthetic values."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from caseguarddatapipeline_spark.operators.similarity import (
+        _cent_literal,
+        _ivf1_index,
+        _norm,
+        _py_norm,
+    )
+
+    seeds, cents = _ivf1_index(spark, sf_dir)
+    for mat in (seeds, cents):
+        spark_norms = (
+            spark.range(1)
+            .select(
+                F.transform(_cent_literal(mat), lambda c: _norm(c)).alias("n")
+            )
+            .collect()[0]["n"]
+        )
+        for c, sn in zip(mat, spark_norms):
+            assert struct.pack("<d", _py_norm(c)) == struct.pack("<d", sn)

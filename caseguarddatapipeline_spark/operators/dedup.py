@@ -587,12 +587,13 @@ def e1_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst").persist()
-    labels = (
+    held = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
         .persist()
     )
+    labels = held
     changed = 0
     for _ in range(20):  # hard cap >> any realistic near-dup diameter
         nbr_min = (
@@ -600,24 +601,26 @@ def e1_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # carry the changed flag on the row instead of re-joining the
+        # old labels afterwards — one join and one job fewer per round
+        # (a label only ever decreases, so changed ⇔ nbr_label < label)
+        stepped = (
             labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                    "_chg"
+                ),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = stepped.filter(F.col("_chg")).count()
+        held.unpersist()
+        held = stepped
+        labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
     if changed != 0:
@@ -635,9 +638,10 @@ def e1_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     ).orderBy("doc_id")
-    # pairs/edges fed only the (now-cached) labels fixpoint; labels itself
-    # stays persisted until the NEXT invocation releases it — unpersisting
-    # before the caller's action would force a full LSH recomputation
+    # pairs/edges fed only the (now-cached) labels fixpoint; the held
+    # frame stays persisted until the NEXT invocation releases it —
+    # unpersisting before the caller's action would force a full LSH
+    # recomputation
     pairs.unpersist()
     edges.unpersist()
     prev = _LABELS_CACHE.get("last")
@@ -646,7 +650,7 @@ def e1_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             prev.unpersist()
         except Exception:
             pass
-    _LABELS_CACHE["last"] = labels
+    _LABELS_CACHE["last"] = held
     return out
 
 

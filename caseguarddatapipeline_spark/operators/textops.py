@@ -924,7 +924,13 @@ def e3_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
     model = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bg"))
-    ctx = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("n_ctx"))
+    # c(w1·) = Σ_w2 c(w1 w2): the context counts are a roll-up of the
+    # model itself — same integers as re-counting the bigram stream, one
+    # corpus tokenize+explode pass fewer (round 13; the model is the
+    # Zipf-bounded small side, so the window runs over model rows, not
+    # the corpus). Fused onto the model row so the probe side joins ONCE.
+    w_ctx = Window.partitionBy("w1")
+    model = model.withColumn("n_ctx", F.sum("n_bg").over(w_ctx))
     vocab = docs.select(F.explode(toks).alias("w")).agg(
         F.countDistinct("w").alias("v")
     )
@@ -938,7 +944,6 @@ def e3_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     return (
         bigrams.join(model, ["w1", "w2"])
-        .join(ctx, "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(

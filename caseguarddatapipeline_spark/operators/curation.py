@@ -828,16 +828,18 @@ def e5_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _pair_row(name, pairs):
+        # ONE pass over the pair pipeline: exploding both members gives
+        # exactly 2 rows per pair, so n_pairs = count DIV 2 (integer-exact)
+        # and n_docs = count_distinct over the same rows. The previous
+        # two-branch form (count agg crossJoined with a distinct-count agg)
+        # re-executed the entire candidate+verify pipeline per branch.
         both = pairs.select(
             F.explode(F.array("doc_a", "doc_b")).alias("d")
         )
-        return (
-            pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
-            .crossJoin(
-                F.broadcast(both.agg(F.count_distinct("d").alias("n_docs")))
-            )
-            .select(_row(name, F.col("n_pairs"), F.col("n_docs")).alias("r"))
-        )
+        return both.agg(
+            F.expr("count(1) DIV 2").alias("n_pairs"),
+            F.count_distinct("d").alias("n_docs"),
+        ).select(_row(name, F.col("n_pairs"), F.col("n_docs")).alias("r"))
 
     mh = _pair_row(
         "minhash", e1_minhash_lsh(spark, sf_dir).filter(F.col("jaccard") >= 0.5)

@@ -102,18 +102,32 @@ def e1_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind the LSH candidate generator below, never run all-pairs. The
     stream side of the broadcast nested-loop join is repartitioned so the
     O(n²) set arithmetic runs on every core instead of the scan's single
-    small-file partition."""
+    small-file partition.
+
+    Round 13 (optimization, guide §1.2 per-task work): the per-pair set
+    algebra runs on int64 shingle CODES (``_shingle_id`` — the committed
+    posting-join dictionary code, injectivity pinned by
+    tests/test_dedup.py on every sf corpus), not ~20-char strings, and
+    the union size comes from the set identity |A∪B| = |A|+|B| − |A∩B|
+    (``_shingles`` yields distinct sets), so each of the O(n²) pairs
+    pays ONE long-array intersect instead of a string intersect plus a
+    string union. Values identical; measured 7.6 → see
+    OPTIMIZATION_r13.md."""
     par = spark.sparkContext.defaultParallelism
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 500)
         .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
-        .select("doc_id", _shingles(F.col("toks")).alias("shingles"))
+        .select(
+            "doc_id",
+            F.transform(_shingles(F.col("toks")), _shingle_id).alias("codes"),
+        )
+        .select("doc_id", "codes", F.size("codes").alias("n"))
     )
     a = _spread(docs, par, "doc_id").alias("a")
     b = docs.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    inter = F.size(F.array_intersect(F.col("a.codes"), F.col("b.codes")))
+    union = F.col("a.n") + F.col("b.n") - inter
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .select(

@@ -46,6 +46,7 @@ from ..sources import load_table
 from .similarity import _dbl, _dot, _norm
 
 GRAPH_R = 8  # out-degree of the k-NN graph
+KNN_BUILD_BLOCKS = 8  # block grid width of the exact all-pairs build
 GRAPH_BEAM = 8  # beam width per query
 GRAPH_HOPS = 3  # expansion rounds
 GRAPH_ENTRIES = 16  # entry net: vec_id < 16 (the IVF seed vectors)
@@ -64,23 +65,101 @@ def build_knn_graph(emb: DataFrame, r: int = GRAPH_R) -> DataFrame:
     approximate, like every practical distributed k-NN-graph
     constructor), and the resulting edge table persists bucketed by
     ``src``; the O(n²) form exists because the sf-scale oracle must be
-    exact."""
-    a = emb.select(
-        F.col("vec_id").alias("src"), _dbl(F.col("embedding")).alias("ea")
-    ).select("src", "ea", _norm(F.col("ea")).alias("na"))
-    b = emb.select(
-        F.col("vec_id").alias("dst"), _dbl(F.col("embedding")).alias("eb")
-    ).select("dst", "eb", _norm(F.col("eb")).alias("nb"))
-    cos6 = F.round(
-        _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    exact.
+
+    Round 13 (optimization, guide §4.2): the all-pairs cosines come from
+    the blocked-grid numpy matmul kernel (the e1_embedding_neardup
+    shape — plain equi-joins onto a broadcast upper-triangle block grid,
+    one shuffle, one BLAS matmul per block pair), replacing a
+    BroadcastNestedLoopJoin whose 64-d dot product re-ran interpreted
+    per pair (~4 s for 2000² pairs at sf0.1). STILL EXACT: every pair is
+    scored, cosines are half-up-rounded to 6dp before any rank exactly
+    like the relational form, and each kernel task emits its LOCAL
+    top-``r`` per src under the identical (c desc, dst asc) order — a
+    superset of the global top-``r`` — so the final window reproduces
+    the same edge set row-for-row (oracle-verified at every sf)."""
+    import pandas as pd
+
+    from .similarity import _round_half_up
+
+    spark = emb.sparkSession
+    B = KNN_BUILD_BLOCKS
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(B) for y in range(B) if x <= y],
+        "block_a int, block_b int",
     )
-    pairs = (
-        a.join(b, F.col("src") != F.col("dst"))
-        .select("src", "dst", cos6.alias("c"))
+    blocks = emb.select(
+        "vec_id",
+        _dbl(F.col("embedding")).alias("e"),
+        F.pmod("vec_id", F.lit(B)).cast("int").alias("blk"),
+    )
+    tagged = blocks.join(
+        F.broadcast(grid), F.col("blk") == F.col("block_a")
+    ).select(
+        "block_a", "block_b", F.lit(True).alias("is_a"), "vec_id", "e"
+    ).unionByName(
+        blocks.join(
+            F.broadcast(grid),
+            (F.col("blk") == F.col("block_b"))
+            & (F.col("block_a") != F.col("block_b")),
+        ).select(
+            "block_a", "block_b", F.lit(False).alias("is_a"), "vec_id", "e"
+        )
+    )
+
+    def _local_topr(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        diagonal = pdf["block_a"].iat[0] == pdf["block_b"].iat[0]
+        a_rows = pdf if diagonal else pdf[pdf["is_a"]]
+        b_rows = pdf if diagonal else pdf[~pdf["is_a"]]
+        out_src, out_dst, out_c = [], [], []
+
+        def _one_direction(srcs, dsts):
+            if not len(srcs) or not len(dsts):
+                return
+            # dst side sorted ASC so a stable sort on -c breaks 6dp ties
+            # by dst asc — the window's exact (c desc, dst asc) order
+            order = np.argsort(dsts["vec_id"].to_numpy(), kind="stable")
+            dst_ids = dsts["vec_id"].to_numpy()[order]
+            S = np.stack(srcs["e"].to_numpy()).astype(np.float64)
+            D = np.stack(dsts["e"].to_numpy()).astype(np.float64)[order]
+            S /= np.linalg.norm(S, axis=1, keepdims=True)
+            D /= np.linalg.norm(D, axis=1, keepdims=True)
+            C = _round_half_up(S @ D.T, 6)
+            src_ids = srcs["vec_id"].to_numpy()
+            if diagonal:
+                # same block both sides: mask self-pairs
+                C[src_ids[:, None] == dst_ids[None, :]] = -2.0
+            top = np.argsort(-C, axis=1, kind="stable")[:, :r]
+            k = top.shape[1]
+            out_src.append(np.repeat(src_ids, k))
+            out_dst.append(dst_ids[top].ravel())
+            out_c.append(np.take_along_axis(C, top, axis=1).ravel())
+
+        _one_direction(a_rows, b_rows)
+        if not diagonal:
+            _one_direction(b_rows, a_rows)
+        if not out_src:
+            return pd.DataFrame({"src": [], "dst": [], "c": []}).astype(
+                {"src": "int64", "dst": "int64", "c": "float64"}
+            )
+        res = pd.DataFrame(
+            {
+                "src": np.concatenate(out_src),
+                "dst": np.concatenate(out_dst),
+                "c": np.concatenate(out_c),
+            }
+        )
+        # drop masked self-pairs that slipped into a short top-r slice
+        return res[res["c"] > -2.0]
+
+    cand = tagged.groupBy("block_a", "block_b").applyInPandas(
+        _local_topr, "src bigint, dst bigint, c double"
     )
     w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("dst"))
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= r)
         .select("src", "dst")
     )
@@ -229,6 +308,8 @@ def graph_beam_search(
             if expanded is None
             else expanded.unionByName(frontier).distinct()
         )
+        if RECALL_GUARD_ENABLED:
+            expanded = expanded.localCheckpoint()
         nbrs = (
             knn.join(
                 F.broadcast(frontier), knn["src"] == frontier["vec_id"]
@@ -245,6 +326,14 @@ def graph_beam_search(
         # exact-duplicate rows (same rounded cosine by construction)
         # collapse in one distinct — the visited set stays tiny
         visited = visited.unionByName(scored).distinct()
+        if RECALL_GUARD_ENABLED:
+            # (queries × beam × hops)-bounded frame: pin each hop's
+            # visited set once (round 13) so later hops' plans reference
+            # the materialized rows instead of re-executing every prior
+            # hop's join tree — the executed plan carried the hop-1
+            # subtree 6×. Per-invocation, nothing survives the query;
+            # `expanded` stays lazy (cheap windows over these pins).
+            visited = visited.localCheckpoint()
     return (
         visited.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
@@ -295,6 +384,25 @@ def _warn_if_beyond_recall_envelope(emb: DataFrame, caller: str) -> None:
         )
 
 
+def _built_edges(emb: DataFrame) -> DataFrame:
+    """Edge table for the catalog's beam-search entries: the exact build,
+    materialized ONCE per invocation with ``localCheckpoint`` — the
+    bench-scale stand-in for the persisted, src-bucketed lake table the
+    module docstring prescribes at corpus scale. Without it every hop's
+    frontier join re-executes the whole build subtree (the executed plan
+    carried six copies). ``localCheckpoint`` is per-invocation: each call
+    recomputes the build from the parquet input (nothing is shared
+    across runs — unlike ``persist``, whose plan-keyed cache entry a
+    later identical invocation would silently reuse). In plan-audit mode
+    (``RECALL_GUARD_ENABLED`` off: tools/explain_audit.py, plan-only
+    tooling) the lazy composed plan is returned instead, so audits keep
+    seeing the faithful full tree and no job runs at explain time."""
+    built = build_knn_graph(emb)
+    if not RECALL_GUARD_ENABLED:
+        return built
+    return built.localCheckpoint()
+
+
 def e2_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog entry: top-10 per query via 3-hop beam search from the
     16-seed entry net over the exact R=8 k-NN graph. Exact oracle: the
@@ -305,7 +413,7 @@ def e2_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_warn_if_beyond_recall_envelope``)."""
     emb = load_table(spark, sf_dir, "embeddings")
     _warn_if_beyond_recall_envelope(emb, "e2_graph_search")
-    return graph_beam_search(emb, build_knn_graph(emb))
+    return graph_beam_search(emb, _built_edges(emb))
 
 
 def e2_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,7 +425,7 @@ def e2_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     regresses, this trips before any serving claim does."""
     emb = load_table(spark, sf_dir, "embeddings")
     _warn_if_beyond_recall_envelope(emb, "e2_graph_recall")
-    graph3 = graph_beam_search(emb, build_knn_graph(emb)).filter(
+    graph3 = graph_beam_search(emb, _built_edges(emb)).filter(
         F.col("rank") <= 3
     )
     queries = (
@@ -345,19 +453,29 @@ def e2_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "vec_id")
     )
-    common = graph3.select("query_id", "vec_id").intersect(exact3)
-    return (
-        exact3.agg(F.count(F.lit(1)).alias("n_exact"))
-        .crossJoin(graph3.agg(F.count(F.lit(1)).alias("n_graph")))
-        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
-        .select(
-            "n_exact",
-            "n_graph",
-            "n_common",
-            F.round(
-                F.col("n_common").cast("double") / F.col("n_exact"), 4
-            ).alias("recall"),
-        )
+    # ONE full-outer join + ONE aggregate (the e1_neardup_recall pattern):
+    # both sides are distinct (query_id, vec_id) sets by construction
+    # (row_number ranks), so INTERSECT ≡ the rows where both membership
+    # flags hold. The previous three-branch crossJoin form re-executed
+    # graph3 (beam search + n² graph build) and exact3 twice each.
+    fused = exact3.withColumn("in_exact", F.lit(True)).join(
+        graph3.select("query_id", "vec_id", F.lit(True).alias("in_graph")),
+        ["query_id", "vec_id"],
+        "full_outer",
+    )
+    return fused.agg(
+        F.count(F.when(F.col("in_exact"), 1)).alias("n_exact"),
+        F.count(F.when(F.col("in_graph"), 1)).alias("n_graph"),
+        F.count(
+            F.when(F.col("in_exact") & F.col("in_graph"), 1)
+        ).alias("n_common"),
+    ).select(
+        "n_exact",
+        "n_graph",
+        "n_common",
+        F.round(
+            F.col("n_common").cast("double") / F.col("n_exact"), 4
+        ).alias("recall"),
     )
 
 

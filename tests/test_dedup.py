@@ -425,3 +425,54 @@ def test_span_trim_semantics(spark):
     assert got[4]["trimmed_text"] == "" and got[4]["n_tokens"] == 0
     assert got[5]["trimmed_text"] == "w"
     assert (got[5]["n_tokens"], got[5]["n_dropped"]) == (5, 4)
+
+
+def test_ngram_jaccard_codes_injective_and_exact(spark):
+    """e1_ngram_jaccard (round-13 optimization) runs its per-pair set
+    algebra on int64 shingle codes with |A∪B| = |A|+|B|−|A∩B|. Two pins:
+    (1) the dictionary code is injective on the corpus' shingle universe
+    (count distinct strings == count distinct codes — a collision would
+    perturb an intersection count), (2) the produced jaccard values equal
+    the original string-set form on a real sf corpus."""
+    from caseguarddatapipeline_spark.operators.dedup import (
+        _shingle_id,
+        e1_ngram_jaccard,
+    )
+    from caseguarddatapipeline_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.01"
+    sh = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select(F.split(F.col("text"), " ").alias("toks"))
+        .select(F.explode(_shingles(F.col("toks"))).alias("s"))
+    )
+    n_str, n_code = sh.agg(
+        F.count_distinct("s"), F.count_distinct(_shingle_id(F.col("s")))
+    ).first()
+    assert n_str == n_code and n_str > 0
+
+    got = sorted(map(tuple, e1_ngram_jaccard(spark, sf).collect()))
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select("doc_id", _shingles(F.col("toks")).alias("shingles"))
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    want = sorted(
+        map(
+            tuple,
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= 0.2)
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0

@@ -591,6 +591,19 @@ def e1_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine. Output: member doc_id, cluster_id (= min doc in the
     component), cluster_size.
     """
+    # Release the PREVIOUS invocation's labels cache FIRST (round-13 fix):
+    # releasing it at the end — after this invocation's rounds — meant the
+    # final round's ``stepped.persist()`` (canonically identical plan)
+    # attached to the previous entry, silently reusing last run's
+    # materialized data during the rounds, and the deferred unpersist then
+    # dropped THIS invocation's fixpoint cache, so every execution of the
+    # returned frame recomputed the whole LSH pipeline (~1.6 s at sf0.1).
+    prev = _LABELS_CACHE.pop("last", None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = (
         _band_pairs(_banded_vectorized(spark, docs))
@@ -658,12 +671,6 @@ def e1_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recomputation
     pairs.unpersist()
     edges.unpersist()
-    prev = _LABELS_CACHE.get("last")
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass
     _LABELS_CACHE["last"] = held
     return out
 
@@ -705,67 +712,73 @@ def e1_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is shuffle-on-band-key linear, never quadratic. The token hash is
     the portable char polynomial, so fingerprints (and therefore hamming
     distances) hash-match the DuckDB oracle exactly; hashes are
-    materialized once per token instead of per (token, bit)."""
-    docs = (
-        _spread(
-            load_table(spark, sf_dir, "documents"),
-            spark.sparkContext.defaultParallelism,
-            "doc_id",
-        )
-        .select("doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks0"))
-        .select("doc_id", F.filter("toks0", lambda t: t != "").alias("toks"))
-        .select("doc_id", F.transform("toks", _portable_token_hash).alias("hashes"))
-    )
-    def _vote(bit: int):
-        # closure (not a default arg): pyspark infers lambda arity from the
-        # signature, and aggregate's merge lambda must take exactly 2 args.
-        def merge(acc, h):
-            is_set = F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1
-            return acc + F.when(is_set, 1).otherwise(-1)
+    materialized once per token instead of per (token, bit).
 
-        return F.aggregate(F.col("hashes"), F.lit(0).cast("bigint"), merge)
+    Round 13 (optimization): two changes, same values. (1) Guide §4.1 —
+    the 32 per-bit votes were 32 SEPARATE interpreted ``aggregate`` folds
+    over each document's hash array (~9M interpreted lambda steps at
+    sf0.1); the same integers now come from ONE explode + a codegen hash
+    aggregate of 32 conditional sums (integer addition commutes, and
+    ``explode_outer``'s null hash for a zero-token document votes −1 on
+    every bit, so its fingerprint is 0 exactly as the empty-array fold
+    produced). (2) The measured build/exec split was ~1.2 s of py4j
+    expression construction per serving run (32 aggs + the fp sum built
+    node-by-node), so the query is served as ONE spark.sql parse — the
+    sql_twins pattern, identical algebra text-for-text."""
+    from ..sources.tables import scoped_views
 
-    bit_votes = [_vote(b) for b in range(32)]
-    fp = sum(
-        (F.when(v > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("bigint") for b, v in enumerate(bit_votes)),
-        F.lit(0).cast("bigint"),
+    v = scoped_views(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    vote_cols = ", ".join(
+        f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END)"
+        f" AS v{b}"
+        for b in range(32)
     )
-    sigs = docs.select("doc_id", fp.alias("simhash"))
-    band_slices = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftright("simhash", off)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("bits"),
-            )
-            for i, (off, width) in enumerate(_SIMHASH_BANDS)
-        ]
+    fp_sum = " + ".join(
+        f"CAST(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END AS BIGINT)"
+        for b in range(32)
     )
-    banded = sigs.select(
-        "doc_id", "simhash", F.explode(band_slices).alias("s")
-    ).select("doc_id", "simhash", F.col("s.band").alias("band"), F.col("s.bits").alias("bits"))
-    a, b2 = banded.alias("a"), banded.alias("b")
-    candidates = (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bits") == F.col("b.bits"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    band_structs = ", ".join(
+        f"named_struct('band', {i}, 'bits',"
+        f" shiftright(simhash, {off}) & {(1 << width) - 1})"
+        for i, (off, width) in enumerate(_SIMHASH_BANDS)
+    )
+    return spark.sql(f"""
+        WITH spread AS (
+            -- the _spread repartition: fan the hash work out BEFORE
+            -- tokenization, not after (the hint must sit below the
+            -- per-token work to parallelize it)
+            SELECT /*+ REPARTITION({par}, doc_id) */ doc_id, text
+            FROM {v['documents']}
+        ), hashes AS (
+            SELECT doc_id,
+                   aggregate(split(tok, ''), CAST(0 AS BIGINT),
+                             (acc, c) -> (acc * 131 + ascii(c))
+                                         % 2147483647) AS h
+            FROM (SELECT doc_id,
+                         explode_outer(filter(array_distinct(split(text, ' ')),
+                                              t -> t != '')) AS tok
+                  FROM spread)
+        ), votes AS (
+            SELECT doc_id, {vote_cols}
+            FROM hashes GROUP BY doc_id
+        ), sigs AS (
+            SELECT doc_id, {fp_sum} AS simhash FROM votes
+        ), banded AS (
+            SELECT doc_id, simhash, s.band AS band, s.bits AS bits
+            FROM sigs
+            LATERAL VIEW explode(array({band_structs})) t AS s
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.simhash AS sim_a, b.simhash AS sim_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bits = b.bits
+             AND a.doc_id < b.doc_id
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
-        .distinct()
-    )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        candidates.select("doc_a", "doc_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= 6)
-    )
+        SELECT doc_a, doc_b, bit_count(sim_a ^ sim_b) AS hamming
+        FROM cand
+        WHERE bit_count(sim_a ^ sim_b) <= 6
+    """)
 
 
 NEARDUP_BLOCKS = 8  # B(B+1)/2 = 36 block-pair tasks; at scale pick B ≈ n/50k

@@ -125,12 +125,20 @@ def e1_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("key_b"),
         F.col("name").alias("name_b"),
     )
+    # Round 13 (optimization, guide §2.3 — filter before the exchange):
+    # verify candidates map-side with the BOUNDED levenshtein
+    # (threshold=1 → early-exit banded DP, returns −1 past the bound,
+    # so `>= 0` ≡ the exact `levenshtein ≤ 1`) BEFORE the dedup shuffle.
+    # Hot deletion blocks (shared name prefixes) emit ~1M candidate
+    # rows at sf0.1; only the few true typo pairs now reach the
+    # exchange instead of every candidate carrying both name strings.
     candidates = (
         a.join(
             b,
             (F.col("block") == F.col("block_b"))
             & (F.col("key_a") < F.col("key_b")),
         )
+        .filter(F.expr("levenshtein(name_a, name_b, 1) >= 0"))
         .select("key_a", "key_b", "name_a", "name_b")
         .distinct()
     )

@@ -55,6 +55,25 @@ _PINNED = [
     "e4_ppt_text",
     "e4_zip_expand",
     "u3_binary_dispatch",
+    # round-13 optimization restructures (zero-debt extends to CHANGED
+    # internals, not just new entries): the four heavy SQL twins were
+    # re-planned (2-job water-fill, xxhash64 span key, hoisted SQ8
+    # reconstruction, BPE explode/WHERE tokenize), the minhash serving
+    # tail became one SQL parse, and these five re-derived their algebra
+    # (codegen simhash votes, int64 jaccard codes via set identity,
+    # single-pass recall/report aggregates, kernel kNN build,
+    # pre-exchange levenshtein verify). Not already window-stale —
+    # e1_ngram_jaccard and e1_dedup_clusters rotate in on their own.
+    "e1_span_dedup_sql",
+    "e3_bpe_encode_sql",
+    "e5_global_token_budget_sql",
+    "e2_sq8_search_sql",
+    "e1_minhash_lsh_vectorized",
+    "e1_simhash",
+    "e1_fuzzy_name_match",
+    "e2_graph_search",
+    "e2_graph_recall",
+    "e5_dedup_report",
 ]
 
 

@@ -135,8 +135,10 @@ BNLJ_BOUNDED = {
     "shape as e5_domain_mixture)",
     "e3_dsir_weights": "model totals (n_raw, n_tgt, V) scalar "
     "(1-row broadcast)",
-    "e5_dedup_report": "per-tier (n_pairs × n_docs) scalar aggregates "
-    "(1-row broadcasts, three tiers)",
+    "e5_dedup_report": "round 13: the per-tier (n_pairs, n_docs) stats "
+    "collapsed into one exploded-pass aggregate per tier — no scalar "
+    "crossJoins remain; entry kept for the minhash tier's bounded "
+    "1-row shapes inherited from e1_minhash_lsh",
     "e2_sq8_recall": "exact-side ground truth vs fixed 5-vector query "
     "set broadcast + the composed e2_sq8_search (same shape as "
     "e2_pq_recall)",
@@ -149,10 +151,10 @@ BNLJ_BOUNDED = {
     "e5_curriculum_order_scaled": "corpus-count scalar (1-row broadcast) "
     "feeding the ntile arithmetic; both rank windows are bucketed",
     "e2_graph_search": "fixed 5-vector query set broadcast (entry/hop "
-    "scoring) + the FAITHFUL exact O(n²) kNN-graph build, the "
-    "oracle-scale form by design — the scale path is "
-    "build_knn_graph_blocked (hash-bucketed local all-pairs, "
-    "graphann.py), measured at 2M vectors in GRAPHANN.json",
+    "scoring); round 13 replaced the exact O(n²) build's nested-loop "
+    "join with the blocked-grid matmul kernel (same edge set), so the "
+    "remaining BNLJ is only the bounded query-set crossJoin — the "
+    "scale path stays build_knn_graph_blocked (GRAPHANN.json)",
     "e2_graph_recall": "same shapes as e2_graph_search plus the exact "
     "top-3 ground truth vs the fixed query set (e2_pq_recall shape)",
     "e3_bpe_encode": "the two learned merges ride a 1-row broadcast into "

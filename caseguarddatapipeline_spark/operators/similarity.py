@@ -446,7 +446,9 @@ def e2_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_cell = {r["cell"]: list(r["centroid"]) for r in refined_rows}
         centroids = [by_cell.get(i, centroids[i]) for i in range(k_cells)]
 
-    cells = corpus.select("vec_id", "emb", assign(centroids).alias("cell"))
+    cells = corpus.select(
+        "vec_id", "emb", assign(centroids).alias("cell")
+    ).withColumn("nrm", _norm(F.col("emb")))
 
     # queries: rank cells by cosine, keep the nprobe nearest as probe list
     cos_idx = F.transform(
@@ -461,11 +463,19 @@ def e2_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"), _dbl(F.col("embedding")).alias("q_emb")
         )
-        .select("query_id", "q_emb", F.explode(probes_arr).alias("probe_cell"))
+        .select(
+            "query_id",
+            "q_emb",
+            _norm(F.col("q_emb")).alias("q_norm"),
+            F.explode(probes_arr).alias("probe_cell"),
+        )
     )
 
+    # per-vector norms hoisted out of the per-candidate fold (round 13 —
+    # HOF folds are interpreted with no CSE; same operand order, so the
+    # cosine is bit-identical)
     cos = _dot(F.col("emb"), F.col("q_emb")) / (
-        _norm(F.col("emb")) * _norm(F.col("q_emb"))
+        F.col("nrm") * F.col("q_norm")
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -1000,17 +1010,21 @@ def _ivf_candidates(
     if use_arrow:
         return _ivf_candidates_arrow(emb, assign_cents, probe_cents)
     corpus = emb.select("vec_id", _dbl(F.col("embedding")).alias("emb"))
-    cells = _coarse_cells(corpus, assign_cents, keep_emb=True)
+    cells = _coarse_cells(corpus, assign_cents, keep_emb=True).withColumn(
+        "nrm", _norm(F.col("emb"))
+    )
     queries = _probe_list(
         emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), _dbl(F.col("embedding")).alias("q_emb")
         ),
         probe_cents,
         _IVF1_NPROBE,
-    )
+    ).withColumn("q_norm", _norm(F.col("q_emb")))
 
+    # per-vector norms hoisted out of the per-candidate fold (round 13 —
+    # same operand order, bit-identical cosine)
     cos = _dot(F.col("emb"), F.col("q_emb")) / (
-        _norm(F.col("emb")) * _norm(F.col("q_emb"))
+        F.col("nrm") * F.col("q_norm")
     )
     return cells.join(
         F.broadcast(queries),

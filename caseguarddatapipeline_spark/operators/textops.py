@@ -264,15 +264,28 @@ def e3_trigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = docs.select(
         "doc_id", "lang", F.explode(tri).alias("trigram")
     )
-    lm = exploded.groupBy("trigram").agg(
-        F.count(F.lit(1)).alias("corpus_count")
+    # Round 13 (optimization, the e3_ngram_lm_score roll-up trick): the
+    # LM used to aggregate the exploded trigram STREAM while the join
+    # side re-read the same stream — two full tokenize+explode passes.
+    # Both sides now derive from ONE per-(doc, trigram) count table
+    # (identical canonical subtree → the exchange is computed once and
+    # reused): corpus_count = Σ_doc c_doc, n_trigrams = Σ c_doc,
+    # sum_counts = Σ c_doc·corpus_count — the same integers, summed by
+    # group instead of by instance.
+    per_doc = exploded.groupBy("doc_id", "lang", "trigram").agg(
+        F.count(F.lit(1)).alias("c_doc")
+    )
+    lm = per_doc.groupBy("trigram").agg(
+        F.sum("c_doc").cast("bigint").alias("corpus_count")
     )
     return (
-        exploded.join(lm, "trigram")
+        per_doc.join(lm, "trigram")
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
-            F.sum("corpus_count").alias("sum_counts"),
+            F.sum("c_doc").cast("bigint").alias("n_trigrams"),
+            F.sum(F.col("c_doc") * F.col("corpus_count"))
+            .cast("bigint")
+            .alias("sum_counts"),
         )
         .select(
             "doc_id",

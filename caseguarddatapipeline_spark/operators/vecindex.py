@@ -262,9 +262,19 @@ def s12_postings_search(
     )
     probed_cells = sorted({r["probe_cell"] for r in probe_rows})
 
-    posts = read_latest(spark, base).filter(F.col("cell").isin(probed_cells))
+    # norms are per-VECTOR values: project each side's norm once before
+    # the probe join so the per-candidate work folds only the dot — the
+    # same hoist the IVF near-dup verify got this round (HOF folds are
+    # interpreted with no CSE; operand order of the division unchanged,
+    # so every cosine is bit-identical)
+    posts = (
+        read_latest(spark, base)
+        .filter(F.col("cell").isin(probed_cells))
+        .withColumn("nrm", _norm(F.col("emb")))
+    )
+    probes = probes.withColumn("q_nrm", _norm(F.col("q_emb")))
     cos = _dot(F.col("emb"), F.col("q_emb")) / (
-        _norm(F.col("emb")) * _norm(F.col("q_emb"))
+        F.col("nrm") * F.col("q_nrm")
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("vec_id")

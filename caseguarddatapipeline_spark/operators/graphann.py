@@ -124,9 +124,14 @@ def build_knn_graph(emb: DataFrame, r: int = GRAPH_R) -> DataFrame:
             dst_ids = dsts["vec_id"].to_numpy()[order]
             S = np.stack(srcs["e"].to_numpy()).astype(np.float64)
             D = np.stack(dsts["e"].to_numpy()).astype(np.float64)[order]
-            S /= np.linalg.norm(S, axis=1, keepdims=True)
-            D /= np.linalg.norm(D, axis=1, keepdims=True)
-            C = _round_half_up(S @ D.T, 6)
+            # dot/(na·nb), the established kernel convention
+            # (similarity.py) and the relational operand structure —
+            # round-13 advice: normalizing the rows BEFORE the matmul
+            # has a different FP operation order that can differ in the
+            # last ulp and flip a HALF_UP 6dp tie on untested corpora.
+            ns = np.linalg.norm(S, axis=1)
+            nd = np.linalg.norm(D, axis=1)
+            C = _round_half_up((S @ D.T) / np.outer(ns, nd), 6)
             src_ids = srcs["vec_id"].to_numpy()
             if diagonal:
                 # same block both sides: mask self-pairs
@@ -282,60 +287,77 @@ def graph_beam_search(
         _dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_norm")),
         6,
     )
-    visited = (
+    # Round 14 (optimization, guide §5): ONE fused state frame instead of
+    # separate visited/expanded frames. Each row carries its membership
+    # flag (`exp` ⇔ the old expanded set), so a hop needs exactly ONE
+    # localCheckpoint job (the previous form pinned visited AND expanded
+    # — two eager jobs per hop, each with its own broadcast builds). The
+    # frontier is the top-``beam`` of the UNEXPANDED rows: ordering the
+    # rank window by (exp asc, cosine desc, vec_id asc) puts the
+    # unexpanded rows first with their relative order unchanged, so
+    # filtering on ``~exp`` reproduces the anti-join + window exactly.
+    # Leaving the fused frame lazy instead was measured 2× WORSE in
+    # round 13 (10.2 s — window trees re-execute per hop); the checkpoint
+    # is the load-bearing part, the fusion halves how many are needed.
+    state = (
         corpus.filter(F.col("vec_id") < n_entries)
         .crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", cos6.alias("cosine"))
+        .select(
+            "query_id",
+            "vec_id",
+            cos6.alias("cosine"),
+            F.lit(False).alias("exp"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("vec_id")
     )
-    expanded = None
+    w_pool = Window.partitionBy("query_id").orderBy(
+        F.asc("exp"), F.desc("cosine"), F.asc("vec_id")
+    )
     for _ in range(hops):
-        pool = (
-            visited
-            if expanded is None
-            else visited.join(expanded, ["query_id", "vec_id"], "left_anti")
-        )
-        frontier = (
-            pool.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= beam)
-            .select("query_id", "vec_id")
-        )
-        expanded = (
-            frontier
-            if expanded is None
-            else expanded.unionByName(frontier).distinct()
-        )
-        if RECALL_GUARD_ENABLED:
-            expanded = expanded.localCheckpoint()
-        nbrs = (
-            knn.join(
-                F.broadcast(frontier), knn["src"] == frontier["vec_id"]
-            )
-            .select("query_id", F.col("dst").alias("vec_id"))
-            .distinct()
-        )
+        ranked = state.withColumn("rk", F.row_number().over(w_pool))
+        in_beam = (~F.col("exp")) & (F.col("rk") <= beam)
+        frontier = ranked.filter(in_beam).select("query_id", "vec_id")
+        # no distinct here: duplicate (query_id, dst) rows (two frontier
+        # nodes sharing a neighbor) collapse in the state groupBy below,
+        # so the aggregate inside this broadcast build would be a second
+        # dedup of the same ≤ (queries × beam × R) rows
+        nbrs = knn.join(
+            F.broadcast(frontier), knn["src"] == frontier["vec_id"]
+        ).select("query_id", F.col("dst").alias("vec_id"))
         scored = (
             corpus.join(F.broadcast(nbrs), "vec_id")
             .join(F.broadcast(queries), "query_id")
             .filter(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", "vec_id", cos6.alias("cosine"))
+            .select(
+                "query_id",
+                "vec_id",
+                cos6.alias("cosine"),
+                F.lit(False).alias("exp"),
+            )
         )
-        # exact-duplicate rows (same rounded cosine by construction)
-        # collapse in one distinct — the visited set stays tiny
-        visited = visited.unionByName(scored).distinct()
+        # union + group: a re-scored row carries the identical rounded
+        # cosine by construction, so max(cosine) dedups exactly like the
+        # old full-row DISTINCT; max(exp) keeps the membership flag of
+        # any row already expanded. (queries × beam × hops)-bounded.
+        state = (
+            ranked.withColumn("exp", F.col("exp") | in_beam)
+            .drop("rk")
+            .unionByName(scored)
+            .groupBy("query_id", "vec_id")
+            .agg(F.max("cosine").alias("cosine"), F.max("exp").alias("exp"))
+        )
         if RECALL_GUARD_ENABLED:
-            # (queries × beam × hops)-bounded frame: pin each hop's
-            # visited set once (round 13) so later hops' plans reference
-            # the materialized rows instead of re-executing every prior
-            # hop's join tree — the executed plan carried the hop-1
-            # subtree 6×. Per-invocation, nothing survives the query;
-            # `expanded` stays lazy (cheap windows over these pins).
-            visited = visited.localCheckpoint()
+            # pin the hop ONCE (per-invocation; nothing survives the
+            # query) so the next hop's frontier window and the final
+            # rank read materialized rows instead of re-executing every
+            # prior hop's join tree (the unpinned executed plan carried
+            # the hop-1 subtree 6×).
+            state = state.localCheckpoint()
     return (
-        visited.withColumn("rank", F.row_number().over(w))
+        state.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select("query_id", "vec_id", "cosine", "rank")
     )

@@ -162,24 +162,30 @@ _SPARK_ONLY_TEMPLATES: dict[str, str] = {
     # window (NO posting self-join — the join form re-derives span
     # generation per side, measured 2.3x slower; dedup.py docstring).
     #
-    # Round 13 (optimization): the span key is xxhash64 over the token
+    # Round 13 (optimization): the span key is hashed over the token
     # slice instead of md5 over the joined string — the hash feeds ONLY
     # the duplicate-count equality (never the output; FIXTURES.md §D
     # concerns oracle-facing hash VALUES), tokens contain no spaces so
     # the joined-string key and the token-array key identify the same
-    # spans, and the outputs are oracle-verified identical at every SF
-    # (no 64-bit collision on these corpora; a pipeline at 10^11+ spans
-    # would move to a 128-bit key — the DataFrame form keeps md5).
-    # Saves the per-span digest + hex string and halves the shuffle/sort
-    # key width (8-byte long vs 32-char string): measured 0.38 → 0.28 s
+    # spans, and the outputs are oracle-verified identical at every SF.
+    # Saves the per-span digest + hex string and narrows the shuffle/
+    # sort key (vs the 32-char md5 string): measured 0.38 → 0.28 s
     # on the isolated query. array_remove(…, '') replaces the
     # interpreted filter-lambda (identical result, ~15% cheaper).
+    # Round 14: the key IS 128-bit — a two-seed xxhash64 pair struct
+    # (16 bytes, still 2× narrower than the md5 string). A single
+    # 64-bit key has birthday-collision expectation ≫ 1 at the declared
+    # 100 TB envelope (~10^11 spans), and a collision here silently
+    # merges distinct spans into one duplicate group; the pair key
+    # pushes that expectation back below ~10^-4 at 10^11 spans.
     "e1_span_dedup_sql": """
         WITH spans AS (
             SELECT doc_id,
                    explode(array_distinct(transform(
                        sequence(1, size(toks) - 7),
-                       i -> xxhash64(slice(toks, i, 8))))) AS h
+                       i -> struct(xxhash64(slice(toks, i, 8)),
+                                   xxhash64(8191L, slice(toks, i, 8)))
+                   ))) AS h
             FROM (SELECT doc_id,
                          array_remove(split(text, ' '), '') AS toks
                   FROM {documents})
@@ -201,21 +207,29 @@ _SPARK_ONLY_TEMPLATES: dict[str, str] = {
     # filter-lambda — `words` explodes the raw split and filters with a
     # codegen WHERE (explode∘filter ≡ filter∘explode), `counts` uses
     # array_remove(…, '') — identical results, measured ~20% off the
-    # two `words` evaluations (the query's dominant cost; BPE's
-    # sequential merge dependency makes one words pass per learned
-    # merge irreducible without materialization).
+    # two `words` evaluations.
+    # Round 14 (optimization, guide §2.4 — share one exchange): the
+    # `length(word) >= 2` filter moved INTO the words CTE. Words of
+    # length 1 contribute nothing to either consumer (p1 skips them;
+    # replace() never lengthens, so their post-merge segment is still
+    # length 1 and p2's length(w) >= 2 drops it), but with the filter
+    # only on the p1 branch the optimizer pushed it below that branch's
+    # aggregation, making the two inlined words subtrees canonically
+    # DIFFERENT — so the corpus-sized words aggregation executed twice.
+    # With identical subtrees ReusedExchange shares the one aggregation
+    # exchange: the executed plan carries ONE words scan+agg.
     "e3_bpe_encode_sql": """
         WITH words AS (
             SELECT word, count(*) AS n
             FROM (SELECT explode(split(text, ' ')) AS word
                   FROM {documents})
-            WHERE word != ''
+            WHERE word != '' AND length(word) >= 2
             GROUP BY word
         ), p1 AS (
             SELECT substring(word, i, 2) AS pair, sum(n) AS c
             FROM (SELECT word, n,
                          explode(sequence(1, length(word) - 1)) AS i
-                  FROM words WHERE length(word) >= 2)
+                  FROM words)
             GROUP BY substring(word, i, 2)
         ), winner AS (
             SELECT pair AS merge1 FROM p1 ORDER BY c DESC, pair ASC LIMIT 1
@@ -418,6 +432,18 @@ def _spark_only_fn(name: str):
 
 _E5_BUDGET = 6000
 
+# Round 14 (guide §3 small-side discipline): the collect + inlined
+# VALUES literal is metadata-sized only while `source` is a bounded
+# label set. A corpus that keyed source by, say, domain (10^6-10^7
+# distinct values) would blow up both the driver collect and the SQL
+# text, so the collect is LIMIT-bounded: past this many distinct
+# sources the query falls back to the committed one-statement template
+# (_SPARK_ONLY_TEMPLATES — the degenerate-corpus path already), which
+# computes the same water-fill level entirely engine-side. 10k sources
+# ≈ a 500 KB VALUES literal — comfortably metadata-sized; the fallback
+# is pinned by tests/test_sql_twins.py.
+_E5_MAX_SOURCES = 10_000
+
 _E5_TOTALS_SQL = """
     SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t
     FROM (SELECT source,
@@ -488,8 +514,16 @@ def _e5_water_fill_level(ts: list[int], budget: int) -> int:
 def _e5_budget_fn(name: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         views = scoped_views(spark, sf_dir)
-        totals = spark.sql(_E5_TOTALS_SQL.format(**views)).collect()
-        if not totals:  # degenerate empty corpus: the one-statement form
+        # bounded collect (LIMIT n+1): one row past the cap proves the
+        # source set is NOT metadata-sized, without collecting it all
+        totals = (
+            spark.sql(_E5_TOTALS_SQL.format(**views))
+            .limit(_E5_MAX_SOURCES + 1)
+            .collect()
+        )
+        if not totals or len(totals) > _E5_MAX_SOURCES:
+            # degenerate empty corpus, or source cardinality beyond the
+            # VALUES-literal bound: the one-statement form
             return spark.sql(
                 _SPARK_ONLY_TEMPLATES[name].format(**views)
             )

@@ -125,3 +125,20 @@ def test_sql_twin_matches_dataframe_twin(spark, sf_dir):
         got = sorted(map(tuple, QUERIES[sql_name](spark, sf_dir).collect()))
         want = sorted(map(tuple, QUERIES[df_name](spark, sf_dir).collect()))
         assert got == want, sql_name
+
+
+def test_e5_budget_caps_collect_is_bounded(spark, sf_dir, monkeypatch):
+    """Round-14 guard: the water-fill twin's driver-side caps collect is
+    LIMIT-bounded. Past _E5_MAX_SOURCES distinct sources it must fall
+    back to the one-statement template — same rows, no unbounded
+    collect/VALUES literal. Pinned by forcing the bound below the
+    corpus's source count and comparing against the main path."""
+    from caseguarddatapipeline_spark.operators import sql_twins
+
+    q = QUERIES["e5_global_token_budget_sql"]
+    main = sorted(map(tuple, q(spark, sf_dir).collect()))
+    n_sources = len(main)
+    assert n_sources >= 2, "fixture corpus must have several sources"
+    monkeypatch.setattr(sql_twins, "_E5_MAX_SOURCES", n_sources - 1)
+    fallback = sorted(map(tuple, q(spark, sf_dir).collect()))
+    assert fallback == main

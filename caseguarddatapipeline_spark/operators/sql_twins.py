@@ -172,26 +172,34 @@ _SPARK_ONLY_TEMPLATES: dict[str, str] = {
     # sort key (vs the 32-char md5 string): measured 0.38 → 0.28 s
     # on the isolated query. array_remove(…, '') replaces the
     # interpreted filter-lambda (identical result, ~15% cheaper).
-    # Round 14: the key IS 128-bit — a two-seed xxhash64 pair struct
-    # (16 bytes, still 2× narrower than the md5 string). A single
-    # 64-bit key has birthday-collision expectation ≫ 1 at the declared
-    # 100 TB envelope (~10^11 spans), and a collision here silently
-    # merges distinct spans into one duplicate group; the pair key
-    # pushes that expectation back below ~10^-4 at 10^11 spans.
+    # Round 14: the key IS 128-bit — a two-seed xxhash64 pair, carried
+    # as two flat long columns (16 bytes, still 2× narrower than the md5
+    # string). A single 64-bit key has birthday-collision expectation
+    # ≫ 1 at the declared 100 TB envelope (~10^11 spans), and a
+    # collision here silently merges distinct spans into one duplicate
+    # group; the pair key pushes that expectation back below ~10^-4 at
+    # 10^11 spans. Form chosen by interleaved A/B: a struct-valued key
+    # costs +55% (struct rows through explode/distinct/window — a
+    # struct with a CONSTANT second field already costs +50%, so it is
+    # the struct, not the second hash); deduping the raw token SLICES
+    # within the doc (exact, map-side, before the exchange) and hashing
+    # the surviving slices into two flat columns costs +15%
+    # (0.26 → 0.30 s isolated at sf0.1) — the honest, accepted price of
+    # the at-scale correctness insurance. Within-doc dedup stays exact
+    # (no hash involved), the global count key is the 128-bit pair.
     "e1_span_dedup_sql": """
         WITH spans AS (
-            SELECT doc_id,
-                   explode(array_distinct(transform(
-                       sequence(1, size(toks) - 7),
-                       i -> struct(xxhash64(slice(toks, i, 8)),
-                                   xxhash64(8191L, slice(toks, i, 8)))
-                   ))) AS h
-            FROM (SELECT doc_id,
-                         array_remove(split(text, ' '), '') AS toks
-                  FROM {documents})
-            WHERE size(toks) >= 8
+            SELECT doc_id, xxhash64(sp) AS h1, xxhash64(8191L, sp) AS h2
+            FROM (SELECT doc_id, toks FROM
+                    (SELECT doc_id,
+                            array_remove(split(text, ' '), '') AS toks
+                     FROM {documents})
+                  WHERE size(toks) >= 8)
+            LATERAL VIEW explode(array_distinct(transform(
+                sequence(1, size(toks) - 7), i -> slice(toks, i, 8))))
+                t AS sp
         ), tagged AS (
-            SELECT doc_id, count(*) OVER (PARTITION BY h) AS n_docs
+            SELECT doc_id, count(*) OVER (PARTITION BY h1, h2) AS n_docs
             FROM spans
         )
         SELECT doc_id,

@@ -4,6 +4,7 @@ LSH/minhash path must find a planted near-duplicate."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from caseguarddatapipeline_spark.operators.dedup import (
     _minhash_signature,
@@ -427,20 +428,19 @@ def test_span_trim_semantics(spark):
     assert (got[5]["n_tokens"], got[5]["n_dropped"]) == (5, 4)
 
 
-def test_ngram_jaccard_codes_injective_and_exact(spark):
-    """e1_ngram_jaccard (round-13 optimization) runs its per-pair set
-    algebra on int64 shingle codes with |A∪B| = |A|+|B|−|A∩B|. Two pins:
-    (1) the dictionary code is injective on the corpus' shingle universe
-    (count distinct strings == count distinct codes — a collision would
-    perturb an intersection count), (2) the produced jaccard values equal
-    the original string-set form on a real sf corpus."""
-    from caseguarddatapipeline_spark.operators.dedup import (
-        _shingle_id,
-        e1_ngram_jaccard,
-    )
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+           "/root/testdata/sf0.1"]
+)
+def test_ngram_jaccard_codes_injective(spark, sf):
+    """The dictionary code behind e1_ngram_jaccard's int64 set algebra is
+    injective on EVERY available sf corpus' shingle universe (round-13
+    advice: this entry has no exact verify stage to absorb a collision,
+    so the pin must cover each corpus the driver tests, not just
+    sf0.01). A collision would perturb an intersection count."""
+    from caseguarddatapipeline_spark.operators.dedup import _shingle_id
     from caseguarddatapipeline_spark.sources import load_table
 
-    sf = "/root/testdata/sf0.01"
     sh = (
         load_table(spark, sf, "documents")
         .filter(F.col("doc_id") < 500)
@@ -452,6 +452,18 @@ def test_ngram_jaccard_codes_injective_and_exact(spark):
     ).first()
     assert n_str == n_code and n_str > 0
 
+
+def test_ngram_jaccard_codes_exact(spark):
+    """e1_ngram_jaccard (round-13 optimization) runs its per-pair set
+    algebra on int64 shingle codes with |A∪B| = |A|+|B|−|A∩B|: the
+    produced jaccard values equal the original string-set form on a
+    real sf corpus."""
+    from caseguarddatapipeline_spark.operators.dedup import (
+        e1_ngram_jaccard,
+    )
+    from caseguarddatapipeline_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.01"
     got = sorted(map(tuple, e1_ngram_jaccard(spark, sf).collect()))
     docs = (
         load_table(spark, sf, "documents")

@@ -316,7 +316,7 @@ def graph_beam_search(
     w_pool = Window.partitionBy("query_id").orderBy(
         F.asc("exp"), F.desc("cosine"), F.asc("vec_id")
     )
-    for _ in range(hops):
+    for hop in range(hops):
         ranked = state.withColumn("rk", F.row_number().over(w_pool))
         in_beam = (~F.col("exp")) & (F.col("rk") <= beam)
         frontier = ranked.filter(in_beam).select("query_id", "vec_id")
@@ -349,12 +349,15 @@ def graph_beam_search(
             .groupBy("query_id", "vec_id")
             .agg(F.max("cosine").alias("cosine"), F.max("exp").alias("exp"))
         )
-        if RECALL_GUARD_ENABLED:
+        if RECALL_GUARD_ENABLED and hop < hops - 1:
             # pin the hop ONCE (per-invocation; nothing survives the
             # query) so the next hop's frontier window and the final
             # rank read materialized rows instead of re-executing every
             # prior hop's join tree (the unpinned executed plan carried
-            # the hop-1 subtree 6×).
+            # the hop-1 subtree 6×). The LAST hop stays lazy: the only
+            # consumer is the final rank window, which executes the
+            # hop's tree exactly once — its checkpoint was a pure extra
+            # job (round 14).
             state = state.localCheckpoint()
     return (
         state.withColumn("rank", F.row_number().over(w))
